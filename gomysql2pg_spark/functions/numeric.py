@@ -1,0 +1,53 @@
+"""Deterministic numeric helpers for cross-engine-exact aggregation.
+
+Money/quantity columns in the fixtures are doubles carrying exact
+2-decimal values. Summing doubles is order-dependent, so a Spark sum and
+a DuckDB (oracle) sum can differ in the last bits and fail a value-hash
+compare. We therefore aggregate in EXACT integer space:
+
+    cents(x)   = CAST(ROUND(x * 100) AS BIGINT)
+    whole(x)   = CAST(ROUND(x) AS BIGINT)
+
+`x * 100` is the same IEEE double in every engine, and rounding the same
+double yields the same integer (half-up vs half-away differs only for
+negative exact-.5 doubles, absent here). Integer sums are exact and
+associative, so any aggregation order gives the identical result. The
+final division back to currency (`/ 100.0`) is a single correctly
+rounded IEEE op — also identical everywhere.
+
+This is also the right 100 TB design: bigint aggregation is cheaper than
+decimal and immune to float non-determinism across partitionings/AQE
+re-plans (a correctness property: re-running with different partition
+counts yields bit-identical results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(c: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal double column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * F.lit(100)).cast("long")
+
+
+def whole(c: Column | str) -> Column:
+    """Exact integer value of a whole-number double column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c).cast("long")
+
+
+# SQL-side equivalents (DuckDB oracle snippets), kept adjacent so the two
+# definitions can't drift:
+SQL_CENTS = "CAST(ROUND(({x}) * 100) AS BIGINT)"
+SQL_WHOLE = "CAST(ROUND({x}) AS BIGINT)"
+
+
+def sql_cents(x: str) -> str:
+    return SQL_CENTS.format(x=x)
+
+
+def sql_whole(x: str) -> str:
+    return SQL_WHOLE.format(x=x)
