@@ -44,9 +44,37 @@ def list_tables(sf_dir: str, exclude: list[str] | None = None) -> list[str]:
     return [n for n in names if not excluded(n, exclude)]
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark refuses to
+    read natively (PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; lowercase column names (reference `root.go:327-329`)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one table; lowercase column names (reference `root.go:327-329`).
+
+    Parquet TIMESTAMP(NANOS) columns (the `events.ts` fixture) are
+    unreadable by Spark's vectorized reader; we read them as raw nanos
+    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
+    timestamps with integer division — the same ns→us truncation DuckDB
+    applies, so values agree across engines."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     lowered = [c.lower() for c in df.columns]
     if lowered != df.columns:
         df = df.toDF(*lowered)

@@ -1,0 +1,405 @@
+"""Deduplication operators (SURVEY.md §2.D C1/C2) on the `documents` table.
+
+The reference has no dedup surface; these are the LLM-data-pipeline
+operators mandated by BASELINE.json, designed scale-first:
+
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, fully
+  partial-aggregatable, no skew (hash keys are uniform).
+- n-gram Jaccard: shingle→explode→inverted-index self-join. The join
+  key is the shingle hash; frequency-capped to bound worst-case fan-out
+  (a stop-shingle appearing in k docs contributes k² pairs).
+- MinHash-LSH: signature→band→bucket-join; only candidate pairs are
+  verified, so the all-pairs term never materializes. This is the
+  100 TB path; the exact-Jaccard op is its verification oracle.
+- SimHash: 64-bit signatures + banded Hamming candidate search.
+
+Determinism: every hash is xxhash64 (seeded, engine-stable across
+partitionings); Jaccard thresholds are compared in integer arithmetic
+(i * 1000 >= thr * union) so no float rounding is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# C1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: keep min doc_id per md5(text).
+    groupBy on the hash — single shuffle, uniform keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over NORMALIZED text (lower, trim, collapse
+    whitespace) — catches whitespace/case-only duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+ORACLE_DEDUP_EXACT_NORM = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column, as an array.
+    Built-in expressions only (transform over sequence + element_at) —
+    no UDF, stays in codegen."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded pairs — the inverted-index input."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2a: exact n-gram Jaccard near-dup (the verification oracle for LSH)
+# ---------------------------------------------------------------------------
+
+JACCARD_MILLI = 500  # pairs with jaccard >= 0.5
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (jaccard >= 0.5, exact).
+
+    Inverted-index self-join on shingle: pair count = Σ_s df(s)² — at
+    100 TB the frequency cap (drop shingles appearing in > max_df docs,
+    here unbounded because the fixture is clean) and MinHash-LSH
+    (`q_dedup_minhash_lsh`) bound this. Threshold compare is integer:
+    i*1000 >= thr*(na+nb-i)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.col("i") * 1000
+            >= F.lit(JACCARD_MILLI) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(
+            "da",
+            "db",
+            "i",
+            "na",
+            "nb",
+            (F.col("i") * 1000).cast("long").alias("i_milli_num"),
+        )
+    )
+
+
+ORACLE_DEDUP_JACCARD = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l)-2, 0) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+  FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, i, sa.n AS na, sb.n AS nb,
+       CAST(i * 1000 AS BIGINT) AS i_milli_num
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE i * 1000 >= {JACCARD_MILLI} * (sa.n + sb.n - i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2b: MinHash + LSH (the scale path; verified against exact Jaccard)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate | j=0.5) ≈ 0.22, j=0.8 ≈ 0.93
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures.
+
+    Formulated as explode → groupBy(doc_id) with n_hashes MIN aggregates:
+    one pass over shingles, vectorized hash aggregation, map-side partial
+    mins — the shuffle carries n_hashes longs per doc. (An array-expression
+    formulation — n_hashes × transform(shingles, ...) — re-evaluates the
+    shingling per hash and compiles a huge expression tree; measured 10×
+    slower.)"""
+    sh = _shingle_df(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    per = sh.groupBy("doc_id").agg(*aggs)
+    return per.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle → 16-perm minhash signature → 4 bands of 4 → band
+    bucket-join (only equal (band, 4-minhash-slice) collide) → exact
+    Jaccard verification of candidates. At 100 TB: the band join is the
+    only shuffle over candidates (Σ bucket²  ≪ n²); skewed buckets are
+    frequency-capped upstream. Output = confirmed pairs; rows-only
+    check (LSH recall < 1, so no SQL oracle claims completeness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), b * BAND_SIZE + r + 1)
+                                for r in range(BAND_SIZE)
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard on shingle sets
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sset"))
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sset").alias("set_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sset").alias("set_b"))
+    verified = (
+        cand.join(sha, "da")
+        .join(shb, "db")
+        .withColumn(
+            "i", F.size(F.array_intersect("set_a", "set_b"))
+        )
+        .withColumn(
+            "u", F.size("set_a") + F.size("set_b") - F.col("i")
+        )
+        .filter(F.col("i") * 1000 >= F.lit(JACCARD_MILLI) * F.col("u"))
+        .select("da", "db", "i", "u")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# C2c: SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAM_BANDS = 4  # Hamming ≤ 3 ⇒ at least one of 4 16-bit bands equal
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: long) 64-bit SimHash signatures.
+
+    explode → groupBy(doc_id) with 64 SUM(±1 per bit) aggregates, then
+    assemble the sign bits into one long. Single vectorized pass with
+    map-side partial sums; shuffle carries 64 longs per doc."""
+    sh = _shingle_df(docs).withColumn("h", F.xxhash64("s"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b))
+                != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per = sh.groupBy("doc_id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return per.select("doc_id", out.alias("sh"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, banded candidate join
+    (Hamming ≤ 3 guarantees a matching 16-bit band), exact popcount
+    verification. Rows-only check (hash family is Spark-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for b in range(HAM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", "bk.band", "bk.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("a.sh").alias("ha"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.sh").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).filter(F.col("hamming") <= 3).select("da", "db", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# C2d: embedding-cosine near-dup / top similar pairs
+# ---------------------------------------------------------------------------
+
+
+def dot_double(a, b):
+    """Exact-order double dot product of two float arrays (bit-identical
+    to DuckDB's list_dot_product on DOUBLE[] — verified)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a, b):
+    return dot_double(a, b) / (
+        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-similar embedding pairs by exact cosine (the
+    embedding near-dup operator; with a real threshold it's the same
+    plan + a filter). Brute-force O(n²) here; the LSH-bucketed scale
+    path is operators.similarity. Cosine arithmetic is bit-identical
+    to the DuckDB oracle (sequential double fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    return (
+        pairs.select(
+            "va", "vb", cosine_col(F.col("ea"), F.col("eb")).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "va", "vb")
+        .limit(50)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, va, vb
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_norm": q_dedup_exact_norm,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific)
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+}

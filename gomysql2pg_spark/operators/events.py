@@ -1,0 +1,172 @@
+"""Event-stream operators (SURVEY.md §2.D C6, batch semantics) on `events`.
+
+These are the batch twins of the Structured Streaming jobs in
+`gomysql2pg_spark.streaming` — same windowing/sessionization semantics,
+expressed over the static table so they carry a full SQL oracle. The
+streaming variants (watermarks, incremental state) are tested separately
+(tests/test_streaming.py) since a streaming DataFrame can't be collected
+by the driver harness.
+
+Timestamps: `events.ts` is parquet TIMESTAMP(NANOS); the catalog loads
+it as microsecond-truncated TIMESTAMP exactly like DuckDB does, and all
+window math is integer epoch-microseconds — no tz or float involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+WINDOW_US = 300 * 1_000_000  # 5-minute tumbling windows
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute session gap
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation per event_type: 5-minute buckets,
+    count + exact-cents value sum. Bucket = epoch_us div window — the
+    same arithmetic Structured Streaming's window() performs; partial
+    aggregation applies, shuffle carries (bucket × type) rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") / F.lit(WINDOW_US)).cast("long")
+    # integer division semantics: unix_micros >= 0 here, so cast(floor)
+    bucket = F.floor(F.unix_micros("ts") / F.lit(WINDOW_US)).cast("long")
+    return (
+        ev.groupBy(
+            bucket.alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOW = f"""
+SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) AS bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-min gaps (lag +
+    running sum of boundary flags — the standard batch formulation of
+    session_window). Windows are PARTITIONED by user_id → scales
+    horizontally; within-user order is (ts, event_id) for total order."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w_order) > SESSION_GAP_US, 1
+        )
+        .otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/compaction semantics: latest event per user (the batch
+    twin of streaming dedup-by-key). Partitioned window, no global
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+    )
+
+
+ORACLE_EVENTS_LATEST = """
+SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (array/map/json
+    function category — absent in the reference, §2.C). get_json_object
+    / json path both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.missing') AS missing
+FROM events
+"""
+
+
+QUERIES = {
+    "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
+    "events_latest_per_user": q_events_latest_per_user,
+    "events_json_props": q_events_json_props,
+}
+
+ORACLES = {
+    "events_window": ORACLE_EVENTS_WINDOW,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_latest_per_user": ORACLE_EVENTS_LATEST,
+    "events_json_props": ORACLE_EVENTS_JSON,
+}

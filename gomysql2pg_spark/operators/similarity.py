@@ -1,0 +1,211 @@
+"""Similarity-search operators (SURVEY.md §2.D C3) on `embeddings`.
+
+- Brute-force exact top-k: broadcast the (small) query set against the
+  full corpus — one scan, no shuffle of the big side, partitioned-window
+  rank. The cosine is an exact sequential double fold, bit-identical to
+  the DuckDB oracle (verified).
+- IVF-style partitioned search: restrict candidate generation to the
+  query's coarse cell (here the `label` column stands in for a k-means
+  cell id) — the classic recall/cost trade; still SQL-expressible, so
+  it keeps a full oracle.
+- Random-hyperplane LSH bucketing: deterministic pseudo-random planes
+  from xxhash64, bucket-join candidates, exact rerank. The 100 TB path
+  (no all-pairs term); rows-only check (hash-family-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import cosine_col, dot_double
+
+TOP_K = 10
+QUERY_MOD = 100  # query set = vec_id % 100 == 0
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for the query subset.
+    Queries are broadcast; corpus is scanned once; rank via window
+    partitioned by query (scales with #queries × corpus, the exact
+    baseline every ANN variant is measured against)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+ORACLE_SIMILARITY_TOPK = f"""
+SELECT * FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= {TOP_K}
+"""
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: candidates restricted to the query's
+    coarse cell (`label` = inverted-list id). At 100 TB the corpus is
+    partitioned/bucketed BY cell, so a query touches 1/nlist of the
+    data — this plan expresses exactly that pruning. Exact rerank inside
+    the cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+ORACLE_SIMILARITY_IVF = f"""
+SELECT * FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q
+  JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_component(p: int, d: int):
+    """Deterministic pseudo-random ±1 plane component from xxhash64."""
+    return F.when(F.xxhash64(F.lit(p * 10007 + d)) % 2 == 0, 1.0).otherwise(-1.0)
+
+
+def lsh_bucket_col(emb_col):
+    """8-bit random-hyperplane signature: bit p = sign(<v, plane_p>).
+    Planes are ±1 vectors derived from xxhash64 — reproducible across
+    sessions/partitionings without shipping plane matrices."""
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        proj = sum(
+            (
+                F.element_at(emb_col, d + 1).cast("double")
+                * _plane_component(p, d)
+                for d in range(DIM)
+            ),
+            start=F.lit(0.0),
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: bucket-join on the 8-bit hyperplane signature,
+    exact cosine rerank, top-5 per query within its bucket. At scale the
+    corpus is written bucketed-by(signature) so a query reads one bucket.
+    Rows-only check (plane family is engine-specific); recall is
+    measured against q_similarity_topk in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding")))
+    q = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+def q_similarity_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norm / arithmetic primitives (zip_with + aggregate):
+    L2 norm, L1 norm, dot with self — the building blocks the ANN ops
+    compose; exact-fold parity with the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        dot_double(e, e).alias("dot_self"),
+        F.sqrt(dot_double(e, e)).alias("l2_norm"),
+        F.aggregate(
+            e, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+        ).alias("l1_norm"),
+    )
+
+
+ORACLE_SIMILARITY_NORMS = """
+SELECT vec_id,
+  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dot_self,
+  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(embedding::DOUBLE[], x -> abs(x))),
+              (acc, x) -> acc + x) AS l1_norm
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "similarity_ivf": q_similarity_ivf,
+    "similarity_lsh": q_similarity_lsh,
+    "similarity_norms": q_similarity_norms,
+}
+
+ORACLES = {
+    "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "similarity_ivf": ORACLE_SIMILARITY_IVF,
+    # similarity_lsh: rows-only (engine-specific plane family)
+    "similarity_norms": ORACLE_SIMILARITY_NORMS,
+}

@@ -1,0 +1,265 @@
+"""Text-analysis operators (SURVEY.md §2.D C4) on the `documents` table.
+
+Everything is built-in Column expressions (whole-stage codegen, no
+UDFs): tokenization via split/regexp, counting via size/filter,
+fingerprinting via an aggregate() fold. Integer outputs wherever a
+ratio would otherwise introduce float formatting differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: char/token/punct/digit counts,
+    longest token, uppercase count. All integer-valued and pushdown
+    friendly (single scan, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.when(F.length(F.trim("text")) == 0, 0).otherwise(F.size(toks))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", ""))
+        ).alias("n_punct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[0-9]", ""))
+        ).alias("n_digits"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[A-Z]", ""))
+        ).alias("n_upper"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+  LENGTH(text) AS n_chars,
+  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n_tokens,
+  LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+    AS n_punct,
+  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+  LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+  list_max(list_transform(string_split_regex(TRIM(text), '\s+'),
+                          t -> LENGTH(t))) AS max_token_len
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    punctuation marks each count as one token (the classic pre-tokenizer
+    regex). regexp_extract_all is codegen'd — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+    AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(text,
+       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ["the", "a"],
+    "q1": ["table", "row"],
+    "q2": ["query", "join"],
+}
+
+
+def _word_count(toks, word: str):
+    return F.size(F.filter(toks, lambda w: w == F.lit(word)))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language/domain classifier (n-gram-heuristic shape):
+    count marker words per class, argmax with fixed priority. A real
+    langid swaps the marker lists for trained character-n-gram profiles;
+    the plan (single scan, filter-over-split, CASE argmax) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scores = {
+        cls: sum(
+            (_word_count(toks, w) for w in words), start=F.lit(0)
+        )
+        for cls, words in _MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["q1"]) & (scores["en"] >= scores["q2"]),
+            "en",
+        )
+        .when(scores["q1"] >= scores["q2"], "q1")
+        .otherwise("q2")
+    )
+    out = docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["q1"].alias("score_q1"),
+        scores["q2"].alias("score_q2"),
+        pred.alias("pred_class"),
+    )
+    return out
+
+
+def _sql_word_count(word: str) -> str:
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" w -> w = '{word}'))"
+    )
+
+
+_SQL_SCORES = {
+    cls: " + ".join(_sql_word_count(w) for w in words)
+    for cls, words in _MARKERS.items()
+}
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id, lang,
+  {_SQL_SCORES['en']} AS score_en,
+  {_SQL_SCORES['q1']} AS score_q1,
+  {_SQL_SCORES['q2']} AS score_q2,
+  CASE WHEN {_SQL_SCORES['en']} >= {_SQL_SCORES['q1']}
+        AND {_SQL_SCORES['en']} >= {_SQL_SCORES['q2']} THEN 'en'
+       WHEN {_SQL_SCORES['q1']} >= {_SQL_SCORES['q2']} THEN 'q1'
+       ELSE 'q2' END AS pred_class
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality filter: length band, punctuation ratio,
+    stopword presence — integer score + keep flag, the standard
+    pretraining-corpus gate. Ratios compared in integer cross-products
+    (n_punct * 100 < 20 * n_chars) to avoid float compares."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chars = F.length("text")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    len_ok = (n_chars >= 20) & (n_chars <= 10000)
+    punct_ok = n_punct * 100 < n_chars * 20
+    stop_ok = n_stop > 0
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int") + stop_ok.cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        score.alias("quality_score"),
+        (score == 3).alias("keep"),
+    )
+
+
+_SQL_STOP = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " w -> w IN ('the','a','and','of','to')))"
+)
+
+ORACLE_QUALITY_SCORE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    LENGTH(text) AS n_chars,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+      AS n_punct,
+    {_SQL_STOP} AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_punct, n_stop,
+  CAST(n_chars BETWEEN 20 AND 10000 AS INT)
+  + CAST(n_punct * 100 < n_chars * 20 AS INT)
+  + CAST(n_stop > 0 AS INT) AS quality_score,
+  (CAST(n_chars BETWEEN 20 AND 10000 AS INT)
+   + CAST(n_punct * 100 < n_chars * 20 AS INT)
+   + CAST(n_stop > 0 AS INT)) = 3 AS keep
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+FP_BASE = 131
+FP_MOD = 2_147_483_648  # 2^31 — keeps acc*131+cp < 2^39, no bigint overflow
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over characters (acc*131 + codepoint
+    mod 2^31): an order-sensitive content fingerprint (unlike md5 of the
+    string, this one is windowable for chunk-level fingerprinting).
+    aggregate() fold over split characters — deterministic left fold in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+    (acc, cp) -> (acc * {FP_BASE} + cp) % {FP_MOD}
+  ) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}
