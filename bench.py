@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time = full plan execution to a driver-side count/collect
+(cold per query, shared JVM). A small warmup query initializes the JVM,
+parquet footers, and codegen caches so measurements reflect steady-state
+execution rather than session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline set: TPC-H-style relational + scale-critical extension ops
+HEADLINE = [
+    "group_agg",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_multi",
+    "derived_table",
+    "window_topk",
+    "group_concat",
+    "dedup_exact_norm",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+    "events_window",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from gomysql2pg_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="gomysql2pg-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: JVM, file index, codegen
+    from gomysql2pg_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "region").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else sf_dir,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,8 +87,16 @@ def word_shingles(text_col, n: int = 3):
 
 
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs — the inverted-index input."""
-    return docs.select(
+    """(doc_id, shingle) exploded pairs — the inverted-index input.
+
+    The input is repartitioned by doc_id first: a small parquet file
+    arrives as ONE split, which would make the (CPU-heavy) shingling
+    single-threaded; an explicit numPartitions repartition parallelizes
+    it and AQE leaves user-specified partition counts alone. At 100 TB
+    the source is many splits and this shuffle is a no-op cost-wise
+    relative to the shingle explosion it parallelizes."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
     )
 
@@ -202,7 +210,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-capped upstream. Output = confirmed pairs; rows-only
     check (LSH recall < 1, so no SQL oracle claims completeness)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # persist: the signature table is tiny (n_docs × 16 longs) but its
+    # lineage (shingle explosion) is the expensive stage; the band
+    # self-join would otherwise recompute it once per join side
+    sig = minhash_signatures(docs).persist()
     bands = sig.select(
         "doc_id",
         "sig",
@@ -237,8 +248,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify candidates with exact jaccard on shingle sets
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sset"))
+    # verify candidates with exact jaccard on shingle sets — computed
+    # ONLY for docs that appear in a candidate pair (semi-join pruning:
+    # at scale verification touches |candidates| docs, not the corpus),
+    # and in parallel (repartition, same rationale as _shingle_df)
+    cand_ids = (
+        cand.select(F.col("da").alias("doc_id"))
+        .union(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .repartition(n, "doc_id")
+        .select("doc_id", word_shingles(F.col("text")).alias("sset"))
+    )
     sha = sh.select(F.col("doc_id").alias("da"), F.col("sset").alias("set_a"))
     shb = sh.select(F.col("doc_id").alias("db"), F.col("sset").alias("set_b"))
     verified = (
