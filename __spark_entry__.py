@@ -21,7 +21,15 @@ def _registries():
     from gomysql2pg_spark.operators import relational
 
     modules = [relational]
-    for name in ("dedup", "similarity", "text", "multimodal", "events"):
+    for name in (
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "events",
+        "scalar",
+        "validation",
+    ):
         try:
             mod = __import__(
                 f"gomysql2pg_spark.operators.{name}", fromlist=[name]

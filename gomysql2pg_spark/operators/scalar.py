@@ -1,0 +1,197 @@
+"""Scalar-function library operators (SURVEY.md §2.C — the categories
+the reference LACKS: date/time and math scalar functions beyond ceil,
+array functions, randomness/ID functions B16).
+
+Each query exercises a function family over the fixture tables with a
+full SQL oracle. All pure Column expressions (whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import cents
+
+
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: extract fields, offsets, diffs,
+    truncation, boundaries (reference has none — only Go-side
+    time.Now formatting, `cmd/root.go:123`)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        # tz-free epoch (column may arrive TIMESTAMP or TIMESTAMP_NTZ
+        # depending on the session's inferTimestampNTZ; values are
+        # midnight-aligned so day arithmetic is exact either way)
+        (
+            F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long")
+            * F.lit(86_400_000_000)
+        ).alias("epoch_us"),
+    )
+
+
+ORACLE_DATETIME_FUNCS = """
+SELECT o_orderkey,
+  EXTRACT(year FROM o_orderdate)::INT AS y,
+  EXTRACT(month FROM o_orderdate)::INT AS m,
+  EXTRACT(day FROM o_orderdate)::INT AS dom,
+  (dayofweek(o_orderdate) + 1)::INT AS dow,
+  dayofyear(o_orderdate)::INT AS doy,
+  quarter(o_orderdate)::INT AS q,
+  weekofyear(o_orderdate)::INT AS woy,
+  (CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE AS plus30,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')::INT
+    AS days_to_2002,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  epoch_us(o_orderdate) AS epoch_us
+FROM orders
+"""
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family: abs/mod/floor/ceil/round/sqrt/sign/
+    greatest/least. sqrt is IEEE-correctly-rounded (cross-engine exact);
+    non-correctly-rounded transcendentals (pow/exp/ln) are exercised on
+    integer-exact cases only."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_custkey") - 750).alias("abs_dist"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("mod7"),
+        F.floor(tp).cast("long").alias("floor_tp"),
+        F.ceil(tp).cast("long").alias("ceil_tp"),
+        F.round(tp, 1).alias("round_tp1"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("sqrt_key"),
+        F.signum(tp - 10000.0).cast("int").alias("sign_vs_10k"),
+        F.greatest(F.col("o_custkey"), F.lit(100).cast("long")).alias("greatest_100"),
+        F.least(F.col("o_custkey"), F.lit(100).cast("long")).alias("least_100"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias(
+            "pow2"
+        ),
+    )
+
+
+ORACLE_MATH_FUNCS = """
+SELECT o_orderkey,
+  abs(o_custkey - 750) AS abs_dist,
+  o_orderkey % 7 AS mod7,
+  CAST(floor(o_totalprice) AS BIGINT) AS floor_tp,
+  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_tp,
+  round(o_totalprice, 1) AS round_tp1,
+  sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_key,
+  CAST(sign(o_totalprice - 10000.0) AS INT) AS sign_vs_10k,
+  greatest(o_custkey, 100) AS greatest_100,
+  least(o_custkey, 100) AS least_100,
+  pow(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2
+FROM orders
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over the embedding column (§2.C: absent in
+    reference; ArrayType enters via the extension surface)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.element_at(emb, 3).alias("third"),
+        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        F.array_max(emb).alias("vmax"),
+        F.array_min(emb).alias("vmin"),
+        F.array_position(emb, F.array_max(emb)).cast("long").alias(
+            "argmax_1based"
+        ),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.reverse(F.slice(emb, 1, 3)).alias("head3_rev"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT vec_id,
+  len(embedding)::INT AS dim,
+  embedding[1:4] AS head4,
+  embedding[3] AS third,
+  list_sort(embedding[1:4]) AS head4_sorted,
+  list_max(embedding) AS vmax,
+  list_min(embedding) AS vmin,
+  CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+    AS argmax_1based,
+  len(list_filter(embedding, x -> x > 0))::INT AS n_positive,
+  list_reverse(embedding[1:3]) AS head3_rev
+FROM embeddings
+"""
+
+
+def q_sequence_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: sequence assignment at materialization time — row_number
+    over the PK order + START offset, the engine-side analog of the
+    reference's `create sequence … start <Auto_increment>` + nextval
+    (`cmd/tablemeta.go:162`). Partitioned path would use
+    plans.pagination.global_row_number; here the oracle needs the exact
+    total order."""
+    from pyspark.sql import Window
+
+    start = 1001
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        (F.row_number().over(w) + F.lit(start - 1)).alias("seq_val"),
+    )
+
+
+ORACLE_SEQUENCE_SEMANTICS = """
+SELECT n_nationkey,
+       ROW_NUMBER() OVER (ORDER BY n_nationkey) + 1000 AS seq_val
+FROM nation
+"""
+
+
+def q_random_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: uuid() / md5(rand()) / monotonically_increasing_id — the
+    reference's unique-index-name generators (`cmd/tablemeta.go:215,217`).
+    Nondeterministic by nature → rows-only check; the test asserts
+    uniqueness and shape instead of values."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("uuid()").alias("uid"),
+        F.substring(F.md5(F.rand(seed=42).cast("string")), 1, 8).alias(
+            "rand8"
+        ),
+        F.monotonically_increasing_id().alias("mono_id"),
+    )
+
+
+QUERIES = {
+    "datetime_funcs": q_datetime_funcs,
+    "math_funcs": q_math_funcs,
+    "array_funcs": q_array_funcs,
+    "sequence_semantics": q_sequence_semantics,
+    "random_ids": q_random_ids,
+}
+
+ORACLES = {
+    "datetime_funcs": ORACLE_DATETIME_FUNCS,
+    "math_funcs": ORACLE_MATH_FUNCS,
+    "array_funcs": ORACLE_ARRAY_FUNCS,
+    "sequence_semantics": ORACLE_SEQUENCE_SEMANTICS,
+    # random_ids: rows-only (nondeterministic values by design)
+}

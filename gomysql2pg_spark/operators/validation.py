@@ -1,0 +1,194 @@
+"""Validation + catalog + typemap operators exposed through the driver
+correctness gate (reference A1/A2/A10/A16).
+
+These put the metadata/validation layers under the same oracle check as
+the query operators: table discovery with exclusions, per-table row
+counts (compareDb parity), content checksums (rows-only — xxhash64 is
+Spark-specific), the cell-transform pipeline, and the type map rendered
+as a DataFrame against a literal expected table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, list_tables, load_table
+from ..functions.transforms import strip_nul
+from ..functions.typemap import ColumnMeta, map_column
+
+
+def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: catalog discovery with exclusion patterns — the
+    `fetchTableMap` semantics (`cmd/root.go:218-291`) over the parquet
+    catalog, excluding `e*` (events/embeddings) like an `exclude:` list."""
+    names = list_tables(sf_dir, exclude=["e*"])
+    return spark.createDataFrame(
+        [(n,) for n in names], "table_name string"
+    ).orderBy("table_name")
+
+
+ORACLE_CATALOG_TABLES = """
+SELECT * FROM (VALUES ('customer'), ('documents'), ('lineitem'),
+  ('nation'), ('orders'), ('part'), ('region'), ('supplier'))
+  AS t(table_name)
+"""
+
+
+def q_validate_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 compareDb: per-table `select count(*)` fan-out
+    (`cmd/compare.go:102-132`), as one unioned aggregate plan."""
+    parts = []
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"), F.count("*").alias("n_rows")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+ORACLE_VALIDATE_ROWCOUNT = """
+SELECT 'region' AS tbl, COUNT(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+"""
+
+
+def q_validate_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-checksum upgrade over compareDb (SURVEY.md §2.A16):
+    order-insensitive sum of xxhash64 per table. Rows-only check —
+    xxhash64 has no DuckDB twin; cross-engine validity is established
+    by the planted-fault tests (tests/test_validate.py)."""
+    parts = []
+    for t in ["region", "nation", "supplier"]:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.lit(t).alias("tbl"),
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("string").alias("checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def q_cell_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8: the row pump's cell transforms over real data — NUL strip
+    on text (no-op on clean rows, exercised on planted rows in unit
+    tests) and the hex pipeline on fabricated binary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(strip_nul(F.col("text"))).alias("clean_len"),
+        (F.length("text") - F.length(strip_nul(F.col("text")))).alias(
+            "n_nul_bytes"
+        ),
+        F.substring(
+            F.hex(F.substring(F.col("text"), 1, 8).cast("binary")), 9, 1024
+        ).alias("hex_after_srid"),
+    )
+
+
+ORACLE_CELL_TRANSFORMS = """
+SELECT doc_id,
+  LENGTH(replace(text, chr(0), '')) AS clean_len,
+  LENGTH(text) - LENGTH(replace(text, chr(0), '')) AS n_nul_bytes,
+  substring(hex(encode(substring(text, 1, 8))), 9) AS hex_after_srid
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# typemap rendered as data (FIXTURES.md typemap_matrix) — the expected
+# side is a LITERAL table, independent of the implementation
+# ---------------------------------------------------------------------------
+
+_MATRIX = [
+    ColumnMeta("c_int", "int"),
+    ColumnMeta("c_mediumint", "mediumint"),
+    ColumnMeta("c_tinyint", "tinyint"),
+    ColumnMeta("c_varchar", "varchar", char_max_len=50),
+    ColumnMeta("c_char", "char", char_max_len=8),
+    ColumnMeta("c_text", "text"),
+    ColumnMeta("c_datetime", "datetime"),
+    ColumnMeta("c_timestamp", "timestamp"),
+    ColumnMeta(
+        "c_decimal_ps", "decimal", numeric_precision=12, numeric_scale=2
+    ),
+    ColumnMeta("c_decimal_p", "decimal", numeric_precision=10),
+    ColumnMeta("c_double", "double"),
+    ColumnMeta("c_float", "float"),
+    ColumnMeta("c_blob", "blob"),
+    ColumnMeta("c_bigint", "bigint"),
+    ColumnMeta("c_date", "date"),
+    ColumnMeta("c_bit", "bit"),
+    ColumnMeta("c_geometry", "geometry"),
+]
+
+
+def q_typemap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (
+            c.name,
+            c.data_type,
+            map_column(c).spark_type.simpleString(),
+            map_column(c).pg_type,
+        )
+        for c in _MATRIX
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, mysql_type string, spark_type string, pg_type string"
+    )
+
+
+ORACLE_TYPEMAP_MATRIX = """
+SELECT * FROM (VALUES
+  ('c_int', 'int', 'int', 'int'),
+  ('c_mediumint', 'mediumint', 'int', 'int'),
+  ('c_tinyint', 'tinyint', 'int', 'int'),
+  ('c_varchar', 'varchar', 'string', 'varchar(50)'),
+  ('c_char', 'char', 'string', 'char(8)'),
+  ('c_text', 'text', 'string', 'text'),
+  ('c_datetime', 'datetime', 'timestamp_ntz', 'timestamp'),
+  ('c_timestamp', 'timestamp', 'timestamp', 'timestamp'),
+  ('c_decimal_ps', 'decimal', 'decimal(12,2)', 'decimal(12,2)'),
+  ('c_decimal_p', 'decimal', 'decimal(10,0)', 'decimal(10)'),
+  ('c_double', 'double', 'double', 'double precision'),
+  ('c_float', 'float', 'double', 'double precision'),
+  ('c_blob', 'blob', 'binary', 'bytea'),
+  ('c_bigint', 'bigint', 'bigint', 'bigint'),
+  ('c_date', 'date', 'date', 'date'),
+  ('c_bit', 'bit', 'binary', 'bit'),
+  ('c_geometry', 'geometry', 'binary', 'geometry'))
+  AS t(col_name, mysql_type, spark_type, pg_type)
+"""
+
+
+QUERIES = {
+    "catalog_tables": q_catalog_tables,
+    "validate_rowcount": q_validate_rowcount,
+    "validate_content_hash": q_validate_content_hash,
+    "cell_transforms": q_cell_transforms,
+    "typemap_matrix": q_typemap_matrix,
+}
+
+ORACLES = {
+    "catalog_tables": ORACLE_CATALOG_TABLES,
+    "validate_rowcount": ORACLE_VALIDATE_ROWCOUNT,
+    # validate_content_hash: rows-only (engine-specific hash)
+    "cell_transforms": ORACLE_CELL_TRANSFORMS,
+    "typemap_matrix": ORACLE_TYPEMAP_MATRIX,
+}
