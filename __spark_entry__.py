@@ -29,6 +29,8 @@ def _registries():
         "events",
         "scalar",
         "validation",
+        "asof",
+        "custom",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,124 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively
+(SURVEY.md task brief: "when the reference has an operator Spark lacks
+(e.g., as-of join) implement it as a composition of existing DataFrame
+ops if semantics allow").
+
+Semantics (backward as-of): for each left row, attach the payload of the
+most recent right row with `right.ts <= left.ts` for the same key —
+inclusive at equal timestamps (matching DuckDB's `ASOF JOIN ... ON
+l.ts >= r.ts`, which is the oracle).
+
+Implementation: union the two sides tagged, one window per key ordered
+by (ts, side) with right rows sorting BEFORE left rows at equal ts, and
+`last(payload, ignoreNulls)` over the unbounded-preceding frame. One
+shuffle on the key, horizontally scalable — no range explosion, no
+per-row subqueries. This is the standard large-scale formulation (the
+union-window trick); a broadcast variant applies when the right side is
+a small reference table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Generic backward as-of join. `payload_cols` are taken from
+    `right` and appear as `<name><suffix>` on the output; left rows with
+    no prior right row get NULLs (left-outer semantics)."""
+    lt = left.withColumn("_side", F.lit(1))
+    for c in payload_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *on,
+        ts_col,
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rt = rt.select(*lt.columns)
+
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in lt.columns if c != "_side"],
+        F.col("_side"),
+        *[],
+    )
+    for c in payload_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's most recent purchase value at or before the
+    event time (classic point-in-time feature join for training-data
+    pipelines). Exact-cents payload; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "us",
+            F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+            F.col("event_id").alias("purch_event_id"),
+        )
+    )
+    joined = asof_join_backward(
+        ev.select("event_id", "user_id", "us", "event_type"),
+        purchases,
+        on=["user_id"],
+        ts_col="us",
+        payload_cols=["purch_cents", "purch_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.col("purch_cents_asof").alias("last_purchase_cents"),
+        F.col("purch_event_id_asof").alias("last_purchase_event_id"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+purchases AS (
+  SELECT user_id, us, cents AS purch_cents, event_id AS purch_event_id
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.us, e.event_type,
+       p.purch_cents AS last_purchase_cents,
+       p.purch_event_id AS last_purchase_event_id
+FROM ev e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.us >= p.us
+"""
+
+
+QUERIES = {"events_asof_purchase": q_events_asof_purchase}
+ORACLES = {"events_asof_purchase": ORACLE_EVENTS_ASOF}
