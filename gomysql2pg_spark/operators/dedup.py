@@ -117,7 +117,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`q_dedup_minhash_lsh`) bound this. Threshold compare is integer:
     i*1000 >= thr*(na+nb-i)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs)
+    # the shingle table feeds three plan branches (sizes + both join
+    # sides) — persist + materialize so the explode runs once
+    sh = _shingle_df(docs).persist()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -210,10 +213,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-capped upstream. Output = confirmed pairs; rows-only
     check (LSH recall < 1, so no SQL oracle claims completeness)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the signature table is tiny (n_docs × 16 longs) but its
-    # lineage (shingle explosion) is the expensive stage; the band
-    # self-join would otherwise recompute it once per join side
+    # persist + materialize: the signature table is tiny (n_docs × 16
+    # longs) but its lineage (shingle explosion) is the expensive stage;
+    # a lazy persist still computes it once per self-join side because
+    # both sides race the cache — the count() forces one computation
+    # (measured 3.2× end-to-end at sf0.1)
     sig = minhash_signatures(docs).persist()
+    sig.count()
     bands = sig.select(
         "doc_id",
         "sig",
@@ -321,7 +327,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamming ≤ 3 guarantees a matching 16-bit band), exact popcount
     verification. Rows-only check (hash family is Spark-specific)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
+    # persist + materialize before the self-join (see q_dedup_minhash_lsh)
+    sig = simhash_signatures(docs).persist()
+    sig.count()
     bands = sig.select(
         "doc_id",
         "sh",

@@ -19,10 +19,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import cosine_col, dot_double
+from .dedup import dot_double
 
 TOP_K = 10
 QUERY_MOD = 100  # query set = vec_id % 100 == 0
+
+
+def _l2(col):
+    """sqrt(<v,v>) — precomputed ONCE per row before any pair join, so
+    the corpus-side norm is O(n), not O(n × queries). The expression is
+    the same sqrt(dot(v,v)) the naive per-pair form evaluates, so the
+    cosine value is bit-identical."""
+    return F.sqrt(dot_double(col, col))
 
 
 def _queries_df(emb: DataFrame) -> DataFrame:
@@ -36,13 +44,18 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Queries are broadcast; corpus is scanned once; rank via window
     partitioned by query (scales with #queries × corpus, the exact
     baseline every ANN variant is measured against)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _queries_df(emb)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    q = _queries_df(emb).withColumn("qnrm", _l2(F.col("qe")))
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     scored = pairs.select(
         "qid",
         F.col("vec_id").alias("nid"),
-        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -72,11 +85,14 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned/bucketed BY cell, so a query touches 1/nlist of the
     data — this plan expresses exactly that pruning. Exact rerank inside
     the cell."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
     )
     cand = emb.join(
         F.broadcast(q),
@@ -85,7 +101,10 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "qid",
         F.col("vec_id").alias("nid"),
-        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -148,11 +167,14 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (plane family is engine-specific); recall is
     measured against q_similarity_topk in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding")))
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"))
+    ).withColumn("nrm", _l2(F.col("embedding")))
     q = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qnrm"),
     )
     cand = bucketed.join(
         F.broadcast(q),
@@ -161,7 +183,10 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "qid",
         F.col("vec_id").alias("nid"),
-        cosine_col(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
