@@ -39,6 +39,12 @@ def _registries():
             modules.append(mod)
         except ImportError:
             continue
+    try:
+        from gomysql2pg_spark.streaming import stream as stream_mod
+
+        modules.append(stream_mod)
+    except ImportError:
+        pass
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for mod in modules:

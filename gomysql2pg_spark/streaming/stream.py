@@ -3,20 +3,37 @@
 The batch twins in `operators.events` define the semantics (and carry
 the SQL oracles); these are the genuinely-streaming formulations:
 file-source streams with watermarks, tumbling/sliding windows,
-within-watermark dedup, and session windows. Tested with
-Trigger.AvailableNow against a memory sink and asserted equal to the
-batch results (tests/test_streaming.py).
+within-watermark dedup, native session windows, and a custom stateful
+operator via applyInPandasWithState. Each `q_stream_*` below drains the
+stream with Trigger.AvailableNow into a memory sink and returns the
+final static result — so the driver's DuckDB oracle gate applies to the
+*streaming* execution path, not just the batch twin.
 
 100 TB / production notes baked into the shapes below:
 - watermark bounds state; without it every window lives forever,
 - windowed aggregation state is keyed (window × event_type) — small;
   sessionization state is keyed by user — bounded by active users,
 - `dropDuplicatesWithinWatermark` is the streaming twin of
-  dedup-by-key compaction,
-- sinks should be idempotent (exactly-once via checkpoint + dedup-key).
+  dedup-by-key compaction (idempotent ingest of at-least-once sources),
+- sinks should be idempotent (exactly-once via checkpoint + dedup-key);
+  the memory sink here is the test harness stand-in,
+- session-window append mode only emits sessions sealed by the
+  watermark — the oracle encodes exactly that horizon, which is the
+  honest semantics a production job sees.
+
+Timestamps: the events fixture stores parquet TIMESTAMP(NANOS), which
+Spark's reader rejects natively; the stream reads nanos as longs
+(`spark.sql.legacy.parquet.nanosAsLong`) and truncates to microsecond
+timestamps — identical to the batch `catalog.load_table` and DuckDB.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,13 +43,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
+#: Raw file-source schema: ts is TIMESTAMP(NANOS) on disk, read as long.
+EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
+        StructField("ts", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -40,19 +57,41 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+WINDOW_US = 300 * 1_000_000  # 5-minute tumbling windows
+SESSION_GAP_S = 1800  # 30-minute session gap (operators.events twin)
+
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over parquet event files (schema pinned —
-    streaming sources require it)."""
-    reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-    )
+    """File-source stream over the events parquet (schema pinned —
+    streaming sources require it). `path` may be a directory or a single
+    file; nanosecond timestamps are truncated to microseconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "events.parquet")
+    ):
+        path = os.path.join(path, "events.parquet")
+    if os.path.isfile(path):
+        # the file source requires a directory; expose a single file
+        # through a symlinked temp dir (stable per source file so
+        # repeated calls reuse it)
+        link_dir = os.path.join(
+            tempfile.gettempdir(),
+            "spark_stream_src_"
+            + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12],
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = link_dir
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    return reader.load(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def windowed_counts(
@@ -73,8 +112,8 @@ def windowed_counts(
             ),
         )
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            F.unix_micros(F.col("win.end")).alias("win_end_us"),
             "event_type",
             "n_events",
             "value_cents",
@@ -94,7 +133,7 @@ def sliding_window_counts(
         .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("win.start").alias("win_start"),
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
             "event_type",
             "n_events",
         )
@@ -113,30 +152,100 @@ def deduped_stream(
 
 def session_windows(
     events: DataFrame,
-    gap: str = "30 minutes",
-    watermark: str = "30 minutes",
+    gap_s: int = SESSION_GAP_S,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Native session windows (gap-based), per user — the streaming twin
-    of operators.events.q_events_sessionize."""
+    of operators.events.q_events_sessionize. Append mode emits a session
+    only once the watermark passes its end (= last event + gap): state
+    for a user session is retired exactly when no event can reopen it."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("win"), "user_id"
+        )
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.unix_micros(F.col("win.end")).alias("end_us"),
             "user_id",
             "n_events",
         )
     )
 
 
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+STATEFUL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+STATEFUL_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+def make_user_totals_worker():
+    """applyInPandasWithState worker: running (count, exact-cents sum)
+    per user. State is two longs — survives across micro-batches; each
+    batch emits the updated running totals for users seen in the batch.
+    Built by a factory so cloudpickle ships it by value."""
+
+    def update(key, pdfs: Iterator, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return update
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregation (running per-user totals)
+    via applyInPandasWithState. Cents are computed Spark-side (HALF_UP
+    `round`, bit-identical to the batch/oracle arithmetic) so the Python
+    state fold is pure integer math. State scales with #users; the
+    shuffle is on user_id only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepped = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        make_user_totals_worker(),
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# harness: drain a stream, return the final static result
+# ---------------------------------------------------------------------------
+
+
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
-) -> None:
+    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> str:
     """Drain the stream with Trigger.AvailableNow into an in-memory
-    table `name` (test harness; a production job swaps the sink for
-    kafka/delta/parquet + checkpointLocation)."""
+    table and return its name (test harness; a production job swaps the
+    sink for kafka/delta/parquet + checkpointLocation)."""
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -145,3 +254,127 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    return name
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated streaming queries (driver contract entries)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows executed BY the streaming engine (complete mode:
+    every window is in the final state, so the result equals the batch
+    bucket aggregation — the oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(windowed_counts(ev), output_mode="complete")
+    return spark.table(name)
+
+
+ORACLE_STREAM_WINDOWED = f"""
+SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) * {WINDOW_US}
+         AS win_start_us,
+       CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) * {WINDOW_US}
+         + {WINDOW_US} AS win_end_us,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows in append mode: only sessions sealed by
+    the final watermark (= max event time) are emitted. The oracle
+    reproduces that horizon: batch sessionization filtered to sessions
+    whose (last event + gap) <= max(ts) — watermark semantics stated in
+    SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(session_windows(ev), output_mode="append")
+    return spark.table(name)
+
+
+ORACLE_STREAM_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         > {SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_seq,
+         MIN(us) AS start_us,
+         MAX(us) + {SESSION_GAP_S * 1_000_000} AS end_us,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT start_us, end_us, user_id, n_events
+FROM agg
+WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark ingest, aggregated to per-type
+    counts of distinct events — deterministic regardless of arrival
+    order because event identity is the dedup key."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(deduped_stream(ev), output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n_distinct_events"))
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_distinct_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) running totals;
+    the final update per user equals the batch per-user aggregate. A
+    user may be emitted once per micro-batch — keep the last (max
+    running count) emission, which AvailableNow on a single file makes
+    the only one."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(stateful_user_totals(ev), output_mode="update")
+    out = spark.table(name)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_cents").alias("value_cents"),
+    )
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_session_windows": q_stream_session_windows,
+    "stream_dedup": q_stream_dedup,
+    "stream_stateful_totals": q_stream_stateful_totals,
+}
+
+ORACLES = {
+    "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
+    "stream_session_windows": ORACLE_STREAM_SESSIONS,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
+}

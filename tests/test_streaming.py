@@ -1,91 +1,163 @@
-"""Structured Streaming tests: drain the stream with AvailableNow and
-assert equality with the batch twin's semantics."""
+"""Structured Streaming vs batch-twin equivalence (SURVEY.md §2.D C6).
 
+The oracle-gated streaming entries are covered by test_oracle_parity
+(they are registered in __spark_entry__); here we test the shapes that
+have no SQL-expressible oracle (sliding windows, raw dedup stream) and
+the micro-batching behavior that the single-batch AvailableNow entries
+don't exercise (stateful operator across MULTIPLE micro-batches).
+"""
+
+from __future__ import annotations
+
+import glob
 import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F
 
 from gomysql2pg_spark.catalog import load_table
-from gomysql2pg_spark.streaming.stream import (
-    deduped_stream,
-    read_events_stream,
-    run_to_memory,
-    session_windows,
-    sliding_window_counts,
-    windowed_counts,
-)
+from gomysql2pg_spark.streaming import stream as S
 
 
-@pytest.fixture(scope="module")
-def events_dir(spark, sf_dir, tmp_path_factory):
-    """Re-write events as multiple parquet files (a stream of files),
-    with the ns→us conversion applied."""
-    d = str(tmp_path_factory.mktemp("events_stream"))
-    ev = load_table(spark, sf_dir, "events")
-    ev.repartition(4).write.mode("overwrite").parquet(d)
-    yield d
-    shutil.rmtree(d, ignore_errors=True)
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
-def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
-    # watermark wider than the fixture's whole time span: batch equality
-    # requires no late-drop (AvailableNow may split files into several
-    # micro-batches, advancing the watermark between them)
-    stream = windowed_counts(
-        read_events_stream(spark, events_dir), watermark="35 days"
+def test_sliding_windows_match_batch(spark, sf_dir):
+    ev = S.read_events_stream(spark, sf_dir)
+    name = S.run_to_memory(
+        S.sliding_window_counts(ev), output_mode="complete"
     )
-    # complete mode: emit ALL window state at the end — append mode only
-    # emits windows the watermark has passed, which here is none
-    run_to_memory(stream, "win_counts", output_mode="complete")
-    got = spark.table("win_counts")
+    got = spark.table(name)
 
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    win_us, slide_us = 600 * 1_000_000, 300 * 1_000_000
+    # each event falls into ceil(window/slide)=2 panes: the pane starting
+    # at floor(us/slide)*slide and the one before it
+    panes = batch.select(
+        "event_type",
+        F.explode(
+            F.array(
+                (F.floor(F.col("us") / slide_us) * slide_us).cast("long"),
+                (F.floor(F.col("us") / slide_us) * slide_us - slide_us).cast(
+                    "long"
+                ),
+            )
+        ).alias("win_start_us"),
+        "us",
+    ).filter(
+        (F.col("us") >= F.col("win_start_us"))
+        & (F.col("us") < F.col("win_start_us") + win_us)
+    )
+    expected = panes.groupBy("win_start_us", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    cols = ["win_start_us", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
+def test_dedup_stream_keeps_every_unique_event(spark, sf_dir):
+    ev = S.read_events_stream(spark, sf_dir)
+    name = S.run_to_memory(S.deduped_stream(ev), output_mode="append")
+    got = spark.table(name)
+    batch = load_table(spark, sf_dir, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert _rows(got, ["event_id"]) == _rows(batch, ["event_id"])
+
+
+def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
+    """Split the fixture into several files and force one file per
+    micro-batch: the stateful operator must carry state across batches
+    and its LAST emission per user must equal the batch aggregate."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_parts")
+    ev_batch.repartition(4).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) >= 2
+
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = S.run_to_memory(
+        S.stateful_user_totals(stream), output_mode="update"
+    )
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("value_cents").alias("value_cents"),
+        )
+    )
+    expected = ev_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+    cols = ["user_id", "n_events", "value_cents"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    # multiple emissions per user prove state crossed micro-batches
+    n_emissions = spark.table(name).count()
+    assert n_emissions > expected.count()
+
+
+def test_windowed_counts_append_emits_only_sealed_windows(spark, sf_dir, tmp_path):
+    """Watermark emission contract (append mode): a window row is
+    emitted exactly when the watermark (max observed event time minus
+    the delay) has passed its end. Split the fixture into two
+    micro-batches; the final emitted set must equal the batch
+    aggregation restricted to windows sealed by the final watermark —
+    windows newer than (max ts - delay) are withheld."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    us = F.unix_micros("ts")
+    stats = ev.select(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    cut = stats["lo"] + (stats["hi"] - stats["lo"]) // 2
+
+    src = str(tmp_path / "two_parts")
+    ev.filter(us >= cut).coalesce(1).write.parquet(src)
+    files = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+    assert len(files) == 1
+    ev.filter(us < cut).coalesce(1).write.mode("append").parquet(src)
+    now = os.path.getmtime(files[0])
+    os.utime(files[0], (now - 3600, now - 3600))
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        if f not in files:
+            os.utime(f, (now + 3600, now + 3600))
+
+    delay_us = 6 * 3600 * 1_000_000
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = S.run_to_memory(
+        S.windowed_counts(stream, watermark="6 hours"),
+        output_mode="append",
+    )
+    got = spark.table(name)
+
+    win_us = 300 * 1_000_000
+    watermark_us = stats["hi"] - delay_us
+    expected = (
+        ev.groupBy(
+            (F.floor(us / win_us) * win_us).cast("long").alias("win_start_us"),
+            "event_type",
+        )
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias(
                 "value_cents"
             ),
         )
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "event_type",
-            "n_events",
-            "value_cents",
-        )
+        .filter(F.col("win_start_us") + win_us <= watermark_us)
     )
-    assert got.subtract(batch).count() == 0
-    assert batch.subtract(got).count() == 0
-
-
-def test_dedup_within_watermark(spark, events_dir):
-    stream = deduped_stream(read_events_stream(spark, events_dir))
-    run_to_memory(stream, "dedup_events")
-    got = spark.table("dedup_events")
-    # event_ids are unique in the fixture: dedup must be lossless here
-    assert got.count() == got.select("event_id").distinct().count()
-
-
-def test_sliding_windows_run(spark, sf_dir, events_dir):
-    stream = sliding_window_counts(
-        read_events_stream(spark, events_dir), watermark="35 days"
-    )
-    run_to_memory(stream, "slide_counts", output_mode="complete")
-    got = spark.table("slide_counts")
-    # every event lands in window/slide = 2 panes → total = 2 × events
-    n_src = load_table(spark, sf_dir, "events").count()
-    n_events = got.agg(F.sum("n_events")).collect()[0][0]
-    assert n_events == 2 * n_src
-    assert got.count() > 0
-
-
-def test_session_windows_run(spark, events_dir):
-    stream = session_windows(read_events_stream(spark, events_dir))
-    run_to_memory(stream, "sess_counts", output_mode="append")
-    got = spark.table("sess_counts")
-    assert got.count() > 0
-    assert got.filter(F.col("win_end") < F.col("win_start")).count() == 0
+    cols = ["win_start_us", "event_type", "n_events", "value_cents"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    # sanity: something was withheld (the tail 6 hours of windows)
+    assert got.count() < ev.select((F.floor(us / win_us)), "event_type").distinct().count()
