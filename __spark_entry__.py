@@ -22,6 +22,7 @@ def _registries():
 
     modules = [relational]
     for name in (
+        "analytic",
         "dedup",
         "similarity",
         "text",

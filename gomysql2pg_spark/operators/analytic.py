@@ -1,0 +1,374 @@
+"""Analytic operators: the window-function / multi-dim aggregation /
+pivot / statistical surface (absent in the reference — SURVEY.md §2.C
+states the gaps explicitly; mandated by the task rubric).
+
+Determinism discipline (everything is under the value-hash oracle):
+- window orderings always end in a unique key (orderkey) so rank/lag
+  values are total-order stable,
+- money flows through exact bigint cents (functions.numeric),
+- variance/correlation are computed from INTEGER power sums with the
+  textbook closed forms, spelled identically in Spark and the oracle —
+  the only float ops are the final divisions, identical IEEE both
+  engines (a streaming stddev would be order-dependent across
+  partitionings and could never hash-match),
+- percent_rank/cume_dist are rational numbers of small ints → exact.
+
+Scale notes: every window here is PARTITIONED (by customer / flag) —
+no global unpartitioned window ordering exists in this module except
+the final small orderBys; cube/grouping-sets expand to ≤4× the group
+count, all partial-aggregated before shuffle; the range join is the
+bucket-equi-join formulation (the scalable form — a BETWEEN theta-join
+would be O(n·m))."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import cents, sql_cents
+
+# ---------------------------------------------------------------------------
+# window functions: lag/lead/rank family/frames
+# ---------------------------------------------------------------------------
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function family over per-customer order history:
+    offsets (lag/lead), ranking (rank, dense_rank, percent_rank,
+    cume_dist, ntile), and a running-sum ROWS frame. One shuffle on
+    o_custkey; within-partition sort by (date, key) — unique, so every
+    value is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pc.alias("pc"),
+        F.lag(pc, 1).over(w).alias("prev_pc"),
+        F.lead(pc, 1).over(w).alias("next_pc"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(pc).over(run).alias("running_pc"),
+        F.min(pc).over(run).alias("min_so_far"),
+        F.max(pc).over(run).alias("max_so_far"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = f"""
+SELECT o_custkey, o_orderkey,
+  {sql_cents('o_totalprice')} AS pc,
+  LAG({sql_cents('o_totalprice')}, 1) OVER w AS prev_pc,
+  LEAD({sql_cents('o_totalprice')}, 1) OVER w AS next_pc,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rk,
+  DENSE_RANK() OVER w AS drk,
+  PERCENT_RANK() OVER w AS prk,
+  CUME_DIST() OVER w AS cd,
+  NTILE(4) OVER w AS quartile,
+  SUM({sql_cents('o_totalprice')})
+    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_pc,
+  MIN({sql_cents('o_totalprice')})
+    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_so_far,
+  MAX({sql_cents('o_totalprice')})
+    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: for each order, count + sum of the customer's orders
+    priced within 50000 cents below the current price (value-based
+    frame — a genuinely different physical operator than ROWS)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(pc)
+        .rangeBetween(-50_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pc.alias("pc"),
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum(pc).over(w).alias("band_pc"),
+    )
+
+
+ORACLE_WINDOW_RANGE = f"""
+SELECT o_custkey, o_orderkey,
+  {sql_cents('o_totalprice')} AS pc,
+  COUNT(*) OVER w AS n_in_band,
+  SUM({sql_cents('o_totalprice')}) OVER w AS band_pc
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY {sql_cents('o_totalprice')}
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-dimensional aggregation: cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nation): all 4 grouping combinations in
+    one pass + GROUPING_ID to tag them. Expansion is bounded (4× the
+    finest group count) and fully partial-aggregatable."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.cube("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORACLE_CUBE_AGG = f"""
+SELECT c_mktsegment, n_name,
+  COUNT(*) AS n_customers,
+  SUM({sql_cents('c_acctbal')}) AS acctbal_cents,
+  GROUPING(c_mktsegment, n_name) AS gid
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: ((status, priority), (status), ()) —
+    the general form rollup/cube compile to."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("price_cents"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  SUM({sql_cents('o_totalprice')}) AS price_cents,
+  GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+PIVOT_STATUSES = ["O", "F", "P"]
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (explicit value
+    list — at scale an open-ended pivot needs a first pass to collect
+    the domain; a fixed domain keeps it one pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .toDF("o_orderpriority", *[f"n_{s.lower()}" for s in PIVOT_STATUSES])
+        .na.fill(0, [f"n_{s.lower()}" for s in PIVOT_STATUSES])
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates — exact via integer power sums
+# ---------------------------------------------------------------------------
+
+
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per market segment, computed
+    from integer power sums (Σx, Σx², Σxy as bigints) with the closed
+    forms applied once per group. A streaming float variance is
+    partition-order-dependent; this formulation is bit-deterministic at
+    any parallelism — the 100 TB-safe way to do statistics. The oracle
+    spells the identical arithmetic."""
+    customer = load_table(spark, sf_dir, "customer")
+    ac = cents("c_acctbal")
+    key = F.col("c_custkey").cast("long")
+    g = customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(ac).alias("s1"),
+        F.sum(ac * ac).alias("s2"),
+        F.sum(key).alias("k1"),
+        F.sum(key * key).alias("k2"),
+        F.sum(ac * key).alias("sk"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    k1 = F.col("k1").cast("double")
+    k2 = F.col("k2").cast("double")
+    sk = F.col("sk").cast("double")
+    return g.select(
+        "c_mktsegment",
+        "n",
+        (s1 / n).alias("mean_cents"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_samp"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("stddev_samp"),
+        ((s2 - s1 * s1 / n) / n).alias("var_pop"),
+        (
+            (sk - s1 * k1 / n)
+            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(k2 - k1 * k1 / n))
+        ).alias("corr_bal_key"),
+    )
+
+
+ORACLE_STATS_AGGS = f"""
+WITH g AS (
+  SELECT c_mktsegment,
+    COUNT(*) AS n,
+    SUM({sql_cents('c_acctbal')}) AS s1,
+    SUM({sql_cents('c_acctbal')} * {sql_cents('c_acctbal')}) AS s2,
+    SUM(CAST(c_custkey AS BIGINT)) AS k1,
+    SUM(CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT)) AS k2,
+    SUM({sql_cents('c_acctbal')} * CAST(c_custkey AS BIGINT)) AS sk
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(n AS DOUBLE) - 1.0) AS var_samp,
+  SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / (CAST(n AS DOUBLE) - 1.0)) AS stddev_samp,
+  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / CAST(n AS DOUBLE) AS var_pop,
+  (CAST(sk AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(k1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / (SQRT(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       * SQRT(CAST(k2 AS DOUBLE) - CAST(k1 AS DOUBLE) * CAST(k1 AS DOUBLE) / CAST(n AS DOUBLE)))
+    AS corr_bal_key
+FROM g
+"""
+
+
+def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + discrete percentiles over integer cents per
+    segment. median of bigints = midpoint average (exact in double);
+    percentile_disc picks an actual element — both engine-stable."""
+    customer = load_table(spark, sf_dir, "customer")
+    ac = cents("c_acctbal")
+    return (
+        customer.select("c_mktsegment", ac.alias("ac"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.median("ac").alias("median_cents"),
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY ac)"
+            ).alias("p25_cents"),
+            F.expr(
+                "percentile_disc(0.90) WITHIN GROUP (ORDER BY ac)"
+            ).alias("p90_cents"),
+            F.min("ac").alias("min_cents"),
+            F.max("ac").alias("max_cents"),
+        )
+    )
+
+
+ORACLE_MEDIAN_PERCENTILE = f"""
+SELECT c_mktsegment,
+  MEDIAN({sql_cents('c_acctbal')}) AS median_cents,
+  quantile_disc({sql_cents('c_acctbal')}, 0.25) AS p25_cents,
+  quantile_disc({sql_cents('c_acctbal')}, 0.90) AS p90_cents,
+  MIN({sql_cents('c_acctbal')}) AS min_cents,
+  MAX({sql_cents('c_acctbal')}) AS max_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join (bucket-equi-join formulation)
+# ---------------------------------------------------------------------------
+
+BAND_WIDTH_CENTS = 5_000_000  # 50k-currency price bands
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: assign each order to a price band [lo, hi). The
+    scalable formulation maps the range predicate to an equi-join on
+    the band index (one hash join, no theta-join blowup): band =
+    floor(price / width). With multi-width bands the same trick emits
+    one key per covered bucket (interval bucketing)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    banded = orders.select(
+        "o_orderkey",
+        pc.alias("pc"),
+        F.floor(pc / F.lit(BAND_WIDTH_CENTS)).cast("long").alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.min("pc").alias("min_pc"),
+        F.max("pc").alias("max_pc"),
+        (F.col("band") * BAND_WIDTH_CENTS).alias("band_lo"),
+        ((F.col("band") + 1) * BAND_WIDTH_CENTS).alias("band_hi"),
+    )
+
+
+ORACLE_RANGE_JOIN_BANDS = f"""
+SELECT CAST(FLOOR({sql_cents('o_totalprice')} / {BAND_WIDTH_CENTS}.0) AS BIGINT) AS band,
+  COUNT(*) AS n_orders,
+  MIN({sql_cents('o_totalprice')}) AS min_pc,
+  MAX({sql_cents('o_totalprice')}) AS max_pc,
+  CAST(FLOOR({sql_cents('o_totalprice')} / {BAND_WIDTH_CENTS}.0) AS BIGINT)
+    * {BAND_WIDTH_CENTS} AS band_lo,
+  (CAST(FLOOR({sql_cents('o_totalprice')} / {BAND_WIDTH_CENTS}.0) AS BIGINT) + 1)
+    * {BAND_WIDTH_CENTS} AS band_hi
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "window_funcs": q_window_funcs,
+    "window_range_frame": q_window_range_frame,
+    "cube_agg": q_cube_agg,
+    "grouping_sets": q_grouping_sets,
+    "pivot_status": q_pivot_status,
+    "stats_aggs": q_stats_aggs,
+    "median_percentile": q_median_percentile,
+    "range_join_bands": q_range_join_bands,
+}
+
+ORACLES = {
+    "window_funcs": ORACLE_WINDOW_FUNCS,
+    "window_range_frame": ORACLE_WINDOW_RANGE,
+    "cube_agg": ORACLE_CUBE_AGG,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "pivot_status": ORACLE_PIVOT_STATUS,
+    "stats_aggs": ORACLE_STATS_AGGS,
+    "median_percentile": ORACLE_MEDIAN_PERCENTILE,
+    "range_join_bands": ORACLE_RANGE_JOIN_BANDS,
+}
