@@ -1,0 +1,131 @@
+"""Physical-plan quality gates (the 100 TB discipline, mechanized).
+
+The task is not "produces correct rows" but "produces the plan you'd
+want on a 1000-executor cluster": filters pushed to the parquet scan,
+columns pruned, small sides broadcast, aggregates partial-applied,
+expressions inside whole-stage codegen. These tests pin those
+properties so a refactor that silently regresses the plan fails CI,
+not the cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
+    plan = plan_of(queries["group_agg"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # the shipdate predicate must be in the scan, not only post-scan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters:" in ln
+    ]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir, queries):
+    """group_agg touches 6 of 11 lineitem columns; the scan schema must
+    not include the untouched ones."""
+    plan = plan_of(queries["group_agg"](spark, sf_dir))
+    schema_lines = [
+        ln for ln in plan.splitlines() if "ReadSchema:" in ln
+    ]
+    assert schema_lines
+    rs = schema_lines[0]
+    for needed in ("l_shipdate", "l_extendedprice", "l_quantity"):
+        assert needed in rs, rs
+    for pruned in ("l_partkey", "l_suppkey", "l_comment", "l_shipmode"):
+        assert pruned not in rs, rs
+
+
+def test_projection_prunes_scan(spark, sf_dir, queries):
+    plan = plan_of(queries["projection"](spark, sf_dir))
+    rs = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "o_comment" not in rs and "o_orderstatus" not in rs, rs
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir, queries):
+    """customer (filtered) and orders are both far under the broadcast
+    threshold at test scale — no shuffle join should appear before the
+    aggregation."""
+    plan = plan_of(queries["q3_shipping_priority"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir, queries):
+    plan = plan_of(queries["q5_local_supplier"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir, queries):
+    """Hash aggregation must be map-side partial + reduce-side final
+    (two HashAggregate operators around one Exchange) so the shuffle
+    carries groups, not rows."""
+    plan = plan_of(queries["group_agg"](spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    # partial_ functions indicate map-side combine
+    assert "partial_" in plan, plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir, queries):
+    df = queries["group_agg"](spark, sf_dir)
+    df.collect()  # AQE reveals the final (codegen'd) plan only after execution
+    plan = plan_of(df, mode="simple")
+    assert "isFinalPlan=true" in plan, plan
+    # codegen spans appear as "*(n) Operator" in simple mode — the agg,
+    # filter and scan-to-row must all be inside one
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan, plan
+    assert "*(1) Filter" in plan, plan
+
+
+def test_window_partitioned_not_global(spark, sf_dir, queries):
+    """window_funcs partitions by customer — there must be NO
+    single-partition global Exchange (the classic non-scalable window
+    mistake)."""
+    plan = plan_of(queries["window_funcs"](spark, sf_dir), mode="simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir, queries):
+    """The IN-subquery formulation must compile to a semi join (not an
+    inner join + distinct)."""
+    plan = plan_of(queries["semi_join"](spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir, queries):
+    """The ANN scan must broadcast the small query set and stream the
+    corpus — a shuffle of the corpus would be the 100 TB killer."""
+    plan = plan_of(queries["similarity_topk"](spark, sf_dir), mode="simple")
+    assert "Broadcast" in plan, plan
+
+
+def test_minhash_join_is_equi_hash(spark, sf_dir, queries):
+    """The LSH band join must be a hash equi-join on (band, bkey) —
+    never a nested-loop over all pairs."""
+    plan = plan_of(queries["dedup_minhash_lsh"](spark, sf_dir), mode="simple")
+    assert "NestedLoop" not in plan, plan
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir, queries):
+    plan = plan_of(queries["dedup_exact"](spark, sf_dir), mode="simple")
+    assert "partial_" in plan, plan
