@@ -29,6 +29,7 @@ def _registries():
         "multimodal",
         "events",
         "scalar",
+        "subqueries",
         "validation",
         "asof",
         "custom",
