@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -130,55 +131,72 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
-# random-hyperplane LSH (scale path)
+# random-hyperplane LSH (scale path): multi-table
 # ---------------------------------------------------------------------------
 
-N_PLANES = 8
+K_BITS = 8  # bits (hyperplanes) per table
+N_TABLES = 16  # independent tables; recall ≈ 1-(1-p^k)^L
 DIM = 64
+LSH_SEED = 0x5EED
 
 
-def _plane_component(p: int, d: int):
-    """Deterministic pseudo-random ±1 plane component from xxhash64."""
-    return F.when(F.xxhash64(F.lit(p * 10007 + d)) % 2 == 0, 1.0).otherwise(-1.0)
+def lsh_bucket_keys_udf():
+    """Arrow-batched bucket computation: one (batch × DIM) @ (DIM × L·k)
+    matmul per Arrow batch, sign bits packed into one long per table
+    (key = table·2^k + bits). Planes are a seeded Gaussian matrix —
+    deterministic across sessions/executors without shipping state; a
+    single sign-flip of 128 expression-tree projections would compile to
+    an enormous codegen unit, so this is the honest Pandas-UDF case.
+    Multi-table is what makes hyperplane LSH usable on weak-signal data:
+    one k-bit table has recall p^k; L tables lift it to 1-(1-p^k)^L
+    while candidate cost stays Σ bucket² per table."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
+    @pandas_udf("array<long>")
+    def bucket_keys(emb: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(LSH_SEED)
+        planes = rng.standard_normal((DIM, N_TABLES * K_BITS))
+        mat = np.vstack(emb.to_numpy())  # (n, DIM)
+        bits = (mat @ planes) > 0  # (n, L*k)
+        weights = (1 << np.arange(K_BITS)).astype(np.int64)
+        keys = np.empty((mat.shape[0], N_TABLES), dtype=np.int64)
+        for t in range(N_TABLES):
+            chunk = bits[:, t * K_BITS : (t + 1) * K_BITS]
+            keys[:, t] = (chunk @ weights) + (t << K_BITS)
+        return pd.Series(list(keys))
 
-def lsh_bucket_col(emb_col):
-    """8-bit random-hyperplane signature: bit p = sign(<v, plane_p>).
-    Planes are ±1 vectors derived from xxhash64 — reproducible across
-    sessions/partitionings without shipping plane matrices."""
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        proj = sum(
-            (
-                F.element_at(emb_col, d + 1).cast("double")
-                * _plane_component(p, d)
-                for d in range(DIM)
-            ),
-            start=F.lit(0.0),
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    return bucket_keys
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: bucket-join on the 8-bit hyperplane signature,
-    exact cosine rerank, top-5 per query within its bucket. At scale the
-    corpus is written bucketed-by(signature) so a query reads one bucket.
-    Rows-only check (plane family is engine-specific); recall is
-    measured against q_similarity_topk in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "bucket", lsh_bucket_col(F.col("embedding"))
-    ).withColumn("nrm", _l2(F.col("embedding")))
-    q = bucketed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    """Multi-table hyperplane-LSH ANN: candidates = corpus vectors
+    sharing ANY of the L=16 8-bit bucket keys with the query, exact
+    cosine rerank, top-5. At 100 TB the corpus is written bucketed by
+    key so a query touches L buckets (≈ L·n/2^k rows), never the full
+    scan. Rows-only check (plane family is engine-specific); recall vs
+    the exact top-k and candidate cost are asserted in
+    tests/test_ann_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    keyed = emb.withColumn(
+        "bkey", F.explode(lsh_bucket_keys_udf()(F.col("embedding")))
+    )
+    q = keyed.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
         F.col("nrm").alias("qnrm"),
+        F.col("bkey").alias("qbkey"),
     )
-    cand = bucketed.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+    cand = (
+        keyed.join(
+            F.broadcast(q),
+            (F.col("bkey") == F.col("qbkey"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qe", "qnrm", "vec_id", "embedding", "nrm")
+        .dropDuplicates(["qid", "vec_id"])
     )
     scored = cand.select(
         "qid",
