@@ -28,6 +28,7 @@ def _registries():
         "text",
         "multimodal",
         "events",
+        "pipeline",
         "scalar",
         "subqueries",
         "validation",

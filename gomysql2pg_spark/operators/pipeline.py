@@ -1,0 +1,170 @@
+"""Composite pipeline operators: multi-stage chains that compose the
+engine's pieces the way a production training-data pipeline does
+(BASELINE.json north-star), end-to-end under the value-hash oracle.
+
+- corpus curation: quality gate → normalized exact-dedup → per-language
+  corpus statistics — the canonical pretraining-data funnel, one
+  declarative plan (Catalyst fuses the stages; two shuffles total:
+  dedup hash, final group),
+- salted skew join: the 100 TB pattern for joining a skew-keyed fact
+  (lineitem has 3 return-flag values — a vanilla join funnels 1/3 of
+  the table through one reducer) against a dimension: replicate the
+  dim SALT_BUCKETS× and split the fact hash-uniformly; result is
+  EXACTLY the unsalted join (the oracle proves it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import cents, sql_cents
+
+# ---------------------------------------------------------------------------
+# corpus curation funnel
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality gate → normalized exact-dedup (keep min doc_id) →
+    per-(lang, source) corpus stats. Stage semantics match the
+    standalone operators (text.q_quality_score, dedup.q_dedup_exact_norm)
+    — this entry proves they COMPOSE."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chars = F.length("text")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    kept = docs.select(
+        "doc_id", "lang", "source", "text", F.size(toks).alias("n_tokens")
+    ).filter(
+        (n_chars >= 20)
+        & (n_chars <= 10000)
+        & (n_punct * 100 < n_chars * 20)
+        & (n_stop > 0)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    deduped = (
+        kept.select("doc_id", "lang", "source", "n_tokens", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_tokens"), "doc_id"
+            ).alias("r"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("r.doc_id", "r.lang", "r.source", "r.n_tokens", "n_dups")
+    )
+    return deduped.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_dups").alias("n_originals_incl_dups"),
+    )
+
+
+ORACLE_CORPUS_PIPELINE = r"""
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+    LENGTH(text) AS n_chars,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+      AS n_punct,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> w IN ('the','a','and','of','to'))) AS n_stop
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_chars BETWEEN 20 AND 10000
+    AND n_punct * 100 < n_chars * 20
+    AND n_stop > 0
+),
+hashed AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM kept
+),
+dedup AS (
+  SELECT h, MIN(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source,
+         arg_min(n_tokens, doc_id) AS n_tokens,
+         COUNT(*) AS n_dups
+  FROM hashed GROUP BY h
+)
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  SUM(n_tokens) AS total_tokens,
+  SUM(n_dups) AS n_originals_incl_dups
+FROM dedup GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join: lineitem (3 return-flag values ⇒
+    extreme key skew) joined to a per-flag dimension. The dim side is
+    replicated SALT_BUCKETS×, the fact side salted by row hash — every
+    reducer gets 1/SALT_BUCKETS of the hot key. The post-join aggregate
+    equals the unsalted join exactly (integer sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("flag_rows"))
+        .select(
+            F.col("l_returnflag").alias("d_flag"),
+            "flag_rows",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))
+            ).alias("d_salt"),
+        )
+    )
+    fact = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("pc"),
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)
+        ).alias("salt"),
+    )
+    joined = fact.join(
+        F.broadcast(dim),
+        (fact.l_returnflag == dim.d_flag) & (fact.salt == dim.d_salt),
+    )
+    return joined.groupBy("l_returnflag", "flag_rows").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("pc").alias("price_cents"),
+    )
+
+
+ORACLE_SKEW_SALTED_JOIN = f"""
+WITH dim AS (
+  SELECT l_returnflag AS d_flag, COUNT(*) AS flag_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, flag_rows,
+  COUNT(*) AS n_rows,
+  SUM({sql_cents('l_extendedprice')}) AS price_cents
+FROM lineitem JOIN dim ON l_returnflag = d_flag
+GROUP BY l_returnflag, flag_rows
+"""
+
+
+QUERIES = {
+    "corpus_pipeline": q_corpus_pipeline,
+    "skew_salted_join": q_skew_salted_join,
+}
+
+ORACLES = {
+    "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+}
