@@ -28,13 +28,20 @@ HEADLINE = [
     "join_multi",
     "derived_table",
     "window_topk",
+    "window_funcs",
     "group_concat",
+    "cube_agg",
+    "having_large_orders",
     "dedup_exact_norm",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_lsh",
     "text_stats",
+    "corpus_pipeline",
     "events_window",
     "events_sessionize",
+    "events_asof_purchase",
+    "skew_salted_join",
 ]
 
 
@@ -65,6 +72,10 @@ def main() -> None:
                 qs[name](spark, warm_dir).count()
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    # drop caches persisted by warmed queries (codegen cache survives)
+    # and collect garbage so no query pays the warmup's GC debt
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -74,6 +85,8 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+        spark.catalog.clearCache()  # queries are measured independently
+        spark._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -351,8 +351,24 @@ GROUP BY 1
 """
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per order priority (the sketch
+    every 100 TB cardinality query uses: constant memory, mergeable
+    partials — exact distinct shuffles every key). Rows-only check
+    (sketch estimates are engine-specific); relative error vs exact is
+    asserted in tests/test_ann_quality.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+            "approx_custs"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
 QUERIES = {
     "window_funcs": q_window_funcs,
+    "approx_distinct": q_approx_distinct,
     "window_range_frame": q_window_range_frame,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,

@@ -284,6 +284,32 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-min window, 5-min slide) executed by the
+    streaming engine in complete mode; every event lands in exactly 2
+    panes — the oracle generates both pane starts per event and
+    aggregates."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(sliding_window_counts(ev), output_mode="complete")
+    return spark.table(name)
+
+
+SLIDE_US = 300 * 1_000_000
+
+ORACLE_STREAM_SLIDING = f"""
+WITH panes AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / {SLIDE_US}.0) AS BIGINT) * {SLIDE_US}
+           - s.off AS win_start_us
+  FROM events
+  CROSS JOIN (SELECT * FROM (VALUES (0), ({SLIDE_US})) AS t(off)) s
+)
+SELECT win_start_us, event_type, COUNT(*) AS n_events
+FROM panes
+GROUP BY 1, 2
+"""
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows in append mode: only sessions sealed by
     the final watermark (= max event time) are emitted. The oracle
@@ -367,6 +393,7 @@ GROUP BY user_id
 
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sliding_windows": q_stream_sliding_windows,
     "stream_session_windows": q_stream_session_windows,
     "stream_dedup": q_stream_dedup,
     "stream_stateful_totals": q_stream_stateful_totals,
@@ -374,6 +401,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
+    "stream_sliding_windows": ORACLE_STREAM_SLIDING,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_stateful_totals": ORACLE_STREAM_STATEFUL,

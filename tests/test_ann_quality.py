@@ -101,6 +101,24 @@ def test_minhash_precision_and_recall(spark, sf_dir, queries):
         assert recall >= 0.8, f"MinHash recall collapsed: {recall:.3f}"
 
 
+def test_approx_distinct_accuracy(spark, sf_dir, queries):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct
+    count per group."""
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in queries["approx_distinct"](spark, sf_dir).collect()
+    }
+    exact_df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+    )
+    exact = {r["o_orderpriority"]: r["n"] for r in exact_df.collect()}
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
 def test_simhash_pairs_are_close(spark, sf_dir, queries):
     """SimHash output contract: ordered pairs, hamming distance ≤ 3."""
     rows = queries["dedup_simhash"](spark, sf_dir).collect()
