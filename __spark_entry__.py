@@ -31,6 +31,7 @@ def _registries():
         "pipeline",
         "scalar",
         "subqueries",
+        "tpch",
         "validation",
         "asof",
         "custom",

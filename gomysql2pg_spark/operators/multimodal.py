@@ -176,14 +176,119 @@ FROM documents
 """
 
 
+RESIZE_BOX = 224  # target box (the ViT-style square crop baseline)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+
+def make_resizer(box: int = RESIZE_BOX):
+    """mapInPandas worker for the resize stage: aspect-preserving fit
+    into a `box`×`box` target (integer floor math — deterministic). The
+    pixel work is the STUB seam (a real kernel resamples the decoded
+    buffer); the batch shape (decode-metadata in, per-item output dims
+    out) is exactly the production stage."""
+
+    def resize_batch(frames: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in frames:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            # scale = box / max(w, h), applied in integer arithmetic
+            m = w.where(w >= h, h)
+            out_w = (w * box // m).astype("int32")
+            out_h = (h * box // m).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return resize_batch
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize pipeline: the fake-decode dims flow into an
+    aspect-preserving resize plan. Two chained mapInPandas stages with
+    no shuffle between them (narrow dependency — at 100 TB the decoded
+    buffers never leave the worker)."""
+    decoded = q_mm_decode(spark, sf_dir).select("doc_id", "width", "height")
+    return decoded.mapInPandas(make_resizer(), schema=RESIZE_SCHEMA)
+
+
+ORACLE_MM_RESIZE = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+    CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id,
+  CAST(width AS INT) AS width,
+  CAST(height AS INT) AS height,
+  CAST(width * {RESIZE_BOX} // GREATEST(width, height) AS INT) AS out_w,
+  CAST(height * {RESIZE_BOX} // GREATEST(width, height) AS INT) AS out_h
+FROM d
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: per-payload scalar features (byte
+    length, token count, exact mean codepoint) — the embedding-model
+    stand-in. Computed with JVM expressions (the honest fast path when
+    features don't need a codec); mean = integer codepoint sum / count,
+    one double division — bit-identical cross-engine."""
+    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    chars = F.split(F.col("text"), "")
+    cp_sum = F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: acc + F.ascii(c)
+    )
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+        (cp_sum.cast("double") / n_chars).alias("mean_codepoint"),
+    )
+
+
+ORACLE_MM_FEATURES = r"""
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+  CAST(list_sum(list_transform(string_split(text, ''),
+                               c -> CAST(unicode(c) AS BIGINT))) AS DOUBLE)
+    / LENGTH(text) AS mean_codepoint
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_metadata": q_mm_metadata,
     "mm_decode": q_mm_decode,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
+    "mm_features": q_mm_features,
 }
 
 ORACLES = {
     "mm_metadata": ORACLE_MM_METADATA,
     "mm_decode": ORACLE_MM_DECODE,
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
+    "mm_resize": ORACLE_MM_RESIZE,
+    "mm_features": ORACLE_MM_FEATURES,
 }
