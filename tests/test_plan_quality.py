@@ -13,6 +13,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
 
@@ -129,3 +130,21 @@ def test_minhash_join_is_equi_hash(spark, sf_dir, queries):
 def test_exact_dedup_partial_aggregates(spark, sf_dir, queries):
     plan = plan_of(queries["dedup_exact"](spark, sf_dir), mode="simple")
     assert "partial_" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must become a PartitionFilter (directory pruning — at 100 TB this
+    is the difference between scanning one partition and the lake)."""
+    from gomysql2pg_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "event_type" in pf[0], plan
+    # the predicate must NOT appear as a post-scan row filter
+    assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
