@@ -31,6 +31,7 @@ def _registries():
         "pipeline",
         "scalar",
         "subqueries",
+        "timeseries",
         "tpch",
         "validation",
         "asof",

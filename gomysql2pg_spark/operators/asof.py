@@ -120,5 +120,66 @@ ASOF LEFT JOIN purchases p
 """
 
 
-QUERIES = {"events_asof_purchase": q_events_asof_purchase}
-ORACLES = {"events_asof_purchase": ORACLE_EVENTS_ASOF}
+def q_events_asof_next_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward as-of: for each event, the user's NEXT purchase at or
+    after the event time (label-attachment join for churn/propensity
+    training sets). Same union-window trick mirrored: right rows sort
+    AFTER left rows at equal ts, `first(payload) over (following)`
+    frame."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "us",
+        F.round(F.col("value") * 100).cast("long").alias("next_cents"),
+    )
+    lt = ev.select("event_id", "user_id", "us", "event_type").withColumn(
+        "_side", F.lit(0)
+    ).withColumn("next_cents", F.lit(None).cast("long"))
+    rt = purchases.withColumn("_side", F.lit(1)).withColumn(
+        "event_id", F.lit(None).cast("long")
+    ).withColumn("event_type", F.lit(None).cast("string"))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("_side").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned.withColumn(
+        "next_purchase_cents",
+        F.first("next_cents", ignorenulls=True).over(w),
+    )
+    return filled.filter(F.col("_side") == 0).select(
+        "event_id", "user_id", "us", "event_type", "next_purchase_cents"
+    )
+
+
+ORACLE_EVENTS_ASOF_NEXT = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+purchases AS (
+  SELECT user_id, us, cents AS next_cents FROM ev
+  WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.us, e.event_type,
+       p.next_cents AS next_purchase_cents
+FROM ev e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.us <= p.us
+"""
+
+
+QUERIES = {
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_asof_next_purchase": q_events_asof_next_purchase,
+}
+ORACLES = {
+    "events_asof_purchase": ORACLE_EVENTS_ASOF,
+    "events_asof_next_purchase": ORACLE_EVENTS_ASOF_NEXT,
+}
