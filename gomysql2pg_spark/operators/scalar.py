@@ -180,10 +180,56 @@ def q_random_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten family: posexplode (with ordinality) over an
+    array slice, and explode_outer preserving rows whose array is empty
+    (the [NULL]-substitution trick spelled identically in the oracle).
+    At scale explode is a narrow op — rows fan out within the partition,
+    no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 8)
+    pos_part = e.select(
+        "vec_id", F.posexplode(head).alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "val",
+        F.lit("posexplode").alias("op"),
+    )
+    big = F.filter(F.col("embedding"), lambda x: x > 0.15)
+    outer_part = e.select(
+        "vec_id", F.explode_outer(big).alias("val")
+    ).select(
+        "vec_id",
+        F.lit(0).cast("long").alias("pos"),
+        "val",
+        F.lit("explode_outer").alias("op"),
+    )
+    return pos_part.unionByName(outer_part)
+
+
+ORACLE_LATERAL_EXPLODE = """
+SELECT vec_id,
+       unnest(range(1, len(embedding[1:8]) + 1)) AS pos,
+       unnest(embedding[1:8]) AS val,
+       'posexplode' AS op
+FROM embeddings
+UNION ALL
+SELECT vec_id,
+       CAST(0 AS BIGINT) AS pos,
+       unnest(CASE WHEN len(list_filter(embedding, x -> x > 0.15)) = 0
+                   THEN [NULL]
+                   ELSE list_filter(embedding, x -> x > 0.15) END) AS val,
+       'explode_outer' AS op
+FROM embeddings
+"""
+
+
 QUERIES = {
     "datetime_funcs": q_datetime_funcs,
     "math_funcs": q_math_funcs,
     "array_funcs": q_array_funcs,
+    "lateral_explode": q_lateral_explode,
     "sequence_semantics": q_sequence_semantics,
     "random_ids": q_random_ids,
 }
@@ -192,6 +238,7 @@ ORACLES = {
     "datetime_funcs": ORACLE_DATETIME_FUNCS,
     "math_funcs": ORACLE_MATH_FUNCS,
     "array_funcs": ORACLE_ARRAY_FUNCS,
+    "lateral_explode": ORACLE_LATERAL_EXPLODE,
     "sequence_semantics": ORACLE_SEQUENCE_SEMANTICS,
     # random_ids: rows-only (nondeterministic values by design)
 }
