@@ -152,8 +152,56 @@ FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation customer counts vs supplier counts —
+    nations with only one side present survive with NULLs. Shuffles
+    both (tiny) aggregates on the join key."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return c.join(s, c.ck == s.sk, "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+ORACLE_FULL_OUTER_JOIN = """
+WITH c AS (SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+           FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+           FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp
+FROM c FULL OUTER JOIN s ON ck = sk
+"""
+
+
+def q_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small dimensions (region × order
+    priorities) — the domain-grid generator (every combination must
+    appear even with zero matching facts). Both sides broadcastable;
+    at scale a cross join is only ever sane when one side is tiny."""
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    return region.crossJoin(F.broadcast(prios)).select(
+        "r_regionkey", "r_name", "o_orderpriority"
+    )
+
+
+ORACLE_CROSS_JOIN = """
+SELECT r_regionkey, r_name, o_orderpriority
+FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
 QUERIES = {
     "having_large_orders": q_having_large_orders,
+    "full_outer_join": q_full_outer_join,
+    "cross_join_small": q_cross_join_small,
     "scalar_subquery_above_brand_avg": q_scalar_subquery_above_brand_avg,
     "exists_pending_orders": q_exists_pending_orders,
     "null_safe_join": q_null_safe_join,
@@ -161,6 +209,8 @@ QUERIES = {
 
 ORACLES = {
     "having_large_orders": ORACLE_HAVING_LARGE_ORDERS,
+    "full_outer_join": ORACLE_FULL_OUTER_JOIN,
+    "cross_join_small": ORACLE_CROSS_JOIN,
     "scalar_subquery_above_brand_avg": ORACLE_SCALAR_SUBQUERY,
     "exists_pending_orders": ORACLE_EXISTS_PENDING,
     "null_safe_join": ORACLE_NULL_SAFE_JOIN,
