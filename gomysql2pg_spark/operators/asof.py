@@ -55,11 +55,7 @@ def asof_join_backward(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        *[c for c in lt.columns if c != "_side"],
-        F.col("_side"),
-        *[],
-    )
+    filled = unioned
     for c in payload_cols:
         filled = filled.withColumn(
             f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)

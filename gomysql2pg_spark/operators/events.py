@@ -29,8 +29,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     same arithmetic Structured Streaming's window() performs; partial
     aggregation applies, shuffle carries (bucket × type) rows only."""
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.unix_micros("ts") / F.lit(WINDOW_US)).cast("long")
-    # integer division semantics: unix_micros >= 0 here, so cast(floor)
+    # floor-div so the bucket edge matches streaming window() semantics
     bucket = F.floor(F.unix_micros("ts") / F.lit(WINDOW_US)).cast("long")
     return (
         ev.groupBy(

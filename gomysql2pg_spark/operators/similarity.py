@@ -8,9 +8,11 @@
   query's coarse cell (here the `label` column stands in for a k-means
   cell id) — the classic recall/cost trade; still SQL-expressible, so
   it keeps a full oracle.
-- Random-hyperplane LSH bucketing: deterministic pseudo-random planes
-  from xxhash64, bucket-join candidates, exact rerank. The 100 TB path
-  (no all-pairs term); rows-only check (hash-family-specific).
+- Multi-table random-hyperplane LSH: a seeded Gaussian plane matrix
+  (one Arrow-batched matmul per batch) yields L bucket keys per vector;
+  bucket-join candidates, exact rerank. The 100 TB path (no all-pairs
+  term); rows-only check (hash-family-specific) with recall/cost gates
+  in tests/test_ann_quality.py.
 """
 
 from __future__ import annotations
