@@ -419,6 +419,75 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# C2e: near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "da", dst: str = "db", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node gets the minimum
+    doc_id reachable through the near-dup pair graph (the 'keep the
+    earliest, drop the rest' dedup policy). Iterative — genuinely
+    outside SQL; each round is one join + one aggregate, and rounds
+    needed = graph diameter (near-dup clusters are tiny, so 2-4).
+    localCheckpoint per round truncates the lineage so the plan does
+    not grow exponentially (the classic iterative-Spark pitfall).
+    At 100 TB this is the standard large-graph CC formulation (one
+    shuffle per round, no driver-side state)."""
+    sess = edges.sparkSession
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = both.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the exact-Jaccard near-dup pairs:
+    (doc_id, cluster_id = min doc_id in the component, keep flag).
+    Iterative (no SQL oracle); cluster validity — endpoints of every
+    pair share a cluster, cluster id is the member minimum — is
+    asserted in tests/test_ann_quality.py."""
+    pairs = q_dedup_jaccard(spark, sf_dir).select("da", "db")
+    labels = connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_norm": q_dedup_exact_norm,
@@ -426,6 +495,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {

@@ -174,6 +174,48 @@ def session_windows(
     )
 
 
+def stream_stream_view_purchase_join(
+    events: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each view joined to the same user's
+    purchases within [view_ts, view_ts + horizon] (attribution window).
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — that pair of constraints is what lets the
+    engine expire join state (otherwise both sides buffer forever)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purch_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "view_id",
+        "purch_id",
+        F.col("v_user").alias("user_id"),
+        F.unix_micros("v_ts").alias("view_us"),
+        F.unix_micros("p_ts").alias("purch_us"),
+        "purch_cents",
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------
@@ -348,6 +390,36 @@ WHERE end_us <= (SELECT MAX(epoch_us(ts)) FROM events)
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution as a genuine stream-stream join
+    (append mode; inner joins emit every match once both sides have
+    arrived). Oracle: the identical interval join in batch SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(
+        stream_stream_view_purchase_join(ev), output_mode="append"
+    )
+    return spark.table(name)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT v.event_id AS view_id, p.event_id AS purch_id,
+       v.user_id AS user_id,
+       epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purch_us,
+       p.cents AS purch_cents
+FROM ev v
+JOIN ev p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark ingest, aggregated to per-type
     counts of distinct events — deterministic regardless of arrival
@@ -395,11 +467,13 @@ QUERIES = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_session_windows": q_stream_session_windows,
+    "stream_stream_join": q_stream_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_stateful_totals": q_stream_stateful_totals,
 }
 
 ORACLES = {
+    "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "stream_sliding_windows": ORACLE_STREAM_SLIDING,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,

@@ -125,3 +125,45 @@ def test_simhash_pairs_are_close(spark, sf_dir, queries):
     for r in rows:
         assert r["da"] < r["db"]
         assert 0 <= r["hamming"] <= 3
+
+
+def test_dedup_clusters_are_connected_components(spark, sf_dir, queries):
+    """Cluster validity against a driver-side union-find ground truth
+    computed from the same pair set (small at test scale)."""
+    pairs = [
+        (r["da"], r["db"])
+        for r in queries["dedup_jaccard"](spark, sf_dir).collect()
+    ]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in queries["dedup_clusters"](spark, sf_dir).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # re-run find to full compression
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+    # keep flag marks exactly the cluster minima
+    keeps = {
+        r["doc_id"]
+        for r in queries["dedup_clusters"](spark, sf_dir)
+        .filter("keep")
+        .collect()
+    }
+    assert keeps == set(expected.values())
