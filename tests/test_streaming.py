@@ -105,6 +105,50 @@ def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
     assert n_emissions > expected.count()
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once ingest across restarts: drain run 1 with a
+    checkpoint, add new source files, re-run with the SAME checkpoint —
+    the resumed query must process only the new files (no reprocessing,
+    no duplicates in the foreachBatch parquet sink)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    us = F.unix_micros("ts")
+    stats = ev.select(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    cut = stats["lo"] + (stats["hi"] - stats["lo"]) // 2
+    first_half = ev.filter(us < cut)
+    second_half = ev.filter(us >= cut)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first_half.coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, batch_id: batch_df.write.mode(
+                    "append"
+                ).parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first_half.count()
+
+    second_half.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # no duplicates, nothing missed
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_windowed_counts_append_emits_only_sealed_windows(spark, sf_dir, tmp_path):
     """Watermark emission contract (append mode): a window row is
     emitted exactly when the watermark (max observed event time minus
