@@ -83,6 +83,33 @@ def test_jdbc_partitioned_read_predicates(spark, sf_dir, derby_url, orders_in_de
     assert df.select("o_orderkey").distinct().count() == src.count()
 
 
+def test_engine_read_path_with_page_plan(spark, derby_url, orders_in_derby):
+    """Our sources.jdbc.read() + plans.pagination.plan_pages pipeline
+    (the reference's prepareSqlStr → runMigration flow) against the
+    real database: one JDBC partition per generated page predicate."""
+    from gomysql2pg_spark.plans.pagination import plan_pages
+    from gomysql2pg_spark.sources.jdbc import JdbcSourceConfig, read
+
+    src = orders_in_derby
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    total = src.count()
+    plan = plan_pages(
+        "ORDERS",
+        total_rows=total,
+        page_size=max(1, total // 6),
+        pk_cols=['"o_orderkey"'],
+        pk_numeric=True,
+        pk_min=int(lo),
+        pk_max=int(hi),
+    )
+    assert plan.strategy == "range" and plan.page_count >= 6
+    cfg = JdbcSourceConfig(url=derby_url, driver=DRIVER, max_parallel=8)
+    df = read(spark, cfg, table="ORDERS", plan=plan)
+    assert df.rdd.getNumPartitions() == len(plan.predicates)
+    assert df.count() == total
+    assert df.select("o_orderkey").distinct().count() == total
+
+
 def test_jdbc_schema_probe_via_query(spark, derby_url, orders_in_derby):
     """A4: arbitrary-SQL source — Spark resolves the schema via the
     same zero-row probe the reference builds by hand (`root.go:306`)."""
