@@ -31,6 +31,76 @@ def _normalize(df):
     return df
 
 
+def test_streaming_ingest_into_database(spark, sf_dir, derby_url, tmp_path):
+    """Continuous load: a file stream drained micro-batch-by-micro-batch
+    into the JDBC target through foreachBatch, with checkpoint-resume —
+    the streaming twin of the batch migration. Restarting with the same
+    checkpoint after new files arrive appends ONLY the new rows
+    (exactly-once across restarts)."""
+    ev = _normalize(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    us = F.unix_micros("ts")
+    stats = ev.select(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    cut = stats["lo"] + (stats["hi"] - stats["lo"]) // 2
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "stream_ckpt")
+    ev.filter(us < cut).coalesce(1).write.parquet(src)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.write.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", "EVENTS_STREAMED")
+            .option("driver", DRIVER)
+            .option("batchsize", "5000")
+            .mode("append")
+            .save()
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # bootstrap the target table, then stream into it
+    spark.createDataFrame([], ev.schema).write.format("jdbc").option(
+        "url", derby_url
+    ).option("dbtable", "EVENTS_STREAMED").option("driver", DRIVER).mode(
+        "overwrite"
+    ).save()
+
+    run_once()
+    got1 = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "EVENTS_STREAMED")
+        .option("driver", DRIVER)
+        .load()
+    )
+    assert got1.count() == ev.filter(us < cut).count()
+
+    ev.filter(us >= cut).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got2 = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "EVENTS_STREAMED")
+        .option("driver", DRIVER)
+        .load()
+    )
+    assert got2.count() == ev.count()
+    assert got2.select("event_id").distinct().count() == ev.count()
+
+
 def test_full_migration_with_validation(spark, sf_dir, derby_url):
     cfg = MigrationConfig(max_parallel=4, exclude=["sup*"])
 
