@@ -29,6 +29,7 @@ def _registries():
         "multimodal",
         "events",
         "pipeline",
+        "ranking",
         "scalar",
         "subqueries",
         "timeseries",

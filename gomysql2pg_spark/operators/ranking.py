@@ -1,0 +1,185 @@
+"""Text ranking operators: TF-IDF and BM25 — the retrieval-scoring
+half of the text-analysis surface (SURVEY.md §2.D C4; a training-data
+pipeline uses these for corpus weighting and query-based filtering).
+
+Determinism discipline: term and document frequencies are exact
+integers; scores are quantized to integer MICRO-UNITS
+(round(score·1e6)) because ln() differs in the last ulp between the
+JVM and C libm — the quantized integers are engine-stable and make the
+rank ordering exact. No float SUM over variable-cardinality sets
+anywhere — BM25 is emitted per (doc, term) component, and the TF-IDF
+ranking orders by (score_micro, term), a total order.
+
+Scale: one shuffle to build the postings (doc, term, tf); document
+frequency is a second tiny aggregate joined back BY TERM (broadcast —
+vocabulary ≪ corpus); top-k per doc is a window partitioned by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TOP_TERMS = 3
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["batch", "hash", "stream"]
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) exact term frequencies."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. idf = ln((N+1)/(df+1)) over
+    exact counts; rank ties broken by term for a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    post = _postings(docs)
+    dfreq = post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # quantize to micro-units: ln() differs in the last ulp between the
+    # JVM and C libm, so the raw double is not cross-engine-stable; the
+    # rounded integer is (and makes the rank ordering exact too)
+    scored = post.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(
+                (F.lit(n_docs) + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("tfidf_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf_micro")
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH post AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  GROUP BY doc_id, w
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         CAST(ROUND(CAST(p.tf AS DOUBLE)
+           * LN(CAST(n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS tfidf_micro
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, tfidf_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_micro DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 score component per (document, query-term) for a fixed
+    3-term query — emitted per term (no float sum over a variable set)
+    with the textbook saturation/length normalization:
+    idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    post = _postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_terms = dl.agg(F.sum("dl")).first()[0]
+    post_q = post.filter(F.col("term").isin(BM25_QUERY))
+    dfreq = post_q.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = (
+        post_q.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        (F.lit(n_docs - 0) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    dl_norm = F.col("dl").cast("double") * F.lit(float(n_docs)) / F.lit(
+        float(total_terms)
+    )
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_norm
+    )
+    return joined.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        "dl",
+        F.round(idf * tf * F.lit(BM25_K1 + 1.0) / denom * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("bm25_micro"),
+    )
+
+
+ORACLE_BM25 = rf"""
+WITH post AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_terms FROM dl),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pq AS (SELECT * FROM post WHERE term IN ('batch', 'hash', 'stream')),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM pq GROUP BY term)
+SELECT p.doc_id, p.term, p.tf, d.df, l.dl,
+  CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+    * CAST(p.tf AS DOUBLE) * {BM25_K1 + 1.0}
+    / (CAST(p.tf AS DOUBLE)
+       + {BM25_K1} * ({1.0 - BM25_B}
+                      + {BM25_B} * CAST(l.dl AS DOUBLE)
+                        * CAST(n_docs AS DOUBLE)
+                        / CAST(total_terms AS DOUBLE)))
+    * 1000000.0) AS BIGINT) AS bm25_micro
+FROM pq p
+JOIN dfreq d USING (term)
+JOIN dl l USING (doc_id)
+CROSS JOIN n CROSS JOIN tot
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_components": q_bm25_components,
+}
+
+ORACLES = {
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "bm25_components": ORACLE_BM25,
+}
