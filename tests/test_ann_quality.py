@@ -4,9 +4,10 @@ Approximate operators can't be value-hash-oracled (their output depends
 on the hash family), but their QUALITY contract is testable: recall
 against the exact operator, precision of what they do return, and the
 candidate-cost bound that justifies their existence. Floors are set
-well below measured values (ANN recall@5 measured 0.20-0.32 on the
-weak-signal fixture embeddings; MinHash recall 0.93-0.96, precision
-1.0) so the tests catch structural regressions, not noise."""
+well below measured values (ANN recall@5 measured 0.48-0.54 at ~12%
+candidate cost with k=12/L=32 + 1-bit multi-probe on the weak-signal
+fixture embeddings; MinHash recall 0.93-0.96, precision 1.0) so the
+tests catch structural regressions, not noise."""
 
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ def test_ann_lsh_recall_floor(spark, sf_dir, queries):
         for r in queries["similarity_lsh"](spark, sf_dir).collect()
     }
     recall = len(exact & lsh) / len(exact)
-    assert recall >= 0.12, f"ANN recall@5 collapsed: {recall:.3f}"
+    assert recall >= 0.3, f"ANN recall@5 collapsed: {recall:.3f}"
 
 
 def test_ann_lsh_scores_are_exact_cosines(spark, sf_dir, queries):
@@ -66,8 +67,13 @@ def test_ann_lsh_candidate_cost_bounded(spark, sf_dir):
     keyed = emb.select(
         "vec_id", F.explode(SIM.lsh_bucket_keys_udf()(F.col("embedding"))).alias("bkey")
     )
-    q = keyed.filter(F.col("vec_id") % SIM.QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("bkey").alias("qbkey")
+    q = emb.filter(F.col("vec_id") % SIM.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            SIM.multiprobe_keys(
+                SIM.lsh_bucket_keys_udf()(F.col("embedding"))
+            )
+        ).alias("qbkey"),
     )
     cand = (
         keyed.join(
