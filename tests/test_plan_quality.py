@@ -132,6 +132,23 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir, queries):
     assert "partial_" in plan, plan
 
 
+def test_no_driver_side_row_collection_in_engine():
+    """100 TB discipline, statically enforced: no engine module may
+    pull row data to the driver. `.toPandas()` is banned outright;
+    `.collect()` is allowed only in validate.py where it fetches
+    single-row aggregates (content hashes / counts)."""
+    import pathlib
+
+    import gomysql2pg_spark
+
+    root = pathlib.Path(gomysql2pg_spark.__file__).parent
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        assert ".toPandas()" not in src, py
+        if py.name != "validate.py":
+            assert ".collect()" not in src, py
+
+
 def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     """Hive-style partitioned layout: a filter on the partition column
     must become a PartitionFilter (directory pruning — at 100 TB this
