@@ -156,8 +156,75 @@ FROM events
 """
 
 
+FUNNEL = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how far does each user get through
+    view → click → purchase IN ORDER? stages_completed = fold over the
+    user's time-ordered events (state advances when the current event
+    matches the next wanted stage) — one groupBy + one expression fold,
+    no joins, no window; per-user arrays are bounded by user activity.
+    Output: users per stages_completed (0..3)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    stage = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc == 0) & (e["et"] == FUNNEL[0]), F.lit(1)
+        )
+        .when((acc == 1) & (e["et"] == FUNNEL[1]), F.lit(2))
+        .when((acc == 2) & (e["et"] == FUNNEL[2]), F.lit(3))
+        .otherwise(acc),
+    )
+    return (
+        ordered.select(stage.alias("stages_completed"))
+        .groupBy("stages_completed")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events GROUP BY user_id
+),
+staged AS (
+  -- events coded as negatives so the fold state (0..3) can share the
+  -- INTEGER list (list_reduce has no separate init-value type)
+  SELECT user_id,
+    list_reduce(
+      list_prepend(0, list_transform(seq, et -> CASE et
+        WHEN 'view' THEN -1 WHEN 'click' THEN -2
+        WHEN 'purchase' THEN -3 ELSE -9 END)),
+      (acc, x) -> CASE
+        WHEN acc = 0 AND x = -1 THEN 1
+        WHEN acc = 1 AND x = -2 THEN 2
+        WHEN acc = 2 AND x = -3 THEN 3
+        ELSE acc END) AS stages_completed
+  FROM seqs
+)
+SELECT stages_completed, COUNT(*) AS n_users
+FROM staged GROUP BY stages_completed
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
+    "events_funnel": q_events_funnel,
     "events_sessionize": q_events_sessionize,
     "events_latest_per_user": q_events_latest_per_user,
     "events_json_props": q_events_json_props,
@@ -165,6 +232,7 @@ QUERIES = {
 
 ORACLES = {
     "events_window": ORACLE_EVENTS_WINDOW,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_latest_per_user": ORACLE_EVENTS_LATEST,
     "events_json_props": ORACLE_EVENTS_JSON,
