@@ -159,12 +159,73 @@ GROUP BY l_returnflag, flag_rows
 """
 
 
+# ---------------------------------------------------------------------------
+# training-sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_TOKENS = 512
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing: assign documents to
+    fixed-budget token packs by running token count. Packing is done
+    PER SOURCE SHARD (window partitioned by `source`, ordered by
+    doc_id) — the scalable formulation: no global order, shards pack
+    independently, exactly how a distributed tokenizer job shards.
+    A doc whose token span crosses a pack boundary is flagged
+    (`straddles` — the split/pad decision is the consumer's)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("cum_end", F.sum("n_tokens").over(w))
+    start = F.col("cum_end") - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / PACK_TOKENS).cast("long").alias("pack_id"),
+        (start % PACK_TOKENS).cast("long").alias("offset_in_pack"),
+        (
+            F.floor(start / PACK_TOKENS)
+            != F.floor((F.col("cum_end") - 1) / PACK_TOKENS)
+        ).alias("straddles"),
+    )
+
+
+ORACLE_SEQ_PACKING = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         SUM(len(string_split_regex(lower(trim(text)), '\s+'))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR((cum_end - n_tokens) / {PACK_TOKENS}.0) AS BIGINT) AS pack_id,
+  CAST((cum_end - n_tokens) % {PACK_TOKENS} AS BIGINT) AS offset_in_pack,
+  FLOOR((cum_end - n_tokens) / {PACK_TOKENS}.0)
+    != FLOOR((cum_end - 1) / {PACK_TOKENS}.0) AS straddles
+FROM toks
+"""
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "skew_salted_join": q_skew_salted_join,
+    "seq_packing": q_seq_packing,
 }
 
 ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
+    "seq_packing": ORACLE_SEQ_PACKING,
 }
