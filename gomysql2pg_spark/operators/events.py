@@ -222,9 +222,67 @@ FROM staged GROUP BY stages_completed
 """
 
 
+def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / CDC-apply semantics: treat the first half of the
+    event stream as the base state (latest value per user) and the
+    second half as the change batch; the merge keeps the newest row per
+    user across both with the change batch winning ties. One union +
+    one partitioned window — the standard lake upsert without a table
+    format, and exactly what MERGE INTO compiles to."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    mid = ev.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long")
+    ).first()[0]
+    base = ev.filter(F.col("us") < mid).withColumn("src", F.lit(0))
+    changes = ev.filter(F.col("us") >= mid).withColumn("src", F.lit(1))
+    merged = base.unionByName(changes)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("src").desc(), F.col("event_id").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("src").alias("from_changes"),
+        )
+    )
+
+
+ORACLE_EVENTS_CDC_MERGE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mid AS (
+  -- floor division: Spark's double→long cast truncates, DuckDB's
+  -- CAST rounds — // (positive operands) matches the truncation
+  SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev
+),
+tagged AS (
+  SELECT ev.*, CASE WHEN us >= m THEN 1 ELSE 0 END AS src
+  FROM ev CROSS JOIN mid
+)
+SELECT user_id, event_id, us, event_type, cents, src AS from_changes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, src DESC, event_id DESC) AS rn
+  FROM tagged
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_funnel": q_events_funnel,
+    "events_cdc_merge": q_events_cdc_merge,
     "events_sessionize": q_events_sessionize,
     "events_latest_per_user": q_events_latest_per_user,
     "events_json_props": q_events_json_props,
@@ -233,6 +291,7 @@ QUERIES = {
 ORACLES = {
     "events_window": ORACLE_EVENTS_WINDOW,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_cdc_merge": ORACLE_EVENTS_CDC_MERGE,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_latest_per_user": ORACLE_EVENTS_LATEST,
     "events_json_props": ORACLE_EVENTS_JSON,
