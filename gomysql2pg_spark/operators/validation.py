@@ -177,7 +177,80 @@ SELECT * FROM (VALUES
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of `orders` (rows, nulls, distincts,
+    min/max rendered as strings) — the ANALYZE-style inventory a
+    migration runs before moving a table (extends the reference's
+    count-only validation). One pass: every metric is an aggregate of
+    the same scan; the long format comes from a literal explode, not a
+    second read."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+ORACLE_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), SUM(CAST(o_custkey IS NULL AS BIGINT)),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), SUM(CAST(o_orderstatus IS NULL AS BIGINT)),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), SUM(CAST(o_totalprice IS NULL AS BIGINT)),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CAST(o_orderpriority IS NULL AS BIGINT)),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 QUERIES = {
+    "profile_orders": q_profile_orders,
     "catalog_tables": q_catalog_tables,
     "validate_rowcount": q_validate_rowcount,
     "validate_content_hash": q_validate_content_hash,
@@ -186,6 +259,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "profile_orders": ORACLE_PROFILE_ORDERS,
     "catalog_tables": ORACLE_CATALOG_TABLES,
     "validate_rowcount": ORACLE_VALIDATE_ROWCOUNT,
     # validate_content_hash: rows-only (engine-specific hash)
