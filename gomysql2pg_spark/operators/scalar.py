@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import cents
 
 
 def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:

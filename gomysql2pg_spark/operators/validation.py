@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import TABLES, list_tables, load_table
+from ..catalog import list_tables, load_table
 from ..functions.transforms import strip_nul
 from ..functions.typemap import ColumnMeta, map_column
 
