@@ -366,9 +366,30 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per segment (Greenwald-Khanna sketch, the
+    mergeable constant-memory path — exact percentiles shuffle the full
+    value set). Rows-only check (sketch output is engine-specific);
+    rank accuracy vs exact quantiles is asserted in
+    tests/test_ann_quality.py."""
+    customer = load_table(spark, sf_dir, "customer")
+    ac = cents("c_acctbal")
+    return (
+        customer.select("c_mktsegment", ac.alias("ac"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("ac", [0.25, 0.5, 0.9], 1000).alias(
+                "approx_pcts"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "window_funcs": q_window_funcs,
     "approx_distinct": q_approx_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "window_range_frame": q_window_range_frame,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,

@@ -125,6 +125,36 @@ def test_approx_distinct_accuracy(spark, sf_dir, queries):
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
 
 
+def test_approx_quantiles_rank_accuracy(spark, sf_dir, queries):
+    """GK sketch at accuracy 1000: each reported quantile must sit
+    within 1% rank error of the target quantile in the exact sorted
+    values."""
+    rows = queries["approx_quantiles"](spark, sf_dir).collect()
+    data = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("ac"),
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in data:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["ac"])
+    for r in rows:
+        vals = sorted(by_seg[r["c_mktsegment"]])
+        n = len(vals)
+        for q, got in zip([0.25, 0.5, 0.9], r["approx_pcts"]):
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            assert lo - 1 <= target + 0.01 * n and hi >= target - 0.01 * n, (
+                r["c_mktsegment"], q, got, lo, hi, target, n,
+            )
+
+
 def test_simhash_pairs_are_close(spark, sf_dir, queries):
     """SimHash output contract: ordered pairs, hamming distance ≤ 3."""
     rows = queries["dedup_simhash"](spark, sf_dir).collect()
