@@ -37,7 +37,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_lsh",
     "text_stats",
+    "tfidf_top_terms",
     "corpus_pipeline",
+    "q10_returned_items",
+    "stream_windowed_counts",
     "events_window",
     "events_sessionize",
     "events_asof_purchase",
