@@ -224,8 +224,56 @@ FROM embeddings
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: per-priority map of status→count built with
+    map_from_entries over a collected (sorted) entry list, then read
+    back via map_keys/element_at and re-exploded. Output is exploded
+    rows (map-valued outputs don't hash portably across engines; the
+    map type is exercised, the contract stays row-shaped)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    mapped = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return (
+        mapped.select(
+            "o_orderpriority",
+            "m",
+            F.size("m").alias("n_statuses"),
+            F.element_at(F.col("m"), "O").alias("n_open"),
+            F.explode(F.map_keys("m")).alias("status"),
+        )
+        .withColumn(
+            "status_count", F.element_at(F.col("m"), F.col("status"))
+        )
+        .drop("m")
+    )
+
+
+ORACLE_MAP_FUNCS = """
+WITH per AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+agg AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_statuses,
+         MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS n_open
+  FROM per GROUP BY o_orderpriority
+)
+SELECT a.o_orderpriority, a.n_statuses, a.n_open,
+       p.o_orderstatus AS status, p.n AS status_count
+FROM agg a JOIN per p USING (o_orderpriority)
+"""
+
+
 QUERIES = {
     "datetime_funcs": q_datetime_funcs,
+    "map_funcs": q_map_funcs,
     "math_funcs": q_math_funcs,
     "array_funcs": q_array_funcs,
     "lateral_explode": q_lateral_explode,
@@ -235,6 +283,7 @@ QUERIES = {
 
 ORACLES = {
     "datetime_funcs": ORACLE_DATETIME_FUNCS,
+    "map_funcs": ORACLE_MAP_FUNCS,
     "math_funcs": ORACLE_MATH_FUNCS,
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
