@@ -132,6 +132,39 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir, queries):
     assert "partial_" in plan, plan
 
 
+SHUFFLE_BUDGETS = {
+    # query -> max shuffle exchanges (broadcasts excluded) the plan may
+    # contain; measured values, pinned so a refactor that silently adds
+    # a shuffle fails here instead of on the cluster
+    "group_agg": 1,
+    "q3_shipping_priority": 1,
+    "q5_local_supplier": 1,
+    "having_large_orders": 1,
+    "dedup_exact": 1,
+    "window_funcs": 1,
+    "seq_packing": 1,
+    "events_sessionize": 1,
+    "q10_returned_items": 1,
+    "corpus_pipeline": 2,
+    "skew_salted_join": 2,
+    "tfidf_top_terms": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, sf_dir, queries, name):
+    import re
+
+    plan = plan_of(queries[name](spark, sf_dir), mode="simple")
+    shuffles = len(
+        re.findall(
+            r"\bExchange (?:hash|range)partitioning|\bExchange SinglePartition",
+            plan,
+        )
+    )
+    assert shuffles <= SHUFFLE_BUDGETS[name], (name, shuffles, plan)
+
+
 def test_no_driver_side_row_collection_in_engine():
     """100 TB discipline, statically enforced: no engine module may
     pull row data to the driver. `.toPandas()` is banned outright;
