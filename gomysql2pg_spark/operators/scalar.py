@@ -224,6 +224,39 @@ FROM embeddings
 """
 
 
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over customer names (`Customer#000000001`
+    shape): group extraction, extract-all, count, replace, boolean
+    match — all JVM-side regex (B15 extended; the reference only does
+    Go-side strings.ReplaceAll)."""
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(name, r"#(\d+)", 1).alias("id_str"),
+        F.regexp_extract(name, r"^([A-Za-z]+)#", 1).alias("prefix"),
+        F.regexp_count(name, F.lit(r"0")).alias("n_zeros"),
+        F.regexp_replace(name, r"0+", "0").alias("squeezed"),
+        name.rlike(r"^Customer#\d{9}$").alias("well_formed"),
+        F.array_join(
+            F.regexp_extract_all(name, F.lit(r"(\d)"), F.lit(1)), ""
+        ).alias("digits"),
+    )
+
+
+ORACLE_REGEX_FUNCS = r"""
+SELECT c_custkey,
+  regexp_extract(c_name, '#(\d+)', 1) AS id_str,
+  regexp_extract(c_name, '^([A-Za-z]+)#', 1) AS prefix,
+  len(regexp_extract_all(c_name, '0'))::INT AS n_zeros,
+  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+  regexp_full_match(c_name, 'Customer#\d{9}') AS well_formed,
+  list_aggregate(regexp_extract_all(c_name, '(\d)', 1), 'string_agg', '')
+    AS digits
+FROM customer
+"""
+
+
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map function family: per-priority map of status→count built with
     map_from_entries over a collected (sorted) entry list, then read
@@ -274,6 +307,7 @@ FROM agg a JOIN per p USING (o_orderpriority)
 QUERIES = {
     "datetime_funcs": q_datetime_funcs,
     "map_funcs": q_map_funcs,
+    "regex_funcs": q_regex_funcs,
     "math_funcs": q_math_funcs,
     "array_funcs": q_array_funcs,
     "lateral_explode": q_lateral_explode,
@@ -284,6 +318,7 @@ QUERIES = {
 ORACLES = {
     "datetime_funcs": ORACLE_DATETIME_FUNCS,
     "map_funcs": ORACLE_MAP_FUNCS,
+    "regex_funcs": ORACLE_REGEX_FUNCS,
     "math_funcs": ORACLE_MATH_FUNCS,
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
