@@ -1,0 +1,52 @@
+"""Parallelism-independence: results must be BIT-identical when the
+shuffle partition count changes (the numeric.py claim, pinned). This is
+what makes the engine trustworthy under AQE re-planning and cluster
+resizing — a float-sum formulation would pass the oracle once and drift
+across partitionings."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+# float-producing / ordering-sensitive queries — the ones that would
+# break first if determinism discipline slipped
+QUERIES = [
+    "group_agg",
+    "stats_aggs",
+    "median_percentile",
+    "similarity_topk",
+    "tfidf_top_terms",
+    "events_ema",
+    "window_funcs",
+    "q3_shipping_priority",
+    "events_asof_purchase",
+]
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    out = {}
+    for r in df.select(*cols).collect():
+        k = tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_identical_across_partition_counts(spark, sf_dir, qs, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _multiset(qs[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _multiset(qs[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, name
