@@ -248,7 +248,61 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (safety pass of the pretraining-data pipeline)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# phone = digit groups joined by separators (a bare digit run is NOT a
+# phone — it falls through to LONG_NUM)
+PHONE_RE = r"\+?\d{1,4}([\- ]\d{2,6}){2,}"
+LONG_NUM_RE = r"\b\d{9,}\b"
+
+
+def scrub_pii(col):
+    """Redact email / phone-shaped / long-number spans (the order
+    matters: emails first so their digits don't half-match the number
+    patterns). Pure regexp_replace chain — JVM-side, codegen'd."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
+    return out
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: per-doc counts of
+    email/phone/long-number spans and the scrubbed-text length (clean
+    fixture ⇒ mostly zeros; the redaction semantics are exercised on
+    planted rows in tests/test_pii.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(LONG_NUM_RE)).alias("n_long_nums"),
+        F.length(scrub_pii(t)).alias("scrubbed_len"),
+    )
+
+
+ORACLE_PII_SCRUB = rf"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phones,
+  len(regexp_extract_all(text, '{LONG_NUM_RE}'))::INT AS n_long_nums,
+  LENGTH(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PHONE_RE}', '<PHONE>', 'g'),
+      '{LONG_NUM_RE}', '<NUM>', 'g')
+  ) AS scrubbed_len
+FROM documents
+"""
+
+
 QUERIES = {
+    "pii_scrub": q_pii_scrub,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -257,6 +311,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_scrub": ORACLE_PII_SCRUB,
     "text_stats": ORACLE_TEXT_STATS,
     "token_count": ORACLE_TOKEN_COUNT,
     "lang_id": ORACLE_LANG_ID,
