@@ -366,6 +366,49 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_by_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITHOUT a window: aggregate with
+    collect_list(struct) → array_sort → slice → posexplode. The
+    map-side partial collect merges bounded lists, so the shuffle
+    carries pre-truncatable state and no per-partition SORT of the
+    whole fact is needed — preferable to the window formulation when
+    groups are small and the sort dominates. Output identical to
+    window_topk (the oracle is the window formulation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    entry = F.struct(
+        (-cents("o_totalprice")).alias("neg_cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(entry)), 1, 3).alias("top3")
+        )
+        .select(
+            "o_custkey", F.posexplode("top3").alias("pos0", "e")
+        )
+        .select(
+            "o_custkey",
+            F.col("e.okey").alias("o_orderkey"),
+            (-F.col("e.neg_cents")).alias("total_cents"),
+            (F.col("pos0") + 1).alias("rk"),
+        )
+    )
+    return top
+
+
+ORACLE_TOPK_BY_AGG = f"""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         {sql_cents('o_totalprice')} AS total_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY {sql_cents('o_totalprice')} DESC,
+                                     o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per segment (Greenwald-Khanna sketch, the
     mergeable constant-memory path — exact percentiles shuffle the full
@@ -390,6 +433,7 @@ QUERIES = {
     "window_funcs": q_window_funcs,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
+    "topk_by_aggregation": q_topk_by_aggregation,
     "window_range_frame": q_window_range_frame,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
@@ -407,5 +451,6 @@ ORACLES = {
     "pivot_status": ORACLE_PIVOT_STATUS,
     "stats_aggs": ORACLE_STATS_AGGS,
     "median_percentile": ORACLE_MEDIAN_PERCENTILE,
+    "topk_by_aggregation": ORACLE_TOPK_BY_AGG,
     "range_join_bands": ORACLE_RANGE_JOIN_BANDS,
 }

@@ -171,11 +171,71 @@ ASOF LEFT JOIN purchases p
 """
 
 
+TOLERANCE_US = 3600 * 1_000_000  # 1 hour
+
+
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of: the most recent purchase at or
+    before the event, but only if it is within 1 hour — otherwise NULL
+    (feature-store staleness bound: a feature older than the tolerance
+    is worse than no feature). Same union-window plan + one filter on
+    the matched timestamp."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "us",
+        F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+        F.col("us").alias("purch_us"),
+    )
+    joined = asof_join_backward(
+        ev.select("event_id", "user_id", "us", "event_type"),
+        purchases,
+        on=["user_id"],
+        ts_col="us",
+        payload_cols=["purch_cents", "purch_us"],
+    )
+    fresh = F.col("purch_us_asof") >= F.col("us") - F.lit(TOLERANCE_US)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(fresh, F.col("purch_cents_asof")).alias("fresh_purchase_cents"),
+        F.when(fresh, F.col("us") - F.col("purch_us_asof")).alias(
+            "staleness_us"
+        ),
+    )
+
+
+ORACLE_EVENTS_ASOF_TOLERANCE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+purchases AS (
+  SELECT user_id, us AS purch_us, cents AS purch_cents
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.us,
+  CASE WHEN p.purch_us >= e.us - {TOLERANCE_US}
+       THEN p.purch_cents END AS fresh_purchase_cents,
+  CASE WHEN p.purch_us >= e.us - {TOLERANCE_US}
+       THEN e.us - p.purch_us END AS staleness_us
+FROM ev e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.us >= p.purch_us
+"""
+
+
 QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "events_asof_next_purchase": q_events_asof_next_purchase,
+    "events_asof_tolerance": q_events_asof_tolerance,
 }
 ORACLES = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF,
     "events_asof_next_purchase": ORACLE_EVENTS_ASOF_NEXT,
+    "events_asof_tolerance": ORACLE_EVENTS_ASOF_TOLERANCE,
 }
