@@ -420,6 +420,51 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark ≥3.4):
+    within-watermark dedup feeding a tumbling-window aggregation, append
+    mode. The dedup stage passes first-seen events through; the window
+    stage emits a window once the watermark seals it. Oracle: distinct
+    events bucketed, restricted to windows with end <= final watermark
+    (= max event time − delay)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = run_to_memory(agg, output_mode="append")
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP_WINDOW = f"""
+WITH distinct_ev AS (
+  SELECT DISTINCT ON (event_id) event_id, ts, event_type FROM events
+),
+wm AS (
+  SELECT MAX(epoch_us(ts)) - {10 * 60 * 1_000_000} AS w FROM events
+),
+agg AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) * {WINDOW_US}
+           AS win_start_us,
+         event_type,
+         COUNT(*) AS n_events
+  FROM distinct_ev
+  GROUP BY 1, 2
+)
+SELECT a.win_start_us, a.event_type, a.n_events
+FROM agg a CROSS JOIN wm
+WHERE a.win_start_us + {WINDOW_US} <= wm.w
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark ingest, aggregated to per-type
     counts of distinct events — deterministic regardless of arrival
@@ -468,12 +513,14 @@ QUERIES = {
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_session_windows": q_stream_session_windows,
     "stream_stream_join": q_stream_stream_join,
+    "stream_dedup_then_window": q_stream_dedup_then_window,
     "stream_dedup": q_stream_dedup,
     "stream_stateful_totals": q_stream_stateful_totals,
 }
 
 ORACLES = {
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
+    "stream_dedup_then_window": ORACLE_STREAM_DEDUP_WINDOW,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "stream_sliding_windows": ORACLE_STREAM_SLIDING,
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
