@@ -218,14 +218,117 @@ FROM toks
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic dataset splitting
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash: bucket = first byte of md5(doc_id) → stable across runs,
+    engines, and partitionings (the property row-number or rand() splits
+    lack: adding documents never reshuffles existing assignments).
+    Output: per-split doc counts + token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_DATASET_SPLIT = rf"""
+WITH assigned AS (
+  SELECT
+    CASE
+      WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                AS BIGINT) % 100 < {TRAIN_PCT} THEN 'train'
+      WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                AS BIGINT) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+      ELSE 'test'
+    END AS split,
+    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM assigned GROUP BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding int8 quantization (vector-store prep)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings: per-vector scale =
+    max|x|, q_i = round(x_i * 127 / scale) — 4× smaller vectors for the
+    ANN index, exact integer output (the round boundary sits on
+    irrational scale ratios, engine-stable in practice and verified by
+    the oracle). Emits the quantized array + scale + reconstruction
+    error bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        e,
+        lambda x: F.round(
+            x.cast("double") * F.lit(127.0) / max_abs
+        ).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        q.alias("q8"),
+        max_abs.alias("scale"),
+        F.array_max(F.transform(q, lambda v: F.abs(v))).alias("q_max"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+  list_transform(embedding::DOUBLE[],
+                 x -> CAST(round(x * 127.0 / scale) AS INT)) AS q8,
+  scale,
+  list_max(list_transform(
+    list_transform(embedding::DOUBLE[],
+                   x -> CAST(round(x * 127.0 / scale) AS INT)),
+    v -> abs(v))) AS q_max
+FROM s
+"""
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "skew_salted_join": q_skew_salted_join,
     "seq_packing": q_seq_packing,
+    "dataset_split": q_dataset_split,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "seq_packing": ORACLE_SEQ_PACKING,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
 }
