@@ -301,8 +301,47 @@ FROM documents
 """
 
 
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top-50): the n-gram statistics
+    feeding quality classifiers / LM filters. explode of adjacent token
+    pairs → count; one shuffle on the bigram, partial-aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+ORACLE_BIGRAM_COUNTS = r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS l FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM bi GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
+    "bigram_counts": q_bigram_counts,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -312,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "pii_scrub": ORACLE_PII_SCRUB,
+    "bigram_counts": ORACLE_BIGRAM_COUNTS,
     "text_stats": ORACLE_TEXT_STATS,
     "token_count": ORACLE_TOKEN_COUNT,
     "lang_id": ORACLE_LANG_ID,
