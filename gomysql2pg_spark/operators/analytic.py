@@ -119,6 +119,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY {sql_cents('o_totalprice')}
 # ---------------------------------------------------------------------------
 
 
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first_value / last_value (full frame) /
+    nth_value over each customer's order history, plus NULLS LAST
+    ordering of a nullable key (P-status orders get NULL keys) — the
+    two ordering semantics the rank family doesn't exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    nullable_key = F.when(
+        F.col("o_orderstatus") == "P", F.lit(None).cast("long")
+    ).otherwise(pc)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_nulls = Window.partitionBy("o_custkey").orderBy(
+        nullable_key.asc_nulls_last(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pc.alias("pc"),
+        F.first(pc).over(w_full).alias("first_pc"),
+        F.last(pc).over(w_full).alias("last_pc"),
+        F.nth_value(pc, 2).over(w_full).alias("second_pc"),
+        F.row_number().over(w_nulls).alias("rn_nulls_last"),
+    )
+
+
+ORACLE_WINDOW_VALUE_FUNCS = f"""
+SELECT o_custkey, o_orderkey,
+  {sql_cents('o_totalprice')} AS pc,
+  FIRST_VALUE({sql_cents('o_totalprice')}) OVER wf AS first_pc,
+  LAST_VALUE({sql_cents('o_totalprice')}) OVER wf AS last_pc,
+  NTH_VALUE({sql_cents('o_totalprice')}, 2) OVER wf AS second_pc,
+  ROW_NUMBER() OVER (
+    PARTITION BY o_custkey
+    ORDER BY (CASE WHEN o_orderstatus = 'P' THEN NULL
+                   ELSE {sql_cents('o_totalprice')} END) ASC NULLS LAST,
+             o_orderkey) AS rn_nulls_last
+FROM orders
+WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (mktsegment, nation): all 4 grouping combinations in
     one pass + GROUPING_ID to tag them. Expansion is bounded (4× the
@@ -435,6 +480,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "topk_by_aggregation": q_topk_by_aggregation,
     "window_range_frame": q_window_range_frame,
+    "window_value_funcs": q_window_value_funcs,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
     "pivot_status": q_pivot_status,
@@ -446,6 +492,7 @@ QUERIES = {
 ORACLES = {
     "window_funcs": ORACLE_WINDOW_FUNCS,
     "window_range_frame": ORACLE_WINDOW_RANGE,
+    "window_value_funcs": ORACLE_WINDOW_VALUE_FUNCS,
     "cube_agg": ORACLE_CUBE_AGG,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "pivot_status": ORACLE_PIVOT_STATUS,
