@@ -249,6 +249,41 @@ GROUP BY o_orderpriority
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-priority aggregate → long
+    (priority, metric, value) rows — the inverse reshaping of pivot,
+    via DataFrame.unpivot. Narrow op after the aggregate; no extra
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("price_cents"),
+        F.max(cents("o_totalprice")).alias("max_cents"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "price_cents", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT_METRICS = f"""
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_orders,
+         SUM({sql_cents('o_totalprice')}) AS price_cents,
+         MAX({sql_cents('o_totalprice')}) AS max_cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'price_cents', price_cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_cents', max_cents FROM wide
+"""
+
+
 # ---------------------------------------------------------------------------
 # statistical aggregates — exact via integer power sums
 # ---------------------------------------------------------------------------
@@ -484,6 +519,7 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
     "pivot_status": q_pivot_status,
+    "unpivot_metrics": q_unpivot_metrics,
     "stats_aggs": q_stats_aggs,
     "median_percentile": q_median_percentile,
     "range_join_bands": q_range_join_bands,
@@ -496,6 +532,7 @@ ORACLES = {
     "cube_agg": ORACLE_CUBE_AGG,
     "grouping_sets": ORACLE_GROUPING_SETS,
     "pivot_status": ORACLE_PIVOT_STATUS,
+    "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
     "stats_aggs": ORACLE_STATS_AGGS,
     "median_percentile": ORACLE_MEDIAN_PERCENTILE,
     "topk_by_aggregation": ORACLE_TOPK_BY_AGG,
