@@ -431,6 +431,57 @@ GROUP BY 1
 """
 
 
+def q_collect_distinct_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set aggregation to a SORTED array per group (the
+    deterministic form of collect_set — raw set order is partition-
+    dependent and would never hash-match): per nation, the sorted
+    distinct market segments of its customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+    )
+
+
+ORACLE_COLLECT_DISTINCT = """
+SELECT c_nationkey,
+       list_sort(list_distinct(list(c_mktsegment))) AS segments,
+       len(list_distinct(list(c_mktsegment)))::INT AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): one scan, many
+    differently-filtered aggregates per group — the idiom that replaces
+    N self-joins with N predicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = cents("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", pc)).alias("cents_f"),
+        F.max(F.when(F.col("o_orderstatus") == "O", pc)).alias("max_open"),
+        F.avg(
+            F.when(F.col("o_orderstatus") == "P", pc).cast("double")
+        ).alias("avg_pending_cents"),
+    )
+
+
+ORACLE_FILTERED_AGGS = f"""
+SELECT o_orderpriority,
+  COUNT(*) AS n_all,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+  SUM({sql_cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'F')
+    AS cents_f,
+  MAX({sql_cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'O')
+    AS max_open,
+  AVG(CAST({sql_cents('o_totalprice')} AS DOUBLE))
+    FILTER (WHERE o_orderstatus = 'P') AS avg_pending_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts per order priority (the sketch
     every 100 TB cardinality query uses: constant memory, mergeable
@@ -520,6 +571,8 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "pivot_status": q_pivot_status,
     "unpivot_metrics": q_unpivot_metrics,
+    "collect_distinct_arrays": q_collect_distinct_arrays,
+    "filtered_aggs": q_filtered_aggs,
     "stats_aggs": q_stats_aggs,
     "median_percentile": q_median_percentile,
     "range_join_bands": q_range_join_bands,
@@ -533,6 +586,8 @@ ORACLES = {
     "grouping_sets": ORACLE_GROUPING_SETS,
     "pivot_status": ORACLE_PIVOT_STATUS,
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
+    "collect_distinct_arrays": ORACLE_COLLECT_DISTINCT,
+    "filtered_aggs": ORACLE_FILTERED_AGGS,
     "stats_aggs": ORACLE_STATS_AGGS,
     "median_percentile": ORACLE_MEDIAN_PERCENTILE,
     "topk_by_aggregation": ORACLE_TOPK_BY_AGG,
