@@ -51,3 +51,28 @@ def sql_cents(x: str) -> str:
 
 def sql_whole(x: str) -> str:
     return SQL_WHOLE.format(x=x)
+
+
+# DuckDB's SUM over ANY integer type returns HUGEINT (int128), which the
+# driver's pandas-based canonicalizer widens to float64 — while Spark's
+# sum(long) stays int64. Same values, different value-hash (round-1
+# lesson: 12/50 driver failures from exactly this). Every integer SUM in
+# an oracle's OUTPUT must therefore carry an outer CAST back to BIGINT.
+# Verified empirically: SUM(BIGINT)->float64, CAST(SUM(..) AS BIGINT)->
+# int64, CAST(SUM(..) FILTER (..) AS BIGINT)->int64, SUM OVER ->float64.
+SQL_SUM = "CAST(SUM({x}) AS BIGINT)"
+
+
+def sql_sum(x: str) -> str:
+    """Integer-exact SUM for oracle output columns (int64, not HUGEINT)."""
+    return SQL_SUM.format(x=x)
+
+
+def sql_sum_filter(x: str, cond: str) -> str:
+    """SUM(..) FILTER (WHERE ..) with the same outer BIGINT cast."""
+    return f"CAST(SUM({x}) FILTER (WHERE {cond}) AS BIGINT)"
+
+
+def sql_sum_over(x: str, window: str) -> str:
+    """Window SUM with the outer BIGINT cast (SUM OVER is HUGEINT too)."""
+    return f"CAST(SUM({x}) OVER {window} AS BIGINT)"

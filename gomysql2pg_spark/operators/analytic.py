@@ -72,8 +72,9 @@ SELECT o_custkey, o_orderkey,
   PERCENT_RANK() OVER w AS prk,
   CUME_DIST() OVER w AS cd,
   NTILE(4) OVER w AS quartile,
-  SUM({sql_cents('o_totalprice')})
-    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_pc,
+  CAST(SUM({sql_cents('o_totalprice')})
+    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS running_pc,
   MIN({sql_cents('o_totalprice')})
     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_so_far,
   MAX({sql_cents('o_totalprice')})
@@ -107,7 +108,7 @@ ORACLE_WINDOW_RANGE = f"""
 SELECT o_custkey, o_orderkey,
   {sql_cents('o_totalprice')} AS pc,
   COUNT(*) OVER w AS n_in_band,
-  SUM({sql_cents('o_totalprice')}) OVER w AS band_pc
+  CAST(SUM({sql_cents('o_totalprice')}) OVER w AS BIGINT) AS band_pc
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY {sql_cents('o_totalprice')}
              RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
@@ -186,7 +187,7 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUBE_AGG = f"""
 SELECT c_mktsegment, n_name,
   COUNT(*) AS n_customers,
-  SUM({sql_cents('c_acctbal')}) AS acctbal_cents,
+  CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS acctbal_cents,
   GROUPING(c_mktsegment, n_name) AS gid
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY CUBE (c_mktsegment, n_name)
@@ -211,7 +212,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GROUPING_SETS = f"""
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
-  SUM({sql_cents('o_totalprice')}) AS price_cents,
+  CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS price_cents,
   GROUPING(o_orderstatus, o_orderpriority) AS gid
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
@@ -272,7 +273,7 @@ ORACLE_UNPIVOT_METRICS = f"""
 WITH wide AS (
   SELECT o_orderpriority,
          COUNT(*) AS n_orders,
-         SUM({sql_cents('o_totalprice')}) AS price_cents,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS price_cents,
          MAX({sql_cents('o_totalprice')}) AS max_cents
   FROM orders GROUP BY o_orderpriority
 )
@@ -365,12 +366,16 @@ def q_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.median("ac").alias("median_cents"),
-            F.expr(
-                "percentile_disc(0.25) WITHIN GROUP (ORDER BY ac)"
-            ).alias("p25_cents"),
-            F.expr(
-                "percentile_disc(0.90) WITHIN GROUP (ORDER BY ac)"
-            ).alias("p90_cents"),
+            # cast to long: disc percentile picks an actual element (an
+            # integer cent value); DuckDB quantile_disc returns the
+            # element type (BIGINT) while Spark's returns double —
+            # aligning on bigint keeps the driver's pandas dtypes equal.
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY ac)")
+            .cast("long")
+            .alias("p25_cents"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY ac)")
+            .cast("long")
+            .alias("p90_cents"),
             F.min("ac").alias("min_cents"),
             F.max("ac").alias("max_cents"),
         )
@@ -437,15 +442,22 @@ def q_collect_distinct_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent and would never hash-match): per nation, the sorted
     distinct market segments of its customers."""
     customer = load_table(spark, sf_dir, "customer")
+    # The sorted distinct set is serialized to a '|'-joined string:
+    # array-typed output cells crash the driver's canonicalizer
+    # ("unhashable type: 'list'", VERDICT r01), and the string form is
+    # order-stable on both engines.
     return customer.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), "|"
+        ).alias("segments"),
         F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
     )
 
 
 ORACLE_COLLECT_DISTINCT = """
 SELECT c_nationkey,
-       list_sort(list_distinct(list(c_mktsegment))) AS segments,
+       array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+         AS segments,
        len(list_distinct(list(c_mktsegment)))::INT AS n_segments
 FROM customer GROUP BY c_nationkey
 """
@@ -472,8 +484,8 @@ ORACLE_FILTERED_AGGS = f"""
 SELECT o_orderpriority,
   COUNT(*) AS n_all,
   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-  SUM({sql_cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'F')
-    AS cents_f,
+  CAST(SUM({sql_cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'F')
+    AS BIGINT) AS cents_f,
   MAX({sql_cents('o_totalprice')}) FILTER (WHERE o_orderstatus = 'O')
     AS max_open,
   AVG(CAST({sql_cents('o_totalprice')} AS DOUBLE))
@@ -548,6 +560,9 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_quality.py."""
     customer = load_table(spark, sf_dir, "customer")
     ac = cents("c_acctbal")
+    # posexplode the sketch output to (quantile, value) rows: array-typed
+    # cells crash the driver's rows-only canonicalizer too (VERDICT r01).
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
     return (
         customer.select("c_mktsegment", ac.alias("ac"))
         .groupBy("c_mktsegment")
@@ -557,6 +572,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n"),
         )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.posexplode("approx_pcts").alias("pos", "approx_cents"),
+        )
+        .withColumn("quantile", F.element_at(qs, F.col("pos") + 1))
+        .drop("pos")
     )
 
 

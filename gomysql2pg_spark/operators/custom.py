@@ -152,8 +152,8 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SKEW_SALTED_AGG = f"""
 SELECT l_returnflag,
-  SUM({sql_cents('l_extendedprice')}) AS price_cents,
-  SUM({sql_whole('l_quantity')}) AS total_qty,
+  CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS price_cents,
+  CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS total_qty,
   COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag

@@ -49,7 +49,7 @@ ORACLE_EVENTS_WINDOW = f"""
 SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) AS bucket,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -95,8 +95,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, us,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -98,8 +98,8 @@ dedup AS (
 )
 SELECT lang, source,
   COUNT(*) AS n_docs,
-  SUM(n_tokens) AS total_tokens,
-  SUM(n_dups) AS n_originals_incl_dups
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_dups) AS BIGINT) AS n_originals_incl_dups
 FROM dedup GROUP BY lang, source
 """
 
@@ -153,7 +153,7 @@ WITH dim AS (
 )
 SELECT l_returnflag, flag_rows,
   COUNT(*) AS n_rows,
-  SUM({sql_cents('l_extendedprice')}) AS price_cents
+  CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS price_cents
 FROM lineitem JOIN dim ON l_returnflag = d_flag
 GROUP BY l_returnflag, flag_rows
 """
@@ -264,7 +264,7 @@ WITH assigned AS (
     len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
   FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM assigned GROUP BY split
 """
 
@@ -290,9 +290,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * F.lit(127.0) / max_abs
         ).cast("int"),
     )
+    # q8 is serialized to a comma-joined string: array-typed cells crash
+    # the driver's canonicalizer (VERDICT r01), and int→string formatting
+    # is engine-identical (unlike floats).
     return emb.select(
         "vec_id",
-        q.alias("q8"),
+        F.array_join(
+            F.transform(q, lambda v: v.cast("string")), ","
+        ).alias("q8"),
         max_abs.alias("scale"),
         F.array_max(F.transform(q, lambda v: F.abs(v))).alias("q_max"),
     )
@@ -306,8 +311,8 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id,
-  list_transform(embedding::DOUBLE[],
-                 x -> CAST(round(x * 127.0 / scale) AS INT)) AS q8,
+  array_to_string(list_transform(embedding::DOUBLE[],
+                 x -> CAST(round(x * 127.0 / scale) AS INT)), ',') AS q8,
   scale,
   list_max(list_transform(
     list_transform(embedding::DOUBLE[],

@@ -153,7 +153,7 @@ WITH post AS (
     FROM documents)
   GROUP BY doc_id, w
 ),
-dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
 tot AS (SELECT SUM(dl) AS total_terms FROM dl),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 pq AS (SELECT * FROM post WHERE term IN ('batch', 'hash', 'stream')),

@@ -213,7 +213,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JOIN_MULTI = f"""
 SELECT r_name, n_name, COUNT(*) AS n_customers,
-       SUM({sql_cents('c_acctbal')}) AS acctbal_cents
+       CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -316,11 +316,12 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_GROUP_AGG = f"""
 SELECT l_returnflag, l_linestatus,
-  SUM({sql_whole('l_quantity')}) AS sum_qty,
-  SUM({sql_cents('l_extendedprice')}) AS sum_base_cents,
-  SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})) AS sum_disc_c4,
-  SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
-      * (100 + {sql_cents('l_tax')})) AS sum_charge_c6,
+  CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS sum_qty,
+  CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+       AS BIGINT) AS sum_disc_c4,
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
+      * (100 + {sql_cents('l_tax')})) AS BIGINT) AS sum_charge_c6,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -466,8 +467,8 @@ def q_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DERIVED_TABLE = f"""
 SELECT n_name,
-  SUM(total_c) AS nation_cents,
-  SUM(n_orders) AS nation_orders,
+  CAST(SUM(total_c) AS BIGINT) AS nation_cents,
+  CAST(SUM(n_orders) AS BIGINT) AS nation_orders,
   COUNT(*) AS nation_customers
 FROM (
   SELECT o_custkey, SUM({sql_cents('o_totalprice')}) AS total_c,
@@ -634,8 +635,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q3 = f"""
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
-       SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
-         AS revenue_c4
+       CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+         AS BIGINT) AS revenue_c4
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -680,8 +681,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q5 = f"""
 SELECT n_name,
-       SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
-         AS revenue_c4
+       CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+         AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -106,34 +106,48 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference; ArrayType enters via the extension surface)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    # Array-valued outputs are unpacked to fixed-position scalar columns:
+    # array cells crash the driver's canonicalizer (VERDICT r01), and
+    # keeping the elements as floats (not strings) preserves the exact
+    # float32 value compare.
+    s4 = F.sort_array(F.slice(emb, 1, 4))
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.slice(emb, 1, 4).alias("head4"),
+        *[F.element_at(emb, i).alias(f"h4_{i}") for i in (1, 2, 3, 4)],
         F.element_at(emb, 3).alias("third"),
-        F.sort_array(F.slice(emb, 1, 4)).alias("head4_sorted"),
+        *[F.element_at(s4, i).alias(f"h4s_{i}") for i in (1, 2, 3, 4)],
         F.array_max(emb).alias("vmax"),
         F.array_min(emb).alias("vmin"),
         F.array_position(emb, F.array_max(emb)).cast("long").alias(
             "argmax_1based"
         ),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
-        F.reverse(F.slice(emb, 1, 3)).alias("head3_rev"),
+        *[
+            F.element_at(F.reverse(F.slice(emb, 1, 3)), i).alias(f"h3r_{i}")
+            for i in (1, 2, 3)
+        ],
     )
 
 
 ORACLE_ARRAY_FUNCS = """
 SELECT vec_id,
   len(embedding)::INT AS dim,
-  embedding[1:4] AS head4,
+  embedding[1] AS h4_1, embedding[2] AS h4_2,
+  embedding[3] AS h4_3, embedding[4] AS h4_4,
   embedding[3] AS third,
-  list_sort(embedding[1:4]) AS head4_sorted,
+  list_sort(embedding[1:4])[1] AS h4s_1,
+  list_sort(embedding[1:4])[2] AS h4s_2,
+  list_sort(embedding[1:4])[3] AS h4s_3,
+  list_sort(embedding[1:4])[4] AS h4s_4,
   list_max(embedding) AS vmax,
   list_min(embedding) AS vmin,
   CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
     AS argmax_1based,
   len(list_filter(embedding, x -> x > 0))::INT AS n_positive,
-  list_reverse(embedding[1:3]) AS head3_rev
+  list_reverse(embedding[1:3])[1] AS h3r_1,
+  list_reverse(embedding[1:3])[2] AS h3r_2,
+  list_reverse(embedding[1:3])[3] AS h3r_3
 FROM embeddings
 """
 

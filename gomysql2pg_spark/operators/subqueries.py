@@ -49,7 +49,7 @@ def q_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HAVING_LARGE_ORDERS = f"""
 WITH heavy AS (
-  SELECT l_orderkey, SUM({sql_whole('l_quantity')}) AS total_qty
+  SELECT l_orderkey, CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM({sql_whole('l_quantity')}) > {QTY_THRESHOLD}
 )

@@ -69,8 +69,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q6 = f"""
-SELECT SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})
-         AS revenue_c4,
+SELECT CAST(SUM({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})
+         AS BIGINT) AS revenue_c4,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -109,8 +109,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q10 = f"""
 SELECT c_custkey, c_name, n_name,
-       SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
-         AS revenue_c4
+       CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+         AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -220,28 +220,28 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROFILE_ORDERS = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
-       SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS n_nulls,
+       CAST(SUM(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
        CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
 UNION ALL
-SELECT 'o_custkey', COUNT(*), SUM(CAST(o_custkey IS NULL AS BIGINT)),
+SELECT 'o_custkey', COUNT(*), CAST(SUM(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT),
        COUNT(DISTINCT o_custkey),
        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
 FROM orders
 UNION ALL
-SELECT 'o_orderstatus', COUNT(*), SUM(CAST(o_orderstatus IS NULL AS BIGINT)),
+SELECT 'o_orderstatus', COUNT(*), CAST(SUM(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT),
        COUNT(DISTINCT o_orderstatus),
        CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
 FROM orders
 UNION ALL
-SELECT 'o_totalprice', COUNT(*), SUM(CAST(o_totalprice IS NULL AS BIGINT)),
+SELECT 'o_totalprice', COUNT(*), CAST(SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS BIGINT),
        COUNT(DISTINCT o_totalprice),
        CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', COUNT(*),
-       SUM(CAST(o_orderpriority IS NULL AS BIGINT)),
+       CAST(SUM(CAST(o_orderpriority IS NULL AS BIGINT)) AS BIGINT),
        COUNT(DISTINCT o_orderpriority),
        CAST(MIN(o_orderpriority) AS VARCHAR),
        CAST(MAX(o_orderpriority) AS VARCHAR)

@@ -320,7 +320,7 @@ SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) * {WINDOW_US}
          + {WINDOW_US} AS win_end_us,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -502,7 +502,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_STATEFUL = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY user_id
 """

@@ -41,6 +41,49 @@ def _multiset(rows, colnames):
     return out
 
 
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def _dtype_mismatches(spark_df, oracle_sql: str, duck_con) -> list:
+    """Driver-parity dtype check (round-1 lesson, VERDICT.md 'What's wrong').
+
+    The driver canonicalizes via pandas, where DuckDB HUGEINT (the result
+    type of SUM over any integer, plain or windowed) lands as float64
+    while Spark's long arrives as int64 — same values, different hash.
+    ``fetchall()`` (used for the value compare below) converts HUGEINT to
+    Python int and hides this, so we additionally inspect the oracle
+    relation's DuckDB-level result types. A *nullable* BIGINT is fine —
+    pandas floats it on BOTH sides identically — so we compare engine
+    types, not pandas dtypes. Also flags array/map/struct-typed output
+    columns, which crash the driver's canonicalizer ("unhashable type:
+    'list'")."""
+    rel = duck_con.sql(oracle_sql)
+    o_types = {
+        c.lower(): str(t).upper() for c, t in zip(rel.columns, rel.types)
+    }
+    bad = []
+    for f in spark_df.schema.fields:
+        s = f.dataType.simpleString()
+        if s.startswith(("array", "map", "struct")):
+            bad.append((f.name, s, "unhashable-in-driver"))
+            continue
+        o = o_types.get(f.name.lower())
+        if o is None:
+            continue
+        # HUGEINT and DECIMAL both pandas-ize to float64 → both flagged.
+        if s in _SPARK_INT and o not in _DUCK_INT:
+            bad.append((f.name, s, f"oracle {o}"))
+        elif s in _SPARK_FLOAT and o not in _DUCK_FLOAT:
+            bad.append((f.name, s, f"oracle {o}"))
+    return bad
+
+
 def compare_query(spark_df, oracle_sql: str, duck_con) -> dict:
     s_rows = spark_df.collect()
     s_cols = [c.lower() for c in spark_df.columns]
@@ -55,9 +98,11 @@ def compare_query(spark_df, oracle_sql: str, duck_con) -> dict:
         "oracle_cols": sorted(o_cols),
         "count_match": len(s_rows) == len(o_rows),
         "schema_match": sorted(s_cols) == sorted(o_cols),
+        "dtype_mismatches": _dtype_mismatches(spark_df, oracle_sql, duck_con),
         "value_match": False,
         "sample_diff": None,
     }
+    report["dtype_match"] = not report["dtype_mismatches"]
     if not (report["count_match"] and report["schema_match"]):
         return report
     sm = _multiset([tuple(r) for r in s_rows], s_cols)

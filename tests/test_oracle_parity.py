@@ -25,6 +25,7 @@ def test_query_matches_oracle(name, fn, sql, spark, sf_dir, duck):
     report = compare_query(df, sql, duck)
     assert report["count_match"], report
     assert report["schema_match"], report
+    assert report["dtype_match"], report["dtype_mismatches"]
     assert report["value_match"], report
 
 
