@@ -106,20 +106,34 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 JACCARD_MILLI = 500  # pairs with jaccard >= 0.5
+MAX_SHINGLE_DF = 1000  # drop shingles appearing in more documents
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (jaccard >= 0.5, exact).
 
-    Inverted-index self-join on shingle: pair count = Σ_s df(s)² — at
-    100 TB the frequency cap (drop shingles appearing in > max_df docs,
-    here unbounded because the fixture is clean) and MinHash-LSH
-    (`q_dedup_minhash_lsh`) bound this. Threshold compare is integer:
+    Inverted-index self-join on shingle: pair count = Σ_s df(s)², so one
+    boilerplate shingle shared by d documents alone yields d²/2 pairs.
+    The document-frequency cap below drops shingles with df >
+    MAX_SHINGLE_DF *before* the pair join, bounding every bucket to
+    MAX_SHINGLE_DF² pairs — the standard near-dup trick (ubiquitous
+    shingles carry no dedup signal). Jaccard is then defined over the
+    capped shingle universe, identically in the oracle. MinHash-LSH
+    (`q_dedup_minhash_lsh`) is the sub-quadratic scale path; this is the
+    exact verifier. Threshold compare is integer:
     i*1000 >= thr*(na+nb-i)."""
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle table feeds three plan branches (sizes + both join
-    # sides) — persist + materialize so the explode runs once
-    sh = _shingle_df(docs).persist()
+    sh_all = _shingle_df(docs)
+    # df cap: one groupBy on shingle, then a semi-join keeps rare ones.
+    rare = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    # the capped shingle table feeds three plan branches (sizes + both
+    # join sides) — persist + materialize so the explode runs once
+    sh = sh_all.join(rare, "s", "left_semi").persist()
     sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -160,10 +174,14 @@ sh AS (
                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
   FROM toks
 ),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT da, db, i, sa.n AS na, sb.n AS nb,
@@ -480,6 +498,9 @@ def connected_components(
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment over the exact-Jaccard near-dup pairs:
     (doc_id, cluster_id = min doc_id in the component, keep flag).
+    The pair generator applies the MAX_SHINGLE_DF frequency cap, so the
+    edge count feeding label propagation is bounded (no Σ df(s)²
+    blowup from boilerplate shingles at scale).
     Iterative (no SQL oracle); cluster validity — endpoints of every
     pair share a cluster, cluster id is the member minimum — is
     asserted in tests/test_ann_quality.py."""
