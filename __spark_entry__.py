@@ -16,6 +16,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The round driver evaluates the FIRST 50 registry entries each round.
+# This list front-loads (a) the queries whose oracles were fixed this
+# round (re-verify the fix) and (b) queries that have never had a driver
+# correctness row, rotating per round until every entry has a green row.
+# Cumulative driver-verified coverage is tracked in README.md.
+_PRIORITY = [
+    # round-1 hash-fail / canonicalizer-crash queries, fixed in round 2
+    "join_multi", "group_agg", "derived_table", "q3_shipping_priority",
+    "q5_local_supplier", "window_funcs", "window_range_frame", "cube_agg",
+    "grouping_sets", "unpivot_metrics", "filtered_aggs",
+    "median_percentile", "collect_distinct_arrays", "approx_quantiles",
+    # never driver-checked in round 1 (62 total; rest rotate to round 3)
+    "having_large_orders", "exists_pending_orders",
+    "scalar_subquery_above_brand_avg", "full_outer_join", "null_safe_join",
+    "cross_join_small", "lateral_explode",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "text_stats", "token_count", "lang_id", "quality_score",
+    "doc_fingerprint", "bigram_counts",
+    "tfidf_top_terms", "bm25_components",
+    "events_window", "events_sessionize", "events_funnel",
+    "events_cdc_merge", "events_latest_per_user", "events_json_props",
+    "events_asof_purchase", "events_asof_next_purchase",
+    "events_asof_tolerance",
+    "corpus_pipeline", "skew_salted_join", "dataset_split",
+    "embedding_quantize", "seq_packing",
+    "profile_orders", "validate_rowcount", "catalog_tables",
+    "datetime_funcs",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def _registries():
     """Collect (QUERIES, ORACLES) from every operator module."""
     from gomysql2pg_spark.operators import relational
@@ -56,7 +91,7 @@ def _registries():
     for mod in modules:
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
-    return queries, oracles
+    return _prioritize(queries), oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:
