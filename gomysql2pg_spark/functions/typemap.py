@@ -43,22 +43,14 @@ class MappedColumn:
     default_sql: str  # rendered DDL fragment ('' if none)
 
 
-#: string-ish MySQL types whose DEFAULT values get single-quoted
-#: (`tablemeta.go:85-91`)
+#: MySQL types whose DEFAULT values get single-quoted. The reference
+#: quotes ONLY varchar and char (`tablemeta.go:84-91`); everything else
+#: is emitted verbatim — critically, a timestamp column's DEFAULT
+#: CURRENT_TIMESTAMP must NOT become the invalid literal
+#: 'CURRENT_TIMESTAMP' in the generated CREATE TABLE.
 _QUOTED_DEFAULT_TYPES = {
     "char",
     "varchar",
-    "text",
-    "tinytext",
-    "mediumtext",
-    "longtext",
-    "enum",
-    "set",
-    "datetime",
-    "timestamp",
-    "date",
-    "time",
-    "year",
 }
 
 

@@ -30,6 +30,55 @@ class JdbcSinkConfig:
     extra: dict = field(default_factory=dict)
 
 
+# dbType → (JDBC driver class, URL template) — the reference switches
+# the Go driver on `dest.dbType` (`cmd/app.go:59-81`: GAUSS → the
+# openGauss connector, default → lib/pq) and documents the PG-compatible
+# family (postgres/gauss/vastbase/kingbase) in readme.md. vastbase is
+# wire-compatible with PG; kingbase ships its own JDBC driver.
+DIALECTS: dict[str, tuple[str, str]] = {
+    "postgres": (
+        "org.postgresql.Driver",
+        "jdbc:postgresql://{host}:{port}/{database}",
+    ),
+    "gauss": (
+        "org.opengauss.Driver",
+        "jdbc:opengauss://{host}:{port}/{database}",
+    ),
+    "vastbase": (
+        "org.postgresql.Driver",
+        "jdbc:postgresql://{host}:{port}/{database}",
+    ),
+    "kingbase": (
+        "com.kingbase8.Driver",
+        "jdbc:kingbase8://{host}:{port}/{database}",
+    ),
+}
+
+
+def sink_config_for(
+    dbtype: str,
+    host: str,
+    port: int,
+    database: str,
+    user: str = "",
+    password: str = "",
+    **kwargs,
+) -> JdbcSinkConfig:
+    """Build a JdbcSinkConfig from a dest block + dbType (`cmd/
+    app.go:59-81`). Unknown/empty dbType falls back to postgres, like
+    the reference's default branch."""
+    driver, url_tpl = DIALECTS.get(
+        (dbtype or "postgres").lower(), DIALECTS["postgres"]
+    )
+    return JdbcSinkConfig(
+        url=url_tpl.format(host=host, port=port, database=database),
+        user=user,
+        password=password,
+        driver=driver,
+        **kwargs,
+    )
+
+
 def writer_options(cfg: JdbcSinkConfig, table: str) -> dict:
     """Options for df.write.format('jdbc').mode('overwrite'|'append').
     truncate=true + overwrite reproduces preMigData's truncate

@@ -141,18 +141,19 @@ def test_approx_quantiles_rank_accuracy(spark, sf_dir, queries):
     by_seg: dict = {}
     for r in data:
         by_seg.setdefault(r["c_mktsegment"], []).append(r["ac"])
+    import bisect
+
+    # output is exploded to (c_mktsegment, n, approx_cents, quantile) rows
     for r in rows:
         vals = sorted(by_seg[r["c_mktsegment"]])
         n = len(vals)
-        for q, got in zip([0.25, 0.5, 0.9], r["approx_pcts"]):
-            import bisect
-
-            lo = bisect.bisect_left(vals, got)
-            hi = bisect.bisect_right(vals, got)
-            target = q * (n - 1)
-            assert lo - 1 <= target + 0.01 * n and hi >= target - 0.01 * n, (
-                r["c_mktsegment"], q, got, lo, hi, target, n,
-            )
+        q, got = r["quantile"], r["approx_cents"]
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = q * (n - 1)
+        assert lo - 1 <= target + 0.01 * n and hi >= target - 0.01 * n, (
+            r["c_mktsegment"], q, got, lo, hi, target, n,
+        )
 
 
 def test_simhash_pairs_are_close(spark, sf_dir, queries):

@@ -91,6 +91,21 @@ def test_nullability_and_defaults():
     assert mn.default_sql == " default 42"  # numeric: unquoted
     assert render_default(ColumnMeta(name="x", data_type="int")) == ""
 
+    # tablemeta.go:84-91 quotes ONLY varchar/char — a timestamp default
+    # like CURRENT_TIMESTAMP must stay an expression, not a literal
+    ts = ColumnMeta(
+        name="ts",
+        data_type="timestamp",
+        is_nullable="YES",
+        default="CURRENT_TIMESTAMP",
+    )
+    assert map_column(ts).default_sql == " default CURRENT_TIMESTAMP"
+    ch = ColumnMeta(
+        name="c", data_type="char", char_max_len=1, is_nullable="YES",
+        default="y",
+    )
+    assert map_column(ch).default_sql == " default 'y'"
+
 
 def test_struct_type_ordering():
     cols = [
