@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import cents, sql_cents
+from ..functions.numeric import cents, sql_cents, sql_whole, whole
 
 Q4_LO, Q4_HI = "1996-07-01", "1996-10-01"
 
@@ -159,16 +159,495 @@ WHERE a.c_custkey % 50 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7 volume shipping: revenue between two nations by ship year.
+# ---------------------------------------------------------------------------
+
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"  # fixture nation names
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: lineitem⋈orders is the one big shuffle;
+    supplier/customer join in, both nation dims broadcast, and the
+    nation-pair disjunction ((F→G) OR (G→F)) filters post-join. Ship
+    year via year() stays in codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_N1)
+                & (F.col("cust_nation") == Q7_N2)
+            )
+            | (
+                (F.col("supp_nation") == Q7_N2)
+                & (F.col("cust_nation") == Q7_N1)
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("long").alias("revenue_c4"))
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+         AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = '{Q7_N1}' AND cn.n_name = '{Q7_N2}')
+   OR (sn.n_name = '{Q7_N2}' AND cn.n_name = '{Q7_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 market share: conditional share of one nation's revenue per year.
+# ---------------------------------------------------------------------------
+
+Q8_NATION = "BRAZIL"
+Q8_REGION = "AMERICA"
+Q8_TYPE = "STANDARD"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share = conditional-sum / sum per year —
+    the one-pass CASE-aggregation idiom (no self-join). Share is a
+    single double division of two exact bigints (deterministic).
+    part/supplier/nation/region broadcast; lineitem⋈orders shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type").contains(Q8_TYPE))),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == Q8_REGION)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, revenue).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("nation_c4"),
+            F.sum(revenue).cast("long").alias("total_c4"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.col("nation_c4").cast("double")
+            / F.col("total_c4").cast("double"),
+        )
+    )
+
+
+ORACLE_Q8 = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
+           AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}' AND p_type LIKE '%{Q8_TYPE}%'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev ELSE 0 END)
+         AS BIGINT) AS nation_c4,
+       CAST(SUM(rev) AS BIGINT) AS total_c4,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev ELSE 0 END)
+         AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 customer distribution: orders-per-customer histogram.
+# ---------------------------------------------------------------------------
+
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT outer join so zero-order customers keep a
+    0 count, then a histogram over the counts — two aggregations, the
+    second tiny (distinct count values). The outer join preserves the
+    customer side; count(o_orderkey) skips nulls exactly like SQL."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 promo revenue share.
+# ---------------------------------------------------------------------------
+
+Q14_LO, Q14_HI = "1996-03-01", "1996-04-01"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of a month's revenue from PROMO parts —
+    broadcast part join + one CASE aggregation; the month filter prunes
+    at the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    return (
+        month.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_type").startswith("PROMO"), revenue
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("promo_c4"),
+            F.sum(revenue).cast("long").alias("total_c4"),
+        )
+        .withColumn(
+            "promo_share",
+            F.col("promo_c4").cast("double")
+            / F.col("total_c4").cast("double"),
+        )
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    THEN {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
+    ELSE 0 END) AS BIGINT) AS promo_c4,
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+    AS BIGINT) AS total_c4,
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    THEN {sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')})
+    ELSE 0 END) AS DOUBLE)
+    / CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+      AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_HI} 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 top supplier(s) by quarterly revenue.
+# ---------------------------------------------------------------------------
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the
+    max-revenue supplier(s). The reference formulation is a view +
+    scalar-subquery max; here a rank-over-empty-partition window on the
+    tiny aggregated frame (supplier-cardinality, not lineitem) does it
+    in one pass without recomputing the aggregate."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).cast("long").alias("total_rev_c4"))
+    )
+    w = Window.orderBy(F.col("total_rev_c4").desc())
+    top = (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return top.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_rev_c4")
+
+
+ORACLE_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+           AS BIGINT) AS total_rev_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_c4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_c4 = (SELECT MAX(total_rev_c4) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 small-quantity-order revenue (correlated per-part average).
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated scalar subquery decorrelates to a
+    per-part aggregate joined back (broadcast — part-cardinality).
+    Threshold compare stays integer: 10*qty < 2*avg_num/cnt →
+    10*qty*cnt < 2*sum (exact, no float divide)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == Q17_BRAND).select(
+        "p_partkey"
+    )
+    brand_lines = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = brand_lines.groupBy("l_partkey").agg(
+        F.sum(whole("l_quantity")).cast("long").alias("qty_sum"),
+        F.count("*").alias("qty_cnt"),
+    ).select(
+        F.col("l_partkey").alias("ap_key"), "qty_sum", "qty_cnt"
+    )
+    small = brand_lines.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("ap_key")
+    ).filter(
+        whole("l_quantity") * F.lit(10) * F.col("qty_cnt")
+        < F.lit(2) * F.col("qty_sum")
+    )
+    return small.agg(
+        F.sum(cents("l_extendedprice")).cast("long").alias("price_cents"),
+        F.count("*").alias("n_small"),
+    )
+
+
+ORACLE_Q17 = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, {sql_whole('l_quantity')} AS q,
+         {sql_cents('l_extendedprice')} AS pc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey AS ap_key, CAST(SUM(q) AS BIGINT) AS qty_sum,
+         COUNT(*) AS qty_cnt
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(SUM(pc) AS BIGINT) AS price_cents, COUNT(*) AS n_small
+FROM brand_lines JOIN per_part ON l_partkey = ap_key
+WHERE q * 10 * qty_cnt < 2 * qty_sum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 disjunctive predicate revenue.
+# ---------------------------------------------------------------------------
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    bands — the disjunction is a single post-join filter (Catalyst
+    extracts the common l_partkey=p_partkey equi-key; part broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = whole("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & q.between(20, 30)
+        )
+    )
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("long").alias("revenue_c4"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT
+  CAST(SUM({sql_cents('l_extendedprice')} * (100 - {sql_cents('l_discount')}))
+    AS BIGINT) AS revenue_c4,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND {sql_whole('l_quantity')} BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND {sql_whole('l_quantity')} BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND {sql_whole('l_quantity')} BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 dormant high-balance customers (anti-join + scalar threshold).
+# ---------------------------------------------------------------------------
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no URGENT orders (every fixture customer has SOME order, so the
+    anti-join side is the urgent subset) — scalar-subquery threshold
+    (computed once, a tiny broadcast) + left-anti join, grouped by
+    nation. The average is exact: threshold compare cross-multiplies
+    instead of dividing (bal*cnt > sum)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = cents("c_acctbal")
+    pos = customer.filter(bal > 0)
+    avg_row = pos.agg(
+        F.sum(bal).cast("long").alias("bal_sum"),
+        F.count("*").alias("bal_cnt"),
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_row))
+        .filter(bal * F.col("bal_cnt") > F.col("bal_sum"))
+    )
+    dormant = rich.join(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(bal).cast("long").alias("totacctbal_cents"),
+    )
+
+
+ORACLE_Q22 = f"""
+WITH thresh AS (
+  SELECT CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS bal_sum,
+         COUNT(*) AS bal_cnt
+  FROM customer WHERE {sql_cents('c_acctbal')} > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS totacctbal_cents
+FROM customer, thresh
+WHERE {sql_cents('c_acctbal')} * bal_cnt > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q13_custdist": q13_custdist,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_dormant_customers": q22_dormant_customers,
     "string_distance": q_string_distance,
 }
 
 ORACLES = {
     "q4_order_priority": ORACLE_Q4,
     "q6_forecast_revenue": ORACLE_Q6,
+    "q7_volume_shipping": ORACLE_Q7,
+    "q8_market_share": ORACLE_Q8,
     "q10_returned_items": ORACLE_Q10,
+    "q13_custdist": ORACLE_Q13,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q15_top_supplier": ORACLE_Q15,
+    "q17_small_qty_revenue": ORACLE_Q17,
+    "q19_disjunctive": ORACLE_Q19,
+    "q22_dormant_customers": ORACLE_Q22,
     "string_distance": ORACLE_STRING_DISTANCE,
 }

@@ -76,6 +76,38 @@ def test_q5_broadcasts_all_dims(spark, sf_dir, queries):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_new_tpch_dims_broadcast(spark, sf_dir, queries):
+    """Q8/Q14/Q17/Q19: part (and the other dims) are broadcast — the
+    only shuffle left is the fact-side aggregation exchange."""
+    for name in (
+        "q8_market_share",
+        "q14_promo_revenue",
+        "q17_small_qty_revenue",
+        "q19_disjunctive",
+    ):
+        plan = plan_of(queries[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_q13_outer_join_preserves_customer(spark, sf_dir, queries):
+    """Q13's LEFT join must stay an outer join (zero-order customers
+    keep their 0 bucket) and the priority filter must push to the
+    orders scan, not sit above the join."""
+    plan = plan_of(queries["q13_custdist"](spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed), pushed
+
+
+def test_q22_anti_join_and_single_scalar_pass(spark, sf_dir, queries):
+    """Q22: the threshold is one tiny broadcast (no per-row recompute)
+    and the no-urgent-orders predicate is a LeftAnti join."""
+    plan = plan_of(queries["q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_partial_aggregation_before_shuffle(spark, sf_dir, queries):
     """Hash aggregation must be map-side partial + reduce-side final
     (two HashAggregate operators around one Exchange) so the shuffle
