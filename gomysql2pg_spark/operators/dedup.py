@@ -513,8 +513,148 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# exact-substring chunk dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better": cross-document repeated substrings)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 20  # window length in tokens
+CHUNK_STRIDE = 10  # 50% overlap so no cross-boundary repeat is missed
+
+
+def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring detection: hash overlapping
+    20-token windows (stride 10) per document, keep hashes seen in >1
+    distinct document, report per-doc how many of its chunks are shared
+    and with how many partner docs.
+
+    The suffix-array formulation of exact-substring dedup doesn't
+    distribute; fixed-stride chunk hashing is the standard scalable
+    approximation (window/stride trade recall for 2× hashes). Plan:
+    explode windows → (hash, doc) distinct → df(hash) via one groupBy →
+    semi-join back — same Σ-bounded shape as the shingle pipeline, and
+    chunk hashes are near-unique so no frequency cap is needed (a
+    boilerplate 20-gram IS the signal here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_windows = F.greatest(
+        (F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE) + 1,
+        F.lit(0),
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_windows - 1)
+    chunks = F.transform(
+        starts,
+        lambda k: F.md5(
+            F.concat_ws(
+                " ", F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+            )
+        ),
+    )
+    doc_chunks = (
+        docs.select("doc_id", F.explode(chunks).alias("h")).distinct()
+    )
+    shared = (
+        doc_chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+    )
+    return (
+        doc_chunks.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_chunks"),
+            F.max("df").alias("max_chunk_df"),
+        )
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(
+      range(0, greatest(CAST((len(l) - {CHUNK_TOKENS}) // {CHUNK_STRIDE} + 1
+                        AS INT), 0)),
+      k -> md5(array_to_string(
+             l[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+             ' ')))) AS h
+  FROM toks
+),
+shared AS (
+  SELECT h, COUNT(*) AS df FROM chunks GROUP BY h HAVING COUNT(*) > 1
+)
+SELECT doc_id, COUNT(*) AS n_shared_chunks, MAX(df) AS max_chunk_df
+FROM chunks JOIN shared USING (h)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination check
+# ---------------------------------------------------------------------------
+
+# the "benchmark" probe n-grams a training corpus must not contain
+# (stand-ins for eval-set 13-grams in a real decontamination pass)
+PROBE_NGRAMS = [
+    "stream spark window",
+    "merge slow join",
+    "the fast key",
+    "vector join vector",
+]
+
+
+def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: which documents contain any probe
+    n-gram, and how many probes each hits. The probe set is tiny and
+    broadcast as literal predicates (contains → codegen'd string
+    search); one corpus scan, no join, no shuffle before the final tiny
+    agg. At a real 100 TB run the probe set is thousands of 13-grams —
+    same plan with the probes in a broadcast Bloom/array instead of
+    unrolled predicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hits = sum(
+        (norm.contains(p).cast("int") for p in PROBE_NGRAMS),
+        start=F.lit(0),
+    )
+    return (
+        docs.select("doc_id", "lang", hits.alias("n_probe_hits"))
+        .filter(F.col("n_probe_hits") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum("n_probe_hits").cast("long").alias("total_hits"),
+            F.max("n_probe_hits").alias("max_hits_per_doc"),
+        )
+    )
+
+
+_SQL_HITS = " + ".join(
+    "CAST(contains(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), "
+    f"'{p}') AS INT)"
+    for p in PROBE_NGRAMS
+)
+
+ORACLE_DECONTAMINATION = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SQL_HITS} AS n_probe_hits
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_contaminated,
+       CAST(SUM(n_probe_hits) AS BIGINT) AS total_hits,
+       MAX(n_probe_hits) AS max_hits_per_doc
+FROM scored WHERE n_probe_hits > 0
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring_chunks": q_dedup_substring_chunks,
+    "decontamination_check": q_decontamination_check,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -525,6 +665,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
+    "decontamination_check": ORACLE_DECONTAMINATION,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific)

@@ -339,8 +339,164 @@ LIMIT 50
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics per document: top-word
+    fraction, duplicate-bigram fraction, mean word length — the filters
+    a pretraining pipeline applies before dedup (repetitious docs are
+    both low-quality AND poison MinHash buckets).
+
+    Two branches, both scale-safe: (a) one explode → (doc,word) partial-
+    aggregated count → per-doc rollup (top word count, total words,
+    total word chars — no second pass over text); (b) bigram dup stats
+    as pure array expressions (codegen, no explode). The doc_id equi-
+    join of the branches co-partitions on the shuffle key. All ratios
+    are integer cross-products (x*100 <= y*k), never float divides, so
+    the keep flags hash identically across engines.
+
+    Thresholds (Gopher-ish): top word <= 30% of tokens, duplicate
+    bigrams <= 20%, mean word length in [3, 10]."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_word_n"),
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("c"))
+        .cast("long")
+        .alias("sum_word_chars"),
+    )
+
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bigram_stats = docs.select(
+        "doc_id",
+        F.size(bigrams).alias("n_2grams"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias(
+            "n_dup_2grams"
+        ),
+    )
+
+    j = word_stats.join(bigram_stats, "doc_id")
+    rep_ok = F.col("top_word_n") * 10 <= F.col("n_words") * 3
+    dup_ok = F.col("n_dup_2grams") * 100 <= F.col("n_2grams") * 20
+    mwl_ok = (F.lit(3) * F.col("n_words") <= F.col("sum_word_chars")) & (
+        F.col("sum_word_chars") <= F.lit(10) * F.col("n_words")
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        "sum_word_chars",
+        "n_2grams",
+        "n_dup_2grams",
+        rep_ok.alias("rep_ok"),
+        dup_ok.alias("dup_ok"),
+        mwl_ok.alias("mwl_ok"),
+        (rep_ok & dup_ok & mwl_ok).alias("keep"),
+    )
+
+
+ORACLE_REPETITION_FILTER = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+word_stats AS (
+  SELECT doc_id,
+         MAX(c) AS top_word_n,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(SUM(LENGTH(w) * c) AS BIGINT) AS sum_word_chars
+  FROM wc GROUP BY doc_id
+),
+bigram_stats AS (
+  SELECT doc_id,
+         len(bg)::INT AS n_2grams,
+         (len(bg) - len(list_distinct(bg)))::INT AS n_dup_2grams
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                          i -> l[i] || ' ' || l[i + 1]) AS bg
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS l
+          FROM documents)
+  )
+)
+SELECT ws.doc_id, n_words, top_word_n, sum_word_chars,
+       n_2grams, n_dup_2grams,
+       top_word_n * 10 <= n_words * 3 AS rep_ok,
+       n_dup_2grams * 100 <= n_2grams * 20 AS dup_ok,
+       (3 * n_words <= sum_word_chars
+        AND sum_word_chars <= 10 * n_words) AS mwl_ok,
+       (top_word_n * 10 <= n_words * 3
+        AND n_dup_2grams * 100 <= n_2grams * 20
+        AND 3 * n_words <= sum_word_chars
+        AND sum_word_chars <= 10 * n_words) AS keep
+FROM word_stats ws JOIN bigram_stats bs ON ws.doc_id = bs.doc_id
+"""
+
+
+# per-language sampling quotas (percent) — the curation knob that
+# rebalances a multilingual corpus without a global shuffle
+SAMPLE_PCT = {"en": 60, "q1": 30}
+SAMPLE_PCT_DEFAULT = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a doc iff
+    md5(doc_id) mod 100 < quota(lang). Engine-portable and seed-free —
+    the same doc is kept on every run, every partitioning, and in the
+    oracle (unlike sampleBy's RNG). One scan, no shuffle for the keep
+    decision; the per-stratum audit agg is the only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    quota = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_PCT.items()
+        ],
+        F.lit(SAMPLE_PCT_DEFAULT),
+    )
+    kept = docs.select("doc_id", "lang").filter(bucket < quota)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH kept AS (
+  SELECT doc_id, lang
+  FROM documents
+  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 100
+        < CASE lang WHEN 'en' THEN {SAMPLE_PCT['en']}
+                    WHEN 'q1' THEN {SAMPLE_PCT['q1']}
+                    ELSE {SAMPLE_PCT_DEFAULT} END
+)
+SELECT lang, COUNT(*) AS n_kept,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM kept GROUP BY lang
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
+    "repetition_filter": q_repetition_filter,
+    "stratified_sample": q_stratified_sample,
     "bigram_counts": q_bigram_counts,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
@@ -351,6 +507,8 @@ QUERIES = {
 
 ORACLES = {
     "pii_scrub": ORACLE_PII_SCRUB,
+    "repetition_filter": ORACLE_REPETITION_FILTER,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "bigram_counts": ORACLE_BIGRAM_COUNTS,
     "text_stats": ORACLE_TEXT_STATS,
     "token_count": ORACLE_TOKEN_COUNT,
