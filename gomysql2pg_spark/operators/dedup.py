@@ -651,6 +651,32 @@ GROUP BY lang
 """
 
 
+# Transitive-closure oracle for the clustering: the *iterative Spark*
+# formulation is the scale path; DuckDB's recursive CTE re-derives the
+# same components exactly at oracle scale (UNION-dedup guarantees
+# termination; fine for fixture-sized graphs, quadratic at worst in
+# component size — which is why the engine side doesn't do it this way).
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT da, db FROM ({ORACLE_DEDUP_JACCARD}) j
+),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       MIN(r) = node AS keep
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring_chunks": q_dedup_substring_chunks,
@@ -671,4 +697,5 @@ ORACLES = {
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific)
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -60,29 +60,70 @@ UNION ALL SELECT 'orders', COUNT(*) FROM orders
 """
 
 
+# canonical per-row serializations for the cross-engine checksum: ints
+# verbatim, doubles as exact cents, strings raw, '|'-separated. Defined
+# per table because the canonical form is a *contract* (what compareDb
+# hashes), not reflection.
+_CHECKSUM_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "CENTS:s_acctbal"],
+}
+
+
 def q_validate_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-checksum upgrade over compareDb (SURVEY.md §2.A16):
-    order-insensitive sum of xxhash64 per table. Rows-only check —
-    xxhash64 has no DuckDB twin; cross-engine validity is established
-    by the planted-fault tests (tests/test_validate.py)."""
+    order-insensitive per-table checksum = bit_xor over a 60-bit
+    integer digest of each row's canonical string (md5 prefix). XOR is
+    commutative/associative (partitioning-independent) and cannot
+    overflow, unlike an integer SUM under ANSI mode. md5 + explicit
+    canonical serialization (doubles → exact cents) makes the checksum
+    engine-portable, so this is a hard oracle gate rather than the
+    rows-only check the xxhash64 form allowed."""
+    from ..functions.numeric import cents
+
     parts = []
-    for t in ["region", "nation", "supplier"]:
+    for t, cols in _CHECKSUM_COLS.items():
         df = load_table(spark, sf_dir, t)
+        canon = [
+            cents(c.split(":", 1)[1]).cast("string")
+            if c.startswith("CENTS:")
+            else F.col(c).cast("string")
+            for c in cols
+        ]
+        digest = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *canon)), 1, 15), 16, 10
+        ).cast("long")
         parts.append(
-            df.agg(
+            df.select(digest.alias("d")).agg(
                 F.lit(t).alias("tbl"),
                 F.count("*").alias("n_rows"),
-                F.sum(
-                    F.xxhash64(*[F.col(c) for c in df.columns]).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("string").alias("checksum"),
+                F.expr("bit_xor(d)").alias("checksum"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def _sql_checksum(table: str, cols: list[str]) -> str:
+    canon = ", ".join(
+        f"CAST(ROUND({c.split(':', 1)[1]} * 100) AS BIGINT)"
+        if c.startswith("CENTS:")
+        else f"CAST({c} AS VARCHAR)"
+        for c in cols
+    )
+    return (
+        f"SELECT '{table}' AS tbl, COUNT(*) AS n_rows, "
+        f"bit_xor(CAST(('0x' || substring(md5(concat_ws('|', {canon})), "
+        f"1, 15)) AS BIGINT)) AS checksum FROM {table}"
+    )
+
+
+ORACLE_VALIDATE_CONTENT_HASH = " UNION ALL ".join(
+    _sql_checksum(t, cols) for t, cols in _CHECKSUM_COLS.items()
+)
 
 
 def q_cell_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +303,7 @@ ORACLES = {
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "catalog_tables": ORACLE_CATALOG_TABLES,
     "validate_rowcount": ORACLE_VALIDATE_ROWCOUNT,
-    # validate_content_hash: rows-only (engine-specific hash)
+    "validate_content_hash": ORACLE_VALIDATE_CONTENT_HASH,
     "cell_transforms": ORACLE_CELL_TRANSFORMS,
     "typemap_matrix": ORACLE_TYPEMAP_MATRIX,
 }
