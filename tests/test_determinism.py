@@ -22,6 +22,16 @@ QUERIES = [
     "window_funcs",
     "q3_shipping_priority",
     "events_asof_purchase",
+    # round-2 additions: share ratios (float division), checksum XOR,
+    # iterative clustering, and the sampling bucketing must all be
+    # partition-count-independent
+    "q8_market_share",
+    "q14_promo_revenue",
+    "repetition_filter",
+    "stratified_sample",
+    "dedup_substring_chunks",
+    "validate_content_hash",
+    "dedup_clusters",
 ]
 
 
