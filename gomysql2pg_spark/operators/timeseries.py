@@ -104,5 +104,109 @@ LEFT JOIN daily d ON g.user_id = d.user_id AND g.day_us = d.day_us
 """
 
 
-QUERIES = {"ts_gapfill_ffill": q_ts_gapfill_ffill}
-ORACLES = {"ts_gapfill_ffill": ORACLE_TS_GAPFILL}
+OHLC_US = 3600 * 1_000_000  # hourly candles
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial/metrics candle): per user and
+    hourly bucket — open (first value), high, low, close (last value),
+    plus volume (row count). One groupBy with min_by/max_by keyed on the
+    (us, event_id) total order: a single shuffle with map-side partial
+    first/last state, no window sort over the raw series. The oracle
+    uses the ROW_NUMBER formulation (DuckDB arg_min/arg_max reject
+    struct ordering keys — see memory of round 1)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    bucket = (F.floor(F.col("us") / OHLC_US) * OHLC_US).cast("long")
+    order = F.struct("us", "event_id")
+    return (
+        ev.withColumn("bucket_us", bucket)
+        .groupBy("user_id", "bucket_us")
+        .agg(
+            F.min_by("cents", order).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", order).alias("close_cents"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+ORACLE_TS_OHLC = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
+         CAST(FLOOR(epoch_us(ts) / {OHLC_US}.0) AS BIGINT) * {OHLC_US}
+           AS bucket_us
+  FROM events
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                       ORDER BY us, event_id) AS rn_open,
+    ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                       ORDER BY us DESC, event_id DESC) AS rn_close
+  FROM ev
+)
+SELECT user_id, bucket_us,
+  MIN(CASE WHEN rn_open = 1 THEN cents END) AS open_cents,
+  MAX(cents) AS high_cents,
+  MIN(cents) AS low_cents,
+  MIN(CASE WHEN rn_close = 1 THEN cents END) AS close_cents,
+  COUNT(*) AS volume
+FROM ranked GROUP BY user_id, bucket_us
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: turn a change-event stream into
+    validity intervals [valid_from, valid_to) per user with an
+    is_current flag — the dimension-table pattern every warehouse
+    migration needs. lead() over the per-user change order supplies the
+    closing timestamp; the final interval stays open (NULL → sentinel
+    max). One shuffle (user_id), window sort is per-user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return ev.select(
+        "user_id",
+        F.col("cents").alias("attr_cents"),
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(2**62)).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+ORACLE_SCD2 = f"""
+SELECT user_id,
+  CAST(ROUND(value * 100) AS BIGINT) AS attr_cents,
+  event_type,
+  epoch_us(ts) AS valid_from_us,
+  COALESCE(LEAD(epoch_us(ts)) OVER w, {2**62}) AS valid_to_us,
+  LEAD(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+QUERIES = {
+    "ts_gapfill_ffill": q_ts_gapfill_ffill,
+    "ts_ohlc": q_ts_ohlc,
+    "scd2_intervals": q_scd2_intervals,
+}
+ORACLES = {
+    "ts_gapfill_ffill": ORACLE_TS_GAPFILL,
+    "ts_ohlc": ORACLE_TS_OHLC,
+    "scd2_intervals": ORACLE_SCD2,
+}
