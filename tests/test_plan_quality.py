@@ -180,6 +180,23 @@ SHUFFLE_BUDGETS = {
     "corpus_pipeline": 2,
     "skew_salted_join": 2,
     "tfidf_top_terms": 4,
+    # round-2 additions (caps = measured plan + 0 slack: a regression
+    # that adds an Exchange fails here before it costs a cluster run)
+    "repetition_filter": 2,
+    "dedup_substring_chunks": 4,
+    "decontamination_check": 1,
+    "stratified_sample": 1,
+    "q7_volume_shipping": 1,
+    "q8_market_share": 1,
+    "q13_custdist": 2,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 2,
+    "q17_small_qty_revenue": 2,
+    "q19_disjunctive": 1,
+    "q22_dormant_customers": 2,
+    "ts_ohlc": 1,
+    "scd2_intervals": 1,
+    "validate_content_hash": 3,
 }
 
 
