@@ -322,8 +322,53 @@ FROM s
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: admit a new batch against an
+    existing corpus — drop docs whose normalized content hash already
+    exists in the corpus (anti-join) OR appeared earlier within the
+    batch (min-doc_id-wins groupBy). The fixture splits documents by
+    doc_id parity into corpus (even) and batch (odd).
+
+    This is the nightly-crawl admission pattern: the anti-join probes
+    the corpus hash index (at 100 TB a bucketed/bloom-backed table, so
+    the probe is a hash lookup, not a corpus scan), and the in-batch
+    dedup shuffles only the NEW batch. Output: admitted docs with their
+    in-batch duplicate counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashed = docs.select("doc_id", "lang", F.md5(norm).alias("h"))
+    corpus = hashed.filter(F.col("doc_id") % 2 == 0)
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    fresh = batch.join(
+        corpus.select("h").distinct(), "h", "left_anti"
+    )
+    return (
+        fresh.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("admit_id"),
+            F.count("*").alias("n_in_batch"),
+        )
+        .select("admit_id", "h", "n_in_batch")
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = r"""
+WITH hashed AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0),
+batch AS (SELECT * FROM hashed WHERE doc_id % 2 = 1)
+SELECT MIN(doc_id) AS admit_id, h, COUNT(*) AS n_in_batch
+FROM batch
+WHERE h NOT IN (SELECT h FROM corpus)
+GROUP BY h
+"""
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
+    "incremental_dedup": q_incremental_dedup,
     "skew_salted_join": q_skew_salted_join,
     "seq_packing": q_seq_packing,
     "dataset_split": q_dataset_split,
@@ -332,6 +377,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "seq_packing": ORACLE_SEQ_PACKING,
     "dataset_split": ORACLE_DATASET_SPLIT,
