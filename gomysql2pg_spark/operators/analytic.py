@@ -582,8 +582,64 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (Oracle's RATIO_TO_REPORT): each nation's share
+    of its region's customer balance, plus its share of the grand
+    total — unbounded window sums over the AGGREGATED frame (nation
+    cardinality), so the windows sort 25 rows, not the fact table. The
+    two shares are single double divisions of exact bigint cents
+    (engine-identical)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        customer.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents("c_acctbal")).cast("long").alias("bal_cents"))
+    )
+    w_region = Window.partitionBy("n_regionkey")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "n_regionkey",
+        "n_name",
+        "bal_cents",
+        F.sum("bal_cents").over(w_region).cast("long").alias("region_cents"),
+        (
+            F.col("bal_cents").cast("double")
+            / F.sum("bal_cents").over(w_region).cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("bal_cents").cast("double")
+            / F.sum("bal_cents").over(w_all).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
+ORACLE_RATIO_TO_REPORT = f"""
+WITH per_nation AS (
+  SELECT n_regionkey, n_name,
+         CAST(SUM({sql_cents('c_acctbal')}) AS BIGINT) AS bal_cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey, n_name
+)
+SELECT n_regionkey, n_name, bal_cents,
+  CAST(SUM(bal_cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
+    AS region_cents,
+  CAST(bal_cents AS DOUBLE)
+    / CAST(CAST(SUM(bal_cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
+           AS DOUBLE) AS share_of_region,
+  CAST(bal_cents AS DOUBLE)
+    / CAST(CAST(SUM(bal_cents) OVER () AS BIGINT) AS DOUBLE)
+    AS share_of_total
+FROM per_nation
+"""
+
+
 QUERIES = {
     "window_funcs": q_window_funcs,
+    "ratio_to_report": q_ratio_to_report,
     "approx_distinct": q_approx_distinct,
     "approx_quantiles": q_approx_quantiles,
     "topk_by_aggregation": q_topk_by_aggregation,
@@ -602,6 +658,7 @@ QUERIES = {
 
 ORACLES = {
     "window_funcs": ORACLE_WINDOW_FUNCS,
+    "ratio_to_report": ORACLE_RATIO_TO_REPORT,
     "window_range_frame": ORACLE_WINDOW_RANGE,
     "window_value_funcs": ORACLE_WINDOW_VALUE_FUNCS,
     "cube_agg": ORACLE_CUBE_AGG,
