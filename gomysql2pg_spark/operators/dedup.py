@@ -548,7 +548,14 @@ def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE) + 1,
         F.lit(0),
     ).cast("int")
-    starts = F.sequence(F.lit(0), n_windows - 1)
+    # Guard against n_windows == 0: Spark's sequence(0, -1) yields the
+    # DESCENDING array [0, -1] (it never errors), which would fabricate
+    # two chunk hashes per short (<CHUNK_TOKENS-token) doc while the
+    # oracle's range(0, 0) yields none. Emit an empty window list to
+    # match range() semantics.
+    starts = F.when(
+        n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
         lambda k: F.md5(

@@ -361,7 +361,7 @@ corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 2 = 0),
 batch AS (SELECT * FROM hashed WHERE doc_id % 2 = 1)
 SELECT MIN(doc_id) AS admit_id, h, COUNT(*) AS n_in_batch
 FROM batch
-WHERE h NOT IN (SELECT h FROM corpus)
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = batch.h)
 GROUP BY h
 """
 

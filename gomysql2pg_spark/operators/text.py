@@ -228,7 +228,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate() fold over split characters — deterministic left fold in
     both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
+    # split('', '') yields [''] and the engines disagree on the empty
+    # char's codepoint (Spark ascii('') = 0, DuckDB unicode('') = -1) —
+    # filter empty chars so an empty doc folds to 0 in both engines
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
     fp = F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -241,7 +244,9 @@ ORACLE_DOC_FINGERPRINT = f"""
 SELECT doc_id,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      list_transform(
+        list_filter(string_split(text, ''), c -> c <> ''),
+        c -> CAST(unicode(c) AS BIGINT))),
     (acc, cp) -> (acc * {FP_BASE} + cp) % {FP_MOD}
   ) AS fingerprint
 FROM documents
@@ -307,7 +312,14 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → count; one shuffle on the bigram, partial-aggregated."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    # Guard the 0/1-token case: sequence(1, 0) yields the DESCENDING
+    # array [1, 0], and element_at(toks, 0) then throws under ANSI mode
+    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word doc anywhere
+    # in the corpus would kill the job. Emit no bigram indices instead,
+    # matching the oracle's range(1, greatest(len-1,0)+1).
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -368,7 +380,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_word_chars"),
     )
 
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    # Guard the 0/1-token case: sequence(1, 0) yields the DESCENDING
+    # array [1, 0], and element_at(toks, 0) then throws under ANSI mode
+    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word doc anywhere
+    # in the corpus would kill the job. Emit no bigram indices instead,
+    # matching the oracle's range(1, greatest(len-1,0)+1).
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
         idx,
         lambda i: F.concat_ws(

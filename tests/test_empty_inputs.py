@@ -45,9 +45,10 @@ REPRESENTATIVES = [
     "profile_orders",
 ]
 
-# global aggregates legitimately emit one row over empty input (SQL
-# semantics: aggregation without GROUP BY always yields a row)
-GLOBAL_AGG = {"profile_orders"}
+# global aggregates legitimately emit rows over empty input (SQL
+# semantics: aggregation without GROUP BY always yields a row);
+# value = the exact expected row count
+GLOBAL_AGG = {"profile_orders": 5}
 
 
 @pytest.fixture(scope="module")
@@ -75,6 +76,11 @@ def test_operator_survives_empty_input(spark, empty_dir, name):
     df = qs[name](spark, empty_dir)
     n = df.count()
     if name in GLOBAL_AGG:
-        assert n >= 0  # defined small output, no crash
+        # global agg without GROUP BY emits exactly one row per
+        # profiled column (profile_orders: 5), even over empty input
+        assert n == GLOBAL_AGG[name], (
+            f"{name} emitted {n} rows on empty input,"
+            f" expected {GLOBAL_AGG[name]}"
+        )
     else:
         assert n == 0, f"{name} fabricated {n} rows from empty input"
