@@ -22,27 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # round-1 hash-fail / canonicalizer-crash queries, fixed in round 2
-    "join_multi", "group_agg", "derived_table", "q3_shipping_priority",
-    "q5_local_supplier", "window_funcs", "window_range_frame", "cube_agg",
-    "grouping_sets", "unpivot_metrics", "filtered_aggs",
-    "median_percentile", "collect_distinct_arrays", "approx_quantiles",
-    # never driver-checked in round 1 (62 total; rest rotate to round 3)
-    "having_large_orders", "exists_pending_orders",
-    "scalar_subquery_above_brand_avg", "full_outer_join", "null_safe_join",
-    "cross_join_small", "lateral_explode",
-    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "text_stats", "token_count", "lang_id", "quality_score",
-    "doc_fingerprint", "bigram_counts",
-    "tfidf_top_terms", "bm25_components",
-    "events_window", "events_sessionize", "events_funnel",
-    "events_cdc_merge", "events_latest_per_user", "events_json_props",
-    "events_asof_purchase", "events_asof_next_purchase",
-    "events_asof_tolerance",
-    "corpus_pipeline", "skew_salted_join", "dataset_split",
-    "embedding_quantize", "seq_packing",
-    "profile_orders", "validate_rowcount", "catalog_tables",
-    "datetime_funcs",
+    # --- round-2 additions, never driver-checked (16) ---
+    "q7_volume_shipping", "q8_market_share", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q19_disjunctive", "q22_dormant_customers",
+    "repetition_filter", "stratified_sample",
+    "dedup_substring_chunks", "decontamination_check", "incremental_dedup",
+    "ratio_to_report", "ts_ohlc", "scd2_intervals",
+    # --- upgraded from rows-only: recursive-CTE oracle added r2 ---
+    "dedup_clusters",
+    # --- round-1 tail, never driver-checked (26) ---
+    "mm_metadata", "mm_decode", "mm_frame_sample", "mm_resize",
+    "mm_features",
+    "stream_windowed_counts", "stream_sliding_windows",
+    "stream_session_windows", "stream_stream_join", "stream_dedup",
+    "stream_dedup_then_window", "stream_stateful_totals",
+    "map_funcs", "regex_funcs", "math_funcs", "array_funcs",
+    "sequence_semantics", "random_ids",
+    "ts_gapfill_ffill", "string_distance", "validate_content_hash",
+    "cell_transforms", "typemap_matrix", "pandas_udaf_wavg",
+    "events_ema", "skew_salted_agg",
+    # --- re-verify: code changed since last green row (r3 short-doc
+    # fixes, r2 df cap, r3 embedding gate) or rows-only sketches ---
+    "dedup_jaccard", "dedup_embedding", "bigram_counts",
+    "doc_fingerprint", "approx_quantiles", "dedup_minhash_lsh",
+    "dedup_simhash",
 ]
 
 

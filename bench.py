@@ -45,6 +45,14 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_purchase",
     "skew_salted_join",
+    # round-2 operators (perf-tracked from round 3 on)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q17_small_qty_revenue",
+    "q19_disjunctive",
+    "dedup_substring_chunks",
+    "incremental_dedup",
+    "ts_ohlc",
 ]
 
 

@@ -412,13 +412,38 @@ def cosine_col(a, b):
     )
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Exact all-pairs cosine is O(n²): fine for a verification corpus,
+# catastrophic at production scale (10^6 vectors → 10^12 pairs). The
+# guard makes the quadratic plan unreachable without an explicit
+# opt-in; the scale path is operators.similarity (IVF / multiprobe
+# LSH candidates + exact rerank).
+MAX_EXACT_VECTORS = 100_000
+
+
+def q_dedup_embedding(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_vectors: int = MAX_EXACT_VECTORS,
+) -> DataFrame:
     """Top-50 most-similar embedding pairs by exact cosine (the
     embedding near-dup operator; with a real threshold it's the same
-    plan + a filter). Brute-force O(n²) here; the LSH-bucketed scale
-    path is operators.similarity. Cosine arithmetic is bit-identical
-    to the DuckDB oracle (sequential double fold)."""
+    plan + a filter). Brute-force O(n²) — deliberately the exact
+    verifier for the LSH-bucketed scale path in operators.similarity —
+    so it refuses inputs above ``max_vectors`` rather than silently
+    launching a quadratic job (pass a larger ``max_vectors`` to
+    opt in). Cosine arithmetic is bit-identical to the DuckDB oracle
+    (sequential double fold). The guard count is a parquet
+    footer-metadata scan, not a data read."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"dedup_embedding is the exact O(n²) verifier; input has "
+            f"{n} vectors (> {max_vectors}). Use operators.similarity "
+            f"(similarity_ivf / similarity_lsh) for the bucketed scale "
+            f"path, or pass max_vectors={n} to opt in explicitly."
+        )
     a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("va") < F.col("vb"))

@@ -415,11 +415,14 @@ Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: per-supplier quarterly revenue, keep the
     max-revenue supplier(s). The reference formulation is a view +
-    scalar-subquery max; here a rank-over-empty-partition window on the
-    tiny aggregated frame (supplier-cardinality, not lineitem) does it
-    in one pass without recomputing the aggregate."""
-    from pyspark.sql.window import Window
-
+    scalar-subquery max; mirrored here as max-aggregate + equality
+    join against the supplier-cardinality aggregated frame. No global
+    window: a rank() over an empty partition spec would funnel the
+    whole frame through ONE partition — fine at 10k suppliers, a
+    straggler at 10M. The two consumers of `rev` share the same
+    shuffle (ReusedExchange dedupes the aggregation), and the 1-row
+    max side is broadcast, so the plan has no single-partition
+    Exchange at any cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
@@ -431,12 +434,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(revenue).cast("long").alias("total_rev_c4"))
     )
-    w = Window.orderBy(F.col("total_rev_c4").desc())
-    top = (
-        rev.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
+    # cache the supplier-cardinality frame: the max side and the join
+    # probe both read it, and Catalyst does not reuse the aggregation
+    # exchange across the broadcast boundary — without the cache the
+    # lineitem scan + shuffle would run twice. The only remaining
+    # SinglePartition exchange is the scalar-max gather over per-
+    # partition partials (≤ one row each), inherent to any global max.
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_rev_c4").alias("max_rev_c4"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_rev_c4") == F.col("max_rev_c4")
+    ).drop("max_rev_c4")
     return top.join(
         F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name", "total_rev_c4")

@@ -204,3 +204,16 @@ def test_dedup_clusters_are_connected_components(spark, sf_dir, queries):
         .collect()
     }
     assert keeps == set(expected.values())
+
+
+def test_dedup_embedding_guard_refuses_large_input(spark, sf_dir):
+    """The exact O(n²) verifier must be unreachable above the vector
+    cap without an explicit opt-in (VERDICT r2 item 4)."""
+    import pytest as _pytest
+
+    from gomysql2pg_spark.operators.dedup import q_dedup_embedding
+
+    with _pytest.raises(ValueError, match="O\\(n²\\) verifier"):
+        q_dedup_embedding(spark, sf_dir, max_vectors=3)
+    # default cap admits the test corpus and stays correct
+    assert q_dedup_embedding(spark, sf_dir).count() == 50

@@ -204,14 +204,26 @@ SHUFFLE_BUDGETS = {
 def test_shuffle_budget(spark, sf_dir, queries, name):
     import re
 
-    plan = plan_of(queries[name](spark, sf_dir), mode="simple")
-    shuffles = len(
-        re.findall(
-            r"\bExchange (?:hash|range)partitioning|\bExchange SinglePartition",
-            plan,
-        )
+    # walk the physical-plan TREE, not the explain string: a cached
+    # subplan (InMemoryRelation) prints its materialization exchange
+    # once per consumer, but InMemoryTableScan is a LEAF node in the
+    # actual tree, so tree traversal counts each executed shuffle
+    # exactly once and never double-counts shared/cached stages
+    df = queries[name](spark, sf_dir)
+    node = df._jdf.queryExecution().sparkPlan()
+    stack, shuffles = [node], 0
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            shuffles += 1
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert shuffles <= SHUFFLE_BUDGETS[name], (
+        name,
+        shuffles,
+        plan_of(df, mode="simple"),
     )
-    assert shuffles <= SHUFFLE_BUDGETS[name], (name, shuffles, plan)
 
 
 def test_no_driver_side_row_collection_in_engine():

@@ -2,6 +2,8 @@
 database in this environment — execution paths are gated; the plan and
 wire-format logic is what's tested)."""
 
+import pytest
+
 from gomysql2pg_spark.plans.pagination import plan_pages
 from gomysql2pg_spark.sinks.jdbc import (
     JdbcSinkConfig,
@@ -82,3 +84,90 @@ def test_hashmod_predicates_are_portable_sql(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     n = sum(li.filter(F.expr(p)).count() for p in plan.predicates)
     assert n == li.count()
+
+
+class _FakeCursor:
+    def __init__(self, fail_on_call: int | None = None):
+        self.copies: list[tuple[str, str]] = []
+        self._fail_on = fail_on_call
+
+    def copy_expert(self, sql, buf):
+        if self._fail_on is not None and len(self.copies) + 1 == self._fail_on:
+            raise RuntimeError("wire error")
+        self.copies.append((sql, buf.read()))
+
+
+class _FakeConn:
+    def __init__(self, fail_on_call=None):
+        self.cur = _FakeCursor(fail_on_call)
+        self.committed = 0
+        self.rolled_back = 0
+        self.closed = False
+
+    def cursor(self):
+        return self.cur
+
+    def commit(self):
+        self.committed += 1
+
+    def rollback(self):
+        self.rolled_back += 1
+
+    def close(self):
+        self.closed = True
+
+
+def _fake_psycopg2(monkeypatch, fail_on_call=None):
+    """Install a stand-in psycopg2 so write_partition's executor-side
+    import resolves to a capture harness (psycopg2 is absent here; the
+    real semantics under test — one txn per partition, COPY batching,
+    rollback on error — live in OUR code, ref root.go:408-504)."""
+    import sys as _sys
+    import types
+
+    conns: list[_FakeConn] = []
+    mod = types.ModuleType("psycopg2")
+
+    def connect(dsn):
+        conn = _FakeConn(fail_on_call)
+        conn.dsn = dsn
+        conns.append(conn)
+        return conn
+
+    mod.connect = connect
+    monkeypatch.setitem(_sys.modules, "psycopg2", mod)
+    return conns
+
+
+def test_copy_partition_writer_batches_and_commits_once(monkeypatch):
+    """5 rows at batch_rows=2 → 3 COPY calls, ONE commit (page-level
+    txn parity with the reference's per-page transaction)."""
+    from gomysql2pg_spark.sinks.jdbc import copy_partition_writer
+
+    conns = _fake_psycopg2(monkeypatch)
+    fn = copy_partition_writer(
+        "dbname=x", "t", ["id", "name"], batch_rows=2
+    )
+    rows = [(1, "a"), (2, None), (3, "tab\there"), (4, "d"), (5, "e")]
+    fn(iter(rows))
+
+    assert len(conns) == 1
+    conn = conns[0]
+    assert conn.committed == 1 and conn.rolled_back == 0 and conn.closed
+    sqls = {s for s, _ in conn.cur.copies}
+    assert sqls == {'COPY "t" ("id", "name") FROM STDIN'}
+    payload = "".join(b for _, b in conn.cur.copies)
+    assert payload == "1\ta\n2\t\\N\n3\ttab\\there\n4\td\n5\te\n"
+    # batching: 2 + 2 + 1
+    assert [len(b.splitlines()) for _, b in conn.cur.copies] == [2, 2, 1]
+
+
+def test_copy_partition_writer_rolls_back_on_error(monkeypatch):
+    from gomysql2pg_spark.sinks.jdbc import copy_partition_writer
+
+    conns = _fake_psycopg2(monkeypatch, fail_on_call=2)
+    fn = copy_partition_writer("dbname=x", "t", ["id"], batch_rows=1)
+    with pytest.raises(RuntimeError, match="wire error"):
+        fn(iter([(1,), (2,), (3,)]))
+    conn = conns[0]
+    assert conn.rolled_back == 1 and conn.committed == 0 and conn.closed
