@@ -46,7 +46,9 @@ _PRIORITY = [
     # fixes, r2 df cap, r3 embedding gate) or rows-only sketches ---
     "dedup_jaccard", "dedup_embedding", "bigram_counts",
     "doc_fingerprint", "approx_quantiles", "dedup_minhash_lsh",
-    "dedup_simhash",
+    # new in r3 (hard oracle — takes the slot of the dedup_simhash
+    # rows-only re-verify, which can never upgrade past rows-only)
+    "dedup_semantic",
 ]
 
 

@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_substring_chunks",
     "incremental_dedup",
     "ts_ohlc",
+    # round-3 operators
+    "dedup_semantic",
 ]
 
 

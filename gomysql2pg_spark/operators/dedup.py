@@ -716,8 +716,73 @@ FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# C2f: semantic dedup (SemDeDup-style, within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+# fixture-calibrated: within-cluster cosine 99th pct ≈ 0.295 at sf0.01,
+# so 0.30 yields a real (non-empty, non-everything) duplicate set. A
+# production run tunes this against a held-out duplicate sample.
+SEMDEDUP_THRESHOLD = 0.30
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): compare embeddings only WITHIN a coarse cluster
+    (`label` = k-means cell), marking each vector dominated by an
+    earlier (lower vec_id) same-cluster vector with cosine ≥ T.
+
+    This is the scale path the exact O(n²) `dedup_embedding` verifier
+    gates toward: pair count is Σ|cluster|², not |corpus|². The plan
+    shuffles both sides once on `label` (at 100 TB the corpus is
+    bucketed by cluster id, making this join co-located and
+    shuffle-free); a skewed mega-cluster is handled upstream by
+    IVF sub-splitting, not here. Cosine goes through the same
+    sequential double fold as the similarity operators, so the value —
+    and therefore the ≥-threshold keep set — is bit-identical to the
+    oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        "label",
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("va") < F.col("vb"))
+    dominated = pairs.select(
+        "label",
+        "va",
+        "vb",
+        cosine_col(F.col("ea"), F.col("eb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= F.lit(SEMDEDUP_THRESHOLD))
+    return dominated.groupBy("vb", "label").agg(
+        F.min("va").alias("dup_of"),
+        F.max("cos_sim").alias("max_cos"),
+        F.count("*").alias("n_dominators"),
+    )
+
+
+ORACLE_DEDUP_SEMANTIC = f"""
+SELECT b.vec_id AS vb, b.label,
+       MIN(a.vec_id) AS dup_of,
+       MAX(list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[])) AS max_cos,
+       COUNT(*) AS n_dominators
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {SEMDEDUP_THRESHOLD}
+GROUP BY b.vec_id, b.label
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "decontamination_check": q_decontamination_check,
     "dedup_exact_norm": q_dedup_exact_norm,
@@ -730,6 +795,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
     "decontamination_check": ORACLE_DECONTAMINATION,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,

@@ -164,6 +164,42 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir, queries):
     assert "partial_" in plan, plan
 
 
+
+
+def count_executed_shuffles(df) -> int:
+    """Count ShuffleExchangeExec nodes in the prepared physical plan by
+    walking the plan TREE, not the explain string (a cached subplan
+    prints its materialization exchange once per consumer, which
+    double-counts shared stages). Cached plans (InMemoryTableScan is a
+    leaf in the tree) are descended into exactly once per distinct
+    InMemoryRelation, because their materialization shuffle runs once
+    regardless of consumer count. Under AQE the prepared tree is the
+    AdaptiveSparkPlanExec's initialPlan; pre-AQE it's executedPlan
+    itself (sparkPlan() is pre-EnsureRequirements and has NO exchange
+    nodes at all — counting there is vacuously zero)."""
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.initialPlan()
+    shuffles = 0
+    seen_caches = set()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec":
+            shuffles += 1
+        if cls == "InMemoryTableScanExec":
+            rel = n.relation()
+            key = rel.hashCode()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                stack.append(rel.cachedPlan())
+            continue
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return shuffles
+
 SHUFFLE_BUDGETS = {
     # query -> max shuffle exchanges (broadcasts excluded) the plan may
     # contain; measured values, pinned so a refactor that silently adds
@@ -197,6 +233,9 @@ SHUFFLE_BUDGETS = {
     "ts_ohlc": 1,
     "scd2_intervals": 1,
     "validate_content_hash": 3,
+    # r3: within-cluster pair join (broadcast at test scale) + one
+    # grouped-agg exchange
+    "dedup_semantic": 2,
 }
 
 
@@ -204,21 +243,8 @@ SHUFFLE_BUDGETS = {
 def test_shuffle_budget(spark, sf_dir, queries, name):
     import re
 
-    # walk the physical-plan TREE, not the explain string: a cached
-    # subplan (InMemoryRelation) prints its materialization exchange
-    # once per consumer, but InMemoryTableScan is a LEAF node in the
-    # actual tree, so tree traversal counts each executed shuffle
-    # exactly once and never double-counts shared/cached stages
     df = queries[name](spark, sf_dir)
-    node = df._jdf.queryExecution().sparkPlan()
-    stack, shuffles = [node], 0
-    while stack:
-        n = stack.pop()
-        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
-            shuffles += 1
-        ch = n.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
+    shuffles = count_executed_shuffles(df)
     assert shuffles <= SHUFFLE_BUDGETS[name], (
         name,
         shuffles,
