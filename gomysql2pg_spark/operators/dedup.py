@@ -76,7 +76,14 @@ def word_shingles(text_col, n: int = 3):
     Built-in expressions only (transform over sequence + element_at) —
     no UDF, stays in codegen."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard the <n-token case: sequence(1, 0) yields the DESCENDING
+    # array [1, 0] (never empty), and element_at(toks, 0) throws under
+    # ANSI mode — one short doc would kill the whole corpus job. Emit
+    # no shingle indices instead (matches the oracles' range()).
+    idx = F.when(
+        F.size(toks) >= F.lit(n),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
@@ -109,20 +116,11 @@ JACCARD_MILLI = 500  # pairs with jaccard >= 0.5
 MAX_SHINGLE_DF = 1000  # drop shingles appearing in more documents
 
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (jaccard >= 0.5, exact).
-
-    Inverted-index self-join on shingle: pair count = Σ_s df(s)², so one
-    boilerplate shingle shared by d documents alone yields d²/2 pairs.
-    The document-frequency cap below drops shingles with df >
-    MAX_SHINGLE_DF *before* the pair join, bounding every bucket to
-    MAX_SHINGLE_DF² pairs — the standard near-dup trick (ubiquitous
-    shingles carry no dedup signal). Jaccard is then defined over the
-    capped shingle universe, identically in the oracle. MinHash-LSH
-    (`q_dedup_minhash_lsh`) is the sub-quadratic scale path; this is the
-    exact verifier. Threshold compare is integer:
-    i*1000 >= thr*(na+nb-i)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _pair_intersections(docs: DataFrame) -> DataFrame:
+    """(da, db, i, na, nb) — shingle-set intersection size and set
+    sizes for every doc pair sharing ≥1 (df-capped) shingle. Shared by
+    the Jaccard and containment operators; the df cap bounds every
+    inverted-index bucket to MAX_SHINGLE_DF² pairs before the join."""
     sh_all = _shingle_df(docs)
     # df cap: one groupBy on shingle, then a semi-join keeps rare ones.
     rare = (
@@ -145,9 +143,25 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return inter.join(sa, "da").join(sb, "db")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (jaccard >= 0.5, exact).
+
+    Inverted-index self-join on shingle: pair count = Σ_s df(s)², so one
+    boilerplate shingle shared by d documents alone yields d²/2 pairs.
+    The document-frequency cap in `_pair_intersections` drops shingles
+    with df > MAX_SHINGLE_DF *before* the pair join, bounding every
+    bucket to MAX_SHINGLE_DF² pairs — the standard near-dup trick
+    (ubiquitous shingles carry no dedup signal). Jaccard is then defined
+    over the capped shingle universe, identically in the oracle.
+    MinHash-LSH (`q_dedup_minhash_lsh`) is the sub-quadratic scale path;
+    this is the exact verifier. Threshold compare is integer:
+    i*1000 >= thr*(na+nb-i)."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
+        _pair_intersections(docs)
         .filter(
             F.col("i") * 1000
             >= F.lit(JACCARD_MILLI) * (F.col("na") + F.col("nb") - F.col("i"))
@@ -159,6 +173,37 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na",
             "nb",
             (F.col("i") * 1000).cast("long").alias("i_milli_num"),
+        )
+    )
+
+
+# containment C(a,b) = i / min(na, nb): a high value with asymmetric
+# sizes means the smaller doc is embedded in the larger (quotes,
+# includes, scraped-with-boilerplate copies) — pairs Jaccard misses
+# because the union is dominated by the larger doc.
+CONTAINMENT_MILLI = 800
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup pairs (i >= 0.8 × the smaller
+    shingle set, exact): the subset-duplicate detector. Same Σ-bounded
+    inverted-index plan as `q_dedup_jaccard` (shared helper); only the
+    threshold algebra differs — integer compare against least(na, nb),
+    so the keep set is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _pair_intersections(docs)
+        .filter(
+            F.col("i") * 1000
+            >= F.lit(CONTAINMENT_MILLI) * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "da",
+            "db",
+            "i",
+            "na",
+            "nb",
+            (F.col("na") <= F.col("nb")).alias("a_is_smaller"),
         )
     )
 
@@ -190,6 +235,36 @@ FROM inter
 JOIN sz sa ON sa.doc_id = da
 JOIN sz sb ON sb.doc_id = db
 WHERE i * 1000 >= {JACCARD_MILLI} * (sa.n + sb.n - i)
+"""
+
+
+ORACLE_DEDUP_CONTAINMENT = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l)-2, 0) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+  FROM toks
+),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, i, sa.n AS na, sb.n AS nb,
+       sa.n <= sb.n AS a_is_smaller
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE i * 1000 >= {CONTAINMENT_MILLI} * least(sa.n, sb.n)
 """
 
 
@@ -717,6 +792,82 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# C2g: line-level dedup (C4 / MassiveText-style)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplicate analysis (the C4/MassiveText curation
+    pass: boilerplate lines — nav bars, cookie banners, license
+    headers — repeat across documents and are dropped line-wise, not
+    doc-wise). Per doc: total lines, lines whose normalized hash
+    appears in >1 distinct document, and the keep decision (docs with
+    >30% duplicated lines are dropped).
+
+    Plan: explode lines → distinct (doc, line-hash) → one groupBy(h)
+    for document frequency → semi-shaped join back → per-doc rollup.
+    Same Σ-bounded shape as the chunk pipeline: two shuffles (hash,
+    doc_id), no all-pairs product, line hashes near-unique so no
+    frequency cap needed. Blank lines are not counted (split on
+    newline, filter empties) — matching the oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"\n"), lambda l: F.trim(l)
+        ),
+        lambda l: l != F.lit(""),
+    )
+    doc_lines = (
+        docs.select(
+            "doc_id", F.explode(lines).alias("line")
+        )
+        .select("doc_id", F.md5(F.lower(F.col("line"))).alias("h"))
+        .distinct()
+    )
+    df_counts = doc_lines.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        doc_lines.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_lines"),
+            F.max("df").alias("max_line_df"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "max_line_df",
+        (F.col("n_dup_lines") * 100 <= F.col("n_lines") * 30).alias(
+            "keep"
+        ),
+    )
+
+
+ORACLE_DEDUP_LINES = r"""
+WITH doc_lines AS (
+  SELECT DISTINCT doc_id, md5(lower(line)) AS h
+  FROM (
+    SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+    FROM documents
+  )
+  WHERE line <> ''
+),
+dfc AS (SELECT h, COUNT(*) AS df FROM doc_lines GROUP BY h)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_lines,
+       MAX(df) AS max_line_df,
+       SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 100 <= COUNT(*) * 30
+         AS keep
+FROM doc_lines JOIN dfc USING (h)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # C2f: semantic dedup (SemDeDup-style, within-cluster cosine)
 # ---------------------------------------------------------------------------
 
@@ -783,10 +934,12 @@ GROUP BY b.vec_id, b.label
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_lines": q_dedup_lines,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "decontamination_check": q_decontamination_check,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -796,10 +949,12 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
+    "dedup_lines": ORACLE_DEDUP_LINES,
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
     "decontamination_check": ORACLE_DECONTAMINATION,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific)
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

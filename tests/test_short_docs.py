@@ -69,12 +69,30 @@ def short_duck(short_dir):
 
 _CASES = [
     "dedup_substring_chunks",
+    "dedup_jaccard",
+    "dedup_containment",
+    "dedup_lines",
+    "dedup_exact",
+    "dedup_exact_norm",
+    "dedup_clusters",
+    "decontamination_check",
     "repetition_filter",
     "bigram_counts",
     "text_stats",
     "token_count",
     "doc_fingerprint",
 ]
+
+# rows-only operators (hash-family-specific, no SQL oracle): assert
+# they survive pathological docs without ANSI crashes
+_ROWS_ONLY_CASES = ["dedup_minhash_lsh", "dedup_simhash"]
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_CASES)
+def test_short_docs_no_crash(name, spark, short_dir):
+    import __spark_entry__ as e
+
+    assert e.queries()[name](spark, short_dir).count() >= 0
 
 
 @pytest.mark.parametrize("name", _CASES)
