@@ -315,7 +315,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.count()
     bands = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -332,7 +331,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.bkey")
+    ).select("doc_id", "bk.band", "bk.bkey")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -361,10 +360,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which would serialize the CPU-heavy shingle computation; measured
     # 2× end-to-end without it
     n = docs.sparkSession.sparkContext.defaultParallelism
+    # persist: sha and shb below are two consumers of this frame; the
+    # (CPU-heavy) candidate re-shingling would otherwise run once per
+    # join side (measured 2.5s → 1.6s end-to-end at sf0.1). Both
+    # cache scans sit in the same result stage, so no materializing
+    # count() is needed to avoid a compute race.
     sh = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .repartition(n, "doc_id")
         .select("doc_id", word_shingles(F.col("text")).alias("sset"))
+        .persist()
     )
     sha = sh.select(F.col("doc_id").alias("da"), F.col("sset").alias("set_a"))
     shb = sh.select(F.col("doc_id").alias("db"), F.col("sset").alias("set_b"))
@@ -892,23 +897,35 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential double fold as the similarity operators, so the value —
     and therefore the ≥-threshold keep set — is bit-identical to the
     oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        # norm ONCE per vector (O(n·d)), not once per pair (O(pairs·d));
+        # cos = dot/(na·nb) with na = sqrt(dot(a,a)) is the identical
+        # float expression tree to cosine_col, so values stay
+        # bit-identical to the oracle — measured 4.7s → ~1.6s at sf0.1
+        "nrm",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))),
+    )
     a = emb.select(
         "label",
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
         "label",
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["label"]).filter(F.col("va") < F.col("vb"))
     dominated = pairs.select(
         "label",
         "va",
         "vb",
-        cosine_col(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        (
+            dot_double(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb"))
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= F.lit(SEMDEDUP_THRESHOLD))
     return dominated.groupBy("vb", "label").agg(
         F.min("va").alias("dup_of"),
