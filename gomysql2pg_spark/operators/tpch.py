@@ -524,6 +524,77 @@ WHERE q * 10 * qty_cnt < 2 * qty_sum
 
 
 # ---------------------------------------------------------------------------
+# Q18 large-volume customers.
+# ---------------------------------------------------------------------------
+
+# synthetic-fixture calibration: per-order quantity sums run hotter
+# than stock TPC-H (composite lineitem keys fan out), 99th pct ≈ 262
+# at sf0.01 — 250 keeps ~1% of orders, matching Q18's intent
+Q18_QTY = 250
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (`large volume customer`): orders whose total
+    lineitem quantity exceeds a threshold, top-100 by order value.
+
+    The HAVING subquery decorrelates to one lineitem aggregation
+    (partial-agg'd single shuffle on l_orderkey); the qualifying-order
+    set is tiny (~1%), so it broadcasts into both the orders probe and
+    the final per-order quantity join. customer is a broadcast dim.
+    The top-100 sort runs on the already-filtered qualifying orders
+    (thousands of rows, not the orders table) with a deterministic
+    o_orderkey tie-break so the LIMIT cut is engine-stable. Quantity
+    sums use the integer `whole()` path — no float aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(whole("l_quantity")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            "o_orderdate",
+            "o_orderkey",
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM({sql_whole('l_quantity')}) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({sql_whole('l_quantity')}) > {Q18_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q19 disjunctive predicate revenue.
 # ---------------------------------------------------------------------------
 
@@ -640,6 +711,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume": q18_large_volume,
     "q19_disjunctive": q19_disjunctive,
     "q22_dormant_customers": q22_dormant_customers,
     "string_distance": q_string_distance,
@@ -655,6 +727,7 @@ ORACLES = {
     "q14_promo_revenue": ORACLE_Q14,
     "q15_top_supplier": ORACLE_Q15,
     "q17_small_qty_revenue": ORACLE_Q17,
+    "q18_large_volume": ORACLE_Q18,
     "q19_disjunctive": ORACLE_Q19,
     "q22_dormant_customers": ORACLE_Q22,
     "string_distance": ORACLE_STRING_DISTANCE,

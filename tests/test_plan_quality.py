@@ -83,6 +83,7 @@ def test_new_tpch_dims_broadcast(spark, sf_dir, queries):
         "q8_market_share",
         "q14_promo_revenue",
         "q17_small_qty_revenue",
+        "q18_large_volume",
         "q19_disjunctive",
     ):
         plan = plan_of(queries[name](spark, sf_dir))
@@ -228,6 +229,9 @@ SHUFFLE_BUDGETS = {
     "q14_promo_revenue": 1,
     "q15_top_supplier": 2,
     "q17_small_qty_revenue": 2,
+    # r3: one lineitem agg exchange; qualifying orders + customer
+    # broadcast; top-100 via TakeOrdered (no global sort exchange)
+    "q18_large_volume": 1,
     "q19_disjunctive": 1,
     "q22_dormant_customers": 2,
     "ts_ohlc": 1,
