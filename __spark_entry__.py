@@ -64,6 +64,7 @@ def _registries():
     modules = [relational]
     for name in (
         "analytic",
+        "clustering",
         "dedup",
         "similarity",
         "text",

@@ -55,6 +55,10 @@ HEADLINE = [
     "ts_ohlc",
     # round-3 operators
     "dedup_semantic",
+    "kmeans_update",
+    "token_budget_select",
+    "oov_rate",
+    "events_anomaly",
 ]
 
 

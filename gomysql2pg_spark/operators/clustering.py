@@ -1,0 +1,191 @@
+"""Distributed k-means building blocks on `embeddings` (SURVEY.md §2.F).
+
+One Lloyd iteration decomposed into its two distributable halves — the
+pattern every 100 TB embedding-clustering job (IVF index training,
+SemDeDup coarse clustering, corpus topic bucketing) is built from:
+
+- **Assignment** (`kmeans_assign`): centroids are tiny (k × dim) and
+  BROADCAST; the corpus is scanned once, each vector scored against k
+  centroids with an exact sequential double fold (bit-identical to the
+  DuckDB oracle — same convention as operators/similarity.py). No
+  shuffle of the big side at all; argmin via a per-vector
+  min-by-struct, not a window, so the plan is a single map stage.
+- **Update** (`kmeans_update`): emits per-(centroid, dimension)
+  sufficient statistics (Σx as exact scaled bigints, n) with map-side
+  partial aggregation — the tree-aggregate M-step. Means are NOT
+  divided out: sums of scaled integers are associative and therefore
+  bit-identical under any partitioning/AQE re-plan, while a double mean
+  would be order-dependent. The driver of an iterative fit divides
+  s_scaled/n/1e6 locally (k × dim doubles — trivially small).
+
+The reference has no clustering surface (SURVEY.md §2.C); this extends
+the BASELINE.json north-star set (similarity search / dedup) with the
+training step those operators assume exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+K_CENTROIDS = 8  # seed centroids = the k smallest vec_ids (deterministic)
+COMPONENT_SCALE = 1_000_000  # exact micro-unit integer space for Σx
+
+
+def _sq_dist(a, b):
+    """Exact-order squared L2 distance of two float arrays.
+
+    The identical expression tree to the oracle's
+    list_reduce(list_prepend(0.0, list_transform(list_zip(...)))) —
+    a strict left fold of (x-y)² in element order, so the double is
+    bit-identical across engines (same convention as dedup.dot_double,
+    driver-verified on similarity_topk/ivf)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, dist2): nearest seed centroid per vector.
+
+    Centroids (k rows) broadcast against the corpus; per-vector argmin
+    via min(struct(dist2, cid)) — one wide map + a k-way per-row
+    reduce inside the join projection, grouped per vector. The groupBy
+    on vec_id aggregates k rows per vector; at scale the broadcast
+    join's output is (n·k) narrow rows with map-side partial min, so
+    the shuffle carries one struct per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _sq_dist(F.col("embedding"), F.col("ce")).alias("dist2"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.dist2").alias("dist2"),
+        )
+    )
+    return best
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-step: nearest-centroid assignment for every vector."""
+    return _assignments(spark, sf_dir)
+
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(e.embedding::DOUBLE[], c.ce::DOUBLE[]),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))),
+      (acc, x) -> acc + x) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM scored
+)
+SELECT vec_id, cid, dist2 FROM ranked WHERE rn = 1
+"""
+
+
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-step sufficient statistics: per (centroid, dimension) the
+    exact scaled component sum and member count.
+
+    posexplode fans each vector into (pos, x) rows; the groupBy
+    (cid, pos) aggregation is map-side-combinable, so the shuffle
+    carries k × dim partials per map task regardless of corpus size —
+    the tree-aggregate shape. Component sums are exact bigints
+    (ROUND(x·1e6): the scaled double is the same IEEE value in every
+    engine, integer sums are order-independent — see
+    functions/numeric.py)."""
+    best = _assignments(spark, sf_dir).select("vec_id", "cid")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    comp = emb.join(best, "vec_id").select(
+        "cid", F.posexplode("embedding").alias("pos", "x")
+    )
+    return (
+        comp.groupBy("cid", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * COMPONENT_SCALE).cast(
+                    "long"
+                )
+            ).alias("s_scaled"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_KMEANS_UPDATE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(e.embedding::DOUBLE[], c.ce::DOUBLE[]),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))),
+      (acc, x) -> acc + x) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+comp AS (
+  SELECT a.cid,
+         CAST(unnest(range(len(e.embedding))) AS BIGINT) AS pos,
+         unnest(e.embedding::DOUBLE[]) AS x
+  FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT cid, pos,
+  CAST(SUM(CAST(ROUND(x * {COMPONENT_SCALE}) AS BIGINT)) AS BIGINT)
+    AS s_scaled,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM comp
+GROUP BY cid, pos
+"""
+
+
+QUERIES = {
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_update": q_kmeans_update,
+}
+
+ORACLES = {
+    "kmeans_assign": ORACLE_KMEANS_ASSIGN,
+    "kmeans_update": ORACLE_KMEANS_UPDATE,
+}

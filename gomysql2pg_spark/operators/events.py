@@ -279,8 +279,82 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling-window anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_LOOKBACK = 10  # trailing events forming the per-user baseline
+ANOMALY_MIN_PREV = 5  # minimum history before a verdict is issued
+ANOMALY_FACTOR = 3  # spike = value > FACTOR × trailing mean
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling spike detection: an event is a spike when its
+    value exceeds 3× the mean of the user's previous ≤10 events (with
+    at least 5 of history) — the monitoring/outlier-gate shape of an
+    event pipeline.
+
+    Scale: ONE window partitioned by user_id (parallel across users, no
+    global sort); the verdict is pure integer math in exact cents —
+    `v·cnt > 3·sum` instead of `v > 3·sum/cnt` — so no float division
+    or order-dependent double sum exists and the flag is bit-stable
+    under any partitioning (same discipline as functions/numeric.py).
+    Events with insufficient history get verdict 0, not dropped
+    (degrade, not drop)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    prev_cnt = F.count("vc").over(w)
+    prev_sum = F.sum("vc").over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", vc.alias("vc"))
+        .select(
+            "event_id",
+            "user_id",
+            "vc",
+            prev_cnt.alias("prev_cnt"),
+            F.coalesce(prev_sum, F.lit(0)).cast("long").alias("prev_sum"),
+            F.when(
+                (prev_cnt >= ANOMALY_MIN_PREV)
+                & (
+                    F.col("vc") * prev_cnt
+                    > F.lit(ANOMALY_FACTOR) * prev_sum
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_spike"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, vc,
+  CAST(COUNT(vc) OVER w AS BIGINT) AS prev_cnt,
+  CAST(COALESCE(SUM(vc) OVER w, 0) AS BIGINT) AS prev_sum,
+  CAST(CASE WHEN COUNT(vc) OVER w >= {ANOMALY_MIN_PREV}
+             AND vc * COUNT(vc) OVER w
+                 > {ANOMALY_FACTOR} * SUM(vc) OVER w
+        THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
+    "events_anomaly": q_events_anomaly,
     "events_funnel": q_events_funnel,
     "events_cdc_merge": q_events_cdc_merge,
     "events_sessionize": q_events_sessionize,
@@ -290,6 +364,7 @@ QUERIES = {
 
 ORACLES = {
     "events_window": ORACLE_EVENTS_WINDOW,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_cdc_merge": ORACLE_EVENTS_CDC_MERGE,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,

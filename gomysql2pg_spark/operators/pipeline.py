@@ -15,7 +15,7 @@ engine's pieces the way a production training-data pipeline does
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -366,8 +366,87 @@ GROUP BY h
 """
 
 
+# ---------------------------------------------------------------------------
+# token-budget selection (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+BAND_WIDTH = 256  # score band width for the two-level cumulative sum
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy document selection under a global token budget: rank by
+    score (here: length, standing in for a quality score), keep the
+    prefix whose cumulative token count fits budget = Σtokens/2. The
+    data-mixing step of a pretraining pipeline ("take the best N
+    tokens of this source").
+
+    A naive SUM() OVER (ORDER BY …) is a single-partition sort at
+    scale. This is the classic two-level distributed prefix sum
+    instead: (1) bucket docs into coarse score bands (band order =
+    score order, since band = floor(score/width)); (2) aggregate
+    per-band token totals — a tiny frame — and window THAT for each
+    band's base offset; (3) broadcast the offsets back and compute the
+    within-band running sum with a window PARTITIONED BY band, which
+    parallelizes across bands. base + within ≡ the global cumulative
+    sum (integer addition is associative), which the oracle's global
+    window proves."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import TOKEN_PATTERN
+
+    d = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("score"),
+    ).withColumn("band", F.floor(F.col("score") / BAND_WIDTH))
+    band_tot = d.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    wb = Window.orderBy(F.col("band").desc())  # tiny: ≤ max_score/width rows
+    base = band_tot.withColumn(
+        "offset", F.sum("band_tokens").over(wb) - F.col("band_tokens")
+    )
+    budget = d.agg(
+        F.floor(F.sum("n_tokens") / 2).cast("long").alias("budget")
+    )
+    wd = Window.partitionBy("band").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        d.join(F.broadcast(base.select("band", "offset")), "band")
+        .withColumn(
+            "cum_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(wd)).cast("long"),
+        )
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+    CAST(LENGTH(text) AS BIGINT) AS score
+  FROM documents
+),
+b AS (SELECT CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS budget FROM d),
+c AS (
+  SELECT doc_id, n_tokens, score,
+    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_tokens, score, cum_tokens
+FROM c, b WHERE cum_tokens <= budget
+"""
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
+    "token_budget_select": q_token_budget_select,
     "incremental_dedup": q_incremental_dedup,
     "skew_salted_join": q_skew_salted_join,
     "seq_packing": q_seq_packing,
@@ -377,6 +456,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "token_budget_select": ORACLE_TOKEN_BUDGET,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,
     "seq_packing": ORACLE_SEQ_PACKING,

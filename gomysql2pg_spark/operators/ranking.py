@@ -174,12 +174,148 @@ CROSS JOIN n CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# vocabulary building + OOV scoring
+# ---------------------------------------------------------------------------
+
+VOCAB_N = 100  # ranked vocabulary size emitted by vocab_topk
+OOV_VOCAB_N = 200  # in-vocabulary set used for the OOV-rate probe
+
+
+def _alpha_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) lowercase alphabetic word occurrences."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-N vocabulary with contiguous ids — the tokenizer-prep
+    pass of a training pipeline (word-level vocab, BPE seed alphabet,
+    stopword candidates).
+
+    One explode→groupBy shuffle builds exact type counts; the top-N is
+    TakeOrdered (distributed partial top-k per partition, no global
+    sort); only the N surviving rows pass through the id-assigning
+    window, so the single-partition window is bounded by N regardless
+    of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        _alpha_tokens(docs)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    top = agg.orderBy(F.col("tf").desc(), F.col("token")).limit(VOCAB_N)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return top.withColumn(
+        "vocab_id", F.row_number().over(w).cast("long")
+    )
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+)
+SELECT token, tf, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT)
+         AS vocab_id
+FROM agg
+ORDER BY tf DESC, token
+LIMIT {VOCAB_N}
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary counts against the top-N
+    vocabulary — the quality signal language filters and tokenizer
+    audits use (high OOV ⇒ junk, wrong language, or encoding damage).
+
+    The vocabulary is tiny and BROADCAST; the corpus-side token stream
+    is probed by a broadcast hash join (no shuffle of the big side) and
+    reduced per document with map-side partials. Documents with zero
+    alphabetic tokens are preserved by the outer join with exact zero
+    counts (degrade, not drop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _alpha_tokens(docs)
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(OOV_VOCAB_N)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_alpha_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_alpha_tokens", F.lit(0).cast("long")).alias(
+                "n_alpha_tokens"
+            ),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+        )
+    )
+
+
+ORACLE_OOV_RATE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+  ) ORDER BY tf DESC, token LIMIT {OOV_VOCAB_N}
+),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_alpha_tokens,
+         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_alpha_tokens, 0) AS n_alpha_tokens,
+       COALESCE(per.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
+    "vocab_topk": q_vocab_topk,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLES = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "bm25_components": ORACLE_BM25,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "oov_rate": ORACLE_OOV_RATE,
 }

@@ -32,6 +32,12 @@ QUERIES = [
     "dedup_substring_chunks",
     "validate_content_hash",
     "dedup_clusters",
+    # r3 batch 2: float dist2 fold (kmeans), scaled-bigint M-step sums,
+    # two-level prefix sum ≡ global cumsum at any band partitioning
+    "kmeans_assign",
+    "kmeans_update",
+    "token_budget_select",
+    "events_anomaly",
 ]
 
 

@@ -43,6 +43,13 @@ REPRESENTATIVES = [
     "scd2_intervals",
     "corpus_pipeline",
     "profile_orders",
+    # r3 batch 2
+    "kmeans_assign",
+    "kmeans_update",
+    "vocab_topk",
+    "oov_rate",
+    "token_budget_select",
+    "events_anomaly",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

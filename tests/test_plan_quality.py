@@ -109,6 +109,19 @@ def test_q22_anti_join_and_single_scalar_pass(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_small_sides_broadcast_in_r3_ops(spark, sf_dir, queries):
+    """kmeans: the k-row centroid set must reach every vector by
+    broadcast (nested-loop is fine — there is no equi-key), never a
+    shuffle; oov_rate: the vocabulary probe must be a broadcast hash
+    join on the corpus-side token stream."""
+    plan = plan_of(queries["kmeans_assign"](spark, sf_dir))
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    plan = plan_of(queries["oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_partial_aggregation_before_shuffle(spark, sf_dir, queries):
     """Hash aggregation must be map-side partial + reduce-side final
     (two HashAggregate operators around one Exchange) so the shuffle
@@ -240,6 +253,18 @@ SHUFFLE_BUDGETS = {
     # r3: within-cluster pair join (broadcast at test scale) + one
     # grouped-agg exchange
     "dedup_semantic": 2,
+    # r3 batch 2: k-means (broadcast centroids; per-vector argmin agg /
+    # + posexplode stats agg), vocabulary (token agg incl. distinct-df
+    # expand; id window over the N-row top-k only), OOV probe
+    # (broadcast vocab join; per-doc agg), two-level prefix sum (two
+    # tiny band-frame exchanges + one partitioned window + global-agg
+    # budget), rolling anomaly (one user-partitioned window)
+    "kmeans_assign": 1,
+    "kmeans_update": 2,
+    "vocab_topk": 2,
+    "oov_rate": 2,
+    "token_budget_select": 4,
+    "events_anomaly": 1,
 }
 
 
