@@ -306,11 +306,87 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram log-likelihood — the LM quality filter
+    shape (CCNet-style: score each doc under a corpus language model,
+    gate on the per-token likelihood). A real deployment swaps the
+    self-trained unigram table for a reference-corpus table; the plan
+    is identical.
+
+    Determinism: ln() is quantized to integer micro-units ONCE per
+    vocabulary type (tiny frame), so the per-doc score is a sum of
+    exact bigints — order-independent under any partitioning. The
+    scored vocabulary is BROADCAST; the corpus-side token stream never
+    shuffles for the probe, only the per-doc reduce. Token-less
+    documents survive with zero counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _alpha_tokens(docs)
+    uni = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("total"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    per = (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("sum_logp_micro", F.lit(0).cast("long")).alias(
+                "sum_logp_micro"
+            ),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+uni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+lp AS (
+  SELECT token,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000) AS BIGINT) AS logp_micro
+  FROM uni, tot
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro
+  FROM tok JOIN lp USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.sum_logp_micro, 0) AS sum_logp_micro
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
     "vocab_topk": q_vocab_topk,
     "oov_rate": q_oov_rate,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLES = {
@@ -318,4 +394,5 @@ ORACLES = {
     "bm25_components": ORACLE_BM25,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "oov_rate": ORACLE_OOV_RATE,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
 }

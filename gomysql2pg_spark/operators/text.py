@@ -512,8 +512,90 @@ FROM kept GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# temperature-resampled language mixing
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.3  # flattening temperature: keep ∝ (n_min/n_l)^(1-α)
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing (the multilingual-corpus
+    balancing step): the smallest language keeps 100% of its documents
+    and each larger language is deterministically downsampled with
+    keep probability (n_min/n_l)^(1-α) — flattening the language
+    distribution toward uniform as α→1 while preserving relative order.
+
+    All cross-language inputs are exact integers (per-lang counts, the
+    scalar n_min); the single pow() is quantized to integer permille
+    per LANGUAGE (a ≤#langs-row frame), and admission reuses the
+    engine-portable md5-permille bucket of stratified_sample — seed
+    free, partition-independent, identical in the oracle. The keep
+    decision itself is a broadcast join + filter: no shuffle of the
+    corpus; the audit agg is the only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang_n = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    nmin = lang_n.agg(F.min("n_l").alias("n_min"))
+    keep = lang_n.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.lit(1000),
+            F.round(
+                F.pow(
+                    F.col("n_min").cast("double")
+                    / F.col("n_l").cast("double"),
+                    F.lit(1.0 - TEMP_ALPHA),
+                )
+                * 1000
+            ).cast("long"),
+        ).alias("keep_permille"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    kept = (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(keep), "lang")
+        .filter(F.col("bucket") < F.col("keep_permille"))
+    )
+    return kept.groupBy("lang", "n_l", "keep_permille").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH lang_n AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang
+),
+keepers AS (
+  SELECT lang, n_l,
+    LEAST(1000, CAST(ROUND(
+      POWER(CAST((SELECT MIN(n_l) FROM lang_n) AS DOUBLE)
+              / CAST(n_l AS DOUBLE), {1.0 - TEMP_ALPHA}) * 1000)
+      AS BIGINT)) AS keep_permille
+  FROM lang_n
+),
+kept AS (
+  SELECT d.doc_id, d.lang, k.n_l, k.keep_permille
+  FROM documents d JOIN keepers k USING (lang)
+  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) % 1000 < k.keep_permille
+)
+SELECT lang, n_l, keep_permille, COUNT(*) AS n_kept,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM kept GROUP BY lang, n_l, keep_permille
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
+    "temperature_sample": q_temperature_sample,
     "repetition_filter": q_repetition_filter,
     "stratified_sample": q_stratified_sample,
     "bigram_counts": q_bigram_counts,
@@ -526,6 +608,7 @@ QUERIES = {
 
 ORACLES = {
     "pii_scrub": ORACLE_PII_SCRUB,
+    "temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "repetition_filter": ORACLE_REPETITION_FILTER,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "bigram_counts": ORACLE_BIGRAM_COUNTS,

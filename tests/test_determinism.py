@@ -38,6 +38,9 @@ QUERIES = [
     "kmeans_update",
     "token_budget_select",
     "events_anomaly",
+    # quantized ln/pow over exact-integer inputs must not drift
+    "unigram_logprob",
+    "temperature_sample",
 ]
 
 

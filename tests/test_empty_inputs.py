@@ -50,6 +50,8 @@ REPRESENTATIVES = [
     "oov_rate",
     "token_budget_select",
     "events_anomaly",
+    "unigram_logprob",
+    "temperature_sample",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

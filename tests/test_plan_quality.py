@@ -265,6 +265,12 @@ SHUFFLE_BUDGETS = {
     "oov_rate": 2,
     "token_budget_select": 4,
     "events_anomaly": 1,
+    # unigram LM score: vocab agg + corpus-total agg + per-doc agg +
+    # the doc-keyed outer join (both sides doc-cardinality — a shuffle
+    # join IS the right plan; the agg exchange is reused);
+    # temperature mix: two tiny lang-frame aggs + audit agg + probe
+    "unigram_logprob": 4,
+    "temperature_sample": 4,
 }
 
 
