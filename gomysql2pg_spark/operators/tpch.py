@@ -166,29 +166,61 @@ WHERE a.c_custkey % 50 = 0
 Q7_N1, Q7_N2 = "NATION_1", "NATION_2"  # fixture nation names
 
 
+Q7_LO, Q7_HI = "1995-01-01", "1997-01-01"  # spec's two-year ship window
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: lineitem⋈orders is the one big shuffle;
-    supplier/customer join in, both nation dims broadcast, and the
-    nation-pair disjunction ((F→G) OR (G→F)) filters post-join. Ship
-    year via year() stays in codegen."""
+    """TPC-H Q7 shape. Two scale moves beyond the naive join tree:
+
+    1. The ship-date range reaches the lineitem SCAN as a pushed
+       parquet filter (min/max row-group pruning), per the spec's
+       two-year window — not a post-join residual.
+    2. The nation-pair predicate is PUSHED THROUGH the fact join:
+       supplier and customer are pre-joined to the 2-row filtered
+       nation dim, so lineitem and orders are each cut to the ~2/25
+       of rows touching those nations BEFORE the l⋈o join — the big
+       join's input is ~8% per side instead of 100%. Only the
+       direction disjunction ((F→G)|(G→F)) remains post-join, on the
+       already-reduced rows.
+
+    supplier_f is broadcast (supplier ≈ 1% of lineitem, filtered to
+    2/25 of that); customer_f carries no hint — small enough here for
+    auto-broadcast, and at cluster scale AQE/stats make the shuffle
+    -vs-broadcast call on the filtered size."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    )
+    nat2 = nation.filter(F.col("n_name").isin(Q7_N1, Q7_N2))
+    supplier_f = supplier.join(
+        F.broadcast(
+            nat2.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    customer_f = customer.join(
+        F.broadcast(
+            nat2.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    li_f = li.filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    ).join(F.broadcast(supplier_f), F.col("l_suppkey") == F.col("s_suppkey"))
+    orders_f = orders.join(
+        customer_f, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        li_f.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             (
                 (F.col("supp_nation") == Q7_N1)
@@ -217,8 +249,10 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE (sn.n_name = '{Q7_N1}' AND cn.n_name = '{Q7_N2}')
-   OR (sn.n_name = '{Q7_N2}' AND cn.n_name = '{Q7_N1}')
+WHERE ((sn.n_name = '{Q7_N1}' AND cn.n_name = '{Q7_N2}')
+   OR (sn.n_name = '{Q7_N2}' AND cn.n_name = '{Q7_N1}'))
+  AND l_shipdate >= TIMESTAMP '{Q7_LO} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q7_HI} 00:00:00'
 GROUP BY 1, 2, 3
 """
 
@@ -232,11 +266,21 @@ Q8_REGION = "AMERICA"
 Q8_TYPE = "STANDARD"
 
 
+Q8_LO, Q8_HI = "1995-01-01", "1997-01-01"  # spec's two-year order window
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: market share = conditional-sum / sum per year —
     the one-pass CASE-aggregation idiom (no self-join). Share is a
     single double division of two exact bigints (deterministic).
-    part/supplier/nation/region broadcast; lineitem⋈orders shuffles."""
+
+    Scale moves: the p_type filter cuts lineitem via the broadcast
+    part join BEFORE the l⋈o join; the order-date window is pushed to
+    the orders parquet scan; and the region predicate is pushed
+    THROUGH the fact join by pre-joining customer to the AMERICA
+    nation list (broadcast 2-level dim: region⋈nation collapses to a
+    ≤25-row in-list) — orders is cut to ~1/5 before the big join
+    rather than after it."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -247,21 +291,32 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = nation.select(
-        F.col("n_nationkey").alias("cn_key"),
-        F.col("n_regionkey").alias("cn_region"),
+    # region⋈nation folds to the tiny set of AMERICA nation keys
+    cn_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == Q8_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    customer_f = customer.join(
+        F.broadcast(cn_in_region), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    orders_f = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(Q8_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q8_HI).cast("timestamp"))
+        )
+        .join(customer_f, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
     )
     revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     joined = (
         li.join(F.broadcast(part.filter(F.col("p_type").contains(Q8_TYPE))),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == Q8_REGION)
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
@@ -298,6 +353,8 @@ WITH j AS (
   JOIN nation cn ON c_nationkey = cn.n_nationkey
   JOIN region   ON cn.n_regionkey = r_regionkey
   WHERE r_name = '{Q8_REGION}' AND p_type LIKE '%{Q8_TYPE}%'
+    AND o_orderdate >= TIMESTAMP '{Q8_LO} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{Q8_HI} 00:00:00'
 )
 SELECT CAST(o_year AS INT) AS o_year,
        CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev ELSE 0 END)

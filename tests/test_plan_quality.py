@@ -77,10 +77,12 @@ def test_q5_broadcasts_all_dims(spark, sf_dir, queries):
 
 
 def test_new_tpch_dims_broadcast(spark, sf_dir, queries):
-    """Q8/Q14/Q17/Q19: part (and the other dims) are broadcast — the
-    only shuffle left is the fact-side aggregation exchange."""
+    """Q14/Q17/Q19: part (and the other dims) are broadcast — the
+    only shuffle left is the fact-side aggregation exchange. Q8 keeps
+    its true dims (part/supplier/nation) broadcast but joins the
+    pre-filtered orders frame by shuffle (fact-sized at scale; AQE
+    may flip it to broadcast at runtime)."""
     for name in (
-        "q8_market_share",
         "q14_promo_revenue",
         "q17_small_qty_revenue",
         "q18_large_volume",
@@ -89,6 +91,21 @@ def test_new_tpch_dims_broadcast(spark, sf_dir, queries):
         plan = plan_of(queries[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+    plan = plan_of(queries["q8_market_share"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q7_q8_pushdown_reaches_scan(spark, sf_dir, queries):
+    """The spec date windows must reach the parquet scans as pushed
+    filters (row-group pruning), not sit above the joins."""
+    plan = plan_of(queries["q7_volume_shipping"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln
+               for ln in pushed), pushed
+    plan = plan_of(queries["q8_market_share"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln
+               for ln in pushed), pushed
 
 
 def test_q13_outer_join_preserves_customer(spark, sf_dir, queries):
@@ -236,8 +253,14 @@ SHUFFLE_BUDGETS = {
     "dedup_substring_chunks": 4,
     "decontamination_check": 1,
     "stratified_sample": 1,
-    "q7_volume_shipping": 1,
-    "q8_market_share": 1,
+    # q7/q8 (r3 rewrite): the dimension predicates are pushed THROUGH
+    # the fact join (customer/orders pre-filtered before l⋈o), so the
+    # plan carries the co-partitioned shuffle joins of the two filtered
+    # fact-sized frames plus the agg — 3 exchanges of ~8-20% volume
+    # beat 1 exchange of 100%; AQE converts them to broadcasts when
+    # the filtered sides turn out small
+    "q7_volume_shipping": 3,
+    "q8_market_share": 3,
     "q13_custdist": 2,
     "q14_promo_revenue": 1,
     "q15_top_supplier": 2,
