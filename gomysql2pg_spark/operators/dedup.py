@@ -286,8 +286,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     shingling per hash and compiles a huge expression tree; measured 10×
     slower.)"""
     sh = _shingle_df(docs)
+    # hash the shingle STRING once; the n_hashes permutations are
+    # derived by re-hashing the resulting 64-bit value with the
+    # permutation index (long⊕long xxhash — a few ns) instead of
+    # re-hashing the string bytes n_hashes times. Same independent-
+    # permutation property, ~n_hashes× less string hashing — the
+    # dominant cost of the signature stage.
+    sh = sh.withColumn("h0", F.xxhash64("s"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     per = sh.groupBy("doc_id").agg(*aggs)
