@@ -38,6 +38,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -277,6 +278,90 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operator: streaming anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("vc", LongType()),
+        StructField("prev_cnt", LongType()),
+        StructField("prev_sum", LongType()),
+        StructField("is_spike", LongType()),
+    ]
+)
+ANOMALY_STATE_SCHEMA = StructType(
+    [StructField("hist", ArrayType(LongType()))]
+)
+
+
+def make_anomaly_worker(
+    lookback: int = 10, min_prev: int = 5, factor: int = 3
+):
+    """applyInPandasWithState worker: per-user bounded trailing-value
+    deque (≤`lookback` exact-cents longs). Each event gets a verdict
+    against the history *then* enters it — identical semantics to the
+    batch `events.q_events_anomaly` ROWS BETWEEN window, but the state
+    survives across micro-batches so late batches continue the same
+    history instead of re-scanning. Pure integer math in the fold
+    (same determinism discipline as the batch twin)."""
+
+    def update(key, pdfs: Iterator, state):
+        import pandas as pd
+
+        hist = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield pd.DataFrame(
+                {f.name: [] for f in ANOMALY_OUT_SCHEMA.fields}
+            )
+            return
+        pdf = pd.concat(frames).sort_values(["us", "event_id"])
+        out: dict[str, list] = {
+            f.name: [] for f in ANOMALY_OUT_SCHEMA.fields
+        }
+        uid = int(key[0])
+        for eid, vc in zip(pdf["event_id"], pdf["vc"]):
+            cnt, s = len(hist), sum(hist)
+            spike = 1 if (cnt >= min_prev and vc * cnt > factor * s) else 0
+            out["event_id"].append(int(eid))
+            out["user_id"].append(uid)
+            out["vc"].append(int(vc))
+            out["prev_cnt"].append(cnt)
+            out["prev_sum"].append(s)
+            out["is_spike"].append(spike)
+            hist.append(int(vc))
+            hist = hist[-lookback:]
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def stateful_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming spike detection — the truly-incremental twin of the
+    batch rolling-window operator. State per user is ≤10 longs (hard
+    bound, no watermark needed for correctness of the verdict); the
+    only shuffle is the groupBy(user_id) state partitioning."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepped = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        make_anomaly_worker(),
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # harness: drain a stream, return the final static result
 # ---------------------------------------------------------------------------
 
@@ -508,7 +593,23 @@ GROUP BY user_id
 """
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling-spike detection via the custom stateful
+    operator. Each event is emitted exactly once (update mode; the
+    verdict for an event never changes once issued), so the drained
+    result equals the batch window exactly — the oracle is the SAME
+    SQL as the batch twin `events_anomaly`."""
+    ev = read_events_stream(spark, sf_dir)
+    name = run_to_memory(stateful_anomaly(ev), output_mode="update")
+    return spark.table(name)
+
+
+# the streaming path must reproduce the batch window bit-for-bit
+from ..operators.events import ORACLE_EVENTS_ANOMALY as _ORACLE_ANOMALY
+
+
 QUERIES = {
+    "stream_anomaly": q_stream_anomaly,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_session_windows": q_stream_session_windows,
@@ -519,6 +620,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_anomaly": _ORACLE_ANOMALY,
     "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
     "stream_dedup_then_window": ORACLE_STREAM_DEDUP_WINDOW,
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,

@@ -67,6 +67,47 @@ def test_dedup_stream_keeps_every_unique_event(spark, sf_dir):
     assert _rows(got, ["event_id"]) == _rows(batch, ["event_id"])
 
 
+def test_stream_anomaly_state_continues_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """The per-user trailing-history deque must CONTINUE across
+    micro-batches: split the fixture at the time median into two files
+    processed oldest-first (one per trigger) — verdicts for
+    second-half events depend on first-half history held in state, and
+    the drained result must equal the batch window over the full
+    table bit-for-bit."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    stats = ev_batch.select(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).first()
+    cut = stats["lo"] + (stats["hi"] - stats["lo"]) // 2
+    src = str(tmp_path / "events_halves")
+    os.makedirs(src)
+    ev_batch.filter(us < cut).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    ev_batch.filter(us >= cut).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    # file source picks oldest-mtime first: pin the half order
+    for i, d in enumerate(["a", "b"]):
+        for f in glob.glob(os.path.join(src, d, "*.parquet")):
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    name = S.run_to_memory(S.stateful_anomaly(stream), output_mode="update")
+    got = spark.table(name)
+    from gomysql2pg_spark.operators.events import q_events_anomaly
+
+    expected = q_events_anomaly(spark, sf_dir)
+    cols = ["event_id", "user_id", "vc", "prev_cnt", "prev_sum", "is_spike"]
+    assert _rows(got, cols) == _rows(expected, cols)
+
+
 def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
     """Split the fixture into several files and force one file per
     micro-batch: the stateful operator must carry state across batches
