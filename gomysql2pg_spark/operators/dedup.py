@@ -895,8 +895,20 @@ GROUP BY doc_id
 # production run tunes this against a held-out duplicate sample.
 SEMDEDUP_THRESHOLD = 0.30
 
+# Within one cluster the pair join IS exact all-pairs, so the same
+# bound as the corpus-level exact verifier applies per cluster: a
+# 100k-vector cluster is 10^10 pairs — a skew bomb that AQE cannot
+# split (it's one join key). Enforced, not assumed: upstream IVF
+# sub-splitting (operators.similarity / kmeans_fit) is the fix.
+MAX_SEMANTIC_CLUSTER = MAX_EXACT_VECTORS
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def q_dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_cluster: int = MAX_SEMANTIC_CLUSTER,
+) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
     2303.09540): compare embeddings only WITHIN a coarse cluster
     (`label` = k-means cell), marking each vector dominated by an
@@ -906,12 +918,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates toward: pair count is Σ|cluster|², not |corpus|². The plan
     shuffles both sides once on `label` (at 100 TB the corpus is
     bucketed by cluster id, making this join co-located and
-    shuffle-free); a skewed mega-cluster is handled upstream by
-    IVF sub-splitting, not here. Cosine goes through the same
+    shuffle-free); a skewed mega-cluster is refused (see the
+    ``max_cluster`` guard below) — the Σ|cluster|² cost bound is an
+    enforced precondition, not an assumed input contract — and is
+    handled upstream by IVF sub-splitting. Cosine goes through the same
     sequential double fold as the similarity operators, so the value —
     and therefore the ≥-threshold keep set — is bit-identical to the
     oracle."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_table(spark, sf_dir, "embeddings")
+    # guard: one map-side-combinable count per label (reads only the
+    # label column off parquet), negligible next to the pair join it
+    # protects against
+    biggest = (
+        emb.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+    )
+    if biggest > max_cluster:
+        raise ValueError(
+            f"dedup_semantic compares all pairs WITHIN a cluster; the "
+            f"largest cluster has {biggest} vectors (> {max_cluster}), "
+            f"i.e. ~{biggest * biggest:,} pairs on one un-splittable "
+            f"join key. Sub-split mega-clusters upstream (kmeans_fit "
+            f"with larger k, or similarity_ivf cells), or pass "
+            f"max_cluster={biggest} to opt in explicitly."
+        )
+    emb = emb.withColumn(
         # norm ONCE per vector (O(n·d)), not once per pair (O(pairs·d));
         # cos = dot/(na·nb) with na = sqrt(dot(a,a)) is the identical
         # float expression tree to cosine_col, so values stay
