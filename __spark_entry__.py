@@ -22,33 +22,27 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- round-2 additions, never driver-checked (16) ---
-    "q7_volume_shipping", "q8_market_share", "q13_custdist",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q19_disjunctive", "q22_dormant_customers",
-    "repetition_filter", "stratified_sample",
-    "dedup_substring_chunks", "decontamination_check", "incremental_dedup",
-    "ratio_to_report", "ts_ohlc", "scd2_intervals",
-    # --- upgraded from rows-only: recursive-CTE oracle added r2 ---
-    "dedup_clusters",
-    # --- round-1 tail, never driver-checked (26) ---
-    "mm_metadata", "mm_decode", "mm_frame_sample", "mm_resize",
-    "mm_features",
+    # --- r6: never driver-checked after 5 rounds (12) ---
+    "dedup_containment", "dedup_lines", "events_anomaly",
+    "kmeans_assign", "kmeans_update", "oov_rate", "q18_large_volume",
+    "stream_anomaly", "temperature_sample", "token_budget_select",
+    "unigram_logprob", "vocab_topk",
+    # --- r6: re-verify the timestamp-unit fix (12 batch crashers) ---
+    "ts_ohlc", "scd2_intervals", "ts_gapfill_ffill", "events_ema",
+    "events_window", "events_sessionize", "events_latest_per_user",
+    "events_funnel", "events_cdc_merge", "events_asof_purchase",
+    "events_asof_next_purchase", "events_asof_tolerance",
+    # --- r6: re-verify the streaming reader fix (5 wrong + 2 touched) ---
     "stream_windowed_counts", "stream_sliding_windows",
-    "stream_session_windows", "stream_stream_join", "stream_dedup",
-    "stream_dedup_then_window", "stream_stateful_totals",
-    "map_funcs", "regex_funcs", "math_funcs", "array_funcs",
-    "sequence_semantics", "random_ids",
-    "ts_gapfill_ffill", "string_distance", "validate_content_hash",
-    "cell_transforms", "typemap_matrix", "pandas_udaf_wavg",
-    "events_ema", "skew_salted_agg",
-    # --- re-verify: code changed since last green row (r3 short-doc
-    # fixes, r2 df cap, r3 embedding gate) or rows-only sketches ---
-    "dedup_jaccard", "dedup_embedding", "bigram_counts",
-    "doc_fingerprint", "approx_quantiles", "dedup_minhash_lsh",
-    # new in r3 (hard oracle — takes the slot of the dedup_simhash
-    # rows-only re-verify, which can never upgrade past rows-only)
-    "dedup_semantic",
+    "stream_session_windows", "stream_stream_join",
+    "stream_dedup_then_window", "stream_dedup", "stream_stateful_totals",
+    # --- green-row canaries: one per operator family (fill to 50) ---
+    "group_agg", "join_multi", "q3_shipping_priority",
+    "q7_volume_shipping", "derived_table", "window_topk",
+    "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
+    "dedup_clusters", "dedup_substring_chunks", "incremental_dedup",
+    "similarity_topk", "similarity_ivf", "text_stats", "lang_id",
+    "mm_metadata", "validate_content_hash", "cell_transforms",
 ]
 
 

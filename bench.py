@@ -59,6 +59,18 @@ HEADLINE = [
     "token_budget_select",
     "oov_rate",
     "events_anomaly",
+    # round-6: every operator family gets a bench row
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q22_dormant_customers",
+    "dedup_containment",
+    "dedup_lines",
+    "vocab_topk",
+    "unigram_logprob",
+    "temperature_sample",
+    "stream_anomaly",
 ]
 
 
@@ -94,40 +106,70 @@ def main() -> None:
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
-    # Per-query time = min over REPS cold executions. This box is a
-    # shared VM with bursty host CPU steal (measured: the same query
-    # ranges 3.5s-28s wall under identical plans); the minimum is the
-    # least-contended estimate of the plan's actual cost, which is the
-    # quantity a cluster capacity plan needs.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    times: dict[str, float] = {}
+    # Per-query time = median over REPS cold executions (min/max kept as
+    # spread). This box is a shared VM with bursty host CPU steal
+    # (measured: the same query ranges 3.5s-28s wall under identical
+    # plans); the median is robust to one contended rep while still
+    # reflecting typical cost. A failing query records null and NEVER
+    # kills the run — two rounds of bench were lost to one
+    # AnalysisException propagating out of the timed loop.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    times: dict[str, float | None] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        best, n = float("inf"), -1
+        fn = qs.get(name)
+        if fn is None:
+            times[name] = None
+            errors[name] = "not in queries() registry"
+            continue
+        samples: list[float] = []
+        n = -1
         for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()  # queries measured independently
-            spark._jvm.System.gc()
-        times[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+            finally:
+                try:
+                    spark.catalog.clearCache()  # measured independently
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
+        if samples:
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
+            print(
+                f"# {name}: {n} rows in {times[name]:.2f}s "
+                f"(min {samples[0]:.2f} max {samples[-1]:.2f}, {len(samples)} reps)",
+                file=sys.stderr,
+            )
+        else:
+            times[name] = None
+            print(f"# {name}: FAILED {errors.get(name, '')}", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    ok = [t for t in times.values() if t is not None]
+    total = round(sum(ok), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf else sf_dir,
-                "cpus": int(cpus),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "n_queries": len(HEADLINE),
+        "n_ok": len(ok),
+        "sf": float(sf) if sf else sf_dir,
+        "cpus": int(cpus),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,37 +44,49 @@ def list_tables(sf_dir: str, exclude: list[str] | None = None) -> list[str]:
     return [n for n in names if not excluded(n, exclude)]
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark refuses to
-    read natively (PARQUET_TYPE_ILLEGAL)."""
+def timestamp_units(path: str) -> dict[str, str]:
+    """Physical parquet timestamp unit per column ('s'|'ms'|'us'|'ns').
+
+    The fixtures have changed encoding between rounds (TIMESTAMP(NANOS)
+    through round 3, TIMESTAMP(MICROS) from round 4) — the loader must be
+    unit-agnostic, like the reference's byte-transparent row pump
+    (`cmd/root.go:435-443`)."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
     schema = pq.read_schema(path)
-    return [
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    return {
+        f.name: f.type.unit for f in schema if pat.is_timestamp(f.type)
+    }
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; lowercase column names (reference `root.go:327-329`).
 
-    Parquet TIMESTAMP(NANOS) columns (the `events.ts` fixture) are
-    unreadable by Spark's vectorized reader; we read them as raw nanos
-    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microsecond
-    timestamps with integer division — the same ns→us truncation DuckDB
-    applies, so values agree across engines."""
+    Timestamp handling is unit-agnostic:
+
+    - TIMESTAMP(NANOS) is unreadable by Spark's vectorized reader
+      (PARQUET_TYPE_ILLEGAL); read as raw nanos
+      (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+      microsecond timestamps — the same ns→us truncation DuckDB applies.
+    - TIMESTAMP(MICROS/MILLIS) without UTC adjustment arrives as
+      TIMESTAMP_NTZ; cast to TIMESTAMP under the pinned-UTC session
+      timezone so `unix_micros` epoch math matches DuckDB's `epoch_us`
+      on the same naive values."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = _nanos_timestamp_cols(path)
+    units = timestamp_units(path)
+    ns_cols = [c for c, u in units.items() if u == "ns"]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     lowered = [c.lower() for c in df.columns]
     if lowered != df.columns:
         df = df.toDF(*lowered)

@@ -21,10 +21,13 @@ final static result — so the driver's DuckDB oracle gate applies to the
   watermark — the oracle encodes exactly that horizon, which is the
   honest semantics a production job sees.
 
-Timestamps: the events fixture stores parquet TIMESTAMP(NANOS), which
-Spark's reader rejects natively; the stream reads nanos as longs
-(`spark.sql.legacy.parquet.nanosAsLong`) and truncates to microsecond
-timestamps — identical to the batch `catalog.load_table` and DuckDB.
+Timestamps: the events fixture's on-disk unit has changed between
+rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so the reader probes
+the physical parquet unit with pyarrow and adapts: ns is read as long
+(`spark.sql.legacy.parquet.nanosAsLong`) and truncated to micros;
+us/ms arrives as TIMESTAMP_NTZ and is cast to TIMESTAMP under the
+pinned-UTC session timezone — identical to the batch
+`catalog.load_table` and DuckDB.
 """
 
 from __future__ import annotations
@@ -46,17 +49,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Raw file-source schema: ts is TIMESTAMP(NANOS) on disk, read as long.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(ts_unit: str) -> StructType:
+    """Raw file-source schema, pinned per on-disk ts unit (streaming
+    sources require an explicit schema). ns must be read as long
+    (Spark rejects TIMESTAMP(NANOS)); us/ms read as TIMESTAMP_NTZ."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 WINDOW_US = 300 * 1_000_000  # 5-minute tumbling windows
 SESSION_GAP_S = 1800  # 30-minute session gap (operators.events twin)
@@ -67,8 +76,10 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (schema pinned —
     streaming sources require it). `path` may be a directory or a single
-    file; nanosecond timestamps are truncated to microseconds."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file; the on-disk timestamp unit is probed with pyarrow and the
+    value normalized to a microsecond-precision TIMESTAMP."""
+    from ..catalog import timestamp_units
+
     if os.path.isdir(path) and os.path.exists(
         os.path.join(path, "events.parquet")
     ):
@@ -87,12 +98,28 @@ def read_events_stream(
         if not os.path.exists(link):
             os.symlink(os.path.abspath(path), link)
         path = link_dir
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    probe = os.path.join(path, "events.parquet") if os.path.isdir(path) else path
+    if os.path.isdir(path) and not os.path.isfile(probe):
+        parquets = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        probe = os.path.join(path, parquets[0]) if parquets else probe
+    ts_unit = timestamp_units(probe).get("ts", "us")
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_events_raw_schema(ts_unit)).format(
+        "parquet"
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = reader.load(path)
+    if ts_unit == "ns":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_counts(
