@@ -36,13 +36,15 @@ _PRIORITY = [
     "stream_windowed_counts", "stream_sliding_windows",
     "stream_session_windows", "stream_stream_join",
     "stream_dedup_then_window", "stream_dedup", "stream_stateful_totals",
+    # --- r6: brand-new sampling/curation family (never checked) ---
+    "domain_cap_sample", "hash_mod_sample", "cohort_retention",
+    "hapax_stats", "ngram_novelty",
     # --- green-row canaries: one per operator family (fill to 50) ---
-    "group_agg", "join_multi", "q3_shipping_priority",
-    "q7_volume_shipping", "derived_table", "window_topk",
+    "group_agg", "q3_shipping_priority", "q7_volume_shipping",
     "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
-    "dedup_clusters", "dedup_substring_chunks", "incremental_dedup",
+    "dedup_clusters", "incremental_dedup",
     "similarity_topk", "similarity_ivf", "text_stats", "lang_id",
-    "mm_metadata", "validate_content_hash", "cell_transforms",
+    "mm_metadata", "validate_content_hash",
 ]
 
 
@@ -73,6 +75,7 @@ def _registries():
         "validation",
         "asof",
         "custom",
+        "sampling",
     ):
         try:
             mod = __import__(

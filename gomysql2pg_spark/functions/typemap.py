@@ -32,6 +32,7 @@ class ColumnMeta:
     numeric_scale: int | None = None  # None models the 'null' scale case
     ordinal_position: int = 0
     comment: str = ""
+    column_type: str = ""  # full COLUMN_TYPE, e.g. "bigint(20) unsigned"
 
 
 @dataclass(frozen=True)
@@ -59,9 +60,26 @@ def map_type(
     char_in_length: bool = False,
     use_nvarchar2: bool = False,
 ) -> tuple[T.DataType, str]:
-    """The `tablemeta.go:96-133` switch, branch for branch."""
+    """The `tablemeta.go:96-133` switch, branch for branch.
+
+    DOCUMENTED DIVERGENCE from the reference: `tablemeta.go:96-133`
+    keys on DATA_TYPE only, silently dropping the `unsigned` attribute
+    — a `bigint unsigned` value above 2^63-1 would overflow the signed
+    target and corrupt data. Here the full COLUMN_TYPE is consulted
+    when provided and unsigned integers are widened to the narrowest
+    lossless type: u-tinyint/u-smallint/u-mediumint fit int;
+    u-int → bigint; u-bigint → decimal(20,0). Zerofill is display-only
+    padding and is intentionally ignored, like the reference."""
     t = col.data_type.lower()
     n = col.char_max_len
+    unsigned = "unsigned" in col.column_type.lower()
+
+    if unsigned and t in ("tinyint", "smallint", "mediumint", "int", "bigint"):
+        if t in ("tinyint", "smallint", "mediumint"):  # max 2^24 < 2^31
+            return T.IntegerType(), "int"
+        if t == "int":  # max 2^32-1 > 2^31-1
+            return T.LongType(), "bigint"
+        return T.DecimalType(20, 0), "decimal(20)"  # u-bigint max 2^64-1
 
     if t in ("int", "mediumint", "tinyint"):  # tablemeta.go:97-98
         return T.IntegerType(), "int"

@@ -1,0 +1,288 @@
+"""Corpus-curation sampling operators (SURVEY.md §2.G, round 6).
+
+The reference's migration pump moves every row (`cmd/root.go:389-516`);
+a 100 TB training-data pipeline instead *selects* rows under explicit,
+reproducible policies. These operators add the standard selection
+toolkit on the `documents` / `events` tables:
+
+- per-domain quota capping (domain balancing a la CommonCrawl curation),
+- deterministic content-hash sampling (reproducible holdouts without
+  RNG state — the md5-bucket trick every dataset card documents),
+- cohort retention (the canonical events-table product analytic),
+- hapax/Zipf vocabulary statistics (corpus health metrics),
+- n-gram novelty vs a benchmark corpus (overlap decontamination
+  upgraded from substring containment to set-overlap scoring).
+
+All plans are single-scan, shuffle-minimal, and UDF-free (whole-stage
+codegen end to end):
+- domain capping shuffles once on `source` (window); a skewed
+  mega-domain is the documented caveat — at 100 TB pre-aggregate counts
+  per domain and broadcast the per-domain keep-threshold instead,
+- hash sampling is a stateless map (zero shuffle, full pushdown),
+- cohort retention shuffles on user then on (cohort, offset) — both
+  map-side combinable,
+- hapax stats explode tokens but aggregate immediately (partial aggs);
+  the (lang, term) key space is vocabulary-sized, not corpus-sized,
+- n-gram novelty broadcast-joins the benchmark side (benchmarks are
+  tiny vs the corpus) — the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: hex-digit → value via position lookup — portable to any SQL engine
+#: (`strpos`/`instr` both exist; avoids hex-cast builtins DuckDB lacks).
+_HEX = "0123456789abcdef"
+
+#: docs kept per source in the quota sample
+DOMAIN_CAP = 50
+
+#: md5 buckets (two trailing hex digits → 0..255) kept by the sample
+HASH_BUCKETS_KEPT = 32  # 32/256 = 12.5 %
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most DOMAIN_CAP docs per
+    `source`, preferring longer documents (ties broken by doc_id so the
+    sample is deterministic). One shuffle on `source`; the per-domain
+    top-k never materializes the full sorted domain (window + filter
+    prunes rank > cap at the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+    )
+
+
+ORACLE_DOMAIN_CAP_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC)
+           AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_source
+FROM ranked WHERE rank_in_source <= {DOMAIN_CAP}
+"""
+
+
+def q_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket sampling: bucket = value of the two
+    trailing hex digits of md5(text) (0..255); keep bucket <
+    HASH_BUCKETS_KEPT. Stateless row-local predicate — zero shuffle,
+    survives any scale, and the same document always lands in the same
+    bucket on every engine (the property RNG sampling lacks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"CAST((instr('{_HEX}', substring(md5(text), 31, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring(md5(text), 32, 1)) - 1) AS INT)"
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < HASH_BUCKETS_KEPT)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+ORACLE_HASH_MOD_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST((strpos('{_HEX}', substr(md5(text), 31, 1)) - 1) * 16
+              + (strpos('{_HEX}', substr(md5(text), 32, 1)) - 1)
+              AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < {HASH_BUCKETS_KEPT}
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention on `events`: cohort = Monday of the
+    user's first event week; one row per (cohort_week, week_offset)
+    counting distinct active users. Two map-side-combinable shuffles
+    (per-user min, then per-cell distinct count) — the classic shape
+    every product-analytics warehouse runs nightly."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    acts = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .select(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("act_week"), F.to_date("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.act_week - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM acts a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+#: tokens for vocabulary statistics: lowercase alphabetic runs
+_WORD_RE = "[a-z]+"
+
+
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary health: vocabulary size, hapax-legomena
+    count (terms occurring exactly once), total token count, and the
+    frequency of the single most common term. Tokens explode once but
+    collapse immediately into (lang, term) partial aggregates — the
+    shuffled key space is vocabulary-sized. The hapax share is the
+    standard Zipf-tail indicator used to spot boilerplate-heavy or
+    OCR-damaged corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
+    term_freq = (
+        docs.select(F.explode(toks).alias("term"), "lang")
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    return term_freq.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum("freq").alias("total_tokens"),
+        F.max("freq").alias("top_term_freq"),
+    )
+
+
+ORACLE_HAPAX_STATS = """
+WITH term_freq AS (
+  SELECT lang, t.term, COUNT(*) AS freq
+  FROM documents,
+       UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(term)
+  GROUP BY lang, t.term
+)
+SELECT lang,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(freq) AS BIGINT) AS total_tokens,
+       MAX(freq) AS top_term_freq
+FROM term_freq GROUP BY lang
+"""
+
+#: n-gram order for novelty scoring; benchmark corpus = academic docs
+NOVELTY_N = 5
+BENCHMARK_SOURCE = "academic"
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the set-overlap upgrade of
+    `decontamination_check`'s substring containment): for every
+    non-benchmark document, count its distinct word 5-grams and how
+    many also occur in the benchmark corpus (`source = 'academic'`).
+    A high matched share flags likely benchmark leakage.
+
+    Scale shape: the benchmark n-gram set is distinct-reduced then
+    broadcast (benchmarks are MBs; the corpus is TBs). Per-document
+    gram dedup happens row-locally via `array_distinct` BEFORE the
+    explode — doc_id is unique, so (doc_id, gram) is globally distinct
+    without any shuffle; the corpus side is scan → explode →
+    local hash-probe → per-doc aggregate, and only per-doc count rows
+    ever move. (A naive `.distinct()` after explode would shuffle
+    every corpus n-gram — the dominant cost at 100 TB.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{_WORD_RE}', 0)")
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= NOVELTY_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(NOVELTY_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_N)),
+            ),
+        ).otherwise(F.array())
+    )
+    with_grams = docs.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    bench = (
+        with_grams.filter(F.col("source") == BENCHMARK_SOURCE)
+        .select("gram")
+        .distinct()
+    )
+    corpus = with_grams.filter(F.col("source") != BENCHMARK_SOURCE)
+    matched = corpus.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    return matched.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_matched"),
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{NOVELTY_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, source,
+           regexp_extract_all(lower(text), '{_WORD_RE}') AS toks
+    FROM documents
+  ),
+  UNNEST(generate_series(1, len(toks) - {NOVELTY_N - 1})) AS s(i)
+  WHERE len(toks) >= {NOVELTY_N}
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{BENCHMARK_SOURCE}'
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched
+FROM grams g LEFT JOIN bench b USING (gram)
+WHERE g.source <> '{BENCHMARK_SOURCE}'
+GROUP BY g.doc_id
+"""
+
+
+QUERIES = {
+    "domain_cap_sample": q_domain_cap_sample,
+    "hash_mod_sample": q_hash_mod_sample,
+    "cohort_retention": q_cohort_retention,
+    "hapax_stats": q_hapax_stats,
+    "ngram_novelty": q_ngram_novelty,
+}
+
+ORACLES = {
+    "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
+    "hash_mod_sample": ORACLE_HASH_MOD_SAMPLE,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
+    "hapax_stats": ORACLE_HAPAX_STATS,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+}

@@ -84,6 +84,15 @@ def partitioned_reader_options(
     }
 
 
+def _lowercase_columns(df: DataFrame) -> DataFrame:
+    """Lowercase column names at scan time, exactly as the reference
+    lowercases source columns before writing (`cmd/root.go:327-329`) —
+    keeps a MixedCase source table round-tripping to the same
+    lowercase target schema as `catalog.load_table`."""
+    lowered = [c.lower() for c in df.columns]
+    return df.toDF(*lowered) if lowered != df.columns else df
+
+
 def read(
     spark: SparkSession,
     cfg: JdbcSourceConfig,
@@ -93,7 +102,8 @@ def read(
 ) -> DataFrame:
     """Execute the read. With a PagePlan, one JDBC partition per
     predicate (the composite/non-numeric-PK path — each page SQL runs
-    server-side, mirroring `runMigration`'s page cursors)."""
+    server-side, mirroring `runMigration`'s page cursors). Column names
+    are lowercased (reference `root.go:327-329`)."""
     if plan is not None and plan.predicates and plan.strategy != "full":
         props = {
             "user": cfg.user,
@@ -101,16 +111,18 @@ def read(
             "driver": cfg.driver,
             "fetchsize": str(cfg.fetch_size),
         }
-        return spark.read.jdbc(
-            cfg.url,
-            table or plan.table,
-            predicates=plan.predicates[: cfg.max_parallel * 50],
-            properties=props,
+        return _lowercase_columns(
+            spark.read.jdbc(
+                cfg.url,
+                table or plan.table,
+                predicates=plan.predicates[: cfg.max_parallel * 50],
+                properties=props,
+            )
         )
     reader = spark.read.format("jdbc")
     for k, v in reader_options(cfg, dbtable=table, query=query).items():
         reader = reader.option(k, v)
-    return reader.load()
+    return _lowercase_columns(reader.load())
 
 
 # catalog discovery (A1): the information_schema query the reference

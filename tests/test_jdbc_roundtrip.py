@@ -123,6 +123,45 @@ def test_jdbc_schema_probe_via_query(spark, derby_url, orders_in_derby):
     assert df.count() > 0
 
 
+def test_jdbc_read_lowercases_mixedcase_columns(spark, derby_url):
+    """Scan-time column lowercasing (reference `cmd/root.go:327-329`):
+    a MixedCase source table must arrive with lowercase names through
+    BOTH sources.jdbc.read paths (plain reader and page-predicate
+    reader), matching catalog.load_table's convention so the write side
+    produces the same target schema the reference does."""
+    from gomysql2pg_spark.plans.pagination import plan_pages
+    from gomysql2pg_spark.sources.jdbc import JdbcSourceConfig, read
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["OrderKey", "CustName"]
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "MIXEDCASE")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    cfg = JdbcSourceConfig(url=derby_url, driver=DRIVER)
+    got = read(spark, cfg, table="MIXEDCASE")
+    assert got.columns == ["orderkey", "custname"]
+    assert got.count() == 3
+
+    plan = plan_pages(
+        "MIXEDCASE",
+        total_rows=3,
+        page_size=2,
+        pk_cols=['"OrderKey"'],
+        pk_numeric=True,
+        pk_min=1,
+        pk_max=3,
+    )
+    got2 = read(spark, cfg, table="MIXEDCASE", plan=plan)
+    assert got2.columns == ["orderkey", "custname"]
+    assert got2.count() == 3
+
+
 def test_jdbc_truncate_overwrite_keeps_table(spark, derby_url, orders_in_derby):
     """A5: truncate-before-load — second overwrite with truncate=true
     must replace the rows, not duplicate them."""

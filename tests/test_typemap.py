@@ -61,6 +61,34 @@ def test_map_type_branches(mysql, kw, spark_t, pg):
     assert pt == pg
 
 
+UNSIGNED_CASES = [
+    # documented divergence from tablemeta.go:96-133 (which drops
+    # `unsigned`): widen to the narrowest lossless type
+    ("tinyint", "tinyint(3) unsigned", T.IntegerType(), "int"),
+    ("smallint", "smallint(5) unsigned", T.IntegerType(), "int"),
+    ("mediumint", "mediumint(8) unsigned", T.IntegerType(), "int"),
+    ("int", "int(10) unsigned", T.LongType(), "bigint"),
+    ("int", "int(10) unsigned zerofill", T.LongType(), "bigint"),
+    ("bigint", "bigint(20) unsigned", T.DecimalType(20, 0), "decimal(20)"),
+]
+
+
+@pytest.mark.parametrize("mysql,coltype,spark_t,pg", UNSIGNED_CASES)
+def test_unsigned_integers_widened(mysql, coltype, spark_t, pg):
+    col = ColumnMeta(name="c", data_type=mysql, column_type=coltype)
+    st, pt = map_type(col)
+    assert st == spark_t
+    assert pt == pg
+
+
+def test_signed_column_type_unchanged():
+    # a populated COLUMN_TYPE without `unsigned` must not alter mapping
+    col = ColumnMeta(name="c", data_type="bigint", column_type="bigint(20)")
+    assert map_type(col) == (T.LongType(), "bigint")
+    col = ColumnMeta(name="c", data_type="int", column_type="int(11)")
+    assert map_type(col) == (T.IntegerType(), "int")
+
+
 def test_varchar_flag_variants():
     col = ColumnMeta(name="c", data_type="varchar", char_max_len=50)
     assert map_type(col, char_in_length=True)[1] == "varchar(50 char)"
