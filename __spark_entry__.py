@@ -38,13 +38,12 @@ _PRIORITY = [
     "stream_dedup_then_window", "stream_dedup", "stream_stateful_totals",
     # --- r6: brand-new sampling/curation family (never checked) ---
     "domain_cap_sample", "hash_mod_sample", "cohort_retention",
-    "hapax_stats", "ngram_novelty",
+    "hapax_stats", "ngram_novelty", "rfm_segments", "engagement_dau",
     # --- green-row canaries: one per operator family (fill to 50) ---
     "group_agg", "q3_shipping_priority", "q7_volume_shipping",
     "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
     "dedup_clusters", "incremental_dedup",
-    "similarity_topk", "similarity_ivf", "text_stats", "lang_id",
-    "mm_metadata", "validate_content_hash",
+    "similarity_topk", "text_stats", "lang_id", "mm_metadata",
 ]
 
 

@@ -77,6 +77,8 @@ HEADLINE = [
     "cohort_retention",
     "hapax_stats",
     "ngram_novelty",
+    "rfm_segments",
+    "engagement_dau",
 ]
 
 

@@ -271,12 +271,140 @@ GROUP BY g.doc_id
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation on `events`: per-user Recency (days since
+    last event vs corpus max), Frequency (event count), Monetary
+    (exact value cents), each bucketed into quartiles with NTILE over a
+    fully deterministic order (metric, then user_id — no tie ambiguity
+    across engines). Output: one row per (r,f,m) segment with user
+    count and summed monetary cents.
+
+    Scale: the per-user aggregate is one map-side-combinable shuffle on
+    user_id; the NTILE windows are unpartitioned ORDER BYs, which
+    single-thread at 100 TB — there the quartile cutpoints come from
+    approx/exact percentiles broadcast back (same results, parallel
+    plan); the exact NTILE here doubles as that path's oracle."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("corpus_max"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("corpus_max"), F.to_date("last_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("user_id").asc()
+    )
+    scored = per_user.select(
+        "user_id",
+        "monetary_cents",
+        F.ntile(4).over(r_w).alias("r_quartile"),
+        F.ntile(4).over(f_w).alias("f_quartile"),
+        F.ntile(4).over(m_w).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(date_trunc('day', (SELECT MAX(ts) FROM events)) AS DATE)
+           - CAST(date_trunc('day', MAX(ts)) AS DATE) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, monetary_cents,
+         NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+           AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+           AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+           AS m_quartile
+  FROM per_user
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       COUNT(*) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
+def q_engagement_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly engagement on `events`: per calendar day, distinct
+    active users (DAU) and the distinct actives of the containing
+    Monday-start week (WAU) — the DAU/WAU pair whose ratio is the
+    product-stickiness metric (kept as two exact integers; the division
+    is presentation-layer). Two distinct-aggregates, each one shuffle;
+    the day→week join broadcasts the tiny per-week table."""
+    events = load_table(spark, sf_dir, "events")
+    dau = (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            "user_id",
+        )
+        .groupBy("day", "wk")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    wau = (
+        events.select(
+            F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+        )
+        .groupBy("wk")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(F.broadcast(wau), "wk")
+        .select("day", "dau", "wau")
+    )
+
+
+ORACLE_ENGAGEMENT_DAU = """
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, date_trunc('week', ts) AS wk,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+),
+wau AS (
+  SELECT date_trunc('week', ts) AS wk, COUNT(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w USING (wk)
+"""
+
+
 QUERIES = {
     "domain_cap_sample": q_domain_cap_sample,
     "hash_mod_sample": q_hash_mod_sample,
     "cohort_retention": q_cohort_retention,
     "hapax_stats": q_hapax_stats,
     "ngram_novelty": q_ngram_novelty,
+    "rfm_segments": q_rfm_segments,
+    "engagement_dau": q_engagement_dau,
 }
 
 ORACLES = {
@@ -285,4 +413,6 @@ ORACLES = {
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "hapax_stats": ORACLE_HAPAX_STATS,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "engagement_dau": ORACLE_ENGAGEMENT_DAU,
 }

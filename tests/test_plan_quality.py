@@ -294,6 +294,20 @@ SHUFFLE_BUDGETS = {
     # temperature mix: two tiny lang-frame aggs + audit agg + probe
     "unigram_logprob": 4,
     "temperature_sample": 4,
+    # r6 sampling/curation family: domain cap = one window exchange on
+    # source; hash sample = stateless predicate, ZERO shuffles; cohort
+    # = user agg + distinct + join + cell agg; hapax = vocab-keyed agg
+    # + lang agg; ngram novelty = benchmark distinct + per-doc agg
+    # (corpus grams never shuffle — array_distinct pre-explode);
+    # rfm = user agg + one shared single-partition window exchange +
+    # segment agg; dau/wau = two distinct aggs + broadcast week join
+    "domain_cap_sample": 1,
+    "hash_mod_sample": 0,
+    "cohort_retention": 4,
+    "hapax_stats": 2,
+    "ngram_novelty": 2,
+    "rfm_segments": 3,
+    "engagement_dau": 4,
 }
 
 
@@ -325,6 +339,41 @@ def test_no_driver_side_row_collection_in_engine():
         assert ".toPandas()" not in src, py
         if py.name != "validate.py":
             assert ".collect()" not in src, py
+
+
+def test_hash_mod_sample_fully_codegen_no_shuffle(spark, sf_dir, queries):
+    """The md5-bucket sample must be a single codegen span over the
+    scan: predicate evaluated row-locally, no Exchange anywhere, and
+    the untouched columns pruned from the read schema."""
+    df = queries["hash_mod_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "source" not in rs and "n_chars" not in rs, rs
+
+
+def test_ngram_novelty_broadcasts_benchmark(spark, sf_dir, queries):
+    """The benchmark gram set must be broadcast; the corpus side must
+    flow scan→explode→join with no Exchange before the join (per-doc
+    dedup happens via array_distinct, not a distinct shuffle)."""
+    df = queries["ngram_novelty"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # corpus branch = the BuildRight join's left child: walk the text
+    # plan — between the corpus-side Generate and the join there must
+    # be no Exchange line
+    lines = plan.splitlines()
+    join_idx = next(
+        i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+    )
+    corpus_branch = []
+    for ln in lines[join_idx + 1 :]:
+        if "BroadcastExchange" in ln:
+            break
+        corpus_branch.append(ln)
+    assert not any("Exchange" in ln for ln in corpus_branch), plan
 
 
 def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
