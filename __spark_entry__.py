@@ -39,11 +39,12 @@ _PRIORITY = [
     # --- r6: brand-new sampling/curation family (never checked) ---
     "domain_cap_sample", "hash_mod_sample", "cohort_retention",
     "hapax_stats", "ngram_novelty", "rfm_segments", "engagement_dau",
+    "value_quantiles", "key_skew_histogram",
+    "validate_fk_orphans", "validate_bucket_checksum",
     # --- green-row canaries: one per operator family (fill to 50) ---
     "group_agg", "q3_shipping_priority", "q7_volume_shipping",
     "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
     "dedup_clusters", "incremental_dedup",
-    "similarity_topk", "text_stats", "lang_id", "mm_metadata",
 ]
 
 

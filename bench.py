@@ -79,6 +79,10 @@ HEADLINE = [
     "ngram_novelty",
     "rfm_segments",
     "engagement_dau",
+    "value_quantiles",
+    "key_skew_histogram",
+    "validate_fk_orphans",
+    "validate_bucket_checksum",
 ]
 
 

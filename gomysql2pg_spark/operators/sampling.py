@@ -397,7 +397,94 @@ FROM dau d JOIN wau w USING (wk)
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of event value (in cents) per
+    event_type — the distribution profile a capacity plan reads before
+    sizing shuffle partitions. percentile_disc returns actual data
+    values (no interpolation), so results are exact integers identical
+    on every engine. At 100 TB swap in approx_percentile (t-digest,
+    map-side combinable) — this exact formulation is its oracle."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cents.createOrReplaceTempView("_vq_cents")
+    return spark.sql(
+        """
+        SELECT event_type,
+               MIN(cents) AS p0,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p25,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p50,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p75,
+               CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+                    AS BIGINT) AS p95,
+               MAX(cents) AS p100
+        FROM _vq_cents GROUP BY event_type
+        """
+    )
+
+
+ORACLE_VALUE_QUANTILES = """
+WITH cents AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       MIN(cents) AS p0,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS p25,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS p50,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS p75,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS p95,
+       MAX(cents) AS p100
+FROM cents GROUP BY event_type
+"""
+
+
+def q_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: per-custkey order counts collapsed into
+    log2 buckets (bucket = length(bin(count)) = floor(log2)+1). This
+    is the pre-flight check that decides broadcast vs shuffle vs
+    salted join at 100 TB — a heavy tail in high buckets means the
+    plain shuffle join will straggle. Two map-side-combinable
+    aggregations; the histogram itself is at most 64 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        per_key.withColumn(
+            "log2_bucket", F.length(F.expr("bin(cnt)")).cast("int")
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_per_key"),
+        )
+    )
+
+
+ORACLE_KEY_SKEW_HISTOGRAM = """
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT CAST(length(bin(cnt)) AS INTEGER) AS log2_bucket,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_per_key
+FROM per_key GROUP BY 1
+"""
+
+
 QUERIES = {
+    "value_quantiles": q_value_quantiles,
+    "key_skew_histogram": q_key_skew_histogram,
     "domain_cap_sample": q_domain_cap_sample,
     "hash_mod_sample": q_hash_mod_sample,
     "cohort_retention": q_cohort_retention,
@@ -408,6 +495,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_quantiles": ORACLE_VALUE_QUANTILES,
+    "key_skew_histogram": ORACLE_KEY_SKEW_HISTOGRAM,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
     "hash_mod_sample": ORACLE_HASH_MOD_SAMPLE,
     "cohort_retention": ORACLE_COHORT_RETENTION,

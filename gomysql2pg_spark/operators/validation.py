@@ -290,8 +290,107 @@ FROM orders
 """
 
 
+#: FK edges of the fixture star schema (child, fk_col, parent, pk_col).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation: per FK edge, child rows whose
+    key has no parent — the post-migration check compareDb's rowcount
+    pass cannot see (counts can match while references dangle;
+    `cmd/compare.go:102-132` stops at counts). Left-anti join per edge;
+    parent key sets are dimension-sized, so every anti-join broadcasts
+    at 100 TB — the child side never shuffles."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        parts.append(
+            orphans.agg(
+                F.lit(f"{child}.{fk}").alias("fk_edge"),
+                F.count("*").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+ORACLE_VALIDATE_FK_ORPHANS = " UNION ALL ".join(
+    f"SELECT '{child}.{fk}' AS fk_edge, COUNT(*) AS n_orphans "
+    f"FROM {child} WHERE {fk} NOT IN (SELECT {pk} FROM {parent})"
+    for child, fk, parent, pk in _FK_EDGES
+)
+
+
+#: canonical columns for the bucketed orders checksum
+_BUCKET_CHECKSUM_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "CENTS:o_totalprice",
+]
+N_CHECKSUM_BUCKETS = 16
+
+
+def q_validate_bucket_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content checksums: the resumable/parallel upgrade of
+    `validate_content_hash` — orders split into key-modulo buckets,
+    one order-insensitive XOR digest per bucket. After an incremental
+    re-load only the touched buckets need re-checking, and buckets
+    compare in parallel on both engines; one map-side-combinable
+    shuffle of N_CHECKSUM_BUCKETS rows."""
+    from ..functions.numeric import cents
+
+    df = load_table(spark, sf_dir, "orders")
+    canon = [
+        cents(c.split(":", 1)[1]).cast("string")
+        if c.startswith("CENTS:")
+        else F.col(c).cast("string")
+        for c in _BUCKET_CHECKSUM_COLS
+    ]
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *canon)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            (F.col("o_orderkey") % N_CHECKSUM_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+            digest.alias("d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(d)").alias("checksum"),
+        )
+    )
+
+
+ORACLE_VALIDATE_BUCKET_CHECKSUM = f"""
+SELECT CAST(o_orderkey % {N_CHECKSUM_BUCKETS} AS INTEGER) AS bucket,
+       COUNT(*) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws('|',
+         CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         CAST(o_orderstatus AS VARCHAR),
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+       )), 1, 15)) AS BIGINT)) AS checksum
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
+    "validate_fk_orphans": q_validate_fk_orphans,
+    "validate_bucket_checksum": q_validate_bucket_checksum,
     "catalog_tables": q_catalog_tables,
     "validate_rowcount": q_validate_rowcount,
     "validate_content_hash": q_validate_content_hash,
@@ -301,6 +400,8 @@ QUERIES = {
 
 ORACLES = {
     "profile_orders": ORACLE_PROFILE_ORDERS,
+    "validate_fk_orphans": ORACLE_VALIDATE_FK_ORPHANS,
+    "validate_bucket_checksum": ORACLE_VALIDATE_BUCKET_CHECKSUM,
     "catalog_tables": ORACLE_CATALOG_TABLES,
     "validate_rowcount": ORACLE_VALIDATE_ROWCOUNT,
     "validate_content_hash": ORACLE_VALIDATE_CONTENT_HASH,

@@ -308,6 +308,16 @@ SHUFFLE_BUDGETS = {
     "ngram_novelty": 2,
     "rfm_segments": 3,
     "engagement_dau": 4,
+    # value profile: per-type exact percentile agg; skew histogram:
+    # per-key agg + tiny bucket agg
+    "value_quantiles": 1,
+    "key_skew_histogram": 2,
+    # r6 validation: per-edge broadcast anti-joins — the child side
+    # never shuffles; the 5 exchanges are SinglePartition carriers of
+    # one partial-count row each (one per FK edge);
+    # bucketed checksum = one bucket-keyed agg
+    "validate_fk_orphans": 5,
+    "validate_bucket_checksum": 1,
 }
 
 
