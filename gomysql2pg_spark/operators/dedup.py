@@ -709,10 +709,14 @@ WITH toks AS (
   FROM documents
 ),
 chunks AS (
+  -- floor (not //, which truncates toward zero): a doc shorter than
+  -- CHUNK_TOKENS has floor((len-20)/10)+1 <= 0 windows on both
+  -- engines; DuckDB's (len-20)//10 would fabricate one clamped short
+  -- window for 11..19-token docs (caught at sf0.1, doc_ids 179/2523)
   SELECT DISTINCT doc_id,
     unnest(list_transform(
-      range(0, greatest(CAST((len(l) - {CHUNK_TOKENS}) // {CHUNK_STRIDE} + 1
-                        AS INT), 0)),
+      range(0, greatest(CAST(floor((len(l) - {CHUNK_TOKENS}) /
+                             {CHUNK_STRIDE}.0) AS INT) + 1, 0)),
       k -> md5(array_to_string(
              l[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
              ' ')))) AS h

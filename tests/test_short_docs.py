@@ -35,6 +35,13 @@ _DOCS = [
     (6, " ".join(f"w{i}" for i in range(20))),
     (7, " ".join(f"w{i}" for i in range(20))),
     (8, " ".join(f"w{i}" for i in range(25))),
+    # DUPLICATE sub-window-length docs (11 tokens): DuckDB's
+    # truncating `//` would fabricate one clamped whole-doc window
+    # each, and being duplicates they'd survive the df>1 filter —
+    # exactly the sf0.1 divergence (doc_ids 179/2523) the floor-based
+    # oracle fixes. A single short doc cannot catch this.
+    (9, " ".join(f"d{i}" for i in range(11))),
+    (10, " ".join(f"d{i}" for i in range(11))),
 ]
 
 
