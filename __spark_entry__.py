@@ -41,10 +41,11 @@ _PRIORITY = [
     "hapax_stats", "ngram_novelty", "rfm_segments", "engagement_dau",
     "value_quantiles", "key_skew_histogram",
     "validate_fk_orphans", "validate_bucket_checksum",
+    "curation_pipeline",
     # --- green-row canaries: one per operator family (fill to 50) ---
     "group_agg", "q3_shipping_priority", "q7_volume_shipping",
     "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
-    "dedup_clusters", "incremental_dedup",
+    "dedup_clusters",
 ]
 
 

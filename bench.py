@@ -83,6 +83,7 @@ HEADLINE = [
     "key_skew_histogram",
     "validate_fk_orphans",
     "validate_bucket_checksum",
+    "curation_pipeline",
 ]
 
 

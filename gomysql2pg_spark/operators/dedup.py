@@ -73,11 +73,23 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column, as an array.
+def tokenize(text_col):
+    """The shared whitespace tokenizer (lowercase, trimmed)."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a TOKEN-ARRAY column.
     Built-in expressions only (transform over sequence + element_at) —
-    no UDF, stays in codegen."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    no UDF, stays in codegen.
+
+    IMPORTANT: pass a materialized column (project `tokenize(...)`
+    through its own select first), not the split expression inline —
+    lambda bodies re-evaluate referenced outer expressions once per
+    element, so an inline split() re-tokenizes the document for every
+    shingle (measured 1.4-5× end-to-end on the shingle pipelines).
+    Multiple syntactic references below keep CollapseProject from
+    substituting the alias back in."""
     # guard the <n-token case: sequence(1, 0) yields the DESCENDING
     # array [1, 0] (never empty), and element_at(toks, 0) throws under
     # ANSI mode — one short doc would kill the whole corpus job. Emit
@@ -95,6 +107,13 @@ def word_shingles(text_col, n: int = 3):
     return F.array_distinct(gram)
 
 
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a TEXT column (compatibility
+    wrapper; prefer the two-step tokenize → shingles_from_tokens via a
+    projection boundary in hot paths — see shingles_from_tokens)."""
+    return shingles_from_tokens(tokenize(text_col), n)
+
+
 def _shingle_df(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded pairs — the inverted-index input.
 
@@ -105,8 +124,13 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
     the source is many splits and this shuffle is a no-op cost-wise
     relative to the shingle explosion it parallelizes."""
     n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id").select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    return (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("toks"))).alias("s"),
+        )
     )
 
 
@@ -383,7 +407,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.join(cand_ids, "doc_id", "left_semi")
         .repartition(n, "doc_id")
-        .select("doc_id", word_shingles(F.col("text")).alias("sset"))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", shingles_from_tokens(F.col("toks")).alias("sset")
+        )
         .persist()
     )
     sh.count()
@@ -662,9 +689,18 @@ def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode windows → (hash, doc) distinct → df(hash) via one groupBy →
     semi-join back — same Σ-bounded shape as the shingle pipeline, and
     chunk hashes are near-unique so no frequency cap is needed (a
-    boilerplate 20-gram IS the signal here)."""
+    boilerplate 20-gram IS the signal here).
+
+    The token array is materialized through its own projection before
+    the window transform — Catalyst inlines column expressions into
+    every lambda call site, so an inline split() would re-tokenize per
+    window (measured 1.4× end-to-end at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pre = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
     n_windows = F.greatest(
         (F.size(toks) - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE) + 1,
         F.lit(0),
@@ -686,7 +722,7 @@ def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     doc_chunks = (
-        docs.select("doc_id", F.explode(chunks).alias("h")).distinct()
+        pre.select("doc_id", F.explode(chunks).alias("h")).distinct()
     )
     shared = (
         doc_chunks.groupBy("h")

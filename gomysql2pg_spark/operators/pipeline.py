@@ -284,22 +284,31 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     max_abs = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    # scale and q each materialize through their own projection: lambda
+    # bodies re-evaluate referenced outer expressions per element, so
+    # inlining `max_abs` into the quantize lambda would recompute the
+    # array_max for every component (O(d²) per vector); `scale` is
+    # carried as an output column alongside its use in the lambda so
+    # CollapseProject cannot substitute it back in (multi-reference).
+    scaled = emb.select("vec_id", "embedding", max_abs.alias("scale"))
     q = F.transform(
         e,
         lambda x: F.round(
-            x.cast("double") * F.lit(127.0) / max_abs
+            x.cast("double") * F.lit(127.0) / F.col("scale")
         ).cast("int"),
     )
+    quantized = scaled.select("vec_id", "scale", q.alias("q"))
     # q8 is serialized to a comma-joined string: array-typed cells crash
     # the driver's canonicalizer (VERDICT r01), and int→string formatting
     # is engine-identical (unlike floats).
-    return emb.select(
+    qc = F.col("q")
+    return quantized.select(
         "vec_id",
         F.array_join(
-            F.transform(q, lambda v: v.cast("string")), ","
+            F.transform(qc, lambda v: v.cast("string")), ","
         ).alias("q8"),
-        max_abs.alias("scale"),
-        F.array_max(F.transform(q, lambda v: F.abs(v))).alias("q_max"),
+        "scale",
+        F.array_max(F.transform(qc, lambda v: F.abs(v))).alias("q_max"),
     )
 
 

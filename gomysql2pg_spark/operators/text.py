@@ -311,7 +311,14 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding quality classifiers / LM filters. explode of adjacent token
     pairs → count; one shuffle on the bigram, partial-aggregated."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # tokens materialized through their own projection: lambda bodies
+    # re-evaluate referenced outer expressions per element, so an
+    # inline split() would re-tokenize per bigram (see
+    # dedup.shingles_from_tokens)
+    pre = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
     # Guard the 0/1-token case: sequence(1, 0) yields the DESCENDING
     # array [1, 0], and element_at(toks, 0) then throws under ANSI mode
     # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word doc anywhere
@@ -327,7 +334,7 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        pre.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -385,16 +392,22 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word doc anywhere
     # in the corpus would kill the job. Emit no bigram indices instead,
     # matching the oracle's range(1, greatest(len-1,0)+1).
+    # Tokens go through their own projection so the bigram lambda
+    # doesn't re-split per element (see dedup.shingles_from_tokens).
+    tokc = F.col("toks")
     idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        F.size(tokc) >= 2, F.sequence(F.lit(1), F.size(tokc) - 1)
     ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            " ", F.element_at(tokc, i), F.element_at(tokc, i + 1)
         ),
     )
     bigram_stats = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    ).select(
         "doc_id",
         F.size(bigrams).alias("n_2grams"),
         (F.size(bigrams) - F.size(F.array_distinct(bigrams))).alias(

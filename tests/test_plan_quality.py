@@ -318,6 +318,9 @@ SHUFFLE_BUDGETS = {
     # bucketed checksum = one bucket-keyed agg
     "validate_fk_orphans": 5,
     "validate_bucket_checksum": 1,
+    # r6 capstone: window exchange on source + dedup-hash agg +
+    # per-source stats agg
+    "curation_pipeline": 3,
 }
 
 
