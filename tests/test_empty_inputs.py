@@ -52,12 +52,29 @@ REPRESENTATIVES = [
     "events_anomaly",
     "unigram_logprob",
     "temperature_sample",
+    # r6 sampling/curation/validation family
+    "domain_cap_sample",
+    "hash_mod_sample",
+    "cohort_retention",
+    "hapax_stats",
+    "ngram_novelty",
+    "rfm_segments",
+    "engagement_dau",
+    "value_quantiles",
+    "key_skew_histogram",
+    "validate_fk_orphans",
+    "validate_bucket_checksum",
+    "curation_pipeline",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
 # semantics: aggregation without GROUP BY always yields a row);
 # value = the exact expected row count
-GLOBAL_AGG = {"profile_orders": 5}
+GLOBAL_AGG = {
+    "profile_orders": 5,
+    # one global count row per FK edge, 0 orphans each
+    "validate_fk_orphans": 5,
+}
 
 
 @pytest.fixture(scope="module")
