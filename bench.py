@@ -119,11 +119,12 @@ def main() -> None:
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
-    # Per-query time = median over REPS cold executions (min/max kept as
-    # spread). This box is a shared VM with bursty host CPU steal
+    # Per-query headline time = MIN over REPS cold executions (the same
+    # metric as every prior round), with median + min/max spread reported
+    # alongside. This box is a shared VM with bursty host CPU steal
     # (measured: the same query ranges 3.5s-28s wall under identical
-    # plans); the median is robust to one contended rep while still
-    # reflecting typical cost. A failing query records null and NEVER
+    # plans); the min is the least-contended estimate, the median/spread
+    # expose the noise. A failing query records null and NEVER
     # kills the run — two rounds of bench were lost to one
     # AnalysisException propagating out of the timed loop.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -60,6 +60,24 @@ def timestamp_units(path: str) -> dict[str, str]:
     }
 
 
+def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
+    """Physical parquet timestamp (unit, tz) per column.
+
+    `tz` is None for naive (isAdjustedToUTC=false) columns and a zone
+    string (usually 'UTC') for UTC-adjusted ones. Streaming sources pin
+    an explicit schema, so they need BOTH facts: the unit decides
+    long-vs-timestamp, the tz decides TIMESTAMP vs TIMESTAMP_NTZ."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return {
+        f.name: (f.type.unit, f.type.tz)
+        for f in schema
+        if pat.is_timestamp(f.type)
+    }
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; lowercase column names (reference `root.go:327-329`).
 

@@ -78,6 +78,56 @@ FROM ranked WHERE rank_in_source <= {DOMAIN_CAP}
 """
 
 
+def q_domain_cap_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe per-domain quota sampling — same rows as
+    `q_domain_cap_sample` (which therefore shares its oracle), without
+    the corpus-wide window that strands a mega-domain (the realistic
+    CommonCrawl case: one domain with 10^9 docs = one straggler
+    partition) on a single reducer:
+
+    1. histogram: ``groupBy(source, n_chars).count()`` — map-side
+       combinable; the mega-domain collapses to its distinct lengths.
+    2. threshold: running count over the *histogram* (window partitions
+       bounded by lengths-per-domain, never docs-per-domain) picks the
+       smallest length still inside the top-DOMAIN_CAP.
+    3. broadcast the one-row-per-domain thresholds back; `n_chars >=
+       threshold` is a stateless scan predicate — at most
+       DOMAIN_CAP + (ties at the boundary length) docs per domain
+       survive.
+    4. exact rank + tie-break runs on that capped candidate set — the
+       rank window's partitions are ≤ cap+ties rows by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    w_hist = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w_hist), F.lit(0))
+        )
+        .filter(F.col("cum_before") < DOMAIN_CAP)
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("len_threshold"))
+    )
+    candidates = docs.join(F.broadcast(thresholds), "source").filter(
+        F.col("n_chars") >= F.col("len_threshold")
+    )
+    w_rank = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    )
+    return (
+        candidates.withColumn("rank_in_source", F.row_number().over(w_rank))
+        .filter(F.col("rank_in_source") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+    )
+
+
 def q_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-bucket sampling: bucket = value of the two
     trailing hex digits of md5(text) (0..255); keep bucket <
@@ -284,24 +334,12 @@ GROUP BY g.doc_id
 """
 
 
-def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM user segmentation on `events`: per-user Recency (days since
-    last event vs corpus max), Frequency (event count), Monetary
-    (exact value cents), each bucketed into quartiles with NTILE over a
-    fully deterministic order (metric, then user_id — no tie ambiguity
-    across engines). Output: one row per (r,f,m) segment with user
-    count and summed monetary cents.
-
-    Scale: the per-user aggregate is one map-side-combinable shuffle on
-    user_id; the NTILE windows are unpartitioned ORDER BYs, which
-    single-thread at 100 TB — there the quartile cutpoints come from
-    approx/exact percentiles broadcast back (same results, parallel
-    plan); the exact NTILE here doubles as that path's oracle."""
-    from pyspark.sql.window import Window
-
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared RFM per-user aggregate: one map-side-combinable shuffle
+    on user_id, corpus-max timestamp broadcast back as a scalar."""
     events = load_table(spark, sf_dir, "events")
     max_ts = events.agg(F.max("ts").alias("corpus_max"))
-    per_user = (
+    return (
         events.groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
@@ -320,6 +358,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation on `events`: per-user Recency (days since
+    last event vs corpus max), Frequency (event count), Monetary
+    (exact value cents), each bucketed into quartiles with NTILE over a
+    fully deterministic order (metric, then user_id — no tie ambiguity
+    across engines). Output: one row per (r,f,m) segment with user
+    count and summed monetary cents.
+
+    Scale: the per-user aggregate is one map-side-combinable shuffle on
+    user_id; the NTILE windows are unpartitioned ORDER BYs, which
+    single-thread at 100 TB — `q_rfm_segments_scaled` is the parallel
+    path (broadcast percentile cutpoints, stateless CASE bucketing);
+    this exact-NTILE formulation stays as the small-scale reference."""
+    from pyspark.sql.window import Window
+
+    per_user = _rfm_per_user(spark, sf_dir)
     r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
     f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
     m_w = Window.orderBy(
@@ -362,6 +418,99 @@ SELECT r_quartile, f_quartile, m_quartile,
        COUNT(*) AS n_users,
        CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
 FROM scored GROUP BY r_quartile, f_quartile, m_quartile
+"""
+
+
+def q_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe RFM segmentation: the three unpartitioned NTILE
+    windows of `q_rfm_segments` (a global single-reducer sort per
+    metric — a non-starter at 10^9 users) are replaced by
+
+    1. one aggregate computing the 3×3 exact `percentile_disc`
+       cutpoints over the per-user table (partial-applied; state is
+       counts per distinct metric value, bounded by value cardinality,
+       not user count — swap in approx_percentile if even that grows),
+    2. a broadcast of that single cutpoint row,
+    3. a stateless CASE bucketing — no sort, no window, fully parallel.
+
+    Quartile rule (value-based, both engines agree exactly on
+    integers): ascending metric (recency) buckets by `x <= p{25,50,75}`;
+    descending metrics (frequency, monetary) by `x > p{75,50,25}`.
+    Ties at a cutpoint land in one bucket (value-determined) rather
+    than being split by user_id as NTILE does, so this is a sibling
+    policy with its own oracle, not a hash-twin of the NTILE entry."""
+    per_user = _rfm_per_user(spark, sf_dir)
+    per_user.createOrReplaceTempView("_rfm_pu")
+    return spark.sql(
+        """
+        WITH cuts AS (
+          SELECT
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+            percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+            percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS m25,
+            percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_cents) AS m50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS m75
+          FROM _rfm_pu
+        )
+        SELECT
+          CASE WHEN recency_days <= r25 THEN 1
+               WHEN recency_days <= r50 THEN 2
+               WHEN recency_days <= r75 THEN 3 ELSE 4 END AS r_quartile,
+          CASE WHEN frequency > f75 THEN 1
+               WHEN frequency > f50 THEN 2
+               WHEN frequency > f25 THEN 3 ELSE 4 END AS f_quartile,
+          CASE WHEN monetary_cents > m75 THEN 1
+               WHEN monetary_cents > m50 THEN 2
+               WHEN monetary_cents > m25 THEN 3 ELSE 4 END AS m_quartile,
+          COUNT(*) AS n_users,
+          CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+        FROM _rfm_pu CROSS JOIN cuts
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+ORACLE_RFM_SEGMENTS_SCALED = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(date_trunc('day', (SELECT MAX(ts) FROM events)) AS DATE)
+           - CAST(date_trunc('day', MAX(ts)) AS DATE) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+),
+cuts AS (
+  SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS m25,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary_cents) AS m50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS m75
+  FROM per_user
+)
+SELECT
+  CASE WHEN recency_days <= r25 THEN 1
+       WHEN recency_days <= r50 THEN 2
+       WHEN recency_days <= r75 THEN 3 ELSE 4 END AS r_quartile,
+  CASE WHEN frequency > f75 THEN 1
+       WHEN frequency > f50 THEN 2
+       WHEN frequency > f25 THEN 3 ELSE 4 END AS f_quartile,
+  CASE WHEN monetary_cents > m75 THEN 1
+       WHEN monetary_cents > m50 THEN 2
+       WHEN monetary_cents > m25 THEN 3 ELSE 4 END AS m_quartile,
+  COUNT(*) AS n_users,
+  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM per_user CROSS JOIN cuts
+GROUP BY 1, 2, 3
 """
 
 
@@ -580,11 +729,13 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "key_skew_histogram": q_key_skew_histogram,
     "domain_cap_sample": q_domain_cap_sample,
+    "domain_cap_sample_scaled": q_domain_cap_sample_scaled,
     "hash_mod_sample": q_hash_mod_sample,
     "cohort_retention": q_cohort_retention,
     "hapax_stats": q_hapax_stats,
     "ngram_novelty": q_ngram_novelty,
     "rfm_segments": q_rfm_segments,
+    "rfm_segments_scaled": q_rfm_segments_scaled,
     "engagement_dau": q_engagement_dau,
 }
 
@@ -593,10 +744,13 @@ ORACLES = {
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "key_skew_histogram": ORACLE_KEY_SKEW_HISTOGRAM,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,
+    # scaled twin produces identical rows — same oracle by construction
+    "domain_cap_sample_scaled": ORACLE_DOMAIN_CAP_SAMPLE,
     "hash_mod_sample": ORACLE_HASH_MOD_SAMPLE,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "hapax_stats": ORACLE_HAPAX_STATS,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "rfm_segments_scaled": ORACLE_RFM_SEGMENTS_SCALED,
     "engagement_dau": ORACLE_ENGAGEMENT_DAU,
 }

@@ -306,10 +306,20 @@ def q_validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass cannot see (counts can match while references dangle;
     `cmd/compare.go:102-132` stops at counts). Left-anti join per edge;
     parent key sets are dimension-sized, so every anti-join broadcasts
-    at 100 TB — the child side never shuffles."""
+    at 100 TB — the child side never shuffles.
+
+    NULL child keys are excluded before the anti-join: SQL referential
+    integrity treats a NULL FK as "no reference", not a violation, and
+    this also keeps the Spark plan aligned with a NOT EXISTS oracle on
+    engines where NOT IN would three-value-logic the whole edge to
+    empty if any parent PK were NULL."""
     parts = []
     for child, fk, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(fk).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
         p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
         orphans = c.join(F.broadcast(p), "k", "left_anti")
         parts.append(
@@ -326,7 +336,8 @@ def q_validate_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VALIDATE_FK_ORPHANS = " UNION ALL ".join(
     f"SELECT '{child}.{fk}' AS fk_edge, COUNT(*) AS n_orphans "
-    f"FROM {child} WHERE {fk} NOT IN (SELECT {pk} FROM {parent})"
+    f"FROM {child} c WHERE c.{fk} IS NOT NULL AND NOT EXISTS "
+    f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})"
     for child, fk, parent, pk in _FK_EDGES
 )
 

@@ -49,13 +49,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-def _events_raw_schema(ts_unit: str) -> StructType:
+def _events_raw_schema(ts_unit: str, utc_adjusted: bool = False) -> StructType:
     """Raw file-source schema, pinned per on-disk ts unit (streaming
     sources require an explicit schema). ns must be read as long
-    (Spark rejects TIMESTAMP(NANOS)); us/ms read as TIMESTAMP_NTZ."""
-    from pyspark.sql.types import TimestampNTZType
+    (Spark rejects TIMESTAMP(NANOS)); naive us/ms read as
+    TIMESTAMP_NTZ, UTC-adjusted (isAdjustedToUTC=true) us/ms as
+    TIMESTAMP — pinning NTZ over an adjusted column fails the parquet
+    schema conversion."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    if ts_unit == "ns":
+        ts_type = LongType()
+    elif utc_adjusted:
+        ts_type = TimestampType()
+    else:
+        ts_type = TimestampNTZType()
     return StructType(
         [
             StructField("event_id", LongType()),
@@ -78,7 +86,7 @@ def read_events_stream(
     streaming sources require it). `path` may be a directory or a single
     file; the on-disk timestamp unit is probed with pyarrow and the
     value normalized to a microsecond-precision TIMESTAMP."""
-    from ..catalog import timestamp_units
+    from ..catalog import timestamp_meta
 
     if os.path.isdir(path) and os.path.exists(
         os.path.join(path, "events.parquet")
@@ -104,12 +112,12 @@ def read_events_stream(
             f for f in os.listdir(path) if f.endswith(".parquet")
         )
         probe = os.path.join(path, parquets[0]) if parquets else probe
-    ts_unit = timestamp_units(probe).get("ts", "us")
+    ts_unit, ts_tz = timestamp_meta(probe).get("ts", ("us", None))
     if ts_unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_events_raw_schema(ts_unit)).format(
-        "parquet"
-    )
+    reader = spark.readStream.schema(
+        _events_raw_schema(ts_unit, utc_adjusted=ts_tz is not None)
+    ).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(path)

@@ -68,12 +68,11 @@ def test_load_table_unit_agnostic(spark, tmp_path, unit, tz):
     assert got == want, (unit, tz, got)
 
 
-@pytest.mark.parametrize("unit,tz", [("ns", None), ("us", None), ("ms", None)],
-                         ids=["ns", "us", "ms"])
+@pytest.mark.parametrize("unit,tz", UNITS, ids=[f"{u}{'-utc' if t else ''}" for u, t in UNITS])
 def test_stream_reader_unit_agnostic(spark, tmp_path, unit, tz):
     from gomysql2pg_spark.streaming.stream import read_events_stream
 
-    d = str(tmp_path / f"stream_fixture_{unit}")
+    d = str(tmp_path / f"stream_fixture_{unit}_{tz or 'naive'}")
     _write_events(d, unit, tz)
     stream = read_events_stream(spark, d)
     assert stream.isStreaming
@@ -82,16 +81,17 @@ def test_stream_reader_unit_agnostic(spark, tmp_path, unit, tz):
 
     from pyspark.sql import functions as F
 
+    sink = f"drift_{unit}_{tz or 'naive'}".lower()
     q = (
         stream.select(F.unix_micros("ts").alias("us"))
         .writeStream.format("memory")
-        .queryName(f"drift_{unit}")
+        .queryName(sink)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     got = sorted(
-        r[0] for r in spark.sql(f"SELECT us FROM drift_{unit}").collect()
+        r[0] for r in spark.sql(f"SELECT us FROM {sink}").collect()
     )
     want = EPOCH_US if unit != "ms" else [v // 1000 * 1000 for v in EPOCH_US]
     assert got == want, (unit, got)

@@ -405,3 +405,43 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert pf and "event_type" in pf[0], plan
     # the predicate must NOT appear as a post-scan row filter
     assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_rfm_scaled_has_no_window(spark, sf_dir, queries):
+    """The scale-safe RFM path must contain ZERO window operators —
+    the whole point is replacing the three unpartitioned NTILE sorts
+    (single-reducer at 10^9 users) with broadcast percentile cutpoints
+    + stateless CASE bucketing. The 1-row cutpoint side must arrive by
+    broadcast, and the cutpoint aggregate must be partial-applied."""
+    df = queries["rfm_segments_scaled"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "Window" not in plan, plan
+    assert "ntile(" not in plan.lower(), plan  # NB "percentile" contains "ntile"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "percentile_disc" in plan, plan
+
+
+def test_domain_cap_scaled_window_is_post_filter(spark, sf_dir, queries):
+    """The scaled domain-cap rank window must sit ABOVE the broadcast
+    threshold join (i.e., rank only the <=cap+ties candidate survivors),
+    never directly over the raw documents scan — that full-corpus
+    window partitioned by `source` is exactly the mega-domain straggler
+    this variant exists to avoid. In explain's parent-first tree order,
+    the row_number Window line must precede the BroadcastHashJoin."""
+    df = queries["domain_cap_sample_scaled"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    lines = plan.splitlines()
+    rank_idx = next(
+        i for i, ln in enumerate(lines)
+        if "Window" in ln and "row_number" in ln
+    )
+    join_idx = next(
+        i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln
+    )
+    assert rank_idx < join_idx, plan
+    # and it must produce byte-identical rows to the window formulation
+    a = sorted(
+        tuple(r) for r in queries["domain_cap_sample"](spark, sf_dir).collect()
+    )
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b

@@ -113,3 +113,41 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert n_total == 200_000
     expected_sw = sum((k * 10) * 2_000 for k in range(10, 100, 10))
     assert sw_total == expected_sw
+
+
+def test_salt_actually_splits_hot_key(spark, sf_dir):
+    """The salting gate the plan string can't give: measure the real
+    partition histogram. lineitem keyed by l_returnflag alone has 3
+    values (one ~50%), so any hash partitioning strands half the table
+    in one task; keyed by (l_returnflag, salt) — the exact salted key
+    q_skew_salted_join builds — the hot key must spread across
+    partitions with a bounded max-partition share."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.pipeline import SALT_BUCKETS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_returnflag",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)
+        ).alias("salt"),
+    )
+    n_parts = 3 * SALT_BUCKETS
+
+    def max_share(df) -> float:
+        counts = [
+            r["n"]
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(counts) / sum(counts)
+
+    unsalted = max_share(fact.repartition(n_parts, "l_returnflag"))
+    salted = max_share(fact.repartition(n_parts, "l_returnflag", "salt"))
+    # 3 raw keys → >=1/3 of all rows in one partition (R is ~50%)
+    assert unsalted >= 0.30, unsalted
+    # 48 salted key combos over 48 partitions: a few birthday
+    # collisions are fine, a surviving hot partition is not
+    assert salted <= 0.15, salted
+    assert salted < unsalted / 2, (salted, unsalted)
