@@ -22,30 +22,31 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r6: never driver-checked after 5 rounds (12) ---
-    "dedup_containment", "dedup_lines", "events_anomaly",
-    "kmeans_assign", "kmeans_update", "oov_rate", "q18_large_volume",
-    "stream_anomaly", "temperature_sample", "token_budget_select",
-    "unigram_logprob", "vocab_topk",
-    # --- r6: re-verify the timestamp-unit fix (12 batch crashers) ---
-    "ts_ohlc", "scd2_intervals", "ts_gapfill_ffill", "events_ema",
-    "events_window", "events_sessionize", "events_latest_per_user",
-    "events_funnel", "events_cdc_merge", "events_asof_purchase",
-    "events_asof_next_purchase", "events_asof_tolerance",
-    # --- r6: re-verify the streaming reader fix (5 wrong + 2 touched) ---
-    "stream_windowed_counts", "stream_sliding_windows",
-    "stream_session_windows", "stream_stream_join",
-    "stream_dedup_then_window", "stream_dedup", "stream_stateful_totals",
-    # --- r6: brand-new sampling/curation family (never checked) ---
-    "domain_cap_sample", "hash_mod_sample", "cohort_retention",
-    "hapax_stats", "ngram_novelty", "rfm_segments", "engagement_dau",
-    "value_quantiles", "key_skew_histogram",
-    "validate_fk_orphans", "validate_bucket_checksum",
-    "curation_pipeline",
-    # --- green-row canaries: one per operator family (fill to 50) ---
-    "group_agg", "q3_shipping_priority", "q7_volume_shipping",
-    "dedup_exact_norm", "dedup_jaccard", "dedup_semantic",
-    "dedup_clusters",
+    # --- r7: brand-new entries (8, never driver-checked): the scaled
+    # variants of the two perf-weak ops, the deterministic *_verified /
+    # *_check twins closing the last no_oracle rows, and the NULL-FK
+    # semantics fix re-verify ---
+    "domain_cap_sample_scaled", "rfm_segments_scaled",
+    "dedup_minhash_lsh_verified", "dedup_simhash_verified",
+    "similarity_lsh_verified", "approx_distinct_check",
+    "approx_quantiles_check", "random_ids_check",
+    "validate_fk_orphans",
+    # --- r7: staleness rotation — the 41 oldest entries whose last
+    # green driver row is r01/r02 (fixture encodings have drifted
+    # between rounds before; old green rows rot silently). The
+    # remaining 26 r02-stale entries roll to r08. ---
+    "anti_join", "conditional_null", "count_star", "dedup_exact",
+    "distinct_agg", "filter_like", "full_scan", "group_concat",
+    "multikey_sort", "page_count", "page_fetch_composite",
+    "page_limit_offset", "pii_scrub", "pivot_status", "projection",
+    "range_join_bands", "rollup_agg", "semi_join", "set_except",
+    "set_union_intersect", "similarity_ivf", "similarity_norms",
+    "similarity_topk", "stats_aggs", "string_funcs",
+    "topk_by_aggregation", "window_topk", "window_value_funcs",
+    "bm25_components", "catalog_tables", "collect_distinct_arrays",
+    "corpus_pipeline", "cross_join_small", "cube_agg", "dataset_split",
+    "datetime_funcs", "derived_table", "embedding_quantize",
+    "events_json_props", "exists_pending_orders", "filtered_aggs",
 ]
 
 

@@ -44,6 +44,20 @@ def list_tables(sf_dir: str, exclude: list[str] | None = None) -> list[str]:
     return [n for n in names if not excluded(n, exclude)]
 
 
+def _schema_probe_path(path: str) -> str:
+    """Resolve a table path to a single parquet file for footer probes.
+    A table may be a single file OR a directory of part-files (the
+    multi-file layout the bench splitter produces and any real lake
+    uses) — pyarrow's read_schema needs a concrete file."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if parts:
+            return os.path.join(path, parts[0])
+    return path
+
+
 def timestamp_units(path: str) -> dict[str, str]:
     """Physical parquet timestamp unit per column ('s'|'ms'|'us'|'ns').
 
@@ -54,7 +68,7 @@ def timestamp_units(path: str) -> dict[str, str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(_schema_probe_path(path))
     return {
         f.name: f.type.unit for f in schema if pat.is_timestamp(f.type)
     }
@@ -70,7 +84,7 @@ def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(_schema_probe_path(path))
     return {
         f.name: (f.type.unit, f.type.tz)
         for f in schema

@@ -582,6 +582,93 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic driver gate for the HLL++ sketch: the sketch value
+    itself is engine-specific (rows-only on `approx_distinct`), but the
+    ERROR CONTRACT is checkable — per group, |approx − exact| must stay
+    within 5× the configured rsd (0.02 → 10% slack, far above any
+    realized HLL++ error). The exact distinct count and group sizes are
+    cross-engine-exact columns, so the oracle hashes them too."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_custs"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_custs",
+        (
+            F.abs(F.col("approx") - F.col("exact_custs"))
+            <= 0.1 * F.col("exact_custs")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_APPROX_DISTINCT_CHECK = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic driver gate for the GK quantile sketch: per
+    (segment, quantile), the returned value's RANK must sit within the
+    sketch's guaranteed window |rank − q·n| ≤ n/accuracy (+1 for
+    discreteness). Tie-safe formulation: the value's min-rank
+    (count of strictly smaller) must not exceed the upper bound and its
+    max-rank (count of ≤) must reach the lower bound — a run of equal
+    values straddling the target rank is still a correct answer."""
+    customer = load_table(spark, sf_dir, "customer")
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+    vals = customer.select("c_mktsegment", cents("c_acctbal").alias("ac"))
+    approx = (
+        vals.groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("ac", [0.25, 0.5, 0.9], 1000).alias("ap"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.posexplode("ap").alias("pos", "av"),
+        )
+        .withColumn("quantile", F.element_at(qs, F.col("pos") + 1))
+        .drop("pos")
+    )
+    ranked = (
+        vals.join(F.broadcast(approx), "c_mktsegment")
+        .groupBy("c_mktsegment", "quantile", "n")
+        .agg(
+            F.sum((F.col("ac") < F.col("av")).cast("long")).alias("lt"),
+            F.sum((F.col("ac") <= F.col("av")).cast("long")).alias("le"),
+        )
+    )
+    tol = F.col("n") / 1000.0 + 1.0
+    target = F.col("quantile") * F.col("n")
+    return ranked.select(
+        "c_mktsegment",
+        "quantile",
+        "n",
+        (
+            (F.col("lt") <= target + tol) & (F.col("le") >= target - tol)
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_APPROX_QUANTILES_CHECK = """
+SELECT c_mktsegment, q.quantile, COUNT(*) AS n, TRUE AS within_bound
+FROM customer
+CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                   (CAST(0.9 AS DOUBLE))) q(quantile)
+GROUP BY 1, 2
+"""
+
+
 def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total (Oracle's RATIO_TO_REPORT): each nation's share
     of its region's customer balance, plus its share of the grand
@@ -641,7 +728,9 @@ QUERIES = {
     "window_funcs": q_window_funcs,
     "ratio_to_report": q_ratio_to_report,
     "approx_distinct": q_approx_distinct,
+    "approx_distinct_check": q_approx_distinct_check,
     "approx_quantiles": q_approx_quantiles,
+    "approx_quantiles_check": q_approx_quantiles_check,
     "topk_by_aggregation": q_topk_by_aggregation,
     "window_range_frame": q_window_range_frame,
     "window_value_funcs": q_window_value_funcs,
@@ -671,4 +760,8 @@ ORACLES = {
     "median_percentile": ORACLE_MEDIAN_PERCENTILE,
     "topk_by_aggregation": ORACLE_TOPK_BY_AGG,
     "range_join_bands": ORACLE_RANGE_JOIN_BANDS,
+    # approx_distinct / approx_quantiles: rows-only (sketch values are
+    # engine-specific); their *_check twins gate the error contract
+    "approx_distinct_check": ORACLE_APPROX_DISTINCT_CHECK,
+    "approx_quantiles_check": ORACLE_APPROX_QUANTILES_CHECK,
 }

@@ -1058,6 +1058,136 @@ GROUP BY b.vec_id, b.label
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic driver-gate twins for the rows-only LSH entries.
+#
+# The LSH pipelines themselves cannot carry a SQL oracle (recall < 1 and
+# the hash family is Spark-specific), but two of their properties ARE
+# deterministic and SQL-exact, so the driver can hash-gate them:
+#
+# 1. GUARANTEED RECALL on normalized exact duplicates: two docs with
+#    identical normalized text and >= 3 tokens have identical shingle
+#    sets, hence identical MinHash signatures / SimHash bits, hence a
+#    guaranteed band collision and a passing verify stage. Zero such
+#    pairs may be missed — not a statistical floor, an invariant.
+# 2. VERIFY-STAGE PRECISION: every emitted pair carries the exact
+#    i/u (or hamming) used by its threshold filter; recomputing the
+#    predicate over the output must yield zero violations.
+#
+# The twins emit one row of those counts; the oracle computes the
+# normalized-dup pair count exactly and pins the violation counts at 0.
+# ---------------------------------------------------------------------------
+
+
+def _norm_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(da, db) pairs of docs with identical normalized text and >= 3
+    tokens (the shingleable subset LSH is *guaranteed* to catch).
+    Group sizes are duplicate-cluster sizes (tiny), so the equality
+    self-join is bounded; at 100 TB this is the exact-dedup groupBy
+    plus a within-group pair expansion."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.md5(norm).alias("h"),
+            F.size(tokenize(F.col("text"))).alias("nt"),
+        )
+        .filter(F.col("nt") >= 3)
+        .select("doc_id", "h")
+    )
+    a = keyed.select(F.col("h"), F.col("doc_id").alias("da"))
+    b = keyed.select(F.col("h").alias("h2"), F.col("doc_id").alias("db"))
+    return a.join(
+        b, (F.col("h") == F.col("h2")) & (F.col("da") < F.col("db"))
+    ).select("da", "db")
+
+
+#: CTE prefix yielding `c(n_norm_dup_pairs)` — the exact count of
+#: shingleable (>= 3 token) normalized-duplicate pairs.
+_ORACLE_NORM_DUP_CTES = r"""
+WITH el AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+),
+g AS (SELECT h, COUNT(*) AS n FROM el GROUP BY h HAVING COUNT(*) > 1),
+c AS (
+  SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT)
+           AS n_norm_dup_pairs
+  FROM g
+)
+"""
+
+
+def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gate over the MinHash-LSH pipeline (see block
+    comment above): normalized-dup recall must be total, and the exact
+    verify stage must leave zero below-threshold pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).persist()
+    lsh.count()
+    norm_pairs = _norm_dup_pairs(docs)
+    missed = norm_pairs.join(
+        lsh.select("da", "db"), ["da", "db"], "left_anti"
+    )
+    below = lsh.filter(
+        F.col("i") * 1000 < F.lit(JACCARD_MILLI) * F.col("u")
+    )
+    n_pairs = norm_pairs.agg(
+        F.count("*").cast("long").alias("n_norm_dup_pairs")
+    )
+    n_missed = missed.agg(F.count("*").cast("long").alias("n_norm_missed"))
+    n_below = below.agg(
+        F.count("*").cast("long").alias("n_below_threshold")
+    )
+    return n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
+        F.broadcast(n_below)
+    )
+
+
+ORACLE_DEDUP_MINHASH_LSH_VERIFIED = f"""
+{_ORACLE_NORM_DUP_CTES}
+SELECT n_norm_dup_pairs,
+       CAST(0 AS BIGINT) AS n_norm_missed,
+       CAST(0 AS BIGINT) AS n_below_threshold
+FROM c
+"""
+
+
+def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gate over the SimHash pipeline: identical
+    normalized text ⇒ identical 64-bit signature ⇒ hamming 0 ⇒ banded
+    candidate ⇒ emitted. Zero misses allowed; zero emitted pairs may
+    exceed the hamming radius."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = q_dedup_simhash(spark, sf_dir).persist()
+    sh.count()
+    norm_pairs = _norm_dup_pairs(docs)
+    missed = norm_pairs.join(
+        sh.select("da", "db"), ["da", "db"], "left_anti"
+    )
+    over = sh.filter(F.col("hamming") > 3)
+    n_pairs = norm_pairs.agg(
+        F.count("*").cast("long").alias("n_norm_dup_pairs")
+    )
+    n_missed = missed.agg(F.count("*").cast("long").alias("n_norm_missed"))
+    n_over = over.agg(
+        F.count("*").cast("long").alias("n_hamming_violations")
+    )
+    return n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
+        F.broadcast(n_over)
+    )
+
+
+ORACLE_DEDUP_SIMHASH_VERIFIED = f"""
+{_ORACLE_NORM_DUP_CTES}
+SELECT n_norm_dup_pairs,
+       CAST(0 AS BIGINT) AS n_norm_missed,
+       CAST(0 AS BIGINT) AS n_hamming_violations
+FROM c
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_semantic": q_dedup_semantic,
@@ -1068,7 +1198,9 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
 }
@@ -1082,7 +1214,10 @@ ORACLES = {
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
-    # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific)
+    # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific);
+    # their *_verified twins carry the deterministic SQL-exact gate
+    "dedup_minhash_lsh_verified": ORACLE_DEDUP_MINHASH_LSH_VERIFIED,
+    "dedup_simhash_verified": ORACLE_DEDUP_SIMHASH_VERIFIED,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
 }

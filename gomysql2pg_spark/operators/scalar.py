@@ -193,6 +193,43 @@ def q_random_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_ids_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic driver gate for the RNG/ID generators: the VALUES
+    are nondeterministic by nature (rows-only on `random_ids`), but the
+    generator CONTRACTS are exact booleans — uuid() and
+    monotonically_increasing_id() must be collision-free over the
+    table, rand-derived ids must be 8 lowercase hex chars, uuids must
+    be RFC-4122 v4 shaped. One aggregation over the generated frame;
+    the oracle pins the row count and all-true flags."""
+    ids = q_random_ids(spark, sf_dir)
+    n = F.count("*")
+    uuid_re = (
+        "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        "-[0-9a-f]{12}$"
+    )
+    return ids.agg(
+        n.cast("long").alias("n_rows"),
+        (F.countDistinct("uid") == n).alias("uuids_unique"),
+        (F.countDistinct("mono_id") == n).alias("mono_unique"),
+        (F.sum(F.col("rand8").rlike("^[0-9a-f]{8}$").cast("long")) == n).alias(
+            "rand8_hex"
+        ),
+        (F.sum(F.col("uid").rlike(uuid_re).cast("long")) == n).alias(
+            "uuid_v4_format"
+        ),
+    )
+
+
+ORACLE_RANDOM_IDS_CHECK = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS uuids_unique,
+       TRUE AS mono_unique,
+       TRUE AS rand8_hex,
+       TRUE AS uuid_v4_format
+FROM part
+"""
+
+
 def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral flatten family: posexplode (with ordinality) over an
     array slice, and explode_outer preserving rows whose array is empty
@@ -327,6 +364,7 @@ QUERIES = {
     "lateral_explode": q_lateral_explode,
     "sequence_semantics": q_sequence_semantics,
     "random_ids": q_random_ids,
+    "random_ids_check": q_random_ids_check,
 }
 
 ORACLES = {
@@ -337,5 +375,7 @@ ORACLES = {
     "array_funcs": ORACLE_ARRAY_FUNCS,
     "lateral_explode": ORACLE_LATERAL_EXPLODE,
     "sequence_semantics": ORACLE_SEQUENCE_SEMANTICS,
-    # random_ids: rows-only (nondeterministic values by design)
+    # random_ids: rows-only (nondeterministic values by design); its
+    # *_check twin gates the uniqueness/format contract exactly
+    "random_ids_check": ORACLE_RANDOM_IDS_CHECK,
 }

@@ -271,16 +271,76 @@ FROM embeddings
 """
 
 
+def q_similarity_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic driver gate over the hyperplane-LSH ANN pipeline.
+    The neighbor SET is plane-family-specific (rows-only on the base
+    entry), but three contracts are checkable with a SQL-exact oracle:
+
+    - n_queries: the query-subset cardinality, cross-engine exact;
+    - n_rank_overflow: no query may return more than 5 neighbors or a
+      non-contiguous rank sequence (recomputed from the output) — 0;
+    - recall_ok: recall@5 vs the exact brute-force top-5 stays above
+      the 0.3 floor `tests/test_ann_quality.py` pins (measured
+      0.48-0.54 on the fixture family) — the driver-side red flag if
+      bucket quality ever collapses.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = q_similarity_lsh(spark, sf_dir).persist()
+    lsh.count()
+    n_queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).agg(
+        F.count("*").cast("long").alias("n_queries")
+    )
+    per_q = lsh.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("max_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+    overflow = per_q.filter(
+        (F.col("n") > 5)
+        | (F.col("max_rank") != F.col("n"))
+        | (F.col("min_rank") != 1)
+    ).agg(F.count("*").cast("long").alias("n_rank_overflow"))
+    exact5 = q_similarity_topk(spark, sf_dir).filter(F.col("rank") <= 5)
+    hits = exact5.join(
+        lsh.select("qid", "nid"), ["qid", "nid"], "left_semi"
+    )
+    recall = (
+        exact5.agg(F.count("*").alias("n_exact"))
+        .crossJoin(
+            F.broadcast(hits.agg(F.count("*").alias("n_hit")))
+        )
+        .select(
+            (F.col("n_hit") * 10 >= F.col("n_exact") * 3).alias(
+                "recall_ok"
+            )
+        )
+    )
+    return n_queries.crossJoin(F.broadcast(overflow)).crossJoin(
+        F.broadcast(recall)
+    )
+
+
+ORACLE_SIMILARITY_LSH_VERIFIED = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(0 AS BIGINT) AS n_rank_overflow,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_ivf": q_similarity_ivf,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_lsh_verified": q_similarity_lsh_verified,
     "similarity_norms": q_similarity_norms,
 }
 
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf": ORACLE_SIMILARITY_IVF,
-    # similarity_lsh: rows-only (engine-specific plane family)
+    # similarity_lsh: rows-only (engine-specific plane family); its
+    # *_verified twin carries the deterministic contract gate
+    "similarity_lsh_verified": ORACLE_SIMILARITY_LSH_VERIFIED,
     "similarity_norms": ORACLE_SIMILARITY_NORMS,
 }

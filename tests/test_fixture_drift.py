@@ -107,3 +107,57 @@ def test_real_fixture_loads_as_timestamp(spark, sf_dir):
         units,
         ts_field.dataType,
     )
+
+
+def test_bench_split_fixtures_load_identically(spark, tmp_path, monkeypatch):
+    """The bench's multi-file fixture copies must stay content- and
+    unit-identical to the source (the drift canary extends to them:
+    bench.py rebuilds the copy whenever source size/mtime changes).
+    Also pins the POINT of the split: with file-granular open cost,
+    the scan schedules >1 task, which the single-file fixture never
+    does."""
+    import bench as benchmod
+
+    src = str(tmp_path / "src")
+    _write_events(src, "us", None)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # widen to enough rows to split into multiple parts
+    big = pa.table(
+        {
+            "event_id": pa.array(list(range(100)), pa.int64()),
+            "ts": pa.array(
+                [EPOCH_US[i % 3] for i in range(100)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(100)], pa.int64()),
+            "event_type": pa.array(["view"] * 100),
+            "value": pa.array([float(i) for i in range(100)], pa.float64()),
+            "props": pa.array(["{}"] * 100),
+        }
+    )
+    pq.write_table(big, os.path.join(src, "events.parquet"))
+
+    out = benchmod._split_fixture_dir(src, n_files=8)
+    assert out != src
+    tdir = os.path.join(out, "events.parquet")
+    parts = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert len(parts) == 8, parts
+
+    df_src = load_table(spark, src, "events")
+    old = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
+    try:
+        df_split = load_table(spark, out, "events")
+        assert df_split.rdd.getNumPartitions() > 1
+        ts_field = [f for f in df_split.schema.fields if f.name == "ts"][0]
+        assert ts_field.dataType.typeName() == "timestamp"
+        a = sorted(tuple(r) for r in df_src.collect())
+        b = sorted(tuple(r) for r in df_split.collect())
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+    # cache hit: same source stats → same directory, no rebuild
+    assert benchmod._split_fixture_dir(src, n_files=8) == out
