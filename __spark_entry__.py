@@ -30,11 +30,11 @@ _PRIORITY = [
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
     "similarity_lsh_verified", "approx_distinct_check",
     "approx_quantiles_check", "random_ids_check",
-    "validate_fk_orphans",
-    # --- r7: staleness rotation — the 41 oldest entries whose last
+    "validate_fk_orphans", "cell_transforms",  # lowercase-hex parity fix
+    # --- r7: staleness rotation — the 40 oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
-    # remaining 26 r02-stale entries roll to r08. ---
+    # remaining 28 r02-stale entries roll to r08. ---
     "anti_join", "conditional_null", "count_star", "dedup_exact",
     "distinct_agg", "filter_like", "full_scan", "group_concat",
     "multikey_sort", "page_count", "page_fetch_composite",
@@ -46,7 +46,7 @@ _PRIORITY = [
     "bm25_components", "catalog_tables", "collect_distinct_arrays",
     "corpus_pipeline", "cross_join_small", "cube_agg", "dataset_split",
     "datetime_funcs", "derived_table", "embedding_quantize",
-    "events_json_props", "exists_pending_orders", "filtered_aggs",
+    "events_json_props", "exists_pending_orders",
 ]
 
 

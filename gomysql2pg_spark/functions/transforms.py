@@ -16,19 +16,23 @@ from pyspark.sql import functions as F
 
 def geometry_hex(c: Column | str) -> Column:
     """GEOMETRY: hex-encode, drop the 8-hex-char (4-byte) SRID header
-    (`root.go:437-438`, rationale readme.md:319). Empty/short values
-    yield '' (Go slicing [8:] of a shorter string would panic; the
-    reference only sees well-formed geometries — we clamp instead)."""
+    (`root.go:437-438`, rationale readme.md:319). Lowercase hex for
+    byte parity with Go's hex.EncodeToString (readme.md v0.2.0 note).
+    Empty/short values yield '' (Go slicing [8:] of a shorter string
+    would panic; the reference only sees well-formed geometries — we
+    clamp instead)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.substring(F.hex(c), 9, 2147483647 - 9)
+    return F.lower(F.substring(F.hex(c), 9, 2147483647 - 9))
 
 
 def bit_hex(c: Column | str) -> Column:
-    """BIT: hex-encode, drop the first nibble — MySQL bit(1) arrives as
-    one byte 0x00/0x01, PG bit(1) wants '0'/'1' (`root.go:439-440`,
-    readme.md:306-308)."""
+    """BIT: hex-encode, drop the FIRST NIBBLE regardless of width —
+    MySQL bit(1) arrives as one byte 0x00/0x01, PG bit(1) wants
+    '0'/'1'; for bit(n>4) the reference's same [1:] slice leaves an
+    odd-nibble hex string (`root.go:439-440`, readme.md:306-308).
+    Lowercase for hex.EncodeToString parity."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.substring(F.hex(c), 2, 2147483647 - 2)
+    return F.lower(F.substring(F.hex(c), 2, 2147483647 - 2))
 
 
 def strip_nul(c: Column | str) -> Column:

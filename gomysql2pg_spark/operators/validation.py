@@ -137,8 +137,12 @@ def q_cell_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(strip_nul(F.col("text")))).alias(
             "n_nul_bytes"
         ),
-        F.substring(
-            F.hex(F.substring(F.col("text"), 1, 8).cast("binary")), 9, 1024
+        F.lower(
+            F.substring(
+                F.hex(F.substring(F.col("text"), 1, 8).cast("binary")),
+                9,
+                1024,
+            )
         ).alias("hex_after_srid"),
     )
 
@@ -147,7 +151,7 @@ ORACLE_CELL_TRANSFORMS = """
 SELECT doc_id,
   LENGTH(replace(text, chr(0), '')) AS clean_len,
   LENGTH(text) - LENGTH(replace(text, chr(0), '')) AS n_nul_bytes,
-  substring(hex(encode(substring(text, 1, 8))), 9) AS hex_after_srid
+  lower(substring(hex(encode(substring(text, 1, 8))), 9)) AS hex_after_srid
 FROM documents
 """
 
