@@ -84,10 +84,15 @@ HEADLINE = [
     "validate_fk_orphans",
     "validate_bucket_checksum",
     "curation_pipeline",
+    # round-7: the scale-safe twins of the two perf-weak r6 ops
+    "domain_cap_sample_scaled",
+    "rfm_segments_scaled",
 ]
 
 
-def _split_fixture_dir(sf_dir: str, n_files: int = 8) -> str:
+def _split_fixture_dir(
+    sf_dir: str, n_files: int = 8, min_rows_per_part: int = 5_000
+) -> str:
     """Rewrite each single-file fixture table as `n_files` parquet
     part-files under a cached temp dir, so the benched scans schedule
     REAL parallel tasks. The driver fixtures are one file × one row
@@ -120,7 +125,9 @@ def _split_fixture_dir(sf_dir: str, n_files: int = 8) -> str:
         )
         for f in files
     ]
-    key = hashlib.md5(repr((stat, n_files)).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        repr((stat, n_files, min_rows_per_part)).encode()
+    ).hexdigest()[:12]
     out = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_bench_{os.path.basename(sf_dir.rstrip('/'))}_{key}",
@@ -130,11 +137,22 @@ def _split_fixture_dir(sf_dir: str, n_files: int = 8) -> str:
         return out
     os.makedirs(out, exist_ok=True)
     counts = {}
+    # don't shard tiny dimension tables: an 8-way split of a 25-row
+    # table buys nothing and costs 8 footer reads + 8 task launches on
+    # every sub-second query (measured 1.2-1.4× on the small queries).
+    # EXCEPTION: the text/vector tables are CPU-bound per row
+    # (shingling, n-gram explosion, dot products), so scan parallelism
+    # pays at any row count — always full fan-out (measured: 8-way
+    # documents split took ngram_novelty 0.76s → 0.34s at 5k rows).
+    cpu_heavy = {"documents.parquet", "embeddings.parquet"}
     for f in files:
         tbl = pq.read_table(os.path.join(sf_dir, f))
         tdir = os.path.join(out, f)
         os.makedirs(tdir, exist_ok=True)
-        n = max(1, min(n_files, tbl.num_rows))
+        if f in cpu_heavy:
+            n = min(n_files, max(1, tbl.num_rows))
+        else:
+            n = max(1, min(n_files, tbl.num_rows // min_rows_per_part))
         step = -(-tbl.num_rows // n) if tbl.num_rows else 1
         for i in range(n):
             part = tbl.slice(i * step, step)

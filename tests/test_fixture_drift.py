@@ -139,7 +139,7 @@ def test_bench_split_fixtures_load_identically(spark, tmp_path, monkeypatch):
     )
     pq.write_table(big, os.path.join(src, "events.parquet"))
 
-    out = benchmod._split_fixture_dir(src, n_files=8)
+    out = benchmod._split_fixture_dir(src, n_files=8, min_rows_per_part=10)
     assert out != src
     tdir = os.path.join(out, "events.parquet")
     parts = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
@@ -160,4 +160,7 @@ def test_bench_split_fixtures_load_identically(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.files.openCostInBytes", old)
 
     # cache hit: same source stats → same directory, no rebuild
-    assert benchmod._split_fixture_dir(src, n_files=8) == out
+    assert (
+        benchmod._split_fixture_dir(src, n_files=8, min_rows_per_part=10)
+        == out
+    )
