@@ -65,6 +65,15 @@ REPRESENTATIVES = [
     "validate_fk_orphans",
     "validate_bucket_checksum",
     "curation_pipeline",
+    # r7 scaled variants + deterministic twins
+    "domain_cap_sample_scaled",
+    "rfm_segments_scaled",
+    "dedup_minhash_lsh_verified",
+    "dedup_simhash_verified",
+    "similarity_lsh_verified",
+    "approx_distinct_check",
+    "approx_quantiles_check",
+    "random_ids_check",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
@@ -74,6 +83,12 @@ GLOBAL_AGG = {
     "profile_orders": 5,
     # one global count row per FK edge, 0 orphans each
     "validate_fk_orphans": 5,
+    # contract twins aggregate to exactly one summary row (counts 0 /
+    # flags vacuous) even over an empty corpus
+    "dedup_minhash_lsh_verified": 1,
+    "dedup_simhash_verified": 1,
+    "similarity_lsh_verified": 1,
+    "random_ids_check": 1,
 }
 
 
