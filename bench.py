@@ -87,6 +87,14 @@ HEADLINE = [
     # round-7: the scale-safe twins of the two perf-weak r6 ops
     "domain_cap_sample_scaled",
     "rfm_segments_scaled",
+    # round-7 corpus-shaping family (operators/quality.py): one bench
+    # row per distinct plan shape — chunking (zero-shuffle fan-out),
+    # entropy (chained partial aggs), MAD (broadcast-cutpoint ×2),
+    # PageRank (iterative keyed joins)
+    "doc_chunking",
+    "char_entropy",
+    "mad_outliers",
+    "pagerank_bipartite",
 ]
 
 

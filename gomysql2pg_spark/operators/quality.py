@@ -1,0 +1,507 @@
+"""Corpus-shaping and robust-statistics operators (SURVEY.md §2.H, round 7).
+
+The reference pumps every row unconditionally (`cmd/root.go:389-516`);
+a training-data pipeline at 100 TB instead *shapes* the corpus under
+explicit statistical policies. This module adds the shaping toolkit the
+sampling family (round 6) did not cover:
+
+- fixed-size overlapping document chunking (context-window prep),
+- character-entropy quality signal (gibberish / low-entropy detection),
+- winsorized per-domain statistics (robust means under heavy tails),
+- median/MAD outlier detection (robust z-scores, integer-exact),
+- temperature-scaled domain reweighting (DoReMi-style mixture prep),
+- keep-rate threshold calibration (pick the score cutoff that hits a
+  target acceptance rate, then report the realized per-domain rates),
+- PageRank over the bipartite user/event-type graph (the iterative-
+  algorithm showcase beyond connected components: fixed unrolled
+  iterations, joins keyed on node id, no driver-side graph).
+
+Scale notes (100 TB):
+- chunking is a pure stateless map (sequence+explode+substring, zero
+  shuffle, whole-stage codegen; fan-out is len/stride per doc),
+- entropy aggregates (doc,char)→count then doc→entropy — both hash
+  aggs with map-side partials; state is alphabet-sized per doc,
+- winsorize/MAD/calibration all follow the broadcast-cutpoint pattern
+  (`percentile_disc` on the grouped aggregate → broadcast tiny cut
+  table → stateless clamp/filter), never a corpus-wide sort window,
+- reweighting reduces the corpus to one row per domain before any
+  math; the only join is a broadcast of a one-row scalar aggregate,
+- PageRank shuffles on node id per iteration (the unavoidable PR
+  shuffle); edges+degrees are persisted once and reused, iteration
+  count is fixed (no convergence-driven driver loop), and ranks stay
+  in DataFrames end to end.
+
+Floats follow the repo convention (see `ranking.py:7`): any value
+whose last ulp could differ across engines or summation orders is
+published as ``CAST(ROUND(x * 1e6) AS BIGINT)`` (1e9 for PageRank,
+whose mass is ~1/N); integer-derived means are exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: chunking geometry: 200-char windows every 150 chars (50-char overlap)
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+#: winsorization clamps at the per-source [p05, p95] band
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+#: robust outlier rule: |x - median| > MAD_K * MAD
+MAD_K = 3
+
+#: temperature for domain reweighting: weight ∝ share^0.5 (sqrt keeps
+#: the math IEEE-identical across engines; 0.5 is the T=2 mixture)
+REWEIGHT_ALPHA = 0.5
+
+#: calibration target: keep the top 30 % of docs by score
+CALIBRATION_KEEP_RATE = 0.30
+
+#: PageRank damping and fixed iteration count
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 2
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into CHUNK_SIZE-char windows advancing by
+    CHUNK_STRIDE (overlap = SIZE - STRIDE), the standard prep step for
+    fixed-context training. Pure narrow map: ``sequence`` builds the
+    chunk indexes, ``explode`` fans out, ``substring`` slices — zero
+    shuffle, full codegen, and the scan only reads (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_starts = F.floor((F.length("text") - F.lit(1)) / F.lit(CHUNK_STRIDE))
+    return (
+        docs.filter(F.length("text") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_starts)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STRIDE + 1).alias("chunk_start"),
+            F.expr(
+                f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT),"
+                f" {CHUNK_SIZE})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+ORACLE_DOC_CHUNKING = f"""
+SELECT d.doc_id,
+       t.i AS chunk_idx,
+       t.i * {CHUNK_STRIDE} + 1 AS chunk_start,
+       substring(d.text, CAST(t.i * {CHUNK_STRIDE} + 1 AS INT),
+                 {CHUNK_SIZE}) AS chunk_text,
+       length(substring(d.text, CAST(t.i * {CHUNK_STRIDE} + 1 AS INT),
+                        {CHUNK_SIZE})) AS chunk_len
+FROM documents d
+CROSS JOIN LATERAL (
+  SELECT unnest(range(0,
+    CAST(floor((length(d.text) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+) t
+WHERE length(d.text) > 0
+"""
+
+
+# ------------------------------------------------------------ char entropy
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish / boilerplate / base64-blob signal. Two chained hash
+    aggregations, both map-side combinable: (doc, char) → count, then
+    doc → entropy via H = log2(n) − Σ c·log2(c) / n (the single-pass
+    form that never materializes probabilities)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_char = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return per_char.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_counted"),
+        F.count("*").alias("distinct_chars"),
+        F.round(
+            (F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n)
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("entropy_micro"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), per_char AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_counted,
+       COUNT(*) AS distinct_chars,
+       CAST(ROUND((log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt))
+                  * 1e6) AS BIGINT) AS entropy_micro
+FROM per_char GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------- winsorized stats
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized length statistics: clamp `n_chars` into
+    the per-source exact [p05, p95] band, then aggregate. The scale
+    pattern is broadcast-cutpoints (cf. `sampling.py` rfm_segments_
+    scaled): grouped `percentile_disc` → tiny per-source cut table →
+    broadcast join → stateless clamp → hash agg. No window, no sort.
+    All outputs are integer-exact (means published as micro-units of
+    an exact integer ratio, identical in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("source").agg(
+        F.expr(
+            f"CAST(percentile_disc({WINSOR_LO}) WITHIN GROUP"
+            " (ORDER BY n_chars) AS BIGINT)"
+        ).alias("p_lo"),
+        F.expr(
+            f"CAST(percentile_disc({WINSOR_HI}) WITHIN GROUP"
+            " (ORDER BY n_chars) AS BIGINT)"
+        ).alias("p_hi"),
+    )
+    clamped = docs.join(F.broadcast(cuts), "source").withColumn(
+        "n_wins", F.greatest(F.least("n_chars", "p_hi"), "p_lo")
+    )
+    return clamped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        F.sum("n_chars").cast("bigint").alias("sum_raw"),
+        F.sum("n_wins").cast("bigint").alias("sum_winsorized"),
+        F.round(F.sum("n_wins") * F.lit(1_000_000.0) / F.count("*"))
+        .cast("bigint")
+        .alias("mean_winsorized_micro"),
+    )
+
+
+ORACLE_WINSORIZED_STATS = f"""
+WITH cuts AS (
+  SELECT source,
+         CAST(percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p_lo,
+         CAST(percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p_hi
+  FROM documents GROUP BY source
+), clamped AS (
+  SELECT d.source, d.n_chars, c.p_lo, c.p_hi,
+         GREATEST(LEAST(d.n_chars, c.p_hi), c.p_lo) AS n_wins
+  FROM documents d JOIN cuts c ON d.source = c.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       MIN(p_lo) AS p_lo,
+       MIN(p_hi) AS p_hi,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_raw,
+       CAST(SUM(n_wins) AS BIGINT) AS sum_winsorized,
+       CAST(ROUND(SUM(n_wins) * 1e6 / COUNT(*)) AS BIGINT)
+         AS mean_winsorized_micro
+FROM clamped GROUP BY source
+"""
+
+
+# ---------------------------------------------------------- MAD outliers
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier detection: flag docs whose length
+    deviates from the source median by more than MAD_K × MAD (median
+    absolute deviation). Integer-exact end to end — `percentile_disc`
+    on BIGINT returns a witness value, so both engines agree without
+    rounding. Two broadcast-cutpoint passes (median, then MAD), each a
+    grouped exact percentile + broadcast join — the robust-z pattern
+    that replaces mean/stddev when one mega-doc would dominate."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted: the per-source median table is consumed by both the
+    # MAD aggregation and the final filter — without the cache the
+    # median agg (and its exchange) executes once per consumer
+    med = docs.groupBy("source").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)"
+            " AS BIGINT)"
+        ).alias("med")
+    ).persist()
+    with_dev = docs.join(F.broadcast(med), "source").withColumn(
+        "abs_dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = with_dev.groupBy("source").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)"
+            " AS BIGINT)"
+        ).alias("mad")
+    )
+    return (
+        with_dev.join(F.broadcast(mad), "source")
+        .filter(F.col("abs_dev") > F.lit(MAD_K) * F.col("mad"))
+        .select("doc_id", "source", "n_chars", "med", "mad", "abs_dev")
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS med
+  FROM documents GROUP BY source
+), dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med,
+         ABS(d.n_chars - m.med) AS abs_dev
+  FROM documents d JOIN med m ON d.source = m.source
+), mad AS (
+  SELECT source,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)
+              AS BIGINT) AS mad
+  FROM dev GROUP BY source
+)
+SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad, dev.abs_dev
+FROM dev JOIN mad ON dev.source = mad.source
+WHERE dev.abs_dev > {MAD_K} * mad.mad
+"""
+
+
+# ------------------------------------------------------- domain reweight
+
+
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the DoReMi-lite /
+    multinomial-temperature prep): weight_s ∝ share_s^α with α = 0.5
+    (√ keeps the op IEEE-identical across engines), normalized to sum
+    to 1. The corpus collapses to one row per domain before any float
+    math; the normalizer is a one-row aggregate broadcast back via
+    cross join. `boost_micro` > 1e6 means the domain is up-sampled."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted: consumed by both the normalizer aggregate and the
+    # final projection — one row per domain, trivially cacheable
+    per_source = (
+        docs.groupBy("source").agg(F.count("*").alias("n_docs")).persist()
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum(
+            F.sqrt(F.col("n_docs").cast("double"))
+        ).alias("sum_sqrt_docs"),
+    )
+    # share^0.5 / Σ share^0.5 == sqrt(n) / Σ sqrt(n) — the total_docs
+    # factor cancels, so only one cross-engine float sum remains.
+    joined = per_source.crossJoin(F.broadcast(totals))
+    share = F.col("n_docs") / F.col("total_docs")
+    weight = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_sqrt_docs")
+    return joined.select(
+        "source",
+        "n_docs",
+        F.round(share * 1e6).cast("bigint").alias("share_micro"),
+        F.round(weight * 1e6).cast("bigint").alias("weight_micro"),
+        F.round(weight / share * 1e6).cast("bigint").alias("boost_micro"),
+    )
+
+
+ORACLE_DOMAIN_REWEIGHT = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sqrt_docs
+  FROM per_source
+)
+SELECT source,
+       n_docs,
+       CAST(ROUND(n_docs / CAST(total_docs AS DOUBLE) * 1e6) AS BIGINT)
+         AS share_micro,
+       CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt_docs * 1e6)
+            AS BIGINT) AS weight_micro,
+       CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt_docs
+                  / (n_docs / CAST(total_docs AS DOUBLE)) * 1e6)
+            AS BIGINT) AS boost_micro
+FROM per_source CROSS JOIN totals
+"""
+
+
+# ------------------------------------------------- threshold calibration
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate threshold calibration: find the exact global score
+    cutoff whose acceptance rate is closest-from-above to
+    CALIBRATION_KEEP_RATE, then report the realized per-source keep
+    rates. The score here is `n_chars` (stand-in for any upstream
+    quality model output). One global `percentile_disc` (a single-row
+    aggregate, broadcast via cross join), then a stateless filter —
+    the corpus is never sorted. Ties at the threshold are kept
+    (value-determined, both engines agree exactly on integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = 1.0 - CALIBRATION_KEEP_RATE
+    thr = docs.agg(
+        F.expr(
+            f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars)"
+            " AS BIGINT)"
+        ).alias("threshold")
+    )
+    flagged = docs.crossJoin(F.broadcast(thr)).withColumn(
+        "kept", (F.col("n_chars") >= F.col("threshold")).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.min("threshold").alias("threshold"),
+        F.count("*").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.round(F.sum("kept") * F.lit(1_000_000.0) / F.count("*"))
+        .cast("bigint")
+        .alias("keep_rate_micro"),
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+WITH thr AS (
+  SELECT CAST(percentile_disc({1.0 - CALIBRATION_KEEP_RATE}) WITHIN GROUP
+              (ORDER BY n_chars) AS BIGINT) AS threshold
+  FROM documents
+), flagged AS (
+  SELECT d.source, d.n_chars, t.threshold,
+         CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END AS kept
+  FROM documents d CROSS JOIN thr t
+)
+SELECT source,
+       MIN(threshold) AS threshold,
+       COUNT(*) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars,
+       CAST(ROUND(SUM(kept) * 1e6 / COUNT(*)) AS BIGINT) AS keep_rate_micro
+FROM flagged GROUP BY source
+"""
+
+
+# ------------------------------------------------------------- PageRank
+
+
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite user ↔ event-type interaction graph
+    (damping 0.85, PAGERANK_ITERS fixed iterations from a uniform
+    start) — the iterative-algorithm showcase beyond connected
+    components (`dedup.py`): importance propagation, authority
+    scoring, spam-domain detection all reduce to this kernel.
+
+    Scale shape: distinct edges are materialized once with their
+    source out-degree attached and persisted; each iteration is one
+    shuffle join (ranks ⋈ edges on src) + one hash agg (contributions
+    by dst) + one left join back onto the node set — the canonical
+    distributed PR step with no driver-side graph and no convergence
+    loop (fixed iterations keep the plan statically analyzable and the
+    oracle unrollable). Every node in the bipartite edge set has
+    out-degree ≥ 1, so there is no dangling-mass correction term."""
+    events = load_table(spark, sf_dir, "events")
+    ue = (
+        events.select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node string, pr_nano bigint")
+    d = PAGERANK_DAMPING
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce("c", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks.select(
+        "node", F.round(F.col("pr") * 1e9).cast("bigint").alias("pr_nano")
+    )
+
+
+ORACLE_PAGERANK_BIPARTITE = f"""
+WITH ue AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  't:' || event_type AS dst
+  FROM events
+), edges AS (
+  SELECT src, dst FROM ue UNION ALL SELECT dst, src FROM ue
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), pr0 AS (
+  SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn
+), c1 AS (
+  SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS c
+  FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), pr1 AS (
+  SELECT nodes.node,
+         (1.0 - {PAGERANK_DAMPING}) / nn.n
+           + {PAGERANK_DAMPING} * COALESCE(c1.c, 0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+), c2 AS (
+  SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS c
+  FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), pr2 AS (
+  SELECT nodes.node,
+         (1.0 - {PAGERANK_DAMPING}) / nn.n
+           + {PAGERANK_DAMPING} * COALESCE(c2.c, 0) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+)
+SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) AS pr_nano FROM pr2
+"""
+
+
+QUERIES = {
+    "doc_chunking": q_doc_chunking,
+    "char_entropy": q_char_entropy,
+    "winsorized_stats": q_winsorized_stats,
+    "mad_outliers": q_mad_outliers,
+    "domain_reweight": q_domain_reweight,
+    "quality_calibration": q_quality_calibration,
+    "pagerank_bipartite": q_pagerank_bipartite,
+}
+
+ORACLES = {
+    "doc_chunking": ORACLE_DOC_CHUNKING,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "domain_reweight": ORACLE_DOMAIN_REWEIGHT,
+    "quality_calibration": ORACLE_QUALITY_CALIBRATION,
+    "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
+}

@@ -74,6 +74,14 @@ REPRESENTATIVES = [
     "approx_distinct_check",
     "approx_quantiles_check",
     "random_ids_check",
+    # r7 corpus-shaping family (operators/quality.py)
+    "doc_chunking",
+    "char_entropy",
+    "winsorized_stats",
+    "mad_outliers",
+    "domain_reweight",
+    "quality_calibration",
+    "pagerank_bipartite",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

@@ -321,6 +321,17 @@ SHUFFLE_BUDGETS = {
     # r6 capstone: window exchange on source + dedup-hash agg +
     # per-source stats agg
     "curation_pipeline": 3,
+    # r7 corpus-shaping family: chunking = stateless map, ZERO
+    # shuffles; entropy = (doc,char) agg + doc agg; the three
+    # broadcast-cutpoint ops = grouped/global percentile agg + final
+    # agg (the cut table comes back as a broadcast, never a shuffle);
+    # reweight = per-source agg + one-row normalizer agg
+    "doc_chunking": 0,
+    "char_entropy": 2,
+    "winsorized_stats": 2,
+    "mad_outliers": 2,
+    "domain_reweight": 2,
+    "quality_calibration": 2,
 }
 
 
@@ -445,3 +456,54 @@ def test_domain_cap_scaled_window_is_post_filter(spark, sf_dir, queries):
     )
     b = sorted(tuple(r) for r in df.collect())
     assert a == b
+
+
+def test_doc_chunking_zero_shuffle_prunes_scan(spark, sf_dir, queries):
+    """Chunking must be one codegen span over the scan — sequence +
+    explode + substring are all narrow — and the scan must read only
+    (doc_id, text): a chunker that drags lang/source/n_chars through
+    the fan-out multiplies 100 TB by chunks-per-doc for nothing."""
+    df = queries["doc_chunking"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    for dropped in ("n_chars", "lang", "source"):
+        assert dropped not in rs, rs
+
+
+def test_char_entropy_partial_aggregates(spark, sf_dir, queries):
+    """Both entropy aggregations (doc,char)→count and doc→H must be
+    partial-applied: four HashAggregate operators (partial+final ×2)
+    so the char fan-out combines map-side before either shuffle."""
+    df = queries["char_entropy"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_cutpoint_ops_broadcast_no_window(spark, sf_dir, queries):
+    """The robust-stats family must follow the broadcast-cutpoint
+    pattern, not the corpus-wide window: percentile cut tables come
+    back as broadcasts (hash joins for per-source cuts, nested-loop
+    for the one-row global threshold), and there must be no Window —
+    the exact anti-pattern rfm_segments_scaled exists to avoid."""
+    for name, min_bcast in (("winsorized_stats", 1), ("mad_outliers", 2)):
+        plan = plan_of(queries[name](spark, sf_dir), mode="simple")
+        assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan)
+        assert "Window" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+    plan = plan_of(queries["quality_calibration"](spark, sf_dir), mode="simple")
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert "Window" not in plan, plan
+
+
+def test_pagerank_reuses_edges_no_cartesian(spark, sf_dir, queries):
+    """The PR iteration joins must stay keyed (no CartesianProduct —
+    the failure mode of joining ranks to edges without the node-id
+    equi-key), and the edge+degree relation must be cached once and
+    reused across iterations rather than recomputed per step."""
+    df = queries["pagerank_bipartite"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan

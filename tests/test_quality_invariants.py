@@ -1,0 +1,130 @@
+"""Semantic invariants of the corpus-shaping family (operators/
+quality.py) — properties the oracle-parity hash check cannot express
+(it proves both engines agree; these prove the agreed answer is the
+RIGHT one): chunk reconstruction, entropy bounds, winsorization
+clamps, robust-flag consistency, mixture-mass conservation, keep-rate
+realization, PageRank mass conservation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry
+from gomysql2pg_spark.catalog import load_table
+from gomysql2pg_spark.operators.quality import (
+    CALIBRATION_KEEP_RATE,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    MAD_K,
+)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_chunks_reconstruct_documents(spark, sf_dir, queries):
+    """Concatenating each chunk's first CHUNK_STRIDE chars (full tail
+    for the last chunk) must reproduce the original text exactly —
+    chunking may not drop, duplicate, or reorder a single character."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in queries["doc_chunking"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in docs.items():
+        if len(text) == 0:
+            assert doc_id not in chunks
+            continue
+        rows = sorted(chunks[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == (len(text) - 1) // CHUNK_STRIDE + 1
+        rebuilt = "".join(
+            r["chunk_text"][:CHUNK_STRIDE] for r in rows[:-1]
+        ) + rows[-1]["chunk_text"]
+        assert rebuilt == text, doc_id
+        for r in rows:
+            assert 1 <= r["chunk_len"] <= CHUNK_SIZE
+            assert r["chunk_start"] == r["chunk_idx"] * CHUNK_STRIDE + 1
+
+
+def test_entropy_bounds(spark, sf_dir, queries):
+    """0 ≤ H ≤ log2(alphabet size) for every doc, and the counted
+    length must equal the document length (no dropped chars)."""
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "length(text) AS n")
+        .collect()
+    }
+    rows = queries["char_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_counted"] == lens[r["doc_id"]]
+        h = r["entropy_micro"] / 1e6
+        assert -1e-6 <= h <= math.log2(r["distinct_chars"]) + 1e-6, r
+
+
+def test_winsorized_means_inside_clamp_band(spark, sf_dir, queries):
+    for r in queries["winsorized_stats"](spark, sf_dir).collect():
+        assert r["p_lo"] <= r["p_hi"]
+        assert (
+            r["n_docs"] * r["p_lo"]
+            <= r["sum_winsorized"]
+            <= r["n_docs"] * r["p_hi"]
+        ), r
+        # winsorization only moves tail mass; the clamped sum can
+        # differ from the raw sum but the mean must stay in-band
+        mean = r["mean_winsorized_micro"] / 1e6
+        assert r["p_lo"] - 1 <= mean <= r["p_hi"] + 1, r
+
+
+def test_mad_flags_satisfy_rule_and_are_minority(spark, sf_dir, queries):
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    rows = queries["mad_outliers"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["abs_dev"] == abs(r["n_chars"] - r["med"])
+        assert r["abs_dev"] > MAD_K * r["mad"], r
+    # by construction ≥ 50 % of each source sits within 1 MAD — the
+    # 3-MAD flag set must be a strict minority of the corpus
+    assert len(rows) < docs_n / 2
+
+
+def test_reweight_mass_conservation(spark, sf_dir, queries):
+    rows = queries["domain_reweight"](spark, sf_dir).collect()
+    assert rows
+    tol = len(rows)  # ±1 micro rounding per domain
+    assert abs(sum(r["share_micro"] for r in rows) - 1_000_000) <= tol
+    assert abs(sum(r["weight_micro"] for r in rows) - 1_000_000) <= tol
+    # √-temperature reweighting must up-sample small domains and
+    # down-sample large ones (boost strictly decreasing in share)
+    by_share = sorted(rows, key=lambda r: r["share_micro"])
+    boosts = [r["boost_micro"] for r in by_share]
+    assert all(b1 >= b2 for b1, b2 in zip(boosts, boosts[1:])), boosts
+
+
+def test_calibration_realizes_keep_rate(spark, sf_dir, queries):
+    rows = queries["quality_calibration"](spark, sf_dir).collect()
+    total = sum(r["n_total"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    # percentile_disc picks the cutoff from above: the realized global
+    # rate is ≥ target, and within one doc + boundary-tie mass of it
+    assert kept / total >= CALIBRATION_KEEP_RATE - 1.0 / total
+    assert kept / total <= 0.5  # ties cannot double the acceptance
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir, queries):
+    rows = queries["pagerank_bipartite"](spark, sf_dir).collect()
+    assert rows
+    # damped PR over a graph with no dangling nodes conserves unit
+    # mass; allow ±1 nano rounding per node
+    assert abs(sum(r["pr_nano"] for r in rows) - 1_000_000_000) <= len(rows)
+    for r in rows:
+        assert r["pr_nano"] > 0
