@@ -32,13 +32,15 @@ _PRIORITY = [
     "approx_quantiles_check", "random_ids_check",
     "validate_fk_orphans", "cell_transforms",  # lowercase-hex parity fix
     # --- r7: the new corpus-shaping family (operators/quality.py,
-    # 7 entries, never driver-checked) ---
+    # 7 entries) + the documents-stream ingest pair (streaming/
+    # stream.py), all never driver-checked ---
     "doc_chunking", "char_entropy", "winsorized_stats", "mad_outliers",
     "domain_reweight", "quality_calibration", "pagerank_bipartite",
-    # --- r7: staleness rotation — the 33 oldest entries whose last
+    "stream_source_stats", "stream_quality_gate",
+    # --- r7: staleness rotation — the 31 oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
-    # remaining 35 r02-stale entries roll to r08. ---
+    # remaining 37 r02-stale entries roll to r08. ---
     "anti_join", "conditional_null", "count_star", "dedup_exact",
     "distinct_agg", "filter_like", "full_scan", "group_concat",
     "multikey_sort", "page_count", "page_fetch_composite",
@@ -48,7 +50,6 @@ _PRIORITY = [
     "similarity_topk", "stats_aggs", "string_funcs",
     "topk_by_aggregation", "window_topk", "window_value_funcs",
     "bm25_components", "catalog_tables", "collect_distinct_arrays",
-    "corpus_pipeline", "cross_join_small",
 ]
 
 

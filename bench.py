@@ -95,6 +95,8 @@ HEADLINE = [
     "char_entropy",
     "mad_outliers",
     "pagerank_bipartite",
+    # round-7 streaming corpus ingest (documents file stream)
+    "stream_source_stats",
 ]
 
 

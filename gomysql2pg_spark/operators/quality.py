@@ -419,11 +419,19 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
         )
         .distinct()
+        # persisted: degrees, joined edges, and the node set all derive
+        # from this distinct edge list — uncached, the events scan +
+        # distinct shuffle would re-execute once per consumer
+        .persist()
     )
-    edges = ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = ue.union(
+        ue.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_deg = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    # both endpoints appear as src in the bidirectional list, so the
+    # node set is the distinct src of the (cached) joined relation
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()
     if n == 0:
         return spark.createDataFrame([], "node string, pr_nano bigint")

@@ -643,6 +643,110 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.events import ORACLE_EVENTS_ANOMALY as _ORACLE_ANOMALY
 
 
+# ---------------------------------------------------------------------------
+# documents file-stream: streaming corpus ingest
+# ---------------------------------------------------------------------------
+
+_DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents parquet — the ingest side
+    of a continuously-arriving corpus (crawl drops landing as files).
+    Same path resolution as `read_events_stream`: `path` may be the
+    sf_dir, a documents.parquet file, or a split part-file directory.
+    No timestamp column, so no unit probing is needed."""
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "documents.parquet")
+    ):
+        path = os.path.join(path, "documents.parquet")
+    if os.path.isfile(path):
+        link_dir = os.path.join(
+            tempfile.gettempdir(),
+            "spark_stream_src_"
+            + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12],
+        )
+        os.makedirs(link_dir, exist_ok=True)
+        link = os.path.join(link_dir, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
+        path = link_dir
+    reader = spark.readStream.schema(_DOCUMENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def q_stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain ingest monitoring: running doc counts and
+    character volumes per `source`, maintained BY the streaming engine
+    (complete mode — the drained state equals the batch aggregate, the
+    oracle). On a cluster this is the live dashboard behind a crawl
+    ingest: bounded state (one row per domain), map-side partials
+    before the state shuffle."""
+    docs = read_documents_stream(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_english"),
+    )
+    name = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+ORACLE_STREAM_SOURCE_STATS = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_english
+FROM documents
+GROUP BY source
+"""
+
+
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming admission filter: pass-through ETL that
+    admits only documents inside a length band with a computed
+    admission tag — append mode, zero state, exactly the rows the
+    batch predicate admits (the oracle). The canonical first stage of
+    a streaming curation pipeline: runs at wire speed, no shuffle, no
+    watermark, and every admitted row is emitted exactly once."""
+    docs = read_documents_stream(spark, sf_dir)
+    admitted = docs.filter(
+        (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.when(F.col("n_chars") >= 1000, F.lit("long"))
+        .otherwise(F.lit("standard"))
+        .alias("band"),
+    )
+    name = run_to_memory(admitted, output_mode="append")
+    return spark.table(name)
+
+
+ORACLE_STREAM_QUALITY_GATE = """
+SELECT doc_id, source, lang, n_chars,
+       CASE WHEN n_chars >= 1000 THEN 'long' ELSE 'standard' END AS band
+FROM documents
+WHERE n_chars >= 100 AND n_chars <= 2000
+"""
+
+
 QUERIES = {
     "stream_anomaly": q_stream_anomaly,
     "stream_windowed_counts": q_stream_windowed_counts,
@@ -652,6 +756,8 @@ QUERIES = {
     "stream_dedup_then_window": q_stream_dedup_then_window,
     "stream_dedup": q_stream_dedup,
     "stream_stateful_totals": q_stream_stateful_totals,
+    "stream_source_stats": q_stream_source_stats,
+    "stream_quality_gate": q_stream_quality_gate,
 }
 
 ORACLES = {
@@ -663,4 +769,6 @@ ORACLES = {
     "stream_session_windows": ORACLE_STREAM_SESSIONS,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
+    "stream_source_stats": ORACLE_STREAM_SOURCE_STATS,
+    "stream_quality_gate": ORACLE_STREAM_QUALITY_GATE,
 }

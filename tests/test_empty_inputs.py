@@ -82,6 +82,10 @@ REPRESENTATIVES = [
     "domain_reweight",
     "quality_calibration",
     "pagerank_bipartite",
+    # r7 documents-stream ingest pair (streaming engine over an empty
+    # corpus: zero-row file → one empty micro-batch, no fabricated rows)
+    "stream_source_stats",
+    "stream_quality_gate",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

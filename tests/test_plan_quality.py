@@ -332,6 +332,11 @@ SHUFFLE_BUDGETS = {
     "mad_outliers": 2,
     "domain_reweight": 2,
     "quality_calibration": 2,
+    # pagerank: the distinct-edge materialization shuffle lives inside
+    # the caches (counted once); the two live exchanges are the two
+    # per-iteration contribution aggs — rank⋈edge joins broadcast at
+    # fixture scale and key-shuffle on a cluster
+    "pagerank_bipartite": 2,
 }
 
 
