@@ -37,19 +37,23 @@ _PRIORITY = [
     "doc_chunking", "char_entropy", "winsorized_stats", "mad_outliers",
     "domain_reweight", "quality_calibration", "pagerank_bipartite",
     "stream_source_stats", "stream_quality_gate",
-    # --- r7: staleness rotation — the 31 oldest entries whose last
+    # --- r7 batch 2: entity resolution, frequency/heavy hitters,
+    # layout, and weighted systematic sampling (10, never
+    # driver-checked) ---
+    "er_blocking_pairs", "er_match_pairs", "er_clusters",
+    "er_resolved_rollup", "heavy_hitters", "freq_sketch_check",
+    "cooccurrence_lift", "zorder_layout", "interval_overlap_join",
+    "weighted_systematic_sample",
+    # --- r7: staleness rotation — the oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
-    # remaining 37 r02-stale entries roll to r08. ---
+    # remaining r02-stale entries roll to r08. ---
     "anti_join", "conditional_null", "count_star", "dedup_exact",
     "distinct_agg", "filter_like", "full_scan", "group_concat",
     "multikey_sort", "page_count", "page_fetch_composite",
     "page_limit_offset", "pii_scrub", "pivot_status", "projection",
     "range_join_bands", "rollup_agg", "semi_join", "set_except",
-    "set_union_intersect", "similarity_ivf", "similarity_norms",
-    "similarity_topk", "stats_aggs", "string_funcs",
-    "topk_by_aggregation", "window_topk", "window_value_funcs",
-    "bm25_components", "catalog_tables", "collect_distinct_arrays",
+    "set_union_intersect", "similarity_ivf",
 ]
 
 
@@ -82,6 +86,9 @@ def _registries():
         "custom",
         "sampling",
         "quality",
+        "linkage",
+        "frequency",
+        "layout",
     ):
         try:
             mod = __import__(

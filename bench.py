@@ -97,6 +97,18 @@ HEADLINE = [
     "pagerank_bipartite",
     # round-7 streaming corpus ingest (documents file stream)
     "stream_source_stats",
+    # round-7 batch 2: one bench row per new plan family — ER
+    # end-to-end (block+match+CC+broadcast rollup), heavy hitters
+    # (partial agg + broadcast total), co-occurrence (domain-bounded
+    # pair explode), z-order envelope (arithmetic interleave), the
+    # interval grid join (explode+equi), and the systematic sampler
+    # (two-level prefix sum)
+    "er_resolved_rollup",
+    "heavy_hitters",
+    "cooccurrence_lift",
+    "zorder_layout",
+    "interval_overlap_join",
+    "weighted_systematic_sample",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Frequency / heavy-hitter operators (SURVEY.md §2.I, round 7).
+
+The reference's validation layer stops at COUNT(*) and checksums
+(`cmd/compare.go`); a corpus pipeline also needs *frequency shape*:
+which keys dominate a column (boilerplate detection, hot-key
+diagnosis before a join), with a sketch path whose guarantee can be
+checked deterministically, plus association strength between event
+types (the market-basket signal that drives curriculum mixing).
+
+Scale notes (100 TB):
+- `heavy_hitters` is one hash aggregate with map-side partials plus a
+  broadcast of the ONE-row total — the output is support-thresholded,
+  so it is heavy-hitter-sized, never key-cardinality-sized,
+- `freq_sketch_check` builds the candidate set from Arrow-batch-local
+  thresholding (`value_counts` per batch, vectorized — no per-row
+  Python): a batch of size m contributes only keys with local count
+  > m/K, of which there are < K by a counting argument. The union
+  over batches provably contains every key with GLOBAL count > n/K
+  (if every batch count ≤ m_b/K, summing gives total ≤ n/K) — the
+  same containment guarantee Misra-Gries summaries give, reached with
+  vectorized ops. The driver-checked gate asserts exactly that
+  invariant: every exact heavy hitter is found among the candidates,
+- `cooccurrence_lift` explodes per-user DISTINCT event types (a
+  domain-bounded set, ≤ |event_type| per user) into unordered pairs —
+  the pair blowup is |types|² per user, not |events|², and the
+  lift denominator comes from one broadcast scalar aggregate. The
+  single float division is performed once on integer-exact operands,
+  so the micro-rounded lift is cross-engine stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+from ..catalog import load_table
+
+#: heavy-hitter support threshold: key share > 0.2 % of all events
+HH_SUPPORT = 0.002
+
+#: sketch capacity: keys with global count > n / SKETCH_K are
+#: guaranteed present in the candidate union
+SKETCH_K = 128
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the (event_type, props) composite key:
+    keys whose count exceeds HH_SUPPORT of the table. One shuffle
+    (the groupBy, with map-side partial counts); the total arrives as
+    a broadcast single-row aggregate, and share is published
+    micro-rounded from one integer-exact division."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").alias("n_total"))
+    return (
+        ev.groupBy("event_type", "props")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") * F.lit(HH_SUPPORT))
+        .select(
+            "event_type",
+            "props",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000.0) / F.col("n_total"))
+            .cast("bigint")
+            .alias("share_micro_floor"),
+        )
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH tot AS (SELECT COUNT(*) AS n_total FROM events),
+agg AS (
+  SELECT event_type, props, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT event_type, props, cnt,
+       CAST(FLOOR(cnt * 1000000.0 / n_total) AS BIGINT)
+         AS share_micro_floor
+FROM agg, tot WHERE cnt > n_total * {HH_SUPPORT}
+"""
+
+
+def q_freq_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gate on the distributed frequent-candidates
+    sketch (H-pattern, cf. §2.H3-H8): candidates = union over Arrow
+    batches of keys with batch-local count > batch_len / SKETCH_K;
+    the output is every EXACT heavy hitter (global count > n /
+    SKETCH_K) with its exact count and ``found`` = membership in the
+    candidate set. The containment theorem makes ``found`` always
+    true, so the oracle is plain exact SQL — if the sketch ever lost
+    a heavy hitter, ``found`` flips false and the driver hash
+    mismatches."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def batch_candidates(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            vc = pdf["props"].value_counts()
+            cand = vc[vc > m / SKETCH_K]
+            if len(cand):
+                yield cand.index.to_frame(name="candidate").reset_index(
+                    drop=True
+                )
+
+    cand = (
+        ev.select("props")
+        .mapInPandas(
+            batch_candidates,
+            StructType([StructField("candidate", StringType())]),
+        )
+        .distinct()
+    )
+    total = ev.agg(F.count("*").alias("n_total"))
+    exact_hh = (
+        ev.groupBy("props")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n_total") / F.lit(SKETCH_K))
+    )
+    return (
+        exact_hh.join(
+            F.broadcast(cand), exact_hh.props == cand.candidate, "left"
+        )
+        .select(
+            F.col("props").alias("key"),
+            "cnt",
+            F.col("candidate").isNotNull().alias("found"),
+        )
+    )
+
+
+ORACLE_FREQ_SKETCH_CHECK = f"""
+WITH tot AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT props AS key, COUNT(*) AS cnt, TRUE AS found
+FROM events, tot
+GROUP BY props, n_total
+HAVING COUNT(*) > n_total / {SKETCH_K}
+"""
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between event types: for every
+    unordered type pair, the number of users exhibiting both and the
+    lift vs independence, lift = P(a,b) / (P(a)·P(b)) =
+    co·n / (ca·cb), published micro-rounded. Per-user type sets are
+    domain-bounded, so the pair explosion is tiny and the only wide
+    shuffles are the two distinct-aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    per_type = ut.groupBy("event_type").agg(
+        F.count("*").alias("type_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("co_users"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("type_users").alias("users_a"),
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("type_users").alias("users_b"),
+    )
+    return (
+        co.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "co_users",
+            F.round(
+                (F.col("co_users") * F.col("n_users") * F.lit(1000000))
+                .cast("double")
+                / (F.col("users_a") * F.col("users_b"))
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+
+
+ORACLE_COOCCURRENCE_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+pt AS (SELECT event_type, COUNT(*) AS type_users FROM ut GROUP BY 1),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS co_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT co.type_a, co.type_b, co.co_users,
+       CAST(ROUND(CAST(co.co_users * n.n_users * 1000000 AS DOUBLE)
+                  / (pa.type_users * pb.type_users)) AS BIGINT)
+         AS lift_micro
+FROM co
+JOIN pt pa ON pa.event_type = co.type_a
+JOIN pt pb ON pb.event_type = co.type_b
+CROSS JOIN n
+"""
+
+
+QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "freq_sketch_check": q_freq_sketch_check,
+    "cooccurrence_lift": q_cooccurrence_lift,
+}
+
+ORACLES = {
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "freq_sketch_check": ORACLE_FREQ_SKETCH_CHECK,
+    "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
+}

@@ -724,6 +724,78 @@ FROM deduped GROUP BY source
 """
 
 
+# ------------------------------------- weighted systematic sampling
+#
+# Round-7 addition: deterministic weight-proportional selection.
+# A-Res/priority sampling needs pow(u, 1/w) — cross-engine float
+# poison. Systematic sampling over the cumulative weight axis is the
+# integer-exact equivalent: lay docs on [0, W) by cumulative n_chars
+# in doc_id order, drop a tick every STEP = W // N_PICKS, and keep
+# every doc whose weight mass contains a tick. Inclusion probability
+# ∝ weight, zero RNG, and the cumulative sum runs as the same
+# two-level distributed prefix sum as q_token_budget_select
+# (pipeline.py:385) — coarse bands + per-band offsets broadcast back,
+# never a single global sort window.
+
+N_SYSTEMATIC_PICKS = 40
+
+
+def q_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-proportional systematic sample of documents (weight =
+    n_chars): keep doc iff a tick multiple of STEP lands in its
+    cumulative-weight slot (cum_before, cum]. Two-level prefix sum:
+    band = doc_id DIV 64 keeps band order ≡ doc order, band totals
+    are a tiny aggregate windowed for base offsets, and the per-band
+    running sum parallelizes across bands."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    ).withColumn("band", F.expr("doc_id DIV 64"))
+    band_tot = d.groupBy("band").agg(F.sum("w").alias("band_w"))
+    wb = Window.orderBy("band")  # tiny: n_docs/64 rows
+    base = band_tot.withColumn(
+        "offset", F.sum("band_w").over(wb) - F.col("band_w")
+    )
+    step = d.agg(
+        (F.floor(F.sum("w") / F.lit(N_SYSTEMATIC_PICKS)))
+        .cast("long")
+        .alias("step")
+    )
+    wd = Window.partitionBy("band").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(base.select("band", "offset")), "band")
+        .withColumn("cum", F.col("offset") + F.sum("w").over(wd))
+        .crossJoin(F.broadcast(step))
+        .filter(
+            F.floor(F.col("cum") / F.col("step"))
+            > F.floor((F.col("cum") - F.col("w")) / F.col("step"))
+        )
+        .select("doc_id", "w", F.col("cum").cast("long").alias("cum"))
+    )
+
+
+ORACLE_WEIGHTED_SYSTEMATIC = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         SUM(CAST(n_chars AS BIGINT))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+s AS (
+  SELECT CAST(FLOOR(SUM(CAST(n_chars AS BIGINT))
+              / {N_SYSTEMATIC_PICKS}) AS BIGINT) AS step
+  FROM documents
+)
+SELECT doc_id, w, CAST(cum AS BIGINT) AS cum
+FROM d, s
+WHERE FLOOR(cum / step) > FLOOR((cum - w) / step)
+"""
+
+
 QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "value_quantiles": q_value_quantiles,
@@ -737,6 +809,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "rfm_segments_scaled": q_rfm_segments_scaled,
     "engagement_dau": q_engagement_dau,
+    "weighted_systematic_sample": q_weighted_systematic_sample,
 }
 
 ORACLES = {
@@ -753,4 +826,5 @@ ORACLES = {
     "rfm_segments": ORACLE_RFM_SEGMENTS,
     "rfm_segments_scaled": ORACLE_RFM_SEGMENTS_SCALED,
     "engagement_dau": ORACLE_ENGAGEMENT_DAU,
+    "weighted_systematic_sample": ORACLE_WEIGHTED_SYSTEMATIC,
 }

@@ -86,6 +86,17 @@ REPRESENTATIVES = [
     # corpus: zero-row file → one empty micro-batch, no fabricated rows)
     "stream_source_stats",
     "stream_quality_gate",
+    # r7 batch 2: linkage / frequency / layout / systematic sampling
+    "er_blocking_pairs",
+    "er_match_pairs",
+    "er_clusters",
+    "er_resolved_rollup",
+    "heavy_hitters",
+    "freq_sketch_check",
+    "cooccurrence_lift",
+    "zorder_layout",
+    "interval_overlap_join",
+    "weighted_systematic_sample",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

@@ -1,0 +1,329 @@
+"""Invariant + plan gates for the round-7 batch-2 families:
+entity resolution (linkage.py), frequency/heavy hitters
+(frequency.py), layout (layout.py), and weighted systematic sampling.
+
+The oracle sweep proves row equality at one partitioning; these tests
+pin the properties the oracle cannot see — guarantee-preservation
+under repartitioning, clustering quality, plan shape — so a refactor
+that keeps the rows but breaks the 100 TB story fails CI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+# --------------------------------------------------------------- linkage
+
+
+def test_er_match_is_subset_of_blocking(spark, sf_dir, queries):
+    """Precision stage can only drop candidates, never invent pairs."""
+    block = queries["er_blocking_pairs"](spark, sf_dir)
+    match = queries["er_match_pairs"](spark, sf_dir)
+    extra = match.join(
+        block.select("name_a", "name_b"), ["name_a", "name_b"], "left_anti"
+    ).count()
+    assert extra == 0
+    assert match.count() <= block.count()
+
+
+def test_er_blocking_never_crosses_blocks(spark, sf_dir, queries):
+    """Every pair shares its blocking key (last token) — the recall
+    contract of the blocking function."""
+    bad = (
+        queries["er_blocking_pairs"](spark, sf_dir)
+        .filter(
+            (F.substring_index("name_a", " ", -1) != F.col("block"))
+            | (F.substring_index("name_b", " ", -1) != F.col("block"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_er_clusters_closed_and_canonical_min(spark, sf_dir, queries):
+    """Every matched pair shares a canonical name; the canonical is
+    the lexicographic minimum of its cluster and is its own canonical
+    (the survivor rule is a projection, applying it twice is a no-op)."""
+    clusters = queries["er_clusters"](spark, sf_dir).cache()
+    pairs = queries["er_match_pairs"](spark, sf_dir)
+    ca = clusters.select(
+        F.col("name").alias("name_a"), F.col("canonical").alias("can_a")
+    )
+    cb = clusters.select(
+        F.col("name").alias("name_b"), F.col("canonical").alias("can_b")
+    )
+    split = (
+        pairs.join(ca, "name_a")
+        .join(cb, "name_b")
+        .filter(F.col("can_a") != F.col("can_b"))
+        .count()
+    )
+    assert split == 0
+    # canonical = min member
+    not_min = (
+        clusters.groupBy("canonical")
+        .agg(F.min("name").alias("min_member"))
+        .filter(F.col("canonical") != F.col("min_member"))
+        .count()
+    )
+    assert not_min == 0
+    # idempotent: canonicals map to themselves
+    rows = clusters.filter(
+        F.col("is_canonical") & (F.col("name") != F.col("canonical"))
+    ).count()
+    assert rows == 0
+    clusters.unpersist()
+
+
+def test_er_rollup_conserves_records(spark, sf_dir, queries):
+    """Resolution re-buckets records, never drops or duplicates them."""
+    from gomysql2pg_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "part").count()
+    rolled = (
+        queries["er_resolved_rollup"](spark, sf_dir)
+        .agg(F.sum("n_records"))
+        .collect()[0][0]
+    )
+    assert rolled == total
+
+
+def test_er_dictionary_is_broadcast(spark, sf_dir, queries):
+    """The name→canonical dictionary must hit the fact side as a
+    broadcast join — at 100 TB the fact table cannot shuffle for a
+    dimension-sized dictionary."""
+    plan = plan_of(queries["er_resolved_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------- frequency
+
+
+def test_freq_sketch_guarantee_survives_repartitioning(spark, sf_dir):
+    """The containment theorem is partitioning-independent: force an
+    adversarial repartitioning of the events scan and re-run the
+    candidate construction — every exact heavy hitter must still be
+    found. This is the property the single-partitioning oracle row
+    cannot establish."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.frequency import SKETCH_K
+
+    for n_parts in (1, 7, 64):
+        ev = load_table(spark, sf_dir, "events").repartition(n_parts)
+        n = ev.count()
+        exact = (
+            ev.groupBy("props")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > F.lit(n) / F.lit(SKETCH_K))
+        )
+        # rebuild candidates over the forced partitioning, inlined
+        # from q_freq_sketch_check's batch_candidates
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        def batch_candidates(batches):
+            for pdf in batches:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                vc = pdf["props"].value_counts()
+                cand = vc[vc > m / SKETCH_K]
+                if len(cand):
+                    yield cand.index.to_frame(
+                        name="candidate"
+                    ).reset_index(drop=True)
+
+        cand = ev.select("props").mapInPandas(
+            batch_candidates,
+            StructType([StructField("candidate", StringType())]),
+        )
+        missed = exact.join(
+            cand.distinct(),
+            exact.props == F.col("candidate"),
+            "left_anti",
+        ).count()
+        assert missed == 0, f"lost a heavy hitter at {n_parts} partitions"
+
+
+def test_heavy_hitters_partial_agg_and_broadcast_total(
+    spark, sf_dir, queries
+):
+    plan = plan_of(queries["heavy_hitters"](spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cooccurrence_pairs_ordered_and_bounded(spark, sf_dir, queries):
+    """Unordered-pair convention (type_a < type_b) and the domain
+    bound: at most |types|·(|types|−1)/2 rows."""
+    from gomysql2pg_spark.catalog import load_table
+
+    df = queries["cooccurrence_lift"](spark, sf_dir).cache()
+    assert df.filter(F.col("type_a") >= F.col("type_b")).count() == 0
+    n_types = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert df.count() <= n_types * (n_types - 1) // 2
+    df.unpersist()
+
+
+# ---------------------------------------------------------------- layout
+
+
+def test_zorder_buckets_cluster_both_dimensions(spark, sf_dir, queries):
+    """The point of z-order: the average per-bucket envelope must be
+    far narrower than the global range in BOTH dimensions (a
+    single-column sort would leave the second dimension's envelopes
+    at ~full width)."""
+    env = queries["zorder_layout"](spark, sf_dir).cache()
+    agg = env.agg(
+        F.avg(F.col("pk_max") - F.col("pk_min")).alias("pk_span"),
+        F.avg(F.col("sk_max") - F.col("sk_min")).alias("sk_span"),
+        F.max("pk_max").alias("pk_hi"),
+        F.min("pk_min").alias("pk_lo"),
+        F.max("sk_max").alias("sk_hi"),
+        F.min("sk_min").alias("sk_lo"),
+        F.count("*").alias("n_buckets"),
+    ).collect()[0]
+    env.unpersist()
+    assert agg["n_buckets"] > 1
+    # each dimension's mean envelope ≤ 40% of its global span (a
+    # 256-bucket z-curve over an 8-bit×8-bit grid gives ~1/16 per
+    # dim in the uniform case; 0.4 leaves headroom for sparse cells)
+    assert agg["pk_span"] <= 0.4 * (agg["pk_hi"] - agg["pk_lo"]), agg
+    assert agg["sk_span"] <= 0.4 * (agg["sk_hi"] - agg["sk_lo"]), agg
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir, queries):
+    """The grid rewrite must execute as explode + hash aggregate —
+    never a BroadcastNestedLoopJoin on the overlap predicate."""
+    plan = plan_of(queries["interval_overlap_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan  # the explode
+
+
+def test_interval_join_counts_match_nonequi_reference(
+    spark, sf_dir, queries
+):
+    """Cross-check the grid rewrite against the direct non-equi
+    formulation computed in Spark itself (small quarter calendar)."""
+    from gomysql2pg_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.to_date(F.min("l_shipdate")).alias("lo"),
+        F.to_date(F.max("l_shipdate")).alias("hi"),
+    )
+    quarters = spark.sql(
+        "SELECT explode(sequence(DATE'1990-01-01', DATE'2010-10-01',"
+        " INTERVAL 3 MONTHS)) AS quarter"
+    )
+    direct = (
+        spans.join(
+            quarters,
+            (F.col("lo") < F.expr("quarter + INTERVAL 3 MONTHS"))
+            & (F.col("hi") >= F.col("quarter")),
+        )
+        .groupBy("quarter")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    rewritten = queries["interval_overlap_join"](spark, sf_dir).select(
+        "quarter", "n_orders"
+    )
+    diff = rewritten.exceptAll(direct).count() + direct.exceptAll(
+        rewritten
+    ).count()
+    assert diff == 0
+
+
+# ------------------------------------------------- systematic sampling
+
+
+def test_weighted_systematic_tick_count_and_monotone_cum(
+    spark, sf_dir, queries
+):
+    """Systematic selection drops ~N_SYSTEMATIC_PICKS ticks on the
+    weight axis; each selected doc owns ≥1 tick, so the count lands
+    in [N, N + n_docs·0] ± rounding — exactly: total DIV step ticks,
+    each hitting exactly one doc slot, minus any tick at position 0.
+    Also: cum is strictly increasing with doc_id among survivors."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.sampling import N_SYSTEMATIC_PICKS
+
+    picked = queries["weighted_systematic_sample"](spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    step = total // N_SYSTEMATIC_PICKS
+    expected_ticks = total // step  # ≥ N_SYSTEMATIC_PICKS
+    n = picked.count()
+    # one tick per selected doc unless a doc spans multiple ticks
+    # (possible for huge docs), so n ≤ ticks; and every tick lands in
+    # some doc's slot, so selections cover all ticks: n ≥ ticks iff
+    # no doc owns 2+ ticks. Bound both sides loosely but usefully:
+    assert n <= expected_ticks
+    assert n >= N_SYSTEMATIC_PICKS * 0.5, n
+    rows = picked.orderBy("doc_id").collect()
+    cums = [r["cum"] for r in rows]
+    assert cums == sorted(cums)
+    picked.unpersist()
+
+
+def test_weighted_systematic_inclusion_proportional_to_weight(
+    spark, sf_dir, queries
+):
+    """Weight-proportionality: the selected set's total weight share
+    cannot be smaller than its count share (heavier docs are more
+    likely selected)."""
+    from gomysql2pg_spark.catalog import load_table
+
+    picked = queries["weighted_systematic_sample"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum("n_chars").alias("w"), F.count("*").alias("n")
+    ).collect()[0]
+    sel = picked.agg(
+        F.sum("w").alias("w"), F.count("*").alias("n")
+    ).collect()[0]
+    if sel["n"]:
+        assert sel["w"] / tot["w"] >= 0.8 * (sel["n"] / tot["n"])
+
+
+def test_weighted_systematic_no_global_window(spark, sf_dir, queries):
+    """The prefix sum must be the two-level form: every window in the
+    plan is either partitioned (the per-band running sum) or runs on
+    the tiny band table — assert no window sorts the full corpus by
+    checking the corpus-side window is PARTITION BY band."""
+    df = queries["weighted_systematic_sample"](spark, sf_dir)
+    plan = plan_of(df, mode="extended")
+    import re
+
+    # every windowspecdefinition over the doc table must partition
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins, plan
+    unpartitioned_wide = [
+        w
+        for w in wins
+        if "band" not in w.split(",")[0] and "doc_id" in w
+    ]
+    assert not unpartitioned_wide, unpartitioned_wide
