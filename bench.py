@@ -109,6 +109,12 @@ HEADLINE = [
     "zorder_layout",
     "interval_overlap_join",
     "weighted_systematic_sample",
+    # round-7 batch 3: coreset margin (broadcast k-NN fold + bounded
+    # best-2), classifier inference (pure codegen map), mixture fill
+    # (per-domain window + broadcast budgets)
+    "coreset_margin_select",
+    "classifier_score",
+    "mixture_allocation",
 ]
 
 

@@ -180,12 +180,116 @@ GROUP BY cid, pos
 """
 
 
+# ----------------------------------------------- margin-based coreset
+#
+# Round-7 addition: coreset selection by decision-boundary margin.
+# Data-pruning work (e.g. "Beyond neural scaling laws", Sorscher et
+# al. 2022) keeps the HARDEST examples — the ones closest to a
+# cluster boundary, where margin = d²(2nd-nearest) − d²(nearest) is
+# smallest — and drops the easy prototypical interior. This is the
+# distributed form: the margin needs only the best-two of the k
+# broadcast centroid distances, computed per vector with a bounded
+# collect_list(k structs) + array_sort (k is tiny and fixed — never a
+# corpus-sized window), and the per-cluster top-M pick is a window
+# PARTITIONED BY centroid, which parallelizes across clusters.
+
+CORESET_PER_CLUSTER = 20  # hardest examples kept per cluster
+
+
+def q_coreset_margin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest-example coreset: per cluster, the CORESET_PER_CLUSTER
+    vectors with the smallest (d²₂ − d²₁) margin, rank included.
+    Distances reuse the exact sequential fold (`_sq_dist`), so the
+    margin doubles are bit-identical across engines; ties break on
+    vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _sq_dist(F.col("embedding"), F.col("ce")).alias("dist2"),
+    )
+    best2 = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dist2", "cid"))
+            ).alias("ranked")
+        )
+        .select(
+            "vec_id",
+            F.col("ranked")[0]["cid"].alias("cid"),
+            F.col("ranked")[0]["dist2"].alias("d1"),
+            F.col("ranked")[1]["dist2"].alias("d2"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cid").orderBy(
+        (F.col("d2") - F.col("d1")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        best2.withColumn("rank_in_cluster", F.row_number().over(w))
+        .filter(F.col("rank_in_cluster") <= CORESET_PER_CLUSTER)
+        .select(
+            "cid",
+            "vec_id",
+            F.round((F.col("d2") - F.col("d1")) * 1e6)
+            .cast("bigint")
+            .alias("margin_micro"),
+            "rank_in_cluster",
+        )
+    )
+
+
+ORACLE_CORESET_MARGIN = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {K_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(e.embedding::DOUBLE[], c.ce::DOUBLE[]),
+                       s -> (s[1] - s[2]) * (s[1] - s[2]))),
+      (acc, x) -> acc + x) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM scored
+),
+best2 AS (
+  SELECT r1.vec_id, r1.cid, r1.dist2 AS d1, r2.dist2 AS d2
+  FROM ranked r1 JOIN ranked r2
+    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+),
+sel AS (
+  SELECT cid, vec_id, d2 - d1 AS margin,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY d2 - d1, vec_id) AS rank_in_cluster
+  FROM best2
+)
+SELECT cid, vec_id,
+       CAST(ROUND(margin * 1e6) AS BIGINT) AS margin_micro,
+       rank_in_cluster
+FROM sel WHERE rank_in_cluster <= {CORESET_PER_CLUSTER}
+"""
+
+
 QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_update": q_kmeans_update,
+    "coreset_margin_select": q_coreset_margin_select,
 }
 
 ORACLES = {
     "kmeans_assign": ORACLE_KMEANS_ASSIGN,
     "kmeans_update": ORACLE_KMEANS_UPDATE,
+    "coreset_margin_select": ORACLE_CORESET_MARGIN,
 }

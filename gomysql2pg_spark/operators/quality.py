@@ -494,6 +494,212 @@ SELECT node, CAST(ROUND(pr * 1e9) AS BIGINT) AS pr_nano FROM pr2
 """
 
 
+# ------------------------------------------- linear classifier scoring
+#
+# Round-7 batch 3: classifier-based quality filtering (the
+# fastText-style keep/drop model of CCNet/RefinedWeb pipelines),
+# expressed entirely JVM-side. The "model" is a fixed logistic
+# regression over three cheap text features; the point is the
+# execution shape: feature extraction + W·x + sigmoid run inside
+# whole-stage codegen as one stateless map over the scan — no UDF, no
+# shuffle, no model server. Swapping in real trained weights changes
+# the literals, not the plan. Floats follow the repo convention: the
+# logit is a fixed-order 3-term sum of ln/IEEE ops (identical
+# expression both engines), published micro-rounded; the keep
+# decision tests logit ≥ 0 (equivalent to prob ≥ ½) so no exp sits
+# on the decision boundary.
+
+#: logistic weights: bias, ln(1+chars), ln(1+tokens), punct share
+CLS_W0 = -8.0
+CLS_W_CHARS = 0.9
+CLS_W_TOKENS = 0.6
+CLS_W_PUNCT = -2.5
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score per document over (log-length,
+    log-token-count, punctuation share) with fixed weights; returns
+    the integer features, micro-rounded logit/probability, and the
+    boundary-safe keep flag."""
+    from .text import TOKEN_PATTERN
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_t"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_punct"),
+    )
+    logit = (
+        F.lit(CLS_W0)
+        + F.lit(CLS_W_CHARS) * F.log(F.lit(1.0) + F.col("n_chars_t"))
+        + F.lit(CLS_W_TOKENS) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(CLS_W_PUNCT)
+        * (
+            F.col("n_punct").cast("double")
+            / (F.lit(1.0) + F.col("n_tokens"))
+        )
+    )
+    return d.withColumn("logit", logit).select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        F.round(F.col("logit") * 1e6).cast("bigint").alias("logit_micro"),
+        F.round(
+            F.lit(1e6) / (F.lit(1.0) + F.exp(-F.col("logit")))
+        )
+        .cast("bigint")
+        .alias("prob_micro"),
+        (F.col("logit") >= 0).alias("kept"),
+    )
+
+
+ORACLE_CLASSIFIER_SCORE = rf"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      AS n_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, n_punct,
+    {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
+             + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
+             + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
+                                / (1.0 + n_tokens)) AS logit
+  FROM d
+)
+SELECT doc_id, n_tokens, n_punct,
+       CAST(ROUND(logit * 1e6) AS BIGINT) AS logit_micro,
+       CAST(ROUND(1e6 / (1.0 + exp(-logit))) AS BIGINT) AS prob_micro,
+       logit >= 0 AS kept
+FROM s
+"""
+
+
+# --------------------------------------------- mixture token allocation
+#
+# Round-7 batch 3: the composition of reweighting and budgeting — turn
+# the √-temperature mixture weights into concrete PER-DOMAIN character
+# budgets and greedily fill each under its own budget. This is the
+# step that actually materializes a target mixture ("give code 2×
+# its natural share") as a document list. The per-domain running sum
+# is a window PARTITIONED BY source — parallel across domains, never
+# a global sort — and the budget table is domain-sized and broadcast.
+
+#: fraction of the corpus (in chars) the mixture is allowed to keep
+MIXTURE_BUDGET_FRAC = 0.5
+
+
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain summary of greedy selection under √-temperature
+    char budgets: budget_s = floor(weight_s · total_chars · FRAC),
+    docs taken longest-first (doc_id tiebreak) while the running
+    per-domain char sum stays within budget. Output: source, its
+    budget, docs taken, chars taken, realized fill rate (micro)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = docs.agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+    norm = per_source.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias(
+            "sum_sqrt_docs"
+        )
+    )
+    budgets = (
+        per_source.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.floor(
+                F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("sum_sqrt_docs")
+                * F.col("total_chars")
+                * F.lit(MIXTURE_BUDGET_FRAC)
+            )
+            .cast("bigint")
+            .alias("budget_chars"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    filled = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn(
+            "cum_chars", F.sum("n_chars").over(w).cast("bigint")
+        )
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_chars") <= F.col("budget_chars"))
+    )
+    return filled.groupBy("source").agg(
+        F.min("budget_chars").alias("budget_chars"),
+        F.count("*").alias("n_taken"),
+        F.max("cum_chars").alias("chars_taken"),
+        F.round(
+            F.max("cum_chars") * F.lit(1e6) / F.min("budget_chars")
+        )
+        .cast("bigint")
+        .alias("fill_micro"),
+    )
+
+
+ORACLE_MIXTURE_ALLOCATION = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+),
+norm AS (
+  SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sqrt_docs
+  FROM per_source
+),
+budgets AS (
+  SELECT source,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt_docs
+                    * total_chars * {MIXTURE_BUDGET_FRAC}) AS BIGINT)
+           AS budget_chars
+  FROM per_source CROSS JOIN totals CROSS JOIN norm
+),
+filled AS (
+  SELECT d.doc_id, d.source, d.n_chars, b.budget_chars,
+         CAST(SUM(d.n_chars) OVER (
+           PARTITION BY d.source
+           ORDER BY d.n_chars DESC, d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM documents d JOIN budgets b USING (source)
+)
+SELECT source,
+       MIN(budget_chars) AS budget_chars,
+       COUNT(*) AS n_taken,
+       MAX(cum_chars) AS chars_taken,
+       CAST(ROUND(MAX(cum_chars) * 1e6 / MIN(budget_chars)) AS BIGINT)
+         AS fill_micro
+FROM filled
+WHERE cum_chars <= budget_chars
+GROUP BY source
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
     "char_entropy": q_char_entropy,
@@ -502,6 +708,8 @@ QUERIES = {
     "domain_reweight": q_domain_reweight,
     "quality_calibration": q_quality_calibration,
     "pagerank_bipartite": q_pagerank_bipartite,
+    "classifier_score": q_classifier_score,
+    "mixture_allocation": q_mixture_allocation,
 }
 
 ORACLES = {
@@ -512,4 +720,6 @@ ORACLES = {
     "domain_reweight": ORACLE_DOMAIN_REWEIGHT,
     "quality_calibration": ORACLE_QUALITY_CALIBRATION,
     "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
+    "classifier_score": ORACLE_CLASSIFIER_SCORE,
+    "mixture_allocation": ORACLE_MIXTURE_ALLOCATION,
 }

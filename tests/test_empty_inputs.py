@@ -97,6 +97,10 @@ REPRESENTATIVES = [
     "zorder_layout",
     "interval_overlap_join",
     "weighted_systematic_sample",
+    # r7 batch 3
+    "coreset_margin_select",
+    "classifier_score",
+    "mixture_allocation",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

@@ -327,3 +327,85 @@ def test_weighted_systematic_no_global_window(spark, sf_dir, queries):
         if "band" not in w.split(",")[0] and "doc_id" in w
     ]
     assert not unpartitioned_wide, unpartitioned_wide
+
+
+# ------------------------------------------------------ batch 3 gates
+
+
+def test_classifier_score_stateless_zero_shuffle(spark, sf_dir, queries):
+    """Model inference must be one codegen map over the scan: no
+    Exchange anywhere in the plan, scan pruned to (doc_id, text)."""
+    df = queries["classifier_score"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert "text" in rs and "source" not in rs, rs
+
+
+def test_classifier_keep_flag_consistent_with_logit(
+    spark, sf_dir, queries
+):
+    bad = (
+        queries["classifier_score"](spark, sf_dir)
+        .filter(
+            (F.col("kept") & (F.col("logit_micro") < 0))
+            | (~F.col("kept") & (F.col("logit_micro") > 0))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mixture_allocation_respects_budgets(spark, sf_dir, queries):
+    """No domain exceeds its budget and fill rate ≤ 100%."""
+    df = queries["mixture_allocation"](spark, sf_dir)
+    over = df.filter(
+        (F.col("chars_taken") > F.col("budget_chars"))
+        | (F.col("fill_micro") > 1_000_000)
+    ).count()
+    assert over == 0
+
+
+def test_mixture_allocation_window_is_per_source(spark, sf_dir, queries):
+    """The greedy fill must run as a per-domain window, never a
+    global sort; budget table joins as broadcast."""
+    df = queries["mixture_allocation"](spark, sf_dir)
+    plan = plan_of(df, mode="extended")
+    import re
+
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins
+    assert all("source" in w.split(",")[0] for w in wins), wins
+    phys = plan_of(df)
+    assert "BroadcastHashJoin" in phys
+
+
+def test_coreset_margin_nonnegative_and_bounded(spark, sf_dir, queries):
+    from gomysql2pg_spark.operators.clustering import (
+        CORESET_PER_CLUSTER,
+        K_CENTROIDS,
+    )
+
+    df = queries["coreset_margin_select"](spark, sf_dir).cache()
+    assert df.filter(F.col("margin_micro") < 0).count() == 0
+    sizes = df.groupBy("cid").count().collect()
+    assert all(r["count"] <= CORESET_PER_CLUSTER for r in sizes)
+    assert len(sizes) <= K_CENTROIDS
+    df.unpersist()
+
+
+def test_coreset_broadcasts_centroids_no_corpus_window_before_topk(
+    spark, sf_dir, queries
+):
+    """Centroids must broadcast; the only window is the per-cluster
+    top-M (PARTITION BY cid) — the best-2 extraction must be the
+    bounded collect_list aggregate, not a per-vector rank window."""
+    df = queries["coreset_margin_select"](spark, sf_dir)
+    phys = plan_of(df)
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+    plan = plan_of(df, mode="extended")
+    import re
+
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins
+    assert all(w.split(",")[0].startswith("cid") for w in wins), wins
