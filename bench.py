@@ -115,6 +115,9 @@ HEADLINE = [
     "coreset_margin_select",
     "classifier_score",
     "mixture_allocation",
+    # explicit bloom runtime-filter audit (bounded-broadcast position
+    # joins over distinct keys)
+    "bloom_prefilter_join",
 ]
 
 

@@ -214,14 +214,159 @@ CROSS JOIN n
 """
 
 
+# --------------------------------------------- bloom runtime prefilter
+#
+# The runtime-filter pattern Spark applies automatically under
+# `spark.sql.optimizer.runtime.bloomFilter.enabled`, made explicit
+# and deterministic so its guarantee is driver-checkable: build a
+# Bloom "bitmap" from the selective build side (here: urgent orders),
+# pre-filter the probe side's join keys against it, then compare with
+# exact membership. k = 3 hash positions per key from disjoint 4-hex
+# slices of md5(key) — 4 hex digits ⇒ position space M = 2^16
+# exactly, so the position SET is bounded by 65 536 rows REGARDLESS
+# of build-side cardinality (that bound is what makes the broadcast
+# safe at 100 TB; a giant build side just saturates the bitmap and
+# the filter gracefully passes everything). The gate: Bloom filters
+# never produce false negatives — n_false_neg is structurally 0 and
+# any implementation bug flips it.
+
+BLOOM_HEX_SLICES = ((1, 4), (5, 4), (9, 4))  # disjoint md5 nibbles
+
+
+def _positions(df: DataFrame, key: str) -> list:
+    h = F.md5(F.col(key).cast("string"))
+    return [
+        F.conv(F.substring(h, start, ln), 16, 10).cast("long")
+        for start, ln in BLOOM_HEX_SLICES
+    ]
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the Bloom prefilter: probe-key counts at each
+    stage (total / Bloom-passed / exact matches / false positives /
+    false negatives) plus the realized false-positive rate over true
+    negatives. Pass/fail is evaluated per DISTINCT probe key (the
+    filter depends only on the key), so the flag computation is
+    build-side-sized, and each position lookup is a broadcast join
+    against the ≤2^16-row position set. (The exact-membership truth
+    join broadcasts the build keys — that's the AUDIT's comparison
+    step; the production prefilter path needs only the
+    bounded-broadcast position joins.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bp = _positions(build, "k")
+    bits = (
+        build.select(bp[0].alias("pos"))
+        .unionByName(build.select(bp[1].alias("pos")))
+        .unionByName(build.select(bp[2].alias("pos")))
+        .distinct()
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    pp = _positions(probe, "k")
+    flagged = probe.select(
+        "k", pp[0].alias("p1"), pp[1].alias("p2"), pp[2].alias("p3")
+    )
+    for i in (1, 2, 3):
+        b = bits.select(F.col("pos").alias(f"b{i}"))
+        flagged = flagged.join(
+            F.broadcast(b), flagged[f"p{i}"] == b[f"b{i}"], "left"
+        ).withColumn(f"h{i}", F.col(f"b{i}").isNotNull())
+    truth = build.select(F.col("k").alias("tk"), F.lit(1).alias("t"))
+    audited = (
+        flagged.join(F.broadcast(truth), flagged.k == truth.tk, "left")
+        .select(
+            "k",
+            (F.col("h1") & F.col("h2") & F.col("h3")).alias("passed"),
+            F.col("t").isNotNull().alias("is_true"),
+        )
+    )
+    return audited.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_passed"),
+        F.sum(F.col("is_true").cast("int")).cast("bigint").alias("n_true"),
+        F.sum((F.col("passed") & ~F.col("is_true")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum((~F.col("passed") & F.col("is_true")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_neg"),
+        F.round(
+            F.sum((F.col("passed") & ~F.col("is_true")).cast("int"))
+            * F.lit(1e6)
+            / F.sum((~F.col("is_true")).cast("int"))
+        )
+        .cast("bigint")
+        .alias("fp_rate_micro"),
+    )
+
+
+def _oracle_pos(expr: str, start: int, ln: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), {start}, {ln}))"
+        " AS BIGINT)"
+    )
+
+
+ORACLE_BLOOM_PREFILTER = f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bb AS (
+  SELECT k, {_oracle_pos('k', 1, 4)} AS p1,
+            {_oracle_pos('k', 5, 4)} AS p2,
+            {_oracle_pos('k', 9, 4)} AS p3
+  FROM build
+),
+bits AS (
+  SELECT p1 AS pos FROM bb UNION
+  SELECT p2 FROM bb UNION
+  SELECT p3 FROM bb
+),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+pp AS (
+  SELECT k, {_oracle_pos('k', 1, 4)} AS p1,
+            {_oracle_pos('k', 5, 4)} AS p2,
+            {_oracle_pos('k', 9, 4)} AS p3
+  FROM probe
+),
+audited AS (
+  SELECT pp.k,
+         (pp.p1 IN (SELECT pos FROM bits)
+          AND pp.p2 IN (SELECT pos FROM bits)
+          AND pp.p3 IN (SELECT pos FROM bits)) AS passed,
+         pp.k IN (SELECT k FROM build) AS is_true
+  FROM pp
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(CAST(passed AS INTEGER)) AS BIGINT) AS n_passed,
+       CAST(SUM(CAST(is_true AS INTEGER)) AS BIGINT) AS n_true,
+       CAST(SUM(CAST(passed AND NOT is_true AS INTEGER)) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CAST(NOT passed AND is_true AS INTEGER)) AS BIGINT)
+         AS n_false_neg,
+       CAST(ROUND(SUM(CAST(passed AND NOT is_true AS INTEGER)) * 1e6
+                  / SUM(CAST(NOT is_true AS INTEGER))) AS BIGINT)
+         AS fp_rate_micro
+FROM audited
+"""
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
     "freq_sketch_check": q_freq_sketch_check,
     "cooccurrence_lift": q_cooccurrence_lift,
 }
 
 ORACLES = {
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER,
     "freq_sketch_check": ORACLE_FREQ_SKETCH_CHECK,
     "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
 }

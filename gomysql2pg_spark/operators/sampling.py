@@ -740,21 +740,39 @@ FROM deduped GROUP BY source
 N_SYSTEMATIC_PICKS = 40
 
 
+MAX_PREFIX_BANDS = 4096  # band-offset table stays driver-window tiny
+
+
 def q_weighted_systematic_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Weight-proportional systematic sample of documents (weight =
     n_chars): keep doc iff a tick multiple of STEP lands in its
-    cumulative-weight slot (cum_before, cum]. Two-level prefix sum:
-    band = doc_id DIV 64 keeps band order ≡ doc order, band totals
-    are a tiny aggregate windowed for base offsets, and the per-band
-    running sum parallelizes across bands."""
+    cumulative-weight slot (cum_before, cum]. Two-level prefix sum
+    with an ADAPTIVE band width: band = doc_id DIV ceil((max_id+1) /
+    MAX_PREFIX_BANDS), so the band-offset table is ≤ 4096 rows at ANY
+    corpus size (a fixed width would grow it linearly) while band
+    order stays ≡ doc order. The offsets window runs on that bounded
+    table; the per-band running sum parallelizes across bands. The
+    selected set is width-invariant — banding only re-associates the
+    same integer additions."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    base_d = docs.select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
-    ).withColumn("band", F.expr("doc_id DIV 64"))
+    )
+    bw = base_d.agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.max("doc_id") + 1) / F.lit(MAX_PREFIX_BANDS)),
+        )
+        .cast("long")
+        .alias("band_w")
+    )
+    d = base_d.crossJoin(F.broadcast(bw)).withColumn(
+        "band", F.floor(F.col("doc_id") / F.col("band_w")).cast("long")
+    )
     band_tot = d.groupBy("band").agg(F.sum("w").alias("band_w"))
     wb = Window.orderBy("band")  # tiny: n_docs/64 rows
     base = band_tot.withColumn(

@@ -101,6 +101,7 @@ REPRESENTATIVES = [
     "coreset_margin_select",
     "classifier_score",
     "mixture_allocation",
+    "bloom_prefilter_join",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
@@ -116,6 +117,8 @@ GLOBAL_AGG = {
     "dedup_simhash_verified": 1,
     "similarity_lsh_verified": 1,
     "random_ids_check": 1,
+    # one-row bloom audit (counts 0 / NULL sums over an empty probe)
+    "bloom_prefilter_join": 1,
 }
 
 

@@ -409,3 +409,23 @@ def test_coreset_broadcasts_centroids_no_corpus_window_before_topk(
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert wins
     assert all(w.split(",")[0].startswith("cid") for w in wins), wins
+
+
+def test_bloom_prefilter_no_false_negatives_low_fp(
+    spark, sf_dir, queries
+):
+    """The Bloom guarantee (no false negatives) plus a sanity ceiling
+    on the realized FP rate: with fill ≈ 3·|build|/2^16 the
+    theoretical FP ≈ fill³; 5 % is far above it at any tested sf."""
+    row = queries["bloom_prefilter_join"](spark, sf_dir).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_passed"] >= row["n_true"]
+    if row["n_keys"] - row["n_true"] > 0:
+        assert row["fp_rate_micro"] <= 50_000, row
+
+
+def test_bloom_position_joins_broadcast(spark, sf_dir, queries):
+    """Every position lookup must be a broadcast join — the position
+    set is bounded by 2^16 rows regardless of build cardinality."""
+    plan = plan_of(queries["bloom_prefilter_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # 3 pos + truth
