@@ -609,7 +609,17 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     char budgets: budget_s = floor(weight_s · total_chars · FRAC),
     docs taken longest-first (doc_id tiebreak) while the running
     per-domain char sum stays within budget. Output: source, its
-    budget, docs taken, chars taken, realized fill rate (micro)."""
+    budget, docs taken, chars taken, realized fill rate (micro).
+
+    The fill uses the H1 broadcast-threshold pattern, NOT a window
+    over the raw domain (a mega-domain would strand one reducer):
+    (1) char-weighted length histogram per domain (the mega-domain
+    collapses to its distinct lengths); (2) running chars-above over
+    the HISTOGRAM picks the smallest length whose longer prefix is
+    still inside budget; (3) thresholds broadcast back as a stateless
+    scan predicate, so only ~budget/len candidates (plus boundary
+    ties) per domain reach (4), the exact per-domain running-sum
+    window — whose partitions are budget-bounded by construction."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -639,12 +649,37 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("budget_chars"),
         )
     )
+    # (1)+(2): histogram-level threshold — a doc at length L can only
+    # be selected if the chars strictly longer than L (which all
+    # precede it in fill order) leave budget headroom
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.sum("n_chars").cast("bigint").alias("chars_at_len")
+    )
+    w_hist = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = (
+        hist.withColumn(
+            "chars_before",
+            F.coalesce(F.sum("chars_at_len").over(w_hist), F.lit(0)),
+        )
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("chars_before") < F.col("budget_chars"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("len_threshold"))
+    )
+    # (3): stateless candidate predicate; (4): exact fill on the
+    # budget-bounded candidate set
+    candidates = docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(thresholds), "source"
+    ).filter(F.col("n_chars") >= F.col("len_threshold"))
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     filled = (
-        docs.select("doc_id", "source", "n_chars")
-        .withColumn(
+        candidates.withColumn(
             "cum_chars", F.sum("n_chars").over(w).cast("bigint")
         )
         .join(F.broadcast(budgets), "source")

@@ -380,6 +380,30 @@ def test_mixture_allocation_window_is_per_source(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in phys
 
 
+def test_mixture_fill_window_is_post_threshold(spark, sf_dir, queries):
+    """The doc-level running-sum window must sit ABOVE the broadcast
+    len_threshold join (fill only the budget-bounded candidates) —
+    the raw-corpus window partitioned by source is exactly the
+    mega-domain straggler the H1 pattern avoids. In explain's
+    parent-first order the cum-sum Window precedes the threshold
+    BroadcastHashJoin."""
+    df = queries["mixture_allocation"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    lines = plan.splitlines()
+    # the doc-level fill window is the one ordered by doc_id
+    win_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "Window" in ln and "doc_id" in ln
+    )
+    join_idx = next(
+        i
+        for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln and "len_threshold" in ln
+    )
+    assert win_idx < join_idx, plan
+
+
 def test_coreset_margin_nonnegative_and_bounded(spark, sf_dir, queries):
     from gomysql2pg_spark.operators.clustering import (
         CORESET_PER_CLUSTER,
