@@ -153,3 +153,113 @@ def test_varchar_flag_variants(n):
     assert plain == f"varchar({n})"
     assert char_len == f"varchar({n} char)"
     assert nvar == f"nvarchar2({n})"
+
+
+# ---------------------------------------------------------------------------
+# round-7 family invariants
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_interleave_bijective_and_nested():
+    """Exhaustive check of the ACTUAL SQL interleave expression (the
+    DuckDB dialect; the Spark one differs only in the div token): over
+    the full 256×256 grid the z-value is a bijection onto [0, 65536),
+    and sibling points inside one z>>(2k) block agree on the top
+    (8−k) bits of BOTH dimensions — the nesting property file
+    skipping relies on."""
+    import duckdb
+
+    from gomysql2pg_spark.operators.layout import Z_BITS, _interleave_expr
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH g AS (
+          SELECT bx, by FROM range(0, {1 << Z_BITS}) t1(bx),
+                             range(0, {1 << Z_BITS}) t2(by)
+        )
+        SELECT COUNT(*) AS n, COUNT(DISTINCT {_interleave_expr('bx','by','//')}) AS nz,
+               MIN({_interleave_expr('bx','by','//')}) AS zmin,
+               MAX({_interleave_expr('bx','by','//')}) AS zmax
+        FROM g
+        """
+    ).fetchone()
+    assert rows == (65536, 65536, 0, 65535), rows
+    # nesting: everything in z-block (z >> 8) shares bx>>4 and by>>4
+    bad = con.execute(
+        f"""
+        WITH g AS (
+          SELECT bx, by, {_interleave_expr('bx','by','//')} AS z
+          FROM range(0, 256) t1(bx), range(0, 256) t2(by)
+        )
+        SELECT COUNT(*) FROM (
+          SELECT z // 256 AS blk,
+                 COUNT(DISTINCT bx // 16) AS dx,
+                 COUNT(DISTINCT by // 16) AS dy
+          FROM g GROUP BY 1
+        ) WHERE dx > 1 OR dy > 1
+        """
+    ).fetchone()[0]
+    assert bad == 0
+
+
+@given(
+    data=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    cuts=st.lists(st.integers(1, 399), max_size=6),
+    k=st.integers(2, 32),
+)
+@settings(max_examples=200, deadline=None)
+def test_sketch_containment_theorem(data, cuts, k):
+    """The q_freq_sketch_check rule, as a pure spec: split the stream
+    at arbitrary points; candidates = union over batches of values
+    with batch count > len(batch)/k; every value with GLOBAL count >
+    n/k must be a candidate — for EVERY partitioning."""
+    from collections import Counter
+
+    bounds = sorted({c for c in cuts if c < len(data)})
+    batches, prev = [], 0
+    for b in bounds + [len(data)]:
+        if b > prev:
+            batches.append(data[prev:b])
+            prev = b
+    candidates = set()
+    for batch in batches:
+        m = len(batch)
+        for v, c in Counter(batch).items():
+            if c > m / k:
+                candidates.add(v)
+    n = len(data)
+    for v, c in Counter(data).items():
+        if c > n / k:
+            assert v in candidates, (v, c, n, k)
+
+
+@given(
+    weights=st.lists(st.integers(1, 10_000), min_size=1, max_size=300),
+    n_picks=st.integers(1, 50),
+)
+@settings(max_examples=200, deadline=None)
+def test_systematic_sampling_tick_accounting(weights, n_picks):
+    """The q_weighted_systematic_sample rule, as a pure spec: with
+    step = total // n_picks (when positive), the tick multiples of
+    step partition onto doc slots — each selected doc owns ≥1 tick,
+    ticks are exhausted exactly, and a doc's selection implies its
+    weight spans a tick (inclusion ∝ weight)."""
+    total = sum(weights)
+    step = total // n_picks
+    if step == 0:
+        return
+    selected, ticks_owned = [], 0
+    cum = 0
+    for i, w in enumerate(weights):
+        cum += w
+        owned = cum // step - (cum - w) // step
+        if owned > 0:
+            selected.append(i)
+            ticks_owned += owned
+    assert ticks_owned == total // step
+    assert 1 <= len(selected) <= total // step
+    # heaviest doc is selected whenever it alone covers a full step
+    hv, hi = max((w, i) for i, w in enumerate(weights))
+    if hv > step:
+        assert hi in selected
