@@ -47,7 +47,7 @@ _PRIORITY = [
     # --- r7 batch 3: coreset selection, classifier scoring, mixture
     # allocation (3, never driver-checked) ---
     "coreset_margin_select", "classifier_score", "mixture_allocation",
-    "bloom_prefilter_join",
+    "bloom_prefilter_join", "stream_heavy_hitters",
     # --- r7: staleness rotation — the oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
@@ -56,7 +56,7 @@ _PRIORITY = [
     "distinct_agg", "filter_like", "full_scan", "group_concat",
     "multikey_sort", "page_count", "page_fetch_composite",
     "page_limit_offset", "pii_scrub", "pivot_status", "projection",
-    "range_join_bands", "rollup_agg",
+    "range_join_bands",
 ]
 
 

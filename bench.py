@@ -118,6 +118,8 @@ HEADLINE = [
     # explicit bloom runtime-filter audit (bounded-broadcast position
     # joins over distinct keys)
     "bloom_prefilter_join",
+    # streaming heavy-hitter monitor (complete-mode bounded state)
+    "stream_heavy_hitters",
 ]
 
 

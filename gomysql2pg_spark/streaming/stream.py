@@ -747,8 +747,45 @@ WHERE n_chars >= 100 AND n_chars <= 2000
 """
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter monitor: running counts per
+    (event_type, props) composite key maintained by the engine
+    (complete mode, state bounded by the key domain with map-side
+    partials), thresholded against an offline-calibrated absolute
+    support level — the standard deployment shape where the threshold
+    is computed from historical volume (here: the static fixture,
+    HH_SUPPORT of it) and applied to the live stream as a stateless
+    post-aggregation filter. Drained state equals the batch
+    heavy-hitter set, which is the oracle."""
+    from ..catalog import load_table
+    from ..operators.frequency import HH_SUPPORT
+
+    n_total = load_table(spark, sf_dir, "events").count()
+    threshold = int(n_total * HH_SUPPORT)
+    ev = read_events_stream(spark, sf_dir)
+    hh = (
+        ev.groupBy("event_type", "props")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(threshold))
+    )
+    name = run_to_memory(hh, output_mode="complete")
+    return spark.table(name)
+
+
+from ..operators.frequency import HH_SUPPORT as _HH_SUPPORT  # noqa: E402
+
+ORACLE_STREAM_HEAVY_HITTERS = f"""
+WITH tot AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT event_type, props, COUNT(*) AS cnt
+FROM events, tot
+GROUP BY event_type, props, n_total
+HAVING COUNT(*) > CAST(FLOOR(n_total * {_HH_SUPPORT}) AS BIGINT)
+"""
+
+
 QUERIES = {
     "stream_anomaly": q_stream_anomaly,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sliding_windows": q_stream_sliding_windows,
     "stream_session_windows": q_stream_session_windows,
@@ -771,4 +808,5 @@ ORACLES = {
     "stream_stateful_totals": ORACLE_STREAM_STATEFUL,
     "stream_source_stats": ORACLE_STREAM_SOURCE_STATS,
     "stream_quality_gate": ORACLE_STREAM_QUALITY_GATE,
+    "stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
 }

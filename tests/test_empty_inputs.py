@@ -102,6 +102,7 @@ REPRESENTATIVES = [
     "classifier_score",
     "mixture_allocation",
     "bloom_prefilter_join",
+    "stream_heavy_hitters",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
