@@ -120,6 +120,10 @@ HEADLINE = [
     "bloom_prefilter_join",
     # streaming heavy-hitter monitor (complete-mode bounded state)
     "stream_heavy_hitters",
+    # contamination matrix (hash-keyed bounded self-join) and the
+    # deterministic reservoir (WindowGroupLimit top-k pushdown)
+    "cross_source_overlap",
+    "group_reservoir_sample",
 ]
 
 

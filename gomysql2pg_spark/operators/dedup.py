@@ -1188,8 +1188,53 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix (round 7)
+# ---------------------------------------------------------------------------
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-contamination matrix over normalized content
+    hashes: for every unordered source pair, how many distinct
+    normalized documents appear in BOTH (mirror-site and scraped-
+    aggregator detection — the per-pair view exact dedup's global
+    counts cannot give). Shape: hashes collapse to their DISTINCT
+    (h, source) pairs first, so the per-hash pair explosion is
+    bounded by |sources|² — never by duplicate multiplicity — and
+    the final matrix is |sources|²-sized. One extra hash-keyed
+    shuffle over exact dedup; no all-pairs document join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hs = docs.select(F.md5(norm).alias("h"), "source").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_docs"))
+    )
+
+
+ORACLE_CROSS_SOURCE_OVERLAP = r"""
+WITH hs AS (
+  SELECT DISTINCT
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_docs
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "cross_source_overlap": q_cross_source_overlap,
     "dedup_semantic": q_dedup_semantic,
     "dedup_lines": q_dedup_lines,
     "dedup_substring_chunks": q_dedup_substring_chunks,
@@ -1207,6 +1252,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "cross_source_overlap": ORACLE_CROSS_SOURCE_OVERLAP,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,

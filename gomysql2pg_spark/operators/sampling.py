@@ -724,6 +724,47 @@ FROM deduped GROUP BY source
 """
 
 
+# --------------------------------------- per-group deterministic reservoir
+#
+# Round-7 addition: "k uniform docs per group" without RNG. A true
+# reservoir sample is stream-order-dependent (irreproducible across
+# partitionings); ranking by md5(text) is the deterministic
+# equivalent — the hash is uniform, so the k smallest hashes per
+# group are a uniform k-subset, identical on every engine, every
+# partitioning, every run. Spark executes the rank via
+# WindowGroupLimit (partial top-k per map task BEFORE the shuffle),
+# so the exchange carries ≤ k rows per task per group.
+
+RESERVOIR_K = 10
+
+
+def q_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-(source) uniform sample: the RESERVOIR_K docs
+    with the smallest md5(text) per source, with their rank. doc_id
+    tiebreak makes the edge case of duplicate texts deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5("text").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source", "lang", "rk")
+    )
+
+
+ORACLE_GROUP_RESERVOIR = f"""
+SELECT doc_id, source, lang, rk FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {RESERVOIR_K}
+"""
+
+
 # ------------------------------------- weighted systematic sampling
 #
 # Round-7 addition: deterministic weight-proportional selection.
@@ -828,6 +869,7 @@ QUERIES = {
     "rfm_segments_scaled": q_rfm_segments_scaled,
     "engagement_dau": q_engagement_dau,
     "weighted_systematic_sample": q_weighted_systematic_sample,
+    "group_reservoir_sample": q_group_reservoir_sample,
 }
 
 ORACLES = {
@@ -845,4 +887,5 @@ ORACLES = {
     "rfm_segments_scaled": ORACLE_RFM_SEGMENTS_SCALED,
     "engagement_dau": ORACLE_ENGAGEMENT_DAU,
     "weighted_systematic_sample": ORACLE_WEIGHTED_SYSTEMATIC,
+    "group_reservoir_sample": ORACLE_GROUP_RESERVOIR,
 }

@@ -103,6 +103,8 @@ REPRESENTATIVES = [
     "mixture_allocation",
     "bloom_prefilter_join",
     "stream_heavy_hitters",
+    "cross_source_overlap",
+    "group_reservoir_sample",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL

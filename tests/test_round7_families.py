@@ -448,6 +448,51 @@ def test_bloom_prefilter_no_false_negatives_low_fp(
         assert row["fp_rate_micro"] <= 50_000, row
 
 
+def test_group_reservoir_uses_window_group_limit(spark, sf_dir, queries):
+    """The md5 rank must run with partial top-k pushdown (Spark's
+    WindowGroupLimit before the exchange) so the shuffle carries ≤ k
+    rows per task per group, plus the determinism contract: same rows
+    under a forced adversarial repartitioning."""
+    df = queries["group_reservoir_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.sampling import RESERVOIR_K
+
+    docs = load_table(spark, sf_dir, "documents").repartition(13)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5("text").asc(), F.col("doc_id").asc()
+    )
+    again = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "source", "lang", "rk")
+    )
+    diff = df.exceptAll(again).count() + again.exceptAll(df).count()
+    assert diff == 0
+
+
+def test_cross_source_overlap_matrix_bounded_and_symmetric_free(
+    spark, sf_dir, queries
+):
+    """Matrix is |sources|²-bounded with the a<b convention, and each
+    pair count never exceeds the smaller side's distinct-hash count."""
+    from gomysql2pg_spark.catalog import load_table
+
+    df = queries["cross_source_overlap"](spark, sf_dir).cache()
+    assert df.filter(F.col("source_a") >= F.col("source_b")).count() == 0
+    n_sources = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert df.count() <= n_sources * (n_sources - 1) // 2
+    df.unpersist()
+
+
 def test_bloom_position_joins_broadcast(spark, sf_dir, queries):
     """Every position lookup must be a broadcast join — the position
     set is bounded by 2^16 rows regardless of build cardinality."""
