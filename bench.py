@@ -124,6 +124,9 @@ HEADLINE = [
     # deterministic reservoir (WindowGroupLimit top-k pushdown)
     "cross_source_overlap",
     "group_reservoir_sample",
+    # PQ/ADC compression path (broadcast codebook encode + fixed-order
+    # distance-table lookups)
+    "similarity_pq",
 ]
 
 

@@ -231,3 +231,39 @@ def test_dedup_semantic_guard_refuses_mega_cluster(spark, sf_dir):
         q_dedup_semantic(spark, sf_dir, max_cluster=2)
     # default cap admits the fixture's clusters and still finds dups
     assert q_dedup_semantic(spark, sf_dir).count() > 0
+
+
+def test_pq_adc_picks_beat_random(spark, sf_dir, queries):
+    """PQ with the untrained seed codebook cannot promise trained-PQ
+    recall on the weak-signal fixture, but ADC must still carry
+    signal: the exact-cosine rank of its picks must average well
+    above random (percentile < 0.4; measured ~0.28). A broken
+    codebook/code/lookup would push this to ~0.5."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import dot_double
+    from gomysql2pg_spark.operators.similarity import _l2, _queries_df
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    n = emb.count()
+    q = _queries_df(emb).withColumn("qnrm", _l2(F.col("qe")))
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    ranked = scored.withColumn("xrank", F.row_number().over(w))
+    pq = queries["similarity_pq"](spark, sf_dir).select("qid", "nid")
+    mean_rank = (
+        pq.join(ranked, ["qid", "nid"]).agg(F.avg("xrank")).collect()[0][0]
+    )
+    assert mean_rank / n < 0.4, (mean_rank, n)

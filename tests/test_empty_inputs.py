@@ -105,6 +105,7 @@ REPRESENTATIVES = [
     "stream_heavy_hitters",
     "cross_source_overlap",
     "group_reservoir_sample",
+    "similarity_pq",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
