@@ -49,6 +49,7 @@ _PRIORITY = [
     "coreset_margin_select", "classifier_score", "mixture_allocation",
     "bloom_prefilter_join", "stream_heavy_hitters",
     "cross_source_overlap", "group_reservoir_sample", "similarity_pq",
+    "events_transition_matrix", "events_top_paths",
     # --- r7: staleness rotation — the oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
@@ -56,7 +57,6 @@ _PRIORITY = [
     "anti_join", "conditional_null", "count_star", "dedup_exact",
     "distinct_agg", "filter_like", "full_scan", "group_concat",
     "multikey_sort", "page_count", "page_fetch_composite",
-    "page_limit_offset", "pii_scrub",
 ]
 
 

@@ -127,6 +127,8 @@ HEADLINE = [
     # PQ/ADC compression path (broadcast codebook encode + fixed-order
     # distance-table lookups)
     "similarity_pq",
+    # sequential pattern mining (per-user lead window → bounded matrix)
+    "events_transition_matrix",
 ]
 
 

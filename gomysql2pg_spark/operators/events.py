@@ -352,8 +352,130 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type → to_type) pair of CONSECUTIVE
+    events of the same user (ts order, event_id tiebreak), the
+    transition count and row-normalized probability. The behavioral
+    model behind next-action prediction and anomalous-session scoring.
+
+    Scale shape: the lead() window partitions by user (parallel across
+    users, state = one row); the matrix aggregate is |types|²-bounded
+    with map-side partials; the probability denominator joins back as
+    a broadcast of the |types|-row margins, and the single float
+    division is micro-rounded for cross-engine stability."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), "to_type"
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    margins = trans.groupBy("from_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(margins), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double")
+                * F.lit(1e6)
+                / F.col("n_from")
+            )
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+margins AS (
+  SELECT from_type, SUM(n_trans) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(ROUND(CAST(t.n_trans AS DOUBLE) * 1e6 / m.n_from) AS BIGINT)
+         AS p_micro
+FROM trans t JOIN margins m ON m.from_type = t.from_type
+"""
+
+
+TOP_PATHS = 20
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, apriori-free: the TOP_PATHS most
+    frequent 3-step event-type paths (consecutive per user). Two
+    lead() hops in one per-user window pass produce the path key; the
+    count aggregate is |types|³-bounded with map-side partials, so the
+    final rank window runs over a domain-sized (≤125-row) frame —
+    never the event stream."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_PATHS)
+    )
+
+
+ORACLE_EVENTS_TOP_PATHS = f"""
+WITH seq AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER w || '>' ||
+         LEAD(event_type, 2) OVER w AS path
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT path, COUNT(*) AS n FROM seq
+  WHERE path IS NOT NULL GROUP BY path
+)
+SELECT path, n, rank FROM (
+  SELECT path, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank
+  FROM counts
+) WHERE rank <= {TOP_PATHS}
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
+    "events_transition_matrix": q_events_transition_matrix,
+    "events_top_paths": q_events_top_paths,
     "events_anomaly": q_events_anomaly,
     "events_funnel": q_events_funnel,
     "events_cdc_merge": q_events_cdc_merge,
@@ -364,6 +486,8 @@ QUERIES = {
 
 ORACLES = {
     "events_window": ORACLE_EVENTS_WINDOW,
+    "events_transition_matrix": ORACLE_EVENTS_TRANSITIONS,
+    "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_cdc_merge": ORACLE_EVENTS_CDC_MERGE,

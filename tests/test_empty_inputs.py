@@ -106,6 +106,8 @@ REPRESENTATIVES = [
     "cross_source_overlap",
     "group_reservoir_sample",
     "similarity_pq",
+    "events_transition_matrix",
+    "events_top_paths",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
