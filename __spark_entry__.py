@@ -49,14 +49,14 @@ _PRIORITY = [
     "coreset_margin_select", "classifier_score", "mixture_allocation",
     "bloom_prefilter_join", "stream_heavy_hitters",
     "cross_source_overlap", "group_reservoir_sample", "similarity_pq",
-    "events_transition_matrix", "events_top_paths",
+    "events_transition_matrix", "events_top_paths", "snapshot_diff",
     # --- r7: staleness rotation — the oldest entries whose last
     # green driver row is r01/r02 (fixture encodings have drifted
     # between rounds before; old green rows rot silently). The
     # remaining r02-stale entries roll to r08. ---
     "anti_join", "conditional_null", "count_star", "dedup_exact",
     "distinct_agg", "filter_like", "full_scan", "group_concat",
-    "multikey_sort", "page_count", "page_fetch_composite",
+    "multikey_sort", "page_count",
 ]
 
 

@@ -129,6 +129,8 @@ HEADLINE = [
     "similarity_pq",
     # sequential pattern mining (per-user lead window → bounded matrix)
     "events_transition_matrix",
+    # row-level snapshot diff (hash-collapsed full outer join)
+    "snapshot_diff",
 ]
 
 

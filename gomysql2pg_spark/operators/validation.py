@@ -402,7 +402,116 @@ FROM orders GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level anti-entropy diff between two dataset versions — the
+    step beyond the reference's count-and-checksum compareDb
+    (`cmd/compare.go`): classify every key as added / removed /
+    changed / unchanged and report per-status counts with the key
+    range. Version 2 is derived deterministically from orders
+    (drop keys ≡0 mod 97, bump o_totalprice by 1 for keys ≡0 mod 89,
+    insert a key+10M twin for keys ≡0 mod 101)
+    so the diff exercises all four statuses with an exact oracle.
+
+    Scale shape: one full outer join keyed on the primary key (the
+    unavoidable shuffle, co-partitioned both sides), row content
+    collapsed to md5 of a canonical cents-exact string BEFORE the
+    join so the exchange carries (key, hash) pairs, not rows; the
+    status classification is a stateless CASE and the final aggregate
+    is 4-group-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_orderstatus"), cents.cast("string")
+            )
+        ).alias("h1"),
+    )
+    v2_rows = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, cents + F.lit(100)
+        )
+        .otherwise(cents)
+        .alias("cents2"),
+    )
+    v2 = v2_rows.select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("cents2").cast("string"),
+            )
+        ).alias("h2"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("o_orderstatus"), cents.cast("string")
+                )
+            ).alias("h2"),
+        )
+    )
+    status = (
+        v1.join(v2, "k", "full_outer")
+        .select(
+            "k",
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    return status.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+           AS h1
+  FROM orders
+),
+v2 AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END
+                  AS VARCHAR)) AS h2
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS k,
+         md5(o_orderstatus || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+           AS h2
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+diff AS (
+  SELECT COALESCE(v1.k, v2.k) AS k,
+         CASE WHEN v1.k IS NULL THEN 'added'
+              WHEN v2.k IS NULL THEN 'removed'
+              WHEN v1.h1 <> v2.h2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT status, COUNT(*) AS n_keys,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM diff GROUP BY status
+"""
+
+
 QUERIES = {
+    "snapshot_diff": q_snapshot_diff,
     "profile_orders": q_profile_orders,
     "validate_fk_orphans": q_validate_fk_orphans,
     "validate_bucket_checksum": q_validate_bucket_checksum,
@@ -414,6 +523,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_fk_orphans": ORACLE_VALIDATE_FK_ORPHANS,
     "validate_bucket_checksum": ORACLE_VALIDATE_BUCKET_CHECKSUM,

@@ -108,6 +108,7 @@ REPRESENTATIVES = [
     "similarity_pq",
     "events_transition_matrix",
     "events_top_paths",
+    "snapshot_diff",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
