@@ -54,6 +54,20 @@ def _sq_dist(a, b):
     )
 
 
+def _centroid_scores(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid, dist2): every vector scored against every seed
+    centroid — the broadcast-join fan-out shared by assignment and
+    coreset selection."""
+    cent = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    return emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        _sq_dist(F.col("embedding"), F.col("ce")).alias("dist2"),
+    )
+
+
 def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, dist2): nearest seed centroid per vector.
 
@@ -63,15 +77,7 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vec_id aggregates k rows per vector; at scale the broadcast
     join's output is (n·k) narrow rows with map-side partial min, so
     the shuffle carries one struct per vector."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    scored = emb.join(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        _sq_dist(F.col("embedding"), F.col("ce")).alias("dist2"),
-    )
+    scored = _centroid_scores(load_table(spark, sf_dir, "embeddings"))
     best = (
         scored.groupBy("vec_id")
         .agg(F.min(F.struct("dist2", "cid")).alias("m"))
@@ -202,15 +208,7 @@ def q_coreset_margin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distances reuse the exact sequential fold (`_sq_dist`), so the
     margin doubles are bit-identical across engines; ties break on
     vec_id."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    scored = emb.join(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        _sq_dist(F.col("embedding"), F.col("ce")).alias("dist2"),
-    )
+    scored = _centroid_scores(load_table(spark, sf_dir, "embeddings"))
     best2 = (
         scored.groupBy("vec_id")
         .agg(

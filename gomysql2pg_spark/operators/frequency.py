@@ -80,6 +80,34 @@ FROM agg, tot WHERE cnt > n_total * {HH_SUPPORT}
 """
 
 
+def batch_candidates(batches):
+    """Per-Arrow-batch frequent-candidate generator (vectorized
+    `value_counts` thresholding) — module-level so the repartitioning-
+    robustness test exercises the same function the operator ships."""
+    for pdf in batches:
+        m = len(pdf)
+        if m == 0:
+            continue
+        vc = pdf["props"].value_counts()
+        cand = vc[vc > m / SKETCH_K]
+        if len(cand):
+            yield cand.index.to_frame(name="candidate").reset_index(
+                drop=True
+            )
+
+
+def sketch_candidates(ev: DataFrame) -> DataFrame:
+    """Distinct frequent-candidate keys over any events frame."""
+    return (
+        ev.select("props")
+        .mapInPandas(
+            batch_candidates,
+            StructType([StructField("candidate", StringType())]),
+        )
+        .distinct()
+    )
+
+
 def q_freq_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic gate on the distributed frequent-candidates
     sketch (H-pattern, cf. §2.H3-H8): candidates = union over Arrow
@@ -91,27 +119,7 @@ def q_freq_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     a heavy hitter, ``found`` flips false and the driver hash
     mismatches."""
     ev = load_table(spark, sf_dir, "events")
-
-    def batch_candidates(batches):
-        for pdf in batches:
-            m = len(pdf)
-            if m == 0:
-                continue
-            vc = pdf["props"].value_counts()
-            cand = vc[vc > m / SKETCH_K]
-            if len(cand):
-                yield cand.index.to_frame(name="candidate").reset_index(
-                    drop=True
-                )
-
-    cand = (
-        ev.select("props")
-        .mapInPandas(
-            batch_candidates,
-            StructType([StructField("candidate", StringType())]),
-        )
-        .distinct()
-    )
+    cand = sketch_candidates(ev)
     total = ev.agg(F.count("*").alias("n_total"))
     exact_hh = (
         ev.groupBy("props")
@@ -261,9 +269,7 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bp = _positions(build, "k")
     bits = (
-        build.select(bp[0].alias("pos"))
-        .unionByName(build.select(bp[1].alias("pos")))
-        .unionByName(build.select(bp[2].alias("pos")))
+        build.select(F.explode(F.array(*bp)).alias("pos"))
         .distinct()
     )
     probe = li.select(F.col("l_orderkey").alias("k")).distinct()

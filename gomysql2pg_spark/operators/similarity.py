@@ -353,17 +353,10 @@ PQ_TOP_K = 5
 
 def _sub_sq_dist(a, b):
     """Exact-order squared L2 on (already-sliced) sub-vectors — the
-    same strict left fold as clustering._sq_dist."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    strict left fold shared with the clustering operators."""
+    from .clustering import _sq_dist
+
+    return _sq_dist(a, b)
 
 
 def _pq_codebook(emb: DataFrame) -> DataFrame:

@@ -125,7 +125,10 @@ def test_freq_sketch_guarantee_survives_repartitioning(spark, sf_dir):
     found. This is the property the single-partitioning oracle row
     cannot establish."""
     from gomysql2pg_spark.catalog import load_table
-    from gomysql2pg_spark.operators.frequency import SKETCH_K
+    from gomysql2pg_spark.operators.frequency import (
+        SKETCH_K,
+        sketch_candidates,
+    )
 
     for n_parts in (1, 7, 64):
         ev = load_table(spark, sf_dir, "events").repartition(n_parts)
@@ -135,28 +138,9 @@ def test_freq_sketch_guarantee_survives_repartitioning(spark, sf_dir):
             .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") > F.lit(n) / F.lit(SKETCH_K))
         )
-        # rebuild candidates over the forced partitioning, inlined
-        # from q_freq_sketch_check's batch_candidates
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        def batch_candidates(batches):
-            for pdf in batches:
-                m = len(pdf)
-                if m == 0:
-                    continue
-                vc = pdf["props"].value_counts()
-                cand = vc[vc > m / SKETCH_K]
-                if len(cand):
-                    yield cand.index.to_frame(
-                        name="candidate"
-                    ).reset_index(drop=True)
-
-        cand = ev.select("props").mapInPandas(
-            batch_candidates,
-            StructType([StructField("candidate", StringType())]),
-        )
+        cand = sketch_candidates(ev)
         missed = exact.join(
-            cand.distinct(),
+            cand,
             exact.props == F.col("candidate"),
             "left_anti",
         ).count()
