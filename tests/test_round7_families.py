@@ -482,3 +482,27 @@ def test_bloom_position_joins_broadcast(spark, sf_dir, queries):
     set is bounded by 2^16 rows regardless of build cardinality."""
     plan = plan_of(queries["bloom_prefilter_join"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4, plan  # 3 pos + truth
+
+
+# ------------------------------------------- partition-invariance gates
+
+
+@pytest.mark.parametrize(
+    "name", ["weighted_systematic_sample", "zorder_layout"]
+)
+def test_partition_invariance_round7(spark, sf_dir, queries, name):
+    """Both ops compute layout/banding from VALUES (doc_id bands,
+    min-max scaled keys), never from partition boundaries — so a
+    forced adversarial repartition of the input must not change a
+    single output row. Guards against accidentally reintroducing
+    partition-dependent logic (e.g. per-partition prefix sums without
+    offsets)."""
+    base = queries[name](spark, sf_dir)
+    conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = queries[name](spark, sf_dir)
+        diff = base.exceptAll(again).count() + again.exceptAll(base).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf)
+    assert diff == 0
