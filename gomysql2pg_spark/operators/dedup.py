@@ -624,10 +624,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the old label through the propagation join so
+        # convergence detection is a filter on the SAME materialized
+        # frame — one join per round, not two
+        new_full = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -635,13 +639,11 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_full.filter(F.col("label") != F.col("old_label"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     # labels are localCheckpoint-materialized; the edge cache is no
