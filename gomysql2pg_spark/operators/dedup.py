@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..catalog import load_table
 
@@ -594,58 +595,121 @@ LIMIT 50
 # ---------------------------------------------------------------------------
 
 
+#: hybrid threshold, the direct analogue of the broadcast-join
+#: threshold: a (doubled) edge list at or below this row count fits
+#: comfortably on the driver, where union-find resolves components in
+#: microseconds instead of paying one shuffle job per propagation
+#: round. Above it, the distributed min-label kernel runs — at 100 TB
+#: a near-dup pair graph has billions of edges and takes that path;
+#: an ER name-variant graph is dimension-sized and never should.
+CC_SMALL_GRAPH_EDGES = 100_000
+
+
+def _cc_union_find(rows, a: str = "a", b: str = "b") -> dict:
+    """Driver-side union-find over a bounded edge list; returns
+    node → min(component) with the same min-label semantics as the
+    distributed path (UTF-8 byte order and unicode code-point order
+    agree, so string minima match Spark's)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[a]), find(r[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {node: find(node) for node in list(parent) + [
+        r[a] for r in rows
+    ]}
+
+
 def connected_components(
-    edges: DataFrame, src: str = "da", dst: str = "db", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "da",
+    dst: str = "db",
+    max_iter: int = 20,
+    small_graph_edges: int = CC_SMALL_GRAPH_EDGES,
 ) -> DataFrame:
-    """Min-label propagation to a fixpoint: every node gets the minimum
-    doc_id reachable through the near-dup pair graph (the 'keep the
-    earliest, drop the rest' dedup policy). Iterative — genuinely
-    outside SQL; each round is one join + one aggregate, and rounds
-    needed = graph diameter (near-dup clusters are tiny, so 2-4).
-    localCheckpoint per round truncates the lineage so the plan does
-    not grow exponentially (the classic iterative-Spark pitfall).
-    At 100 TB this is the standard large-graph CC formulation (one
-    shuffle per round, no driver-side state)."""
-    sess = edges.sparkSession
+    """Min-label connected components: every node gets the minimum
+    node id reachable through the pair graph (the 'keep the earliest,
+    drop the rest' dedup policy). Iterative — genuinely outside SQL.
+
+    Hybrid execution, thresholded like a broadcast join: the doubled
+    edge list is materialized (it feeds every propagation round
+    anyway), and if it is at most ``small_graph_edges`` rows the
+    components are solved driver-side with union-find — for
+    dimension-sized graphs (ER name variants: ~10² nodes) distributed
+    iteration is pure scheduling latency (measured 2.4s for a 16-node
+    graph at sf0.1). Larger graphs run min-label propagation through
+    the shared fixed-point kernel (`plans/iterative.py`): one shuffle
+    join + one aggregate per round, rounds = graph diameter,
+    localCheckpoint-per-round so plan depth stays O(1) — the standard
+    100 TB large-graph CC formulation with no driver-side state."""
+    from ..plans.iterative import iterate_fixed_point
+
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).persist()
+    # ONE probe job decides the path AND, for small graphs, already
+    # returns the complete edge list: a limit(N+1) collect that comes
+    # back with ≤ N rows IS the whole relation — no separate count
+    probe = both.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:
+        sess = edges.sparkSession
+        node_type = both.schema["a"].dataType
+        labels_map = _cc_union_find(probe)
+        out_schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("label", node_type),
+            ]
+        )
+        out = sess.createDataFrame(
+            sorted(labels_map.items()), out_schema
+        )
+        both.unpersist()
+        return out
     # materialize: the edge table joins into EVERY propagation round —
     # unpersisted, each round would re-run the whole upstream pair
     # pipeline (measured 6.3s → 4.1s at sf0.1 for dedup_clusters)
     both.count()
     nodes = both.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
-    for _ in range(max_iter):
+
+    def propagate(state: DataFrame) -> DataFrame:
+        labels = state.select("node", "label")
         neighbor_min = (
             both.join(labels, both.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the old label through the propagation join so
-        # convergence detection is a filter on the SAME materialized
-        # frame — one join per round, not two
-        new_full = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        # carry the old label through the propagation join so the
+        # kernel's convergence check is a filter on the SAME
+        # materialized frame — one join per round, not two
+        return labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
         )
-        changed = (
-            new_full.filter(F.col("label") != F.col("old_label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_full.select("node", "label")
-        if changed == 0:
-            break
+
+    final = iterate_fixed_point(
+        nodes.withColumn("label", F.col("node")),
+        propagate,
+        max_iter,
+        changed=F.col("label") != F.col("old_label"),
+    )
+    labels = final.select("node", "label")
     # labels are localCheckpoint-materialized; the edge cache is no
     # longer needed by the returned lineage
     both.unpersist()

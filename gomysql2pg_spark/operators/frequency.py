@@ -88,7 +88,11 @@ def batch_candidates(batches):
         m = len(pdf)
         if m == 0:
             continue
-        vc = pdf["props"].value_counts()
+        # dropna=False: a NULL key is a key like any other — the exact
+        # side's groupBy keeps the NULL group, so the candidate set
+        # must be able to contain it or the containment gate breaks
+        # for NULL heavy hitters (r7 ADVICE).
+        vc = pdf["props"].value_counts(dropna=False)
         cand = vc[vc > m / SKETCH_K]
         if len(cand):
             yield cand.index.to_frame(name="candidate").reset_index(
@@ -119,7 +123,10 @@ def q_freq_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     a heavy hitter, ``found`` flips false and the driver hash
     mismatches."""
     ev = load_table(spark, sf_dir, "events")
-    cand = sketch_candidates(ev)
+    # _hit marker instead of candidate IS NOT NULL: a matched NULL
+    # candidate carries candidate=NULL, so the column itself cannot
+    # serve as the membership flag
+    cand = sketch_candidates(ev).withColumn("_hit", F.lit(True))
     total = ev.agg(F.count("*").alias("n_total"))
     exact_hh = (
         ev.groupBy("props")
@@ -129,12 +136,16 @@ def q_freq_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact_hh.join(
-            F.broadcast(cand), exact_hh.props == cand.candidate, "left"
+            F.broadcast(cand),
+            # null-safe: a NULL heavy hitter must match the NULL
+            # candidate row, not fall through to found=false
+            exact_hh.props.eqNullSafe(cand.candidate),
+            "left",
         )
         .select(
             F.col("props").alias("key"),
             "cnt",
-            F.col("candidate").isNotNull().alias("found"),
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("found"),
         )
     )
 
@@ -189,10 +200,17 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "co_users",
+            # double-first arithmetic: co*n*1e6 in int64 overflows at
+            # ~3M distinct users (r7 ADVICE); cast before multiplying
+            # and divide by each denominator factor separately so no
+            # int64 product is ever formed. Left-associated the same
+            # way in the oracle, so the fp sequence matches bit-exactly.
             F.round(
-                (F.col("co_users") * F.col("n_users") * F.lit(1000000))
-                .cast("double")
-                / (F.col("users_a") * F.col("users_b"))
+                F.col("co_users").cast("double")
+                * F.col("n_users")
+                * F.lit(1000000.0)
+                / F.col("users_a")
+                / F.col("users_b")
             )
             .cast("bigint")
             .alias("lift_micro"),
@@ -212,8 +230,8 @@ co AS (
   GROUP BY 1, 2
 )
 SELECT co.type_a, co.type_b, co.co_users,
-       CAST(ROUND(CAST(co.co_users * n.n_users * 1000000 AS DOUBLE)
-                  / (pa.type_users * pb.type_users)) AS BIGINT)
+       CAST(ROUND(CAST(co.co_users AS DOUBLE) * n.n_users * 1000000.0
+                  / pa.type_users / pb.type_users) AS BIGINT)
          AS lift_micro
 FROM co
 JOIN pt pa ON pa.event_type = co.type_a

@@ -61,12 +61,11 @@ def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs from last-token blocking: every unordered pair
-    of distinct names sharing a block (block size capped at
-    ER_MAX_BLOCK), scored with levenshtein. This is the recall side of
-    ER — the pairs the matcher is allowed to see."""
-    ents = _entities(spark, sf_dir)
+def _blocking_pairs(ents: DataFrame) -> DataFrame:
+    """Candidate-pair generation from an entity frame — shared by the
+    standalone blocking/match queries and the clusters/rollup chain
+    (which pass a PERSISTED ents so the dimension collapse runs once
+    per invocation, not once per stage)."""
     ok_blocks = (
         ents.groupBy("block")
         .agg(F.count("*").alias("bn"))
@@ -85,6 +84,14 @@ def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("a.name", "b.name").alias("distance"),
         )
     )
+
+
+def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from last-token blocking: every unordered pair
+    of distinct names sharing a block (block size capped at
+    ER_MAX_BLOCK), scored with levenshtein. This is the recall side of
+    ER — the pairs the matcher is allowed to see."""
+    return _blocking_pairs(_entities(spark, sf_dir))
 
 
 ORACLE_ER_BLOCKING_PAIRS = f"""
@@ -121,12 +128,26 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the match edges: every entity name maps
     to a canonical name (lexicographic minimum of its component, the
     deterministic survivor rule). Singletons map to themselves, so the
-    output is a TOTAL name→canonical dictionary, ready to broadcast."""
-    ents = _entities(spark, sf_dir).select("name")
-    pairs = q_er_match_pairs(spark, sf_dir).select("name_a", "name_b")
+    output is a TOTAL name→canonical dictionary, ready to broadcast.
+
+    The entity frame is persisted for the invocation: it feeds both
+    the pair generator (which `connected_components` materializes via
+    its edge-cache count) and the final singleton left-join, so the
+    part scan + distinct collapse runs exactly once, not once per
+    stage (r7 VERDICT: the rollup chain recomputed it 3×)."""
+    ents = _entities(spark, sf_dir).persist()
+    pairs = (
+        _blocking_pairs(ents)
+        .filter(F.col("distance") <= ER_MAX_DISTANCE)
+        .select("name_a", "name_b")
+    )
+    # connected_components persists + counts its edge table, which
+    # materializes `ents` into the cache as a side effect — the join
+    # below then reads the cached dimension, no rescan
     labels = connected_components(pairs, src="name_a", dst="name_b")
     return (
-        ents.join(labels, ents.name == labels.node, "left")
+        ents.select("name")
+        .join(labels, F.col("name") == labels.node, "left")
         .select(
             "name",
             F.coalesce("label", "name").alias("canonical"),

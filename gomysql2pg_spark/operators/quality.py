@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.iterative import iterate_fixed_point
 
 #: chunking geometry: 200-char windows every 150 chars (50-char overlap)
 CHUNK_SIZE = 200
@@ -436,14 +437,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n == 0:
         return spark.createDataFrame([], "node string, pr_nano bigint")
     d = PAGERANK_DAMPING
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(PAGERANK_ITERS):
+
+    def pr_round(ranks):
         contribs = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
-        ranks = nodes.join(
+        return nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
         ).select(
             "node",
@@ -451,6 +452,18 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit((1.0 - d) / n) + F.lit(d) * F.coalesce("c", F.lit(0.0))
             ).alias("pr"),
         )
+
+    # fixed-iteration mode of the shared kernel: localCheckpoint per
+    # round keeps plan depth O(1) in PAGERANK_ITERS (previously the
+    # ranks lineage re-derived through every prior iteration — fine at
+    # 2 rounds, exponential pain at 20)
+    ranks = iterate_fixed_point(
+        nodes.withColumn("pr", F.lit(1.0 / n)), pr_round, PAGERANK_ITERS
+    )
+    # NOTE: ue/edges_deg/nodes stay persisted — the kernel's lazy
+    # checkpoints materialize on the CONSUMER's first action, which
+    # still reads them; unpersisting here would force a full recompute
+    # of the edge pipeline per iteration (measured 1.4s → 1.9s)
     return ranks.select(
         "node", F.round(F.col("pr") * 1e9).cast("bigint").alias("pr_nano")
     )

@@ -815,7 +815,7 @@ def q_weighted_systematic_sample(
         "band", F.floor(F.col("doc_id") / F.col("band_w")).cast("long")
     )
     band_tot = d.groupBy("band").agg(F.sum("w").alias("band_w"))
-    wb = Window.orderBy("band")  # tiny: n_docs/64 rows
+    wb = Window.orderBy("band")  # tiny: <= MAX_PREFIX_BANDS rows
     base = band_tot.withColumn(
         "offset", F.sum("band_w").over(wb) - F.col("band_w")
     )

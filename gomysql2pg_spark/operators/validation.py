@@ -409,8 +409,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed / unchanged and report per-status counts with the key
     range. Version 2 is derived deterministically from orders
     (drop keys ≡0 mod 97, bump o_totalprice by 1 for keys ≡0 mod 89,
-    insert a key+10M twin for keys ≡0 mod 101)
-    so the diff exercises all four statuses with an exact oracle.
+    insert a negated-key twin for keys ≡0 mod 101 — orderkeys are
+    strictly positive, so negative twin keys cannot collide with a
+    real key at ANY scale factor, unlike the old key+10M scheme that
+    collided once sf ≳ 1.7) so the diff exercises all four statuses
+    with an exact oracle.
 
     Scale shape: one full outer join keyed on the primary key (the
     unavoidable shuffle, co-partitioned both sides), row content
@@ -448,7 +451,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h2"),
     ).unionByName(
         orders.filter(F.col("o_orderkey") % 101 == 0).select(
-            (F.col("o_orderkey") + F.lit(10_000_000)).alias("k"),
+            (-F.col("o_orderkey")).alias("k"),
             F.md5(
                 F.concat_ws(
                     "|", F.col("o_orderstatus"), cents.cast("string")
@@ -490,7 +493,7 @@ v2 AS (
                   AS VARCHAR)) AS h2
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
-  SELECT o_orderkey + 10000000 AS k,
+  SELECT -o_orderkey AS k,
          md5(o_orderstatus || '|' ||
              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
            AS h2

@@ -355,10 +355,16 @@ def test_shuffle_budget(spark, sf_dir, queries, name):
 
 def test_no_driver_side_row_collection_in_engine():
     """100 TB discipline, statically enforced: no engine module may
-    pull row data to the driver. `.toPandas()` is banned outright;
-    `.collect()` is allowed only in validate.py where it fetches
-    single-row aggregates (content hashes / counts)."""
+    pull UNBOUNDED row data to the driver. `.toPandas()` is banned
+    outright; bare `.collect()` is allowed only in validate.py where
+    it fetches single-row aggregates (content hashes / counts). The
+    one other sanctioned shape is a LIMIT-guarded probe —
+    `.limit(<bound>).collect()` — whose driver-side row count is
+    capped by construction regardless of input scale (the hybrid
+    small-graph path of `connected_components`, thresholded like a
+    broadcast join)."""
     import pathlib
+    import re
 
     import gomysql2pg_spark
 
@@ -366,8 +372,10 @@ def test_no_driver_side_row_collection_in_engine():
     for py in root.rglob("*.py"):
         src = py.read_text()
         assert ".toPandas()" not in src, py
-        if py.name != "validate.py":
-            assert ".collect()" not in src, py
+        if py.name == "validate.py":
+            continue
+        unbounded = re.sub(r"\.limit\([^)]*\)\s*\.collect\(\)", "", src)
+        assert ".collect()" not in unbounded, py
 
 
 def test_hash_mod_sample_fully_codegen_no_shuffle(spark, sf_dir, queries):
@@ -506,9 +514,16 @@ def test_cutpoint_ops_broadcast_no_window(spark, sf_dir, queries):
 def test_pagerank_reuses_edges_no_cartesian(spark, sf_dir, queries):
     """The PR iteration joins must stay keyed (no CartesianProduct —
     the failure mode of joining ranks to edges without the node-id
-    equi-key), and the edge+degree relation must be cached once and
-    reused across iterations rather than recomputed per step."""
+    equi-key), and — since r8's shared fixed-point kernel — the final
+    plan must be LINEAGE-TRUNCATED: a scan of the checkpointed ranks,
+    not a re-derivation through every iteration (no events scan, no
+    joins, no iteration-count-proportional plan depth)."""
     df = queries["pagerank_bipartite"](spark, sf_dir)
     plan = plan_of(df, mode="simple")
     assert "CartesianProduct" not in plan, plan
-    assert "InMemoryTableScan" in plan, plan
+    # checkpoint truncation: the published frame reads a materialized
+    # RDD; the per-iteration join/agg work happened eagerly inside the
+    # kernel and must not reappear in the consumer plan
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+    assert "events" not in plan, plan

@@ -147,6 +147,38 @@ def test_freq_sketch_guarantee_survives_repartitioning(spark, sf_dir):
         assert missed == 0, f"lost a heavy hitter at {n_parts} partitions"
 
 
+def test_freq_sketch_null_key_heavy_hitter_is_found(spark):
+    """A NULL key that is a global heavy hitter must appear in the
+    candidate set and null-safe-join back to found=true (r7 ADVICE:
+    value_counts(dropna=True) silently excluded NULL keys, breaking
+    the containment guarantee for exactly the key most likely to
+    dominate a dirty corpus)."""
+    from gomysql2pg_spark.operators.frequency import (
+        SKETCH_K,
+        sketch_candidates,
+    )
+
+    rows = [(None,)] * 200 + [(f"k{i}",) for i in range(100)]
+    ev = spark.createDataFrame(rows, "props string").repartition(5)
+    cand = sketch_candidates(ev)
+    # NULL has count 200 > 300/SKETCH_K, so it must be a candidate
+    assert cand.filter(F.col("candidate").isNull()).count() == 1
+    # and the null-safe membership join must flag it found
+    n = ev.count()
+    exact = (
+        ev.groupBy("props")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(n) / F.lit(SKETCH_K))
+    )
+    hit = cand.withColumn("_hit", F.lit(True))
+    flagged = exact.join(
+        hit, exact.props.eqNullSafe(hit.candidate), "left"
+    ).select(
+        "props", F.coalesce("_hit", F.lit(False)).alias("found")
+    )
+    assert flagged.filter(~F.col("found")).count() == 0
+
+
 def test_heavy_hitters_partial_agg_and_broadcast_total(
     spark, sf_dir, queries
 ):
