@@ -22,41 +22,32 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r7: brand-new entries (8, never driver-checked): the scaled
-    # variants of the two perf-weak ops, the deterministic *_verified /
-    # *_check twins closing the last no_oracle rows, and the NULL-FK
-    # semantics fix re-verify ---
-    "domain_cap_sample_scaled", "rfm_segments_scaled",
-    "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "similarity_lsh_verified", "approx_distinct_check",
-    "approx_quantiles_check", "random_ids_check",
-    "validate_fk_orphans", "cell_transforms",  # lowercase-hex parity fix
-    # --- r7: the new corpus-shaping family (operators/quality.py,
-    # 7 entries) + the documents-stream ingest pair (streaming/
-    # stream.py), all never driver-checked ---
-    "doc_chunking", "char_entropy", "winsorized_stats", "mad_outliers",
-    "domain_reweight", "quality_calibration", "pagerank_bipartite",
-    "stream_source_stats", "stream_quality_gate",
-    # --- r7 batch 2: entity resolution, frequency/heavy hitters,
-    # layout, and weighted systematic sampling (10, never
-    # driver-checked) ---
-    "er_blocking_pairs", "er_match_pairs", "er_clusters",
-    "er_resolved_rollup", "heavy_hitters", "freq_sketch_check",
-    "cooccurrence_lift", "zorder_layout", "interval_overlap_join",
-    "weighted_systematic_sample",
-    # --- r7 batch 3: coreset selection, classifier scoring, mixture
-    # allocation (3, never driver-checked) ---
-    "coreset_margin_select", "classifier_score", "mixture_allocation",
-    "bloom_prefilter_join", "stream_heavy_hitters",
-    "cross_source_overlap", "group_reservoir_sample", "similarity_pq",
-    "events_transition_matrix", "events_top_paths", "snapshot_diff",
-    # --- r7: staleness rotation — the oldest entries whose last
-    # green driver row is r01/r02 (fixture encodings have drifted
-    # between rounds before; old green rows rot silently). The
-    # remaining r02-stale entries roll to r08. ---
-    "anti_join", "conditional_null", "count_star", "dedup_exact",
-    "distinct_agg", "filter_like", "full_scan", "group_concat",
-    "multikey_sort", "page_count",
+    # --- r9: staleness rotation (the whole window). These 50 are the
+    # oldest of the 58 entries whose latest hard driver row is r01/r02
+    # — they predate the r04-r06 fixture-encoding churn, so their green
+    # rows are the least trustworthy in the record. Oldest first.
+    # r01-stale (21 of 21):
+    "approx_distinct", "dedup_simhash", "page_fetch_composite",
+    "page_limit_offset", "pii_scrub", "pivot_status", "projection",
+    "range_join_bands", "rollup_agg", "semi_join", "set_except",
+    "set_union_intersect", "similarity_ivf", "similarity_lsh",
+    "similarity_norms", "similarity_topk", "stats_aggs",
+    "string_funcs", "topk_by_aggregation", "window_topk",
+    "window_value_funcs",
+    # r02-stale (29 of 37; the remaining 8 — collect_distinct_arrays,
+    # corpus_pipeline, dataset_split, embedding_quantize,
+    # events_json_props, profile_orders, seq_packing, unpivot_metrics
+    # — roll to the r10 window):
+    "join_multi", "cube_agg", "grouping_sets", "window_funcs",
+    "window_range_frame", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q10_returned_items", "median_percentile",
+    "full_outer_join", "null_safe_join", "validate_rowcount",
+    "text_stats", "token_count", "quality_score", "lang_id",
+    "tfidf_top_terms", "bm25_components", "catalog_tables",
+    "derived_table", "having_large_orders",
+    "scalar_subquery_above_brand_avg", "exists_pending_orders",
+    "skew_salted_join", "lateral_explode", "datetime_funcs",
+    "filtered_aggs", "cross_join_small",
 ]
 
 

@@ -609,7 +609,15 @@ def _cc_union_find(rows, a: str = "a", b: str = "b") -> dict:
     """Driver-side union-find over a bounded edge list; returns
     node → min(component) with the same min-label semantics as the
     distributed path (UTF-8 byte order and unicode code-point order
-    agree, so string minima match Spark's)."""
+    agree, so string minima match Spark's).
+
+    Contract (matching the distributed path's semantics): endpoints
+    must be NON-NULL — a NULL node id is meaningless in a dedup pair
+    graph, and min()/max() over None would raise. The input need not
+    be symmetric: both endpoints are enumerated, so a node appearing
+    only in column ``b`` still receives a label (`connected_components`
+    doubles the edge list anyway; this just removes the hidden
+    dependency on that)."""
     parent: dict = {}
 
     def find(x):
@@ -621,12 +629,17 @@ def _cc_union_find(rows, a: str = "a", b: str = "b") -> dict:
         return root
 
     for r in rows:
+        if r[a] is None or r[b] is None:
+            raise ValueError("connected-components edge with NULL endpoint")
         ra, rb = find(r[a]), find(r[b])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return {node: find(node) for node in list(parent) + [
-        r[a] for r in rows
-    ]}
+    return {
+        node: find(node)
+        for node in list(parent)
+        + [r[a] for r in rows]
+        + [r[b] for r in rows]
+    }
 
 
 def connected_components(

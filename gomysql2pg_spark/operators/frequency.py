@@ -80,24 +80,33 @@ FROM agg, tot WHERE cnt > n_total * {HH_SUPPORT}
 """
 
 
-def batch_candidates(batches):
-    """Per-Arrow-batch frequent-candidate generator (vectorized
-    `value_counts` thresholding) — module-level so the repartitioning-
-    robustness test exercises the same function the operator ships."""
-    for pdf in batches:
-        m = len(pdf)
-        if m == 0:
-            continue
-        # dropna=False: a NULL key is a key like any other — the exact
-        # side's groupBy keeps the NULL group, so the candidate set
-        # must be able to contain it or the containment gate breaks
-        # for NULL heavy hitters (r7 ADVICE).
-        vc = pdf["props"].value_counts(dropna=False)
-        cand = vc[vc > m / SKETCH_K]
-        if len(cand):
-            yield cand.index.to_frame(name="candidate").reset_index(
-                drop=True
-            )
+def make_batch_candidates(k: int = SKETCH_K):
+    """Factory for the per-Arrow-batch frequent-candidate generator
+    (vectorized `value_counts` thresholding). Nested so cloudpickle
+    ships the worker BY VALUE — a module-level function is pickled by
+    reference and unpicklable on workers whose PYTHONPATH lacks this
+    package (the driver-contract runner adds the repo to sys.path only
+    driver-side). The repartitioning-robustness test builds its worker
+    through this same factory."""
+
+    def batch_candidates(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            # dropna=False: a NULL key is a key like any other — the
+            # exact side's groupBy keeps the NULL group, so the
+            # candidate set must be able to contain it or the
+            # containment gate breaks for NULL heavy hitters (r7
+            # ADVICE).
+            vc = pdf["props"].value_counts(dropna=False)
+            cand = vc[vc > m / k]
+            if len(cand):
+                yield cand.index.to_frame(name="candidate").reset_index(
+                    drop=True
+                )
+
+    return batch_candidates
 
 
 def sketch_candidates(ev: DataFrame) -> DataFrame:
@@ -105,7 +114,7 @@ def sketch_candidates(ev: DataFrame) -> DataFrame:
     return (
         ev.select("props")
         .mapInPandas(
-            batch_candidates,
+            make_batch_candidates(),
             StructType([StructField("candidate", StringType())]),
         )
         .distinct()

@@ -134,7 +134,12 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair generator (which `connected_components` materializes via
     its edge-cache count) and the final singleton left-join, so the
     part scan + distinct collapse runs exactly once, not once per
-    stage (r7 VERDICT: the rollup chain recomputed it 3×)."""
+    stage (r7 VERDICT: the rollup chain recomputed it 3×). The cache
+    is INTENTIONALLY left for the session (same policy as the
+    PageRank edge/degree persists): the returned frame is lazy, so
+    unpersisting here would evict before the caller's first action;
+    the cached dimension is entity-distinct (dimension-sized, ~10³
+    rows per 10⁶ facts) and Spark's LRU evicts it under pressure."""
     ents = _entities(spark, sf_dir).persist()
     pairs = (
         _blocking_pairs(ents)

@@ -2,10 +2,7 @@
 
 Pattern: media payloads are opaque `binary` columns with typed metadata
 alongside; decode / feature-extraction runs as Arrow-batched Pandas UDFs
-over `mapInPandas`. The image/audio codecs are not in this container, so
-the decode step is a clearly-marked deterministic STUB — the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and is
-what the 100 TB design needs to get right:
+over `mapInPandas`. The design the 100 TB path needs to get right:
 
 - payloads stay in `binary` columns (or pointer structs path/offset/len
   for blob stores) — never stringly-typed,
@@ -13,14 +10,23 @@ what the 100 TB design needs to get right:
   batch (vectorized I/O amortization), with `maxRecordsPerBatch` tuned
   so a batch of decoded frames fits executor memory,
 - metadata extraction that needs no codec (sizes, headers, magic
-  numbers) stays in JVM expressions.
+  numbers) stays in JVM expressions and prunes the decode fan-out.
 
-The fixture has no real media, so the binary payload is the utf-8
-encoding of `documents.text` — byte-level ops are real, codecs stubbed.
+The fixture tables carry no real media, so `synth_media_payload`
+manufactures REAL container formats — 24-bit BMP images, PCM-16 WAV
+audio, binary-PPM (P6) frame streams for video — deterministically from
+each document's byte length. The decoder then genuinely parses those
+bytes (magic sniffing, little-endian header fields, RIFF chunk walk,
+repeated P6 headers); nothing is faked. Because the generator's
+geometry is a pure function of `octet_length(text)`, a DuckDB SQL
+oracle can still predict every parsed field, so decode correctness is
+hash-gated end-to-end: synth bytes → parse bytes → compare to the
+closed-form SQL.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,37 +41,157 @@ from pyspark.sql.types import (
 
 from ..catalog import load_table
 
+SAMPLE_RATE = 8000
+BITS_PER_SAMPLE = 16
+
+
+def _media_writers():
+    """Build the three container writers as nested functions. Nested
+    (not module-level) so that when a mapInPandas worker captures them,
+    cloudpickle serializes them BY VALUE — a module-level function is
+    pickled by reference and unpicklable on workers whose PYTHONPATH
+    lacks this package (the driver-contract runner adds the repo to
+    sys.path only driver-side)."""
+    sample_rate, bits = SAMPLE_RATE, BITS_PER_SAMPLE
+
+    def bmp_bytes(width: int, height: int, fill: int) -> bytes:
+        """A real 24bpp bottom-up BMP: BITMAPFILEHEADER +
+        BITMAPINFOHEADER + 4-byte-aligned pixel rows. Any image viewer
+        opens it."""
+        rowstride = ((3 * width + 3) // 4) * 4
+        image_size = rowstride * height
+        file_size = 54 + image_size
+        header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+        )
+        return header + info + bytes([fill % 256]) * image_size
+
+    def wav_bytes(n_samples: int, sample_word: int) -> bytes:
+        """A real RIFF/WAVE file: canonical 44-byte header + mono PCM-16
+        data, every sample = `sample_word` (little-endian)."""
+        data = (sample_word % 65536).to_bytes(2, "little") * n_samples
+        return (
+            struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH",
+                b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, bits,
+            )
+            + struct.pack("<4sI", b"data", len(data))
+            + data
+        )
+
+    def ppm_stream_bytes(
+        width: int, height: int, n_frames: int, fill: int
+    ) -> bytes:
+        """A naive video container: `n_frames` concatenated binary-PPM
+        (P6) frames. Width/height are kept 2-digit by the generator so
+        the 13-byte header length is constant and SQL-predictable."""
+        frame = (f"P6\n{width} {height}\n255\n").encode() + bytes(
+            [fill % 256]
+        ) * (3 * width * height)
+        return frame * n_frames
+
+    return bmp_bytes, wav_bytes, ppm_stream_bytes
+
+
+# module-level aliases for unit tests (never shipped to workers)
+_bmp_bytes, _wav_bytes, _ppm_stream_bytes = _media_writers()
+
+
+def make_media_synth():
+    """mapInPandas worker manufacturing the fixture's binary payloads.
+    Modality and geometry are pure functions of c = utf-8 byte length of
+    `text` (c%3: 0→BMP image, 1→WAV audio, 2→PPM video) so the decode
+    oracle is closed-form. Nested so cloudpickle ships it BY VALUE —
+    Python workers need no import path to this package."""
+    bmp, wav, ppm = _media_writers()
+
+    def synth_batch(frames: Iterator) -> Iterator:
+        import pandas as pd
+
+        def synth(doc_id: int, text: str) -> bytes:
+            c = len(text.encode("utf-8"))
+            m = c % 3
+            if m == 0:
+                return bmp(16 + c % 48, 16 + (c * 7) % 32, c)
+            if m == 1:
+                return wav(64 + c % 192, doc_id)
+            return ppm(10 + c % 80, 10 + (c * 3) % 80, 1 + c % 4, c)
+
+        for pdf in frames:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return synth_batch
+
+
+PAYLOAD_SCHEMA = "doc_id long, payload binary"
+
 
 def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach the opaque binary payload column (fixture stand-in)."""
-    return docs.withColumn("payload", F.col("text").cast("binary"))
+    """Attach the opaque binary payload column (fixture stand-in: real
+    BMP/WAV/PPM containers synthesized from the document row — in
+    production this column arrives from the lakehouse as-is)."""
+    synth = docs.select("doc_id", "text").mapInPandas(
+        make_media_synth(), schema=PAYLOAD_SCHEMA
+    )
+    return docs.join(synth, "doc_id")
+
+
+def _payload_only(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) without the join back — the decode input."""
+    return docs.select("doc_id", "text").mapInPandas(
+        make_media_synth(), schema=PAYLOAD_SCHEMA
+    )
+
+
+# closed-form payload geometry in DuckDB SQL, c = octet_length(encode(text))
+_SQL_C = "octet_length(encode(text))"
+_SQL_N_BYTES = f"""CASE {_SQL_C} % 3
+    WHEN 0 THEN 54 + ((3 * (16 + {_SQL_C} % 48) + 3) // 4) * 4
+                     * (16 + ({_SQL_C} * 7) % 32)
+    WHEN 1 THEN 44 + 2 * (64 + {_SQL_C} % 192)
+    ELSE (1 + {_SQL_C} % 4)
+         * (13 + 3 * (10 + {_SQL_C} % 80) * (10 + ({_SQL_C} * 3) % 80))
+  END"""
 
 
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side (no-codec) metadata over binary payloads: byte length,
-    4-byte header as hex (magic-number sniffing), modality classification.
-    Pure expressions — this is the fast path that runs BEFORE any decode
-    fan-out at scale (cheap filter, prunes the expensive UDF stage)."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
-    n_bytes = F.octet_length("payload")
+    2-byte magic as hex, modality classified by REAL magic-number
+    sniffing ('BM' → image, 'RI'FF → audio, 'P6' → video). Pure
+    expressions after the payload column exists — this is the fast path
+    that runs BEFORE any decode fan-out at scale (cheap filter, prunes
+    the expensive UDF stage)."""
+    docs = _payload_only(load_table(spark, sf_dir, "documents"))
+    magic = F.hex(F.substring(F.col("payload"), 1, 2))
     return docs.select(
         "doc_id",
-        n_bytes.alias("n_bytes"),
-        F.hex(F.substring(F.col("text"), 1, 4).cast("binary")).alias("header_hex"),
-        F.when(n_bytes % 3 == 0, "image")
-        .when(n_bytes % 3 == 1, "audio")
-        .otherwise("video")
+        F.octet_length("payload").alias("n_bytes"),
+        magic.alias("header_hex"),
+        F.when(magic == "424D", "image")  # 'BM'
+        .when(magic == "5249", "audio")  # 'RI' (RIFF)
+        .when(magic == "5036", "video")  # 'P6'
+        .otherwise("unknown")
         .alias("modality"),
     )
 
 
-ORACLE_MM_METADATA = """
+ORACLE_MM_METADATA = f"""
 SELECT doc_id,
-  octet_length(encode(text)) AS n_bytes,
-  hex(encode(substring(text, 1, 4))) AS header_hex,
-  CASE octet_length(encode(text)) % 3
-    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
-  END AS modality
+  CAST({_SQL_N_BYTES} AS BIGINT) AS n_bytes,
+  CASE {_SQL_C} % 3 WHEN 0 THEN '424D' WHEN 1 THEN '5249' ELSE '5036'
+    END AS header_hex,
+  CASE {_SQL_C} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+    END AS modality
 FROM documents
 """
 
@@ -82,62 +208,92 @@ DECODE_SCHEMA = StructType(
 )
 
 
-def make_decoder(real_decoder=None):
+def make_decoder():
     """Build the mapInPandas worker: one Arrow batch of (doc_id, payload)
-    in, one batch of decoded metadata out. `real_decoder` is the seam
-    where a codec (PIL/ffmpeg/...) plugs in; absent one, a deterministic
-    fake derives dimensions from the byte content (STUB — clearly
-    marked). Returned as a nested function so cloudpickle ships it BY
-    VALUE — Python workers need no import path to this package."""
+    in, one batch of decoded metadata out. This is a REAL parser — magic
+    sniffing, then format-specific header decoding:
+
+    - BMP: little-endian BITMAPINFOHEADER width/height (offsets 18/22),
+    - WAV: RIFF chunk walk; fmt → sample_rate/bits (reported as
+      width/height), data chunk size / block align → sample count
+      (reported as n_frames),
+    - PPM stream: repeated 'P6\\n{{w}} {{h}}\\n255\\n' headers walked
+      frame-by-frame; dims from the first header, frames counted.
+
+    Unknown magic raises ValueError (a corrupt payload must fail loudly,
+    not decode to garbage). Nested so cloudpickle ships it BY VALUE."""
+
+    def decode_one(b: bytes):
+        if len(b) >= 2 and b[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", b, 18)
+            return len(b), w, h, 1, "bmp"
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, rate, bits, block_align, n_samples = 12, 0, 0, 2, 0
+            while pos + 8 <= len(b):
+                cid, csize = struct.unpack_from("<4sI", b, pos)
+                if cid == b"fmt ":
+                    _, _, rate, _, block_align, bits = struct.unpack_from(
+                        "<HHIIHH", b, pos + 8
+                    )
+                elif cid == b"data":
+                    n_samples = csize // max(block_align, 1)
+                pos += 8 + csize + (csize & 1)
+            return len(b), rate, bits, n_samples, "pcm_s16le"
+        if len(b) >= 2 and b[:2] == b"P6":
+            pos, n_frames, w, h = 0, 0, 0, 0
+            while pos < len(b):
+                if b[pos : pos + 3] != b"P6\n":
+                    raise ValueError("corrupt PPM stream")
+                nl2 = b.index(b"\n", pos + 3)
+                dims = b[pos + 3 : nl2].split()
+                fw, fh = int(dims[0]), int(dims[1])
+                nl3 = b.index(b"\n", nl2 + 1)  # maxval line
+                if n_frames == 0:
+                    w, h = fw, fh
+                pos = nl3 + 1 + 3 * fw * fh
+                n_frames += 1
+            return len(b), w, h, n_frames, "ppm"
+        raise ValueError(f"unknown media magic: {b[:4]!r}")
 
     def decode_batch(frames: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in frames:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            if real_decoder is not None:
-                raise NotImplementedError(
-                    "real media codecs are not available in this environment"
-                )
-            # deterministic fake-decode (STUB): dims from byte stats;
-            # "first" = first character's codepoint (matches SQL unicode())
-            first = payloads.map(
-                lambda b: ord(b.decode("utf-8", "replace")[0]) if len(b) else 0
+            decoded = [decode_one(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                decoded, columns=["n_bytes", "width", "height", "n_frames", "codec"]
             )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": (16 + (n_bytes % 640)).astype("int32"),
-                    "height": (16 + ((n_bytes * 7) % 480)).astype("int32"),
-                    "n_frames": (1 + (first % 16)).astype("int32"),
-                    "codec": "fake/v1",
-                }
-            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            for col in ("width", "height", "n_frames"):
+                out[col] = out[col].astype("int32")
+            yield out
 
     return decode_batch
 
 
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched fake-decode over mapInPandas. The plumbing under
-    test: binary column in, typed struct-ish schema out, per-batch
-    vectorized processing. Deterministic (fake dims are pure functions
-    of the bytes) → SQL oracle still possible."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", "payload").mapInPandas(
-        make_decoder(), schema=DECODE_SCHEMA
-    )
+    """Arrow-batched REAL decode over mapInPandas: synthesize genuine
+    BMP/WAV/PPM containers, then parse their bytes back (struct header
+    fields, RIFF chunk walk, P6 frame walk). The oracle predicts every
+    parsed field from the generator's closed form — so a header-math
+    bug on EITHER side is a hash mismatch."""
+    docs = _payload_only(load_table(spark, sf_dir, "documents"))
+    return docs.mapInPandas(make_decoder(), schema=DECODE_SCHEMA)
 
 
-ORACLE_MM_DECODE = """
+ORACLE_MM_DECODE = f"""
 SELECT doc_id,
-  octet_length(encode(text)) AS n_bytes,
-  CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
-  CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-  CAST(1 + CASE WHEN octet_length(encode(text)) = 0 THEN 0
-                ELSE unicode(text[1]) END % 16 AS INT) AS n_frames,
-  'fake/v1' AS codec
+  CAST({_SQL_N_BYTES} AS BIGINT) AS n_bytes,
+  CAST(CASE {_SQL_C} % 3 WHEN 0 THEN 16 + {_SQL_C} % 48
+       WHEN 1 THEN {SAMPLE_RATE} ELSE 10 + {_SQL_C} % 80 END AS INT) AS width,
+  CAST(CASE {_SQL_C} % 3 WHEN 0 THEN 16 + ({_SQL_C} * 7) % 32
+       WHEN 1 THEN {BITS_PER_SAMPLE}
+       ELSE 10 + ({_SQL_C} * 3) % 80 END AS INT) AS height,
+  CAST(CASE {_SQL_C} % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + {_SQL_C} % 192
+       ELSE 1 + {_SQL_C} % 4 END AS INT) AS n_frames,
+  CASE {_SQL_C} % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pcm_s16le' ELSE 'ppm'
+    END AS codec
 FROM documents
 """
 
@@ -148,12 +304,9 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointers — the pointers-not-pixels pattern that keeps 100 TB of video
     shuffle-free (frames are fetched by the NEXT stage's mapInPandas,
     local to each partition)."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     n_frames = 1 + (
-        F.when(F.octet_length("payload") == 0, 0).otherwise(
-            F.ascii(F.col("text"))
-        )
-        % 16
+        F.when(F.length("text") == 0, 0).otherwise(F.ascii(F.col("text"))) % 16
     )
     return docs.select(
         "doc_id",
@@ -192,9 +345,9 @@ RESIZE_SCHEMA = StructType(
 def make_resizer(box: int = RESIZE_BOX):
     """mapInPandas worker for the resize stage: aspect-preserving fit
     into a `box`×`box` target (integer floor math — deterministic). The
-    pixel work is the STUB seam (a real kernel resamples the decoded
-    buffer); the batch shape (decode-metadata in, per-item output dims
-    out) is exactly the production stage."""
+    pixel work is the seam where a resampling kernel plugs in; the batch
+    shape (decode-metadata in, per-item output dims out) is exactly the
+    production stage."""
 
     def resize_batch(frames: Iterator) -> Iterator:
         import pandas as pd
@@ -220,20 +373,25 @@ def make_resizer(box: int = RESIZE_BOX):
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode → resize pipeline: the fake-decode dims flow into an
-    aspect-preserving resize plan. Two chained mapInPandas stages with
-    no shuffle between them (narrow dependency — at 100 TB the decoded
-    buffers never leave the worker)."""
-    decoded = q_mm_decode(spark, sf_dir).select("doc_id", "width", "height")
-    return decoded.mapInPandas(make_resizer(), schema=RESIZE_SCHEMA)
+    """decode → filter images → resize pipeline: real-parsed BMP dims
+    flow into an aspect-preserving resize plan. Two chained mapInPandas
+    stages with no shuffle between them (narrow dependency — at 100 TB
+    the decoded buffers never leave the worker); the image filter runs
+    between them so audio/video rows never enter the resize stage."""
+    decoded = q_mm_decode(spark, sf_dir)
+    images = decoded.filter(F.col("codec") == "bmp").select(
+        "doc_id", "width", "height"
+    )
+    return images.mapInPandas(make_resizer(), schema=RESIZE_SCHEMA)
 
 
 ORACLE_MM_RESIZE = f"""
 WITH d AS (
   SELECT doc_id,
-    CAST(16 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
-    CAST(16 + (octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+    CAST(16 + {_SQL_C} % 48 AS BIGINT) AS width,
+    CAST(16 + ({_SQL_C} * 7) % 32 AS BIGINT) AS height
   FROM documents
+  WHERE {_SQL_C} % 3 = 0
 )
 SELECT doc_id,
   CAST(width AS INT) AS width,
@@ -245,12 +403,13 @@ FROM d
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction stage: per-payload scalar features (byte
-    length, token count, exact mean codepoint) — the embedding-model
-    stand-in. Computed with JVM expressions (the honest fast path when
-    features don't need a codec); mean = integer codepoint sum / count,
-    one double division — bit-identical cross-engine."""
-    docs = with_payload(load_table(spark, sf_dir, "documents"))
+    """Feature-extraction stage: per-document scalar features (utf-8
+    byte length, token count, exact mean codepoint) — the
+    embedding-model stand-in. Computed with JVM expressions (the honest
+    fast path when features don't need a codec); mean = integer
+    codepoint sum / count, one double division — bit-identical
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
     chars = F.split(F.col("text"), "")
     cp_sum = F.aggregate(
         chars, F.lit(0).cast("long"), lambda acc, c: acc + F.ascii(c)
@@ -258,7 +417,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     return docs.select(
         "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "n_tokens"
         ),

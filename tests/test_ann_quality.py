@@ -267,3 +267,77 @@ def test_pq_adc_picks_beat_random(spark, sf_dir, queries):
         pq.join(ranked, ["qid", "nid"]).agg(F.avg("xrank")).collect()[0][0]
     )
     assert mean_rank / n < 0.4, (mean_rank, n)
+
+
+def _brute_components(pairs):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+# chain (forces multi-round propagation: diameter 9), a triangle, a
+# pair, and an asymmetric edge whose dst never appears as src
+_CC_EDGES = (
+    [(i, i + 1) for i in range(9)]
+    + [(100, 101), (101, 102), (100, 102), (200, 201), (300, 301)]
+)
+
+
+@pytest.mark.parametrize(
+    "typed",
+    ["long", "string"],
+)
+def test_cc_distributed_path_equals_driver_path(spark, typed):
+    """Force the distributed min-label path (small_graph_edges=0) and
+    assert it agrees with the driver union-find path AND brute force,
+    for long- and string-typed nodes (r8 ADVICE: every fixture graph
+    sits below the 100k hybrid threshold, so the distributed path —
+    and the dynamic convergence mode of iterate_fixed_point, with its
+    lazy-checkpoint + unpersist interplay — had no automated
+    coverage)."""
+    from gomysql2pg_spark.operators.dedup import connected_components
+
+    if typed == "long":
+        edges = _CC_EDGES
+        schema = "da long, db long"
+    else:
+        # zero-padded so lexicographic min == numeric min
+        edges = [(f"n{a:03d}", f"n{b:03d}") for a, b in _CC_EDGES]
+        schema = "da string, db string"
+    df = spark.createDataFrame(edges, schema)
+    expected = _brute_components(edges)
+
+    driver = {
+        r["node"]: r["label"]
+        for r in connected_components(df).collect()
+    }
+    distributed = {
+        r["node"]: r["label"]
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert driver == expected
+    assert distributed == expected
+
+
+def test_cc_union_find_asymmetric_and_null_contract():
+    """_cc_union_find labels nodes appearing only in column b (it no
+    longer relies on the caller having doubled the edge list) and
+    refuses NULL endpoints loudly (r8 ADVICE: both behaviors were
+    undocumented accidents)."""
+    from gomysql2pg_spark.operators.dedup import _cc_union_find
+
+    labels = _cc_union_find([{"a": 1, "b": 2}, {"a": 2, "b": 3}])
+    assert labels == {1: 1, 2: 1, 3: 1}
+    with pytest.raises(ValueError, match="NULL endpoint"):
+        _cc_union_find([{"a": 1, "b": None}])

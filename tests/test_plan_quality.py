@@ -362,11 +362,27 @@ def test_no_driver_side_row_collection_in_engine():
     `.limit(<bound>).collect()` — whose driver-side row count is
     capped by construction regardless of input scale (the hybrid
     small-graph path of `connected_components`, thresholded like a
-    broadcast join)."""
+    broadcast join). The exemption accepts only bounds that are
+    integer literals or `<name> + <literal>` over a known module
+    constant (r8 ADVICE: a bare `.limit(<anything>).collect()`
+    exemption would also bless runtime-computed, arbitrarily large
+    bounds, silently un-capping the probe)."""
     import pathlib
     import re
 
     import gomysql2pg_spark
+
+    # bounds provably capped at lint time: "123", "N", "N + 1" where
+    # N names a module-level int constant (small_graph_edges defaults
+    # to CC_SMALL_GRAPH_EDGES — a literal checked below)
+    bounded = re.compile(
+        r"\.limit\(\s*(?:\d+|[A-Za-z_]\w*(?:\s*\+\s*\d+)?)\s*\)"
+        r"\s*\.collect\(\)"
+    )
+    from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
+
+    assert isinstance(CC_SMALL_GRAPH_EDGES, int)
+    assert CC_SMALL_GRAPH_EDGES <= 1_000_000  # driver-memory sane
 
     root = pathlib.Path(gomysql2pg_spark.__file__).parent
     for py in root.rglob("*.py"):
@@ -374,7 +390,7 @@ def test_no_driver_side_row_collection_in_engine():
         assert ".toPandas()" not in src, py
         if py.name == "validate.py":
             continue
-        unbounded = re.sub(r"\.limit\([^)]*\)\s*\.collect\(\)", "", src)
+        unbounded = bounded.sub("", src)
         assert ".collect()" not in unbounded, py
 
 
@@ -517,8 +533,16 @@ def test_pagerank_reuses_edges_no_cartesian(spark, sf_dir, queries):
     equi-key), and — since r8's shared fixed-point kernel — the final
     plan must be LINEAGE-TRUNCATED: a scan of the checkpointed ranks,
     not a re-derivation through every iteration (no events scan, no
-    joins, no iteration-count-proportional plan depth)."""
+    joins, no iteration-count-proportional plan depth). Edge-cache
+    reuse (the test's name) is verified through the storage layer: the
+    operator's persists (ue / edges_deg / nodes) must MATERIALIZE into
+    executor storage during the run — a persist the rounds never read
+    would leave memSize 0 (r8 ADVICE: the ExistingRDD rewrite had
+    dropped any assertion backing the 'reuses edges' claim)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
     df = queries["pagerank_bipartite"](spark, sf_dir)
+    assert df.count() > 0
     plan = plan_of(df, mode="simple")
     assert "CartesianProduct" not in plan, plan
     # checkpoint truncation: the published frame reads a materialized
@@ -527,3 +551,12 @@ def test_pagerank_reuses_edges_no_cartesian(spark, sf_dir, queries):
     assert "ExistingRDD" in plan, plan
     assert "Join" not in plan, plan
     assert "events" not in plan, plan
+    newly_cached = [
+        info
+        for info in jsc.getRDDStorageInfo()
+        if info.id() not in before and info.memSize() > 0
+    ]
+    assert newly_cached, (
+        "edges/degrees/nodes persists never materialized — the "
+        "iteration did not read them from cache"
+    )
