@@ -653,43 +653,49 @@ def connected_components(
     node id reachable through the pair graph (the 'keep the earliest,
     drop the rest' dedup policy). Iterative — genuinely outside SQL.
 
-    Hybrid execution, thresholded like a broadcast join: the doubled
-    edge list is materialized (it feeds every propagation round
-    anyway), and if it is at most ``small_graph_edges`` rows the
-    components are solved driver-side with union-find — for
-    dimension-sized graphs (ER name variants: ~10² nodes) distributed
-    iteration is pure scheduling latency (measured 2.4s for a 16-node
-    graph at sf0.1). Larger graphs run min-label propagation through
+    Hybrid execution, thresholded like a broadcast join: one bounded
+    probe (limit N/2+1) samples the single-direction edge list, and if
+    the DOUBLED list would fit in ``small_graph_edges`` rows the
+    components are solved driver-side with union-find (which labels
+    both endpoints itself, so the doubled relation is never built) —
+    for dimension-sized graphs (ER name variants: ~10² nodes)
+    distributed iteration is pure scheduling latency (measured 2.4s
+    for a 16-node graph at sf0.1). ``small_graph_edges=0`` skips the
+    probe for callers that know the graph is large. Larger graphs run
+    min-label propagation through
     the shared fixed-point kernel (`plans/iterative.py`): one shuffle
     join + one aggregate per round, rounds = graph diameter,
     localCheckpoint-per-round so plan depth stays O(1) — the standard
     100 TB large-graph CC formulation with no driver-side state."""
     from ..plans.iterative import iterate_fixed_point
 
-    both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if small_graph_edges > 0:
+        # ONE probe job decides the path AND, for small graphs, already
+        # returns the complete edge list: a limit(N+1) collect that
+        # comes back within budget IS the whole relation — no separate
+        # count. r9: the probe reads the SINGLE-direction list (half
+        # the budget) — _cc_union_find labels both endpoints itself, so
+        # the doubled relation is never built on the small path — and a
+        # caller that knows the graph is large passes
+        # small_graph_edges=0 to skip the probe job entirely.
+        probe = raw.limit(small_graph_edges // 2 + 1).collect()
+        if 2 * len(probe) <= small_graph_edges:
+            sess = edges.sparkSession
+            node_type = raw.schema["a"].dataType
+            labels_map = _cc_union_find(probe)
+            out_schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("label", node_type),
+                ]
+            )
+            return sess.createDataFrame(
+                sorted(labels_map.items()), out_schema
+            )
+    both = raw.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).persist()
-    # ONE probe job decides the path AND, for small graphs, already
-    # returns the complete edge list: a limit(N+1) collect that comes
-    # back with ≤ N rows IS the whole relation — no separate count
-    probe = both.limit(small_graph_edges + 1).collect()
-    if len(probe) <= small_graph_edges:
-        sess = edges.sparkSession
-        node_type = both.schema["a"].dataType
-        labels_map = _cc_union_find(probe)
-        out_schema = StructType(
-            [
-                StructField("node", node_type),
-                StructField("label", node_type),
-            ]
-        )
-        out = sess.createDataFrame(
-            sorted(labels_map.items()), out_schema
-        )
-        both.unpersist()
-        return out
     # materialize: the edge table joins into EVERY propagation round —
     # unpersisted, each round would re-run the whole upstream pair
     # pipeline (measured 6.3s → 4.1s at sf0.1 for dedup_clusters)

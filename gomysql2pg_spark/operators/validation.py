@@ -415,60 +415,64 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     collided once sf ≳ 1.7) so the diff exercises all four statuses
     with an exact oracle.
 
-    Scale shape: one full outer join keyed on the primary key (the
-    unavoidable shuffle, co-partitioned both sides), row content
-    collapsed to md5 of a canonical cents-exact string BEFORE the
-    join so the exchange carries (key, hash) pairs, not rows; the
-    status classification is a stateless CASE and the final aggregate
-    is 4-group-bounded."""
+    Scale shape (r9 rewrite): rows collapse to (key, md5-of-content,
+    side) BEFORE any wide operator, and the two versions merge through
+    ONE hash aggregate on the key — union + groupBy replaces the
+    previous full outer join, trading two shuffles + a sort-merge for
+    a single keyed exchange with map-side partials (0.68 → 0.60 s min
+    at sf0.1, and the general two-independent-snapshots form is the
+    same merge over a union of two scans). Because v2 here DERIVES
+    from v1's table, both sides come out of one scan: each row emits
+    its v1 entry plus 0-2 v2 entries through an array-filter explode,
+    so the fact table is read once, not three times. The status
+    classification is a stateless CASE and the final aggregate is
+    4-group-bounded."""
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    v1 = orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.md5(
-            F.concat_ws(
-                "|", F.col("o_orderstatus"), cents.cast("string")
-            )
-        ).alias("h1"),
-    )
-    v2_rows = orders.filter(F.col("o_orderkey") % 97 != 0).select(
-        "o_orderkey",
-        "o_orderstatus",
+
+    def h_of(c):
+        return F.md5(
+            F.concat_ws("|", F.col("o_orderstatus"), c.cast("string"))
+        )
+
+    k = F.col("o_orderkey")
+    entries = F.array(
+        F.struct(
+            k.alias("k"), h_of(cents).alias("h"), F.lit(1).alias("side")
+        ),
         F.when(
-            F.col("o_orderkey") % 89 == 0, cents + F.lit(100)
-        )
-        .otherwise(cents)
-        .alias("cents2"),
+            k % 97 != 0,
+            F.struct(
+                k.alias("k"),
+                h_of(
+                    F.when(k % 89 == 0, cents + 100).otherwise(cents)
+                ).alias("h"),
+                F.lit(2).alias("side"),
+            ),
+        ),
+        F.when(
+            k % 101 == 0,
+            F.struct(
+                (-k).alias("k"),
+                h_of(cents).alias("h"),
+                F.lit(2).alias("side"),
+            ),
+        ),
     )
-    v2 = v2_rows.select(
-        F.col("o_orderkey").alias("k"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("o_orderstatus"),
-                F.col("cents2").cast("string"),
-            )
-        ).alias("h2"),
-    ).unionByName(
-        orders.filter(F.col("o_orderkey") % 101 == 0).select(
-            (-F.col("o_orderkey")).alias("k"),
-            F.md5(
-                F.concat_ws(
-                    "|", F.col("o_orderstatus"), cents.cast("string")
-                )
-            ).alias("h2"),
-        )
+    kv = orders.select(
+        F.explode(F.filter(entries, lambda s: s.isNotNull())).alias("e")
+    ).select("e.k", "e.h", "e.side")
+    merged = kv.groupBy("k").agg(
+        F.max(F.when(F.col("side") == 1, F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("side") == 2, F.col("h"))).alias("h2"),
     )
-    status = (
-        v1.join(v2, "k", "full_outer")
-        .select(
-            "k",
-            F.when(F.col("h1").isNull(), F.lit("added"))
-            .when(F.col("h2").isNull(), F.lit("removed"))
-            .when(F.col("h1") != F.col("h2"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("status"),
-        )
+    status = merged.select(
+        "k",
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
     )
     return status.groupBy("status").agg(
         F.count("*").alias("n_keys"),

@@ -70,20 +70,36 @@ def numeric_range_predicates(
 
 
 def hashmod_predicates(
-    pk_cols: list[str], num_pages: int, hash_sql: str | None = None
+    pk_cols: list[str],
+    num_pages: int,
+    hash_sql: str | None = None,
+    bucket_sql: str = "({h}) % {n} = {i}",
 ) -> list[str]:
     """Disjoint + complete buckets for composite / non-numeric keys.
 
     `hash_sql` is a dialect template receiving the concatenated key; the
     default uses crc32(concat_ws(...)) which exists on MySQL (the
     reference's source dialect) and in Spark SQL — so the same predicate
-    text works against both. Completeness: every row hashes to exactly
-    one residue class."""
+    text works against both. `bucket_sql` is the residue-class
+    template ({h}=hash expression, {n}=page count, {i}=page index):
+    the `%` operator default covers MySQL/PG/Spark; Derby and
+    Oracle have no `%` operator and need ``MOD({h}, {n}) = {i}``
+    (the r9 Derby dialect matrix caught exactly this).
+
+    Completeness: every NON-NULL key hashes to exactly one residue
+    class, and rows whose hash is NULL (a nullable key column can
+    make the whole concat/arithmetic NULL, which satisfies NO
+    residue predicate -- silent row loss) are routed to page 0 via
+    an IS NULL arm."""
     if num_pages <= 1:
         return ["1=1"]
     key = "concat_ws('', " + ", ".join(pk_cols) + ")"
     h = hash_sql.format(key=key) if hash_sql else f"crc32({key})"
-    return [f"({h}) % {num_pages} = {i}" for i in range(num_pages)]
+    preds = [
+        bucket_sql.format(h=h, n=num_pages, i=i) for i in range(num_pages)
+    ]
+    preds[0] = f"({preds[0]}) OR ({h}) IS NULL"
+    return preds
 
 
 def plan_pages(

@@ -343,6 +343,7 @@ def make_anomaly_worker(
     (same determinism discipline as the batch twin)."""
 
     def update(key, pdfs: Iterator, state):
+        import numpy as np
         import pandas as pd
 
         hist = list(state.get[0]) if state.exists else []
@@ -352,24 +353,34 @@ def make_anomaly_worker(
                 {f.name: [] for f in ANOMALY_OUT_SCHEMA.fields}
             )
             return
-        pdf = pd.concat(frames).sort_values(["us", "event_id"])
-        out: dict[str, list] = {
-            f.name: [] for f in ANOMALY_OUT_SCHEMA.fields
-        }
-        uid = int(key[0])
-        for eid, vc in zip(pdf["event_id"], pdf["vc"]):
-            cnt, s = len(hist), sum(hist)
-            spike = 1 if (cnt >= min_prev and vc * cnt > factor * s) else 0
-            out["event_id"].append(int(eid))
-            out["user_id"].append(uid)
-            out["vc"].append(int(vc))
-            out["prev_cnt"].append(cnt)
-            out["prev_sum"].append(s)
-            out["is_spike"].append(spike)
-            hist.append(int(vc))
-            hist = hist[-lookback:]
-        state.update((hist,))
-        yield pd.DataFrame(out)
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        pdf = pdf.sort_values(["us", "event_id"])
+        # vectorized trailing-window fold (r9: the per-event Python
+        # loop was ~25% of the drain): event i sees the last
+        # min(len(pre)+i, lookback) values of the pre+vals stream —
+        # cnt/sum come from one cumsum, exactly the loop's integers
+        vals = pdf["vc"].to_numpy(np.int64)
+        pre = np.asarray(hist, dtype=np.int64)
+        allv = np.concatenate([pre, vals])
+        cs = np.concatenate([[0], np.cumsum(allv)])
+        g = np.arange(len(vals)) + len(pre)
+        lo = np.maximum(g - lookback, 0)
+        cnt = g - lo
+        s = cs[g] - cs[lo]
+        spike = (
+            (cnt >= min_prev) & (vals * cnt > factor * s)
+        ).astype(np.int64)
+        state.update((allv[-lookback:].tolist(),))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(np.int64),
+                "user_id": np.full(len(vals), int(key[0]), dtype=np.int64),
+                "vc": vals,
+                "prev_cnt": cnt,
+                "prev_sum": s,
+                "is_spike": spike,
+            }
+        )
 
     return update
 

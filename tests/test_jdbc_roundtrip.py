@@ -177,3 +177,141 @@ def test_jdbc_truncate_overwrite_keeps_table(spark, derby_url, orders_in_derby):
     )
     got = _read(spark, derby_url, dbtable="ORDERS")
     assert got.count() == src.count()
+
+
+# ---------------------------------------------------------------------------
+# dialect matrix beyond the happy path (r8 VERDICT item 5): MixedCase
+# quoted identifiers + NULL/hostile values through the composite-key
+# predicate reader and the COPY-text escape grammar
+# ---------------------------------------------------------------------------
+
+_HOSTILE_ROWS = [
+    # (Id1, Id2, TxtVal) — MixedCase names, tab/newline/backslash
+    # payloads, literal backslash-N (the classic COPY NULL confusion),
+    # NULLs, and int boundaries
+    (1, 10, "plain"),
+    (1, 20, "tab\there"),
+    (2, 10, "new\nline"),
+    (2, 20, "back\\slash"),
+    (3, 10, "\\N"),  # literal backslash-N, NOT null
+    (3, 20, None),
+    (-2147483648, 30, "int min"),
+    (2147483647, 40, "int max"),
+    (0, None, "null in key column"),  # NULL key → IS-NULL page arm
+]
+
+
+@pytest.fixture(scope="module")
+def pkmix_in_derby(spark, derby_url):
+    src = spark.createDataFrame(
+        _HOSTILE_ROWS, "Id1 int, Id2 int, TxtVal string"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "PKMIX")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return src
+
+
+def test_derby_composite_key_hashmod_pages_disjoint_complete(
+    spark, derby_url, pkmix_in_derby
+):
+    """The composite-key predicate reader against a real non-MySQL
+    grammar: Derby has no `%` operator and no crc32, so the dialect
+    seams (hash_sql + bucket_sql templates) must carry the whole
+    predicate — and a NULL in a key column must still land on exactly
+    one page (the IS-NULL arm on page 0), not vanish."""
+    from gomysql2pg_spark.plans.pagination import hashmod_predicates
+
+    # CAST to BIGINT first: Id1 * 31 overflows Derby's INTEGER at the
+    # int32 boundary rows — the hash template must widen before
+    # arithmetic on any engine with a 32-bit int type
+    preds = hashmod_predicates(
+        ['"Id1"', '"Id2"'],
+        3,
+        hash_sql='ABS(CAST("Id1" AS BIGINT) * 31 + "Id2")',
+        bucket_sql="MOD({h}, {n}) = {i}",
+    )
+    df = spark.read.jdbc(
+        url=derby_url,
+        table="PKMIX",
+        predicates=preds,
+        properties={"driver": DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(
+        map(tuple, df.collect()), key=lambda t: tuple(map(str, t))
+    )
+    src = sorted(
+        map(tuple, pkmix_in_derby.collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got == src  # complete (NULL-key row included) and disjoint
+
+
+def test_derby_mixedcase_hostile_values_roundtrip(
+    spark, derby_url, pkmix_in_derby
+):
+    """Write→read fidelity for the hostile payloads through the real
+    JDBC path with MixedCase quoted identifiers: embedded tab/newline/
+    backslash, literal backslash-N vs true NULL, int32 boundaries."""
+    got = _read(spark, derby_url, dbtable="PKMIX")
+    assert got.columns == ["Id1", "Id2", "TxtVal"]
+    g = {tuple(map(str, r)) for r in got.collect()}
+    s = {tuple(map(str, r)) for r in pkmix_in_derby.collect()}
+    assert g == s
+    vals = {r["TxtVal"] for r in got.collect()}
+    assert "\\N" in vals and None in vals  # not conflated
+
+
+def _decode_copy_text(wire: str):
+    """Strict PostgreSQL COPY-text decoder (the server side of the
+    grammar `sinks.jdbc.encode_copy_text` emits), used to prove the
+    escape path round-trips without a PG server in the container."""
+    rows = []
+    for line in wire.split("\n")[:-1]:
+        cells = []
+        for cell in line.split("\t"):
+            if cell == "\\N":
+                cells.append(None)
+                continue
+            out, i = [], 0
+            while i < len(cell):
+                ch = cell[i]
+                if ch == "\\":
+                    i += 1
+                    esc = cell[i]
+                    out.append(
+                        {"\\": "\\", "t": "\t", "n": "\n", "r": "\r"}[esc]
+                    )
+                else:
+                    out.append(ch)
+                i += 1
+            cells.append("".join(out))
+        rows.append(tuple(cells))
+    return rows
+
+
+def test_copy_text_escape_grammar_roundtrip():
+    """encode_copy_text vs a spec-faithful decoder: every hostile value
+    (tab, newline, CR, backslash runs, literal '\\N', empty string,
+    true NULL) must survive, and literal backslash-N must NOT decode
+    as NULL."""
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+
+    rows = [
+        ("plain", "tab\there", "new\nline"),
+        ("cr\rhere", "back\\slash", "\\N"),
+        ("", None, "\\\\double"),
+        ("trailing\\", "\t\n\r", None),
+    ]
+    wire = encode_copy_text(rows)
+    assert _decode_copy_text(wire) == rows
+    # the NULL marker and the escaped literal are distinct on the wire
+    null_line = wire.split("\n")[2]
+    assert "\\N" in null_line
+    assert _decode_copy_text(null_line + "\n")[0][1] is None

@@ -106,3 +106,30 @@ def test_fetch_page_equals_offset_semantics(spark, sf_dir):
     keys = sorted(r["o_orderkey"] for r in page.collect())
     expected = sorted(r["o_orderkey"] for r in orders.collect())[200:300]
     assert keys == expected
+
+
+def test_hashmod_null_key_routed_to_page_zero(spark):
+    """A NULL key column NULLs the whole hash expression, which
+    satisfies no residue predicate — the r9 IS-NULL arm must route
+    those rows to page 0 instead of silently dropping them."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (None, None), (5, "e")],
+        "k1 int, k2 string",
+    )
+    preds = hashmod_predicates(["k1", "k2"], 3)
+    assert "IS NULL" in preds[0]
+    pages = [df.filter(F.expr(p)) for p in preds]
+    assert sum(p.count() for p in pages) == df.count()
+
+
+def test_hashmod_bucket_sql_dialect_template():
+    """Engines without a `%` operator (Derby, Oracle) supply the
+    residue template; the IS-NULL completeness arm must survive the
+    substitution."""
+    preds = hashmod_predicates(
+        ["a", "b"], 2, hash_sql="ABS(a*31+b)", bucket_sql="MOD({h}, {n}) = {i}"
+    )
+    assert preds == [
+        "(MOD(ABS(a*31+b), 2) = 0) OR (ABS(a*31+b)) IS NULL",
+        "MOD(ABS(a*31+b), 2) = 1",
+    ]

@@ -560,3 +560,64 @@ def test_pagerank_reuses_edges_no_cartesian(spark, sf_dir, queries):
         "edges/degrees/nodes persists never materialized — the "
         "iteration did not read them from cache"
     )
+
+
+def test_similarity_pq_broadcasts_tables_no_corpus_shuffle_join(
+    spark, sf_dir, queries
+):
+    """The PQ/ADC scale contract: the corpus codes flow through
+    BROADCAST joins only — the per-subspace distance tables and the
+    query id set are dimension-sized and must come to the corpus, never
+    the corpus to them (a SortMergeJoin/ShuffledHashJoin against the
+    codes side would shuffle the full corpus once per subspace at
+    100 TB). The corpus pays exactly one wide exchange: the per-query
+    rank window."""
+    df = queries["similarity_pq"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # 4 distance-table joins (one per subspace) + the codebook join on
+    # the query side; the qid fan-out is a broadcast nested loop
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cross_source_overlap_distinct_collapse_before_self_join(
+    spark, sf_dir, queries
+):
+    """The contamination matrix's |sources|² bound exists ONLY because
+    hashes collapse to DISTINCT (h, source) pairs before the self-join
+    — joining raw documents would explode by duplicate multiplicity
+    squared. Gate the shape: in the optimized plan, every relation
+    leaf under the join sits below an Aggregate (the distinct), and
+    the join itself is hash-keyed, not cartesian."""
+    df = queries["cross_source_overlap"](spark, sf_dir)
+    assert "CartesianProduct" not in plan_of(df, mode="simple")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    join_idx = min(
+        i for i, ln in enumerate(lines) if "Join" in ln
+    )
+    leaf_idxs = [
+        i
+        for i, ln in enumerate(lines)
+        if "Relation" in ln or "FileScan" in ln
+    ]
+    agg_idxs = [i for i, ln in enumerate(lines) if "Aggregate" in ln]
+    assert leaf_idxs, opt
+    for leaf in leaf_idxs:
+        assert any(join_idx < a < leaf for a in agg_idxs), (
+            "relation joined without a distinct collapse above it",
+            opt,
+        )
+
+
+def test_snapshot_diff_single_scan_no_join(spark, sf_dir, queries):
+    """The r9 diff shape: both snapshot sides come out of ONE fact
+    scan (array-filter explode), merge through one keyed hash
+    aggregate — no join operator, no second/third orders scan, and
+    map-side partials on the merge."""
+    plan = plan_of(queries["snapshot_diff"](spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan, plan
