@@ -129,8 +129,11 @@ HEADLINE = [
     "similarity_pq",
     # sequential pattern mining (per-user lead window → bounded matrix)
     "events_transition_matrix",
-    # row-level snapshot diff (hash-collapsed full outer join)
+    # row-level snapshot diff (single-scan explode + keyed hash merge)
     "snapshot_diff",
+    # round-9: real media decode (synth BMP/WAV/PPM containers parsed
+    # back byte-for-byte through two chained Arrow mapInPandas stages)
+    "mm_decode",
 ]
 
 

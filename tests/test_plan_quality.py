@@ -376,8 +376,8 @@ def test_no_driver_side_row_collection_in_engine():
     # N names a module-level int constant (small_graph_edges defaults
     # to CC_SMALL_GRAPH_EDGES — a literal checked below)
     bounded = re.compile(
-        r"\.limit\(\s*(?:\d+|[A-Za-z_]\w*(?:\s*\+\s*\d+)?)\s*\)"
-        r"\s*\.collect\(\)"
+        r"\.limit\(\s*(?:\d+|[A-Za-z_]\w*(?:\s*//\s*\d+)?(?:\s*\+\s*\d+)?)"
+        r"\s*\)\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
 
@@ -620,4 +620,19 @@ def test_snapshot_diff_single_scan_no_join(spark, sf_dir, queries):
     plan = plan_of(queries["snapshot_diff"](spark, sf_dir), mode="simple")
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_er_rollup_broadcasts_local_labels(spark, sf_dir, queries):
+    """The r9 rollup shape: the component labels arrive as a
+    driver-built local relation whose broadcast costs no upstream job,
+    joined LEFT (preserved fact side) with no shuffle join anywhere;
+    the aggregate is partial-applied. (createDataFrame surfaces as an
+    ExistingRDD scan — the point is that the build side is driver-local
+    data, not a derived plan with its own scans/joins.)"""
+    df = queries["er_resolved_rollup"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "partial_" in plan, plan
