@@ -669,7 +669,13 @@ def connected_components(
     100 TB large-graph CC formulation with no driver-side state."""
     from ..plans.iterative import iterate_fixed_point
 
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # persisted BEFORE the probe: the probe job caches (most of) the
+    # raw pair pipeline, so when the graph turns out large, the doubled
+    # union below reads the cache instead of re-running the whole
+    # upstream candidate generation per branch — at 10× sf0.1 the
+    # near-dup pair pipeline costs ~52s and used to execute twice
+    # (probe + union materialization): 81.7s → ~60s for dedup_clusters
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     if small_graph_edges > 0:
         # ONE probe job decides the path AND, for small graphs, already
         # returns the complete edge list: a limit(N+1) collect that
@@ -690,16 +696,20 @@ def connected_components(
                     StructField("label", node_type),
                 ]
             )
+            raw.unpersist()
             return sess.createDataFrame(
                 sorted(labels_map.items()), out_schema
             )
     both = raw.unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     # materialize: the edge table joins into EVERY propagation round —
     # unpersisted, each round would re-run the whole upstream pair
     # pipeline (measured 6.3s → 4.1s at sf0.1 for dedup_clusters)
     both.count()
+    # the doubled list is cached; the single-direction cache is now
+    # redundant
+    raw.unpersist()
     nodes = both.select(F.col("a").alias("node")).distinct()
 
     def propagate(state: DataFrame) -> DataFrame:
