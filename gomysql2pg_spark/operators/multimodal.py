@@ -299,33 +299,40 @@ FROM documents
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plan: explode a deterministic frame index per
-    payload (every k-th frame), producing (doc_id, frame_idx, frame_off)
-    pointers — the pointers-not-pixels pattern that keeps 100 TB of video
-    shuffle-free (frames are fetched by the NEXT stage's mapInPandas,
-    local to each partition)."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_frames = 1 + (
-        F.when(F.length("text") == 0, 0).otherwise(F.ascii(F.col("text"))) % 16
-    )
-    return docs.select(
+    """Frame sampling over the REAL decoded video streams: keep the
+    video payloads (codec='ppm'), explode every 2nd frame index, and
+    compute each sampled frame's true BYTE OFFSET into the container
+    (frame i starts at i × (13-byte header + 3·w·h pixels)) — the
+    pointers-not-pixels pattern that keeps 100 TB of video shuffle-free:
+    this stage ships (doc_id, frame_idx, frame_off) and the NEXT stage's
+    mapInPandas seeks locally, never moving pixel data through a
+    shuffle. r9: offsets are derived from the parsed dimensions (was: a
+    synthetic 1024-stride over the fake decode)."""
+    decoded = q_mm_decode(spark, sf_dir)
+    videos = decoded.filter(F.col("codec") == "ppm")
+    frame_bytes = 13 + 3 * F.col("width").cast("long") * F.col("height")
+    return videos.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(4))).alias(
-            "frame_idx"
-        ),
-    ).withColumn("frame_off", F.col("frame_idx") * 1024)
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2))
+        ).alias("frame_idx"),
+        frame_bytes.alias("_fb"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * F.col("_fb")).alias("frame_off"),
+    )
 
 
-ORACLE_MM_FRAME_SAMPLE = """
-SELECT doc_id, unnest(range(0, 1 + CASE WHEN octet_length(encode(text)) = 0
-                                        THEN 0
-                                        ELSE unicode(text[1]) END % 16, 4))
-         AS frame_idx,
-       unnest(range(0, 1 + CASE WHEN octet_length(encode(text)) = 0
-                                THEN 0
-                                ELSE unicode(text[1]) END % 16, 4)) * 1024
-         AS frame_off
-FROM documents
+ORACLE_MM_FRAME_SAMPLE = f"""
+WITH p AS (
+  SELECT doc_id, {_SQL_C} AS c FROM documents WHERE {_SQL_C} % 3 = 2
+)
+SELECT doc_id,
+       unnest(range(0, 1 + c % 4, 2)) AS frame_idx,
+       unnest(range(0, 1 + c % 4, 2))
+         * (13 + 3 * (10 + c % 80) * (10 + (c * 3) % 80)) AS frame_off
+FROM p
 """
 
 

@@ -72,6 +72,12 @@ SCALE_CRITICAL = [
     "mixture_allocation",
     "pagerank_bipartite",
     "mm_decode",
+    # streaming: keyed state must stay bounded as the drained volume
+    # grows — per-user deque (anomaly), per-key counts (heavy hitters),
+    # per-domain aggregates (source stats)
+    "stream_anomaly",
+    "stream_heavy_hitters",
+    "stream_source_stats",
 ]
 
 
