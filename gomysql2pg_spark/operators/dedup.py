@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -231,6 +231,137 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na",
             "nb",
             (F.col("na") <= F.col("nb")).alias("a_is_smaller"),
+        )
+    )
+
+
+def prefix_pair_intersections(
+    docs: DataFrame, t_milli: int = JACCARD_MILLI
+) -> DataFrame:
+    """(da, db, i, na, nb) with PREFIX-FILTERED candidate generation
+    (AllPairs / PPJoin family — Bayardo et al., WWW'07; public
+    algorithm): under any GLOBAL total order on shingles, two sets with
+    Jaccard ≥ t must share an element among each set's first
+    n − ⌈t·n⌉ + 1 shingles, because J ≥ t forces overlap i ≥ ⌈t·n⌉ on
+    both sides and an overlap that large cannot hide entirely in a
+    suffix of size ⌈t·n⌉ − 1. So the inverted index holds only PREFIX
+    entries (rarest-first order, so prefixes land in the emptiest
+    buckets), the candidate join cost drops from Σ df(s)² to
+    Σ df_prefix(s)² (≈¼ at t=0.5, far more at higher thresholds or on
+    low-duplication corpora), and the exact intersection is then
+    counted ONLY for candidate pairs by re-joining their full shingle
+    sets. Returns exactly `_pair_intersections`' rows for every pair
+    at or above the threshold (pairs BELOW t may be absent — callers
+    filter on t anyway)."""
+    sh_all = _shingle_df(docs)
+    dfreq = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    # capped shingles carrying their global df; feeds the ranking, the
+    # sizes, and BOTH sides of the verify join — materialize once
+    sh = sh_all.join(dfreq, "s").persist()
+    sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # rarest-first total order (df, s); per-doc rank windows are
+    # doc-sized (bounded by document length at any corpus scale)
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(sizes, "doc_id")
+        .withColumn("r", F.row_number().over(w))
+        # integer-exact ⌈t·n⌉ = (t_milli·n + 999) div 1000
+        .withColumn(
+            "p_len",
+            F.expr(f"n - (({t_milli} * n + 999) div 1000) + 1"),
+        )
+    )
+    prefix = ranked.filter(F.col("r") <= F.col("p_len")).select(
+        "doc_id", "s"
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("da"),
+            F.col("pb.doc_id").alias("db"),
+        )
+        .distinct()
+    )
+    # exact verification: ONE row per candidate — each doc's distinct
+    # shingle set travels as a sorted array and the intersection is a
+    # single JVM array_intersect per pair. This keeps verify cost at
+    # Σ_cand (na + nb) inside codegen, instead of exploding candidates
+    # back into (pair, shingle) rows and re-shuffling them (measured
+    # minutes → seconds on the dup-dense 10× corpus, where candidates
+    # are numerous and large)
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.count("*").alias("n"),
+    )
+    aa = arrs.select(
+        F.col("doc_id").alias("da"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    ab = arrs.select(
+        F.col("doc_id").alias("db"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(aa, "da")
+        .join(ab, "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("i"),
+            "na",
+            "nb",
+        )
+    )
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard near-dup pairs — row-identical to
+    `dedup_jaccard` (it shares that oracle) but with the AllPairs
+    candidate reduction: only each document's rarest n − ⌈t·n⌉ + 1
+    shingles enter the inverted index, and intersections are verified
+    only for surviving candidates. `tests/test_ann_quality.py` pins
+    both the row-equality and the candidate-count reduction (≥2× fewer
+    bucket pairs at t=0.5).
+
+    Regime tradeoff, measured on the 10× smoke corpus: candidate
+    verification ships each candidate's full shingle ARRAY through two
+    joins (Σ_cand (na+nb) payload), where the full index ships only
+    count rows — so on a duplication-DENSE corpus (candidates ≈
+    co-bucketed pairs ≈ true pairs, e.g. the 10× replication where
+    every doc has 9 near-dups: 195s vs 50s) the full index wins, while
+    on the duplication-SPARSE corpora real crawls look like
+    (candidates ≪ co-bucketed pairs — boilerplate shingles co-bucket
+    unrelated docs) the prefix filter's 4×-smaller candidate join
+    dominates the verify cost and wins. Pick by measured duplication
+    rate; both produce identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        prefix_pair_intersections(docs)
+        .filter(
+            F.col("i") * 1000
+            >= F.lit(JACCARD_MILLI) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(
+            "da",
+            "db",
+            "i",
+            "na",
+            "nb",
+            (F.col("i") * 1000).cast("long").alias("i_milli_num"),
         )
     )
 
@@ -1336,6 +1467,7 @@ QUERIES = {
     "decontamination_check": q_decontamination_check,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_containment": q_dedup_containment,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_verified": q_dedup_minhash_lsh_verified,
@@ -1354,6 +1486,9 @@ ORACLES = {
     "decontamination_check": ORACLE_DECONTAMINATION,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    # identical result contract — the prefix filter is provably
+    # lossless at the threshold, so it shares the exact SQL oracle
+    "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     # dedup_minhash_lsh / dedup_simhash: rows-only (hash-family-specific);
     # their *_verified twins carry the deterministic SQL-exact gate

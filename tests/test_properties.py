@@ -263,3 +263,41 @@ def test_systematic_sampling_tick_accounting(weights, n_picks):
     hv, hi = max((w, i) for i, w in enumerate(weights))
     if hv > step:
         assert hi in selected
+
+
+# ---------------------------------------------------------------------------
+# COPY-text escape grammar: encode must round-trip through a
+# spec-faithful decoder for ANY cell content (fuzzed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(max_size=40),
+                st.integers(),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1)
+)
+@settings(max_examples=200, deadline=None)
+def test_copy_text_roundtrip_fuzz(rows):
+    """encode_copy_text vs the strict decoder from the Derby dialect
+    matrix, over arbitrary unicode (tabs/newlines/CRs/backslashes/
+    literal '\\N') plus NULLs and ints: nothing may be lost, and NULL
+    must stay distinguishable from every string."""
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+    from tests.test_jdbc_roundtrip import _decode_copy_text
+
+    wire = encode_copy_text(rows)
+    decoded = _decode_copy_text(wire)
+    expected = [
+        tuple(None if v is None else str(v) for v in row) for row in rows
+    ]
+    assert decoded == expected
