@@ -277,14 +277,20 @@ def prefix_pair_intersections(
         )
     )
     prefix = ranked.filter(F.col("r") <= F.col("p_len")).select(
-        "doc_id", "s"
+        "doc_id", "s", "n"
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
             pb,
             (F.col("pa.s") == F.col("pb.s"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter (same family of bounds): J ≥ t forces
+            # i ≥ t·max(na,nb) and i ≤ min(na,nb), so size-incompatible
+            # pairs (t·max > min) can be dropped inside the bucket join
+            # before they ever reach verification
+            & (F.col("pa.n") * 1000 >= F.lit(t_milli) * F.col("pb.n"))
+            & (F.col("pb.n") * 1000 >= F.lit(t_milli) * F.col("pa.n")),
         )
         .select(
             F.col("pa.doc_id").alias("da"),
