@@ -260,7 +260,12 @@ def prefix_pair_intersections(
         .filter(F.col("df") <= MAX_SHINGLE_DF)
     )
     # capped shingles carrying their global df; feeds the ranking, the
-    # sizes, and BOTH sides of the verify join — materialize once
+    # sizes, and BOTH sides of the verify join — materialize once.
+    # INTENTIONALLY left cached for the session (the returned frame is
+    # lazy, so unpersisting here would evict before the caller's first
+    # action) — same policy as `_pair_intersections`' cache; Spark's
+    # LRU evicts under pressure, and a session running both verifiers
+    # holds at most the two shingle caches
     sh = sh_all.join(dfreq, "s").persist()
     sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -191,7 +191,11 @@ def q_er_resolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized, so this is a map-side broadcast join followed by
     one hash aggregate."""
     part = load_table(spark, sf_dir, "part")
-    ents = _entities(spark, sf_dir)
+    # persisted per _blocking_pairs' contract: ents feeds the block
+    # histogram plus both self-join sides, and the CC probe would
+    # otherwise re-run the part scan + distinct collapse ~3× in one
+    # job (session-cache policy as in q_er_clusters)
+    ents = _entities(spark, sf_dir).persist()
     pairs = (
         _blocking_pairs(ents)
         .filter(F.col("distance") <= ER_MAX_DISTANCE)

@@ -136,18 +136,10 @@ def make_media_synth():
 PAYLOAD_SCHEMA = "doc_id long, payload binary"
 
 
-def with_payload(docs: DataFrame) -> DataFrame:
-    """Attach the opaque binary payload column (fixture stand-in: real
-    BMP/WAV/PPM containers synthesized from the document row — in
-    production this column arrives from the lakehouse as-is)."""
-    synth = docs.select("doc_id", "text").mapInPandas(
-        make_media_synth(), schema=PAYLOAD_SCHEMA
-    )
-    return docs.join(synth, "doc_id")
-
-
 def _payload_only(docs: DataFrame) -> DataFrame:
-    """(doc_id, payload) without the join back — the decode input."""
+    """(doc_id, payload) — the decode input. Fixture stand-in: real
+    BMP/WAV/PPM containers synthesized from the document row; in
+    production this column arrives from the lakehouse as-is."""
     return docs.select("doc_id", "text").mapInPandas(
         make_media_synth(), schema=PAYLOAD_SCHEMA
     )
@@ -225,12 +217,19 @@ def make_decoder():
 
     def decode_one(b: bytes):
         if len(b) >= 2 and b[:2] == b"BM":
+            if len(b) < 54:
+                raise ValueError("truncated BMP header")
             w, h = struct.unpack_from("<ii", b, 18)
             return len(b), w, h, 1, "bmp"
         if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             pos, rate, bits, block_align, n_samples = 12, 0, 0, 2, 0
             while pos + 8 <= len(b):
                 cid, csize = struct.unpack_from("<4sI", b, pos)
+                # a chunk whose declared size exceeds the bytes present
+                # is a truncated/corrupt file — fail loudly, never
+                # report header-derived sample counts as real
+                if pos + 8 + csize > len(b):
+                    raise ValueError("corrupt WAV: chunk overruns file")
                 if cid == b"fmt ":
                     _, _, rate, _, block_align, bits = struct.unpack_from(
                         "<HHIIHH", b, pos + 8
@@ -238,6 +237,8 @@ def make_decoder():
                 elif cid == b"data":
                     n_samples = csize // max(block_align, 1)
                 pos += 8 + csize + (csize & 1)
+            if pos < len(b):
+                raise ValueError("corrupt WAV: trailing bytes")
             return len(b), rate, bits, n_samples, "pcm_s16le"
         if len(b) >= 2 and b[:2] == b"P6":
             pos, n_frames, w, h = 0, 0, 0, 0

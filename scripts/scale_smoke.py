@@ -82,7 +82,8 @@ SCALE_CRITICAL = [
 
 
 def build_replicated(base: str, reps: int) -> str:
-    import pyarrow as pa
+    import hashlib
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -90,9 +91,10 @@ def build_replicated(base: str, reps: int) -> str:
         f for f in os.listdir(base) if f.endswith(".parquet")
     )
     stamp = [(f, int(os.path.getmtime(os.path.join(base, f)))) for f in files]
-    out = os.path.join(
-        "/tmp", f"spark_graft_scale_{reps}x_{abs(hash(repr(stamp))) % 10**10}"
-    )
+    # hashlib, NOT hash(): str hashing is per-process randomized, which
+    # would defeat the cross-invocation cache and strand orphan trees
+    key = hashlib.md5(repr(stamp).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"spark_graft_scale_{reps}x_{key}")
     manifest = os.path.join(out, "_MANIFEST.json")
     if os.path.isfile(manifest):
         return out
@@ -112,6 +114,20 @@ def build_replicated(base: str, reps: int) -> str:
     }
     keep_single = {"region.parquet", "nation.parquet"}
     counts = {}
+    # the lineitem FK must follow ORDERS' offset step, not its own
+    # max(l_orderkey): orphan lineitems above max(o_orderkey) — or a
+    # trailing order with no lineitems — would otherwise give the two
+    # tables different steps and silently break replica fan-out
+    orders_step = (
+        pc.max(
+            pq.read_table(
+                os.path.join(base, "orders.parquet"), columns=["o_orderkey"]
+            )["o_orderkey"]
+        ).as_py()
+        + 1
+        if os.path.isfile(os.path.join(base, "orders.parquet"))
+        else None
+    )
     for f in files:
         tbl = pq.read_table(os.path.join(base, f))
         tdir = os.path.join(out, f)
@@ -123,6 +139,8 @@ def build_replicated(base: str, reps: int) -> str:
         offs = {
             c: pc.max(tbl[c]).as_py() + 1 for c in offset_cols.get(f, [])
         }
+        if f == "lineitem.parquet" and orders_step is not None:
+            offs["l_orderkey"] = orders_step
         for i in range(reps):
             t = tbl
             for c, step in offs.items():

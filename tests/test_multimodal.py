@@ -156,3 +156,17 @@ def test_workers_unpickle_without_package_on_path(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert "UNPICKLE_OK" in proc.stdout
+
+
+def test_truncated_and_overrun_payloads_raise():
+    """The fail-loudly contract covers every format, not just PPM: a
+    BMP magic with a truncated header, a WAV whose data chunk declares
+    more bytes than exist, and a WAV with trailing junk must all raise
+    instead of decoding header-derived garbage."""
+    with pytest.raises(ValueError, match="truncated BMP"):
+        _decode_one(b"BM" + b"\x00" * 20)
+    wav = _wav_bytes(10, 0)
+    with pytest.raises(ValueError, match="chunk overruns"):
+        _decode_one(wav[:-4])  # data chunk promises 20 bytes, has 16
+    with pytest.raises(ValueError, match="trailing bytes"):
+        _decode_one(wav + b"XX")

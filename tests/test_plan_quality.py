@@ -375,9 +375,12 @@ def test_no_driver_side_row_collection_in_engine():
     # bounds provably capped at lint time: "123", "N", "N + 1" where
     # N names a module-level int constant (small_graph_edges defaults
     # to CC_SMALL_GRAPH_EDGES — a literal checked below)
+    # only integer literals or the ONE known capped parameter name are
+    # exempt — a bare-identifier exemption would also bless
+    # `.limit(runtime_n).collect()`, silently un-capping the probe
     bounded = re.compile(
-        r"\.limit\(\s*(?:\d+|[A-Za-z_]\w*(?:\s*//\s*\d+)?(?:\s*\+\s*\d+)?)"
-        r"\s*\)\s*\.collect\(\)"
+        r"\.limit\(\s*(?:\d+|small_graph_edges(?:\s*//\s*\d+)?"
+        r"(?:\s*\+\s*\d+)?)\s*\)\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
 
