@@ -110,6 +110,16 @@ JOIN ok ON ok.block = a.block
 """
 
 
+def _match_edges(ents: DataFrame) -> DataFrame:
+    """(name_a, name_b) match edges from a (persisted) entity frame —
+    the clustering input shared by the clusters and rollup chains."""
+    return (
+        _blocking_pairs(ents)
+        .filter(F.col("distance") <= ER_MAX_DISTANCE)
+        .select("name_a", "name_b")
+    )
+
+
 def q_er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The precision side: candidate pairs that actually match
     (distance ≤ ER_MAX_DISTANCE). These edges feed clustering."""
@@ -141,15 +151,12 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cached dimension is entity-distinct (dimension-sized, ~10³
     rows per 10⁶ facts) and Spark's LRU evicts it under pressure."""
     ents = _entities(spark, sf_dir).persist()
-    pairs = (
-        _blocking_pairs(ents)
-        .filter(F.col("distance") <= ER_MAX_DISTANCE)
-        .select("name_a", "name_b")
-    )
     # connected_components persists + counts its edge table, which
     # materializes `ents` into the cache as a side effect — the join
     # below then reads the cached dimension, no rescan
-    labels = connected_components(pairs, src="name_a", dst="name_b")
+    labels = connected_components(
+        _match_edges(ents), src="name_a", dst="name_b"
+    )
     return (
         ents.select("name")
         .join(labels, F.col("name") == labels.node, "left")
@@ -196,11 +203,6 @@ def q_er_resolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise re-run the part scan + distinct collapse ~3× in one
     # job (session-cache policy as in q_er_clusters)
     ents = _entities(spark, sf_dir).persist()
-    pairs = (
-        _blocking_pairs(ents)
-        .filter(F.col("distance") <= ER_MAX_DISTANCE)
-        .select("name_a", "name_b")
-    )
     # r9: join the component labels directly (for the small-graph path
     # a driver-built LocalRelation — its broadcast costs no upstream
     # job) and self-map unlabeled names via coalesce, instead of
@@ -210,7 +212,9 @@ def q_er_resolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join removed one broadcast-build job (1.40s → ~1.0s min at
     # sf0.1). Labels cover exactly the paired names, so
     # coalesce(label, p_name) ≡ the dictionary's canonical.
-    labels = connected_components(pairs, src="name_a", dst="name_b")
+    labels = connected_components(
+        _match_edges(ents), src="name_a", dst="name_b"
+    )
     # price mean via exact integer cents summed first, then ONE float
     # division — immune to cross-engine float summation order
     cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
