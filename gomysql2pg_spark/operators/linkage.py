@@ -151,9 +151,14 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cached dimension is entity-distinct (dimension-sized, ~10³
     rows per 10⁶ facts) and Spark's LRU evicts it under pressure."""
     ents = _entities(spark, sf_dir).persist()
-    # connected_components persists + counts its edge table, which
-    # materializes `ents` into the cache as a side effect — the join
-    # below then reads the cached dimension, no rescan
+    # materialize the dimension cache explicitly: since the r9
+    # connected_components rewrite, the small-graph path's only job is
+    # a LIMIT-bounded edge probe, and CollectLimit can short-circuit
+    # before touching every partition — an implicit "the probe fills
+    # the cache" assumption would leave `ents` partially cached and
+    # the singleton left-join below rescanning the part distinct.
+    # The count is one dimension-sized job (~10³ rows per 10⁶ facts).
+    ents.count()
     labels = connected_components(
         _match_edges(ents), src="name_a", dst="name_b"
     )

@@ -253,6 +253,12 @@ def make_decoder():
                     w, h = fw, fh
                 pos = nl3 + 1 + 3 * fw * fh
                 n_frames += 1
+            # the frame walk advances pos by each header's declared
+            # pixel payload; landing past the end means the LAST
+            # frame's pixels were truncated — same fail-loudly
+            # contract as the WAV chunk-overrun check above
+            if pos != len(b):
+                raise ValueError("corrupt PPM: truncated frame pixels")
             return len(b), w, h, n_frames, "ppm"
         raise ValueError(f"unknown media magic: {b[:4]!r}")
 

@@ -87,10 +87,13 @@ def hashmod_predicates(
     (the r9 Derby dialect matrix caught exactly this).
 
     Completeness: every NON-NULL key hashes to exactly one residue
-    class, and rows whose hash is NULL (a nullable key column can
-    make the whole concat/arithmetic NULL, which satisfies NO
-    residue predicate -- silent row loss) are routed to page 0 via
-    an IS NULL arm."""
+    class. The IS-NULL arm on page 0 guards the hash expression
+    itself going NULL — which can only happen with a dialect-supplied
+    `hash_sql` whose arithmetic propagates NULL (e.g. the Derby
+    ``ABS(a*31+b)`` template over a nullable column); the default
+    ``crc32(concat_ws(...))`` never yields NULL because concat_ws
+    skips NULL arguments in both MySQL and Spark. The arm is a no-op
+    for the default path and the row-loss guard for custom ones."""
     if num_pages <= 1:
         return ["1=1"]
     key = "concat_ws('', " + ", ".join(pk_cols) + ")"

@@ -170,3 +170,8 @@ def test_truncated_and_overrun_payloads_raise():
         _decode_one(wav[:-4])  # data chunk promises 20 bytes, has 16
     with pytest.raises(ValueError, match="trailing bytes"):
         _decode_one(wav + b"XX")
+    # PPM whose final frame's pixel payload is cut short: the frame
+    # walk lands past end-of-buffer — must raise, not report the full
+    # frame count (the r9 silent-exit hole)
+    with pytest.raises(ValueError, match="truncated frame pixels"):
+        _decode_one(_ppm_stream_bytes(10, 10, 2, 0)[:-5])
