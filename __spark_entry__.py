@@ -22,32 +22,40 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r9: staleness rotation (the whole window). These 50 are the
-    # oldest of the 58 entries whose latest hard driver row is r01/r02
-    # — they predate the r04-r06 fixture-encoding churn, so their green
-    # rows are the least trustworthy in the record. Oldest first.
-    # r01-stale (21 of 21):
-    "approx_distinct", "dedup_simhash", "page_fetch_composite",
-    "page_limit_offset", "pii_scrub", "pivot_status", "projection",
-    "range_join_bands", "rollup_agg", "semi_join", "set_except",
-    "set_union_intersect", "similarity_ivf", "similarity_lsh",
-    "similarity_norms", "similarity_topk", "stats_aggs",
-    "string_funcs", "topk_by_aggregation", "window_topk",
-    "window_value_funcs",
-    # r02-stale (29 of 37; the remaining 8 — collect_distinct_arrays,
-    # corpus_pipeline, dataset_split, embedding_quantize,
-    # events_json_props, profile_orders, seq_packing, unpivot_metrics
-    # — roll to the r10 window):
-    "join_multi", "cube_agg", "grouping_sets", "window_funcs",
-    "window_range_frame", "q4_order_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q10_returned_items", "median_percentile",
-    "full_outer_join", "null_safe_join", "validate_rowcount",
-    "text_stats", "token_count", "quality_score", "lang_id",
-    "tfidf_top_terms", "bm25_components", "catalog_tables",
-    "derived_table", "having_large_orders",
-    "scalar_subquery_above_brand_avg", "exists_pending_orders",
-    "skew_salted_join", "lateral_explode", "datetime_funcs",
-    "filtered_aggs", "cross_join_small",
+    # --- r10 window. NO no_oracle-by-design entries (approx_distinct,
+    # approx_quantiles, dedup_simhash, dedup_minhash_lsh, random_ids,
+    # similarity_lsh): they cannot produce hash rows and burned 3 r9
+    # slots; their correctness gates are their driver-green
+    # *_check/*_verified twins.
+    #
+    # (a) entries with NO usable driver row: the never-checked r9/r10
+    # additions + the 8 r02-stale rollovers
+    "dedup_jaccard_prefix", "similarity_ivfpq",
+    "collect_distinct_arrays", "corpus_pipeline", "dataset_split",
+    "embedding_quantize", "events_json_props", "profile_orders",
+    "seq_packing", "unpivot_metrics",
+    # (b) every entry whose code changed AFTER its latest driver row:
+    # the r9 rewrites (real mm_decode + the mm_* family chain,
+    # single-scan snapshot_diff, the ER chain + dedup_clusters CC
+    # rewiring, freq_sketch_check worker pickling, pagerank edge
+    # caching, similarity_pq) and the r10 changes (bucketed
+    # stream_anomaly state, prefix-jaccard persist, _pq_codes carry)
+    "mm_decode", "mm_features", "mm_frame_sample", "mm_metadata",
+    "mm_resize", "snapshot_diff", "er_blocking_pairs",
+    "er_match_pairs", "er_clusters", "er_resolved_rollup",
+    "dedup_clusters", "stream_anomaly", "freq_sketch_check",
+    "similarity_pq", "pagerank_bipartite",
+    # (c) staleness rotation: the oldest remaining rows (r05), by name;
+    # the last entry overflows the 50-slot window and rolls to r11
+    "array_funcs", "bigram_counts", "decontamination_check",
+    "dedup_embedding", "dedup_substring_chunks", "doc_fingerprint",
+    "incremental_dedup", "map_funcs", "math_funcs",
+    "pandas_udaf_wavg", "q13_custdist", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
+    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
+    "regex_funcs", "repetition_filter", "sequence_semantics",
+    "skew_salted_agg", "stratified_sample", "string_distance",
+    "typemap_matrix", "validate_content_hash",
 ]
 
 

@@ -134,6 +134,9 @@ HEADLINE = [
     # round-9: real media decode (synth BMP/WAV/PPM containers parsed
     # back byte-for-byte through two chained Arrow mapInPandas stages)
     "mm_decode",
+    # round-10: composed IVFADC (coarse-cell equi-probe + broadcast
+    # distance-table ADC — the corpus-scale PQ path, no crossJoin)
+    "similarity_ivfpq",
 ]
 
 
@@ -265,6 +268,14 @@ def main() -> None:
     # kills the run — two rounds of bench were lost to one
     # AnalysisException propagating out of the timed loop.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Sub-0.4 s entries are dominated by task-launch jitter: between
+    # driver rounds they swung ±45% at 3 reps, drowning real
+    # regressions. For those, keep sampling (up to `fast_reps` total)
+    # until the min stabilizes — extra reps on a 0.2 s query cost
+    # little and tighten the min estimate where it is noisiest.
+    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUT", "0.4"))
+    fast_reps = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "7"))
+    load_start = os.getloadavg()  # host-contention marker (1/5/15 min)
     times: dict[str, float | None] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -277,7 +288,11 @@ def main() -> None:
             continue
         samples: list[float] = []
         n = -1
-        for _ in range(reps):
+        while len(samples) < reps or (
+            samples
+            and min(samples) < fast_cut
+            and len(samples) < fast_reps
+        ):
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -324,6 +339,10 @@ def main() -> None:
         "n_ok": len(ok),
         "sf": float(sf) if sf else sf_label_dir,
         "cpus": int(cpus),
+        # loadavg before/after the timed loop: lets a reader attribute
+        # round-over-round deltas to host contention vs real changes
+        "load_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+        "load_5m": [round(load_start[1], 2), round(os.getloadavg()[1], 2)],
     }
     if errors:
         out["errors"] = errors

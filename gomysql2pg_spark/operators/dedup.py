@@ -281,9 +281,17 @@ def prefix_pair_intersections(
             F.expr(f"n - (({t_milli} * n + 999) div 1000) + 1"),
         )
     )
-    prefix = ranked.filter(F.col("r") <= F.col("p_len")).select(
-        "doc_id", "s", "n"
+    # persist + materialize the prefix projection: it feeds BOTH sides
+    # of the candidate self-join, and without the cache each side
+    # re-runs the sizes join + per-doc rank window (measured ~2.3 s per
+    # extra pass at sf0.1 — the plan showed two Window nodes). Same
+    # session-cache policy as `sh` above.
+    prefix = (
+        ranked.filter(F.col("r") <= F.col("p_len"))
+        .select("doc_id", "s", "n")
+        .persist()
     )
+    prefix.count()
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
@@ -348,17 +356,26 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the row-equality and the candidate-count reduction (≥2× fewer
     bucket pairs at t=0.5).
 
-    Regime tradeoff, measured on the 10× smoke corpus: candidate
-    verification ships each candidate's full shingle ARRAY through two
-    joins (Σ_cand (na+nb) payload), where the full index ships only
-    count rows — so on a duplication-DENSE corpus (candidates ≈
-    co-bucketed pairs ≈ true pairs, e.g. the 10× replication where
-    every doc has 9 near-dups: 195s vs 50s) the full index wins, while
-    on the duplication-SPARSE corpora real crawls look like
-    (candidates ≪ co-bucketed pairs — boilerplate shingles co-bucket
-    unrelated docs) the prefix filter's 4×-smaller candidate join
-    dominates the verify cost and wins. Pick by measured duplication
-    rate; both produce identical rows."""
+    Regime tradeoff — MEASURED, r10, and narrower than the AllPairs
+    paper's single-node setting suggests: candidate verification here
+    ships each candidate's full shingle ARRAY through two joins
+    (Σ_cand (na+nb) payload) and intersects per pair, where the full
+    index computes intersections by merely COUNTING co-bucket rows
+    (O(1) per row, no arrays). So the prefix filter pays a per-
+    candidate cost ~avg-set-size× higher, and its candidate reduction
+    must exceed that factor to win. On the 10× scale-smoke corpora it
+    never does: dup-dense 195s vs full's 50s; dup-sparse word-suffix
+    replication 16s vs 7s; and in the threshold sweep the prefix cost
+    falls 15.1s → 6.7s from t=0.5 → 0.9 (the candidate collapse is
+    real) while the threshold-independent full join sits at ~3.5s.
+    Its winning regime is high-t + boilerplate-heavy corpora where
+    Σ df(s)² co-bucket rows dwarf corpus size while prefixes (the
+    rarest n − ⌈t·n⌉ + 1 entries) dodge the boilerplate buckets —
+    a regime the fixture family doesn't reach (a synthetic template
+    corpus that tried flipped short docs into spurious near-dups;
+    see scripts/scale_smoke.py). Both variants produce identical
+    rows; prefer `dedup_jaccard` unless profiling shows the co-bucket
+    count-join IS the bottleneck."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         prefix_pair_intersections(docs)

@@ -381,12 +381,19 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     ).select("m", "cid", "ce")
 
 
-def _pq_codes(emb: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, c0..c3): each vector's nearest sub-centroid per
-    subspace — encode via broadcast codebook join + min-by-struct
-    argmin, then pivot the PQ_M codes wide (fixed tiny m domain)."""
+def _pq_codes(
+    emb: DataFrame, cb: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, [carry...,] c0..c3): each vector's nearest sub-centroid
+    per subspace — encode via broadcast codebook join + min-by-struct
+    argmin, then pivot the PQ_M codes wide (fixed tiny m domain).
+    `carry` threads extra per-vector columns (e.g. the IVF coarse-cell
+    id) through the encode so the caller needs no second join against
+    the corpus; they are functionally dependent on vec_id, so adding
+    them to the grouping keys changes no group."""
     sub = emb.select(
         "vec_id",
+        *carry,
         F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
         F.col("embedding").alias("e"),
     ).withColumn(
@@ -394,16 +401,17 @@ def _pq_codes(emb: DataFrame, cb: DataFrame) -> DataFrame:
     )
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id",
+        *carry,
         "m",
         "cid",
         _sub_sq_dist(F.col("se"), F.col("ce")).alias("d"),
     )
     best = (
-        scored.groupBy("vec_id", "m")
+        scored.groupBy("vec_id", *carry, "m")
         .agg(F.min(F.struct("d", "cid")).alias("b"))
-        .select("vec_id", "m", F.col("b.cid").alias("code"))
+        .select("vec_id", *carry, "m", F.col("b.cid").alias("code"))
     )
-    return best.groupBy("vec_id").agg(
+    return best.groupBy("vec_id", *carry).agg(
         *[
             F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"c{m}")
             for m in range(PQ_M)
@@ -531,10 +539,141 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVFADC (round 10): the composed corpus-scale PQ search
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-then-ADC — the composition that makes PQ viable at corpus
+    scale (Jégou et al., TPAMI 2011, the IVFADC system): the coarse
+    quantizer (the `label` cell id, as in `q_similarity_ivf`) prunes
+    WHICH codes a query scores, and ADC (as in `q_similarity_pq`)
+    scores only those via PQ_M broadcast distance-table lookups.
+    Unlike `q_similarity_pq`'s documented exhaustive crossJoin, the
+    probe here is an equi-join on the cell id: per query the engine
+    touches |cell| ≈ n/nlist code rows, never the corpus. At 100 TB
+    the code table is written partitioned BY cell, so the probe is a
+    partition-pruned scan of |queries| × nprobe cells (nprobe=1 here
+    — deterministic, which keeps the SQL oracle exact), and the
+    scanned state is n/nlist × PQ_M bytes per query instead of
+    n × dim floats. Same fixed-order left-associated ADC sum and
+    (adc, nid) tie-break as the exhaustive form, so results are
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(emb)
+    codes = _pq_codes(emb, cb, carry=("label",))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    qsub = q.select(
+        "qid",
+        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
+        F.col("qe").alias("e"),
+    ).withColumn(
+        "qs", F.expr(f"slice(e, 1 + {PQ_SUBDIM} * m, {PQ_SUBDIM})")
+    )
+    dt = qsub.join(F.broadcast(cb), "m").select(
+        "qid",
+        "m",
+        "cid",
+        _sub_sq_dist(F.col("qs"), F.col("ce")).alias("d"),
+    )
+    # the IVF probe: each query meets only its coarse cell's codes
+    probed = codes.join(
+        F.broadcast(q.select("qid", "qlabel")),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("qid")),
+    )
+    for m in range(PQ_M):
+        dm = dt.filter(F.col("m") == m).select(
+            F.col("qid").alias(f"q{m}"),
+            F.col("cid").alias(f"k{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        probed = probed.join(
+            F.broadcast(dm),
+            (F.col("qid") == F.col(f"q{m}"))
+            & (F.col(f"c{m}") == F.col(f"k{m}")),
+        )
+    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    w = Window.partitionBy("qid").orderBy(adc.asc(), F.col("vec_id").asc())
+    return (
+        probed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(adc * 1e6).cast("bigint").alias("adc_micro"),
+            "rank",
+        )
+    )
+
+
+ORACLE_SIMILARITY_IVFPQ = f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (
+  SELECT m, vec_id AS cid,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
+  FROM embeddings, ms WHERE vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, label, m,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
+  FROM embeddings, ms
+),
+enc AS (
+  SELECT vec_id, label, m, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, m
+           ORDER BY {_PQ_FOLD.format(a='se', b='ce')}, cid) AS rn
+  FROM sub JOIN cb USING (m)
+),
+codes AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN m = 0 THEN cid END) AS c0,
+         MAX(CASE WHEN m = 1 THEN cid END) AS c1,
+         MAX(CASE WHEN m = 2 THEN cid END) AS c2,
+         MAX(CASE WHEN m = 3 THEN cid END) AS c3
+  FROM enc WHERE rn = 1 GROUP BY vec_id, label
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+dt AS (
+  SELECT qid, m, cid,
+         {_PQ_FOLD.format(
+             a=f'qe[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)]',
+             b='ce')} AS d
+  FROM q, cb
+),
+scored AS (
+  SELECT q.qid, c.vec_id AS nid,
+         (((t0.d + t1.d) + t2.d) + t3.d) AS adc
+  FROM codes c
+  JOIN q ON c.label = q.qlabel AND c.vec_id <> q.qid
+  JOIN dt t0 ON t0.qid = q.qid AND t0.m = 0 AND t0.cid = c.c0
+  JOIN dt t1 ON t1.qid = q.qid AND t1.m = 1 AND t1.cid = c.c1
+  JOIN dt t2 ON t2.qid = q.qid AND t2.m = 2 AND t2.cid = c.c2
+  JOIN dt t3 ON t3.qid = q.qid AND t3.m = 3 AND t3.cid = c.c3
+)
+SELECT qid, nid, CAST(ROUND(adc * 1e6) AS BIGINT) AS adc_micro, rank
+FROM (
+  SELECT qid, nid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+  FROM scored
+) WHERE rank <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_pq": q_similarity_pq,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_ivfpq": q_similarity_ivfpq,
     "similarity_lsh": q_similarity_lsh,
     "similarity_lsh_verified": q_similarity_lsh_verified,
     "similarity_norms": q_similarity_norms,
@@ -544,6 +683,7 @@ ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_pq": ORACLE_SIMILARITY_PQ,
     "similarity_ivf": ORACLE_SIMILARITY_IVF,
+    "similarity_ivfpq": ORACLE_SIMILARITY_IVFPQ,
     # similarity_lsh: rows-only (engine-specific plane family); its
     # *_verified twin carries the deterministic contract gate
     "similarity_lsh_verified": ORACLE_SIMILARITY_LSH_VERIFIED,

@@ -7,7 +7,13 @@ close to linearly in rows, so a time ratio far above the row ratio
 flags a quadratic term (unbounded candidate generation, a global
 window, a driver-side collect) that small fixtures can't surface.
 
-    python scripts/scale_smoke.py [replication] [name_filter...]
+    python scripts/scale_smoke.py [replication] [--sparse] [name_filter...]
+
+`--sparse` switches the documents replication to the duplication-SPARSE
+variant (replicas are NOT near-dups — see `build_replicated`) and
+defaults the filter to the Jaccard pair, to measure the AllPairs
+prefix-filter crossover: full index wins dup-dense, prefix wins
+dup-sparse.
 
 The replicated fixture set is built once with pyarrow under /tmp
 (cached by source mtimes + replication factor) from the DRIVER fixtures
@@ -51,6 +57,7 @@ SCALE_CRITICAL = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_containment",
     "dedup_lines",
     "dedup_clusters",
@@ -59,9 +66,11 @@ SCALE_CRITICAL = [
     "similarity_ivf",
     "similarity_lsh",
     "similarity_pq",
+    "similarity_ivfpq",
     "er_resolved_rollup",
     "heavy_hitters",
     "cooccurrence_lift",
+    "interval_overlap_join",
     "snapshot_diff",
     "group_agg",
     "q3_shipping_priority",
@@ -81,7 +90,21 @@ SCALE_CRITICAL = [
 ]
 
 
-def build_replicated(base: str, reps: int) -> str:
+def build_replicated(base: str, reps: int, sparse: bool = False) -> str:
+    """`sparse=True` builds the duplication-SPARSE variant: every word
+    gets a per-replica suffix (`the` → `ther3`), so each replica's
+    shingle universe is disjoint from every other's while its INTERNAL
+    df distribution is byte-for-byte the original's — the corpus grows
+    10× with duplicate pairs growing only linearly (dup-dense
+    replication would instead give every doc R-1 near-dups).
+
+    Construction notes from variants that DIDN'T isolate the variable:
+    a boundary token between words turns every single WORD frequency
+    into a shingle frequency ((tok, word, tok) trigrams) and floods
+    the index with unintended mid-df buckets (measured 12× on the
+    candidate join); a shared per-group template suffix flips short
+    same-group docs into spurious near-dups (measured 2560 → 158k
+    result pairs), changing the task rather than the scale."""
     import hashlib
 
     import pyarrow.compute as pc
@@ -92,9 +115,14 @@ def build_replicated(base: str, reps: int) -> str:
     )
     stamp = [(f, int(os.path.getmtime(os.path.join(base, f)))) for f in files]
     # hashlib, NOT hash(): str hashing is per-process randomized, which
-    # would defeat the cross-invocation cache and strand orphan trees
-    key = hashlib.md5(repr(stamp).encode()).hexdigest()[:12]
-    out = os.path.join("/tmp", f"spark_graft_scale_{reps}x_{key}")
+    # would defeat the cross-invocation cache and strand orphan trees.
+    # The key must cover the CONSTRUCTION RECIPE too (sparse flag +
+    # template shape), or editing the recipe silently reuses a stale
+    # tree built by the old one.
+    recipe = (stamp, sparse, "v3-word-suffix")
+    key = hashlib.md5(repr(recipe).encode()).hexdigest()[:12]
+    tag = "sparse_" if sparse else ""
+    out = os.path.join("/tmp", f"spark_graft_scale_{tag}{reps}x_{key}")
     manifest = os.path.join(out, "_MANIFEST.json")
     if os.path.isfile(manifest):
         return out
@@ -149,7 +177,23 @@ def build_replicated(base: str, reps: int) -> str:
                     c,
                     pc.add(t[c], i * step),
                 )
-            if f == "documents.parquet" and i > 0:
+            if f == "documents.parquet" and sparse:
+                idx = t.schema.get_field_index("text")
+                # per-replica word suffix: replica shingle universes
+                # are disjoint (no cross-replica near-dups) with the
+                # original per-replica df distribution preserved
+                t = t.set_column(
+                    idx,
+                    "text",
+                    pc.binary_join_element_wise(
+                        pc.replace_substring(
+                            t["text"], pattern=" ", replacement=f"r{i} "
+                        ),
+                        f"r{i}",
+                        "",
+                    ),
+                )
+            elif f == "documents.parquet" and i > 0:
                 # near-duplicate replicas, not exact clones
                 idx = t.schema.get_field_index("text")
                 t = t.set_column(
@@ -167,15 +211,21 @@ def build_replicated(base: str, reps: int) -> str:
 
 
 def main() -> int:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    name_filter = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    sparse = "--sparse" in sys.argv[1:]
+    reps = int(args[0]) if args else 10
+    name_filter = args[1:]
+    if sparse and not name_filter:
+        # the sparse corpus exists to show the prefix-vs-full-index
+        # crossover; default to the pair (plus their shared downstream)
+        name_filter = ["dedup_jaccard"]
     names = [
         n
         for n in SCALE_CRITICAL
         if not name_filter or any(f in n for f in name_filter)
     ]
 
-    big = build_replicated(BASE, reps)
+    big = build_replicated(BASE, reps, sparse=sparse)
     print(f"# replicated fixtures: {big}", file=sys.stderr)
 
     import __spark_entry__ as entry
@@ -217,8 +267,59 @@ def main() -> int:
         except Exception as exc:
             failures.append((name, f"{type(exc).__name__}: {exc}"[:300]))
             print(f"{name:34s} FAILED {failures[-1][1]}")
+    if sparse:
+        _threshold_sweep(spark, big, failures)
     print(f"FAILURES: {failures or 'none'}")
     return 1 if failures else 0
+
+
+def _threshold_sweep(spark, big: str, failures: list) -> None:
+    """full-vs-prefix Jaccard across thresholds on the dup-sparse
+    corpus. The full index's cost is threshold-INDEPENDENT (same
+    co-bucket join, filter at the end) while the prefix index holds
+    n − ⌈t·n⌉ + 1 entries per doc — so its candidate volume, and the
+    array-shipping verify that dominates its runtime, collapse as t
+    rises. This is the crossover the AllPairs family actually delivers:
+    not "dup-sparse corpora" (measured: at t=0.5 the count-only full
+    index wins on every corpus variant tried) but HIGH thresholds,
+    where the prefix is a small fraction of each set."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import (
+        _pair_intersections,
+        prefix_pair_intersections,
+    )
+
+    print(f"{'threshold sweep (sparse corpus)':34s} "
+          f"{'rows':>10s} {'t_full':>8s} {'t_pref':>8s}")
+    for t_milli in (500, 700, 900):
+        try:
+            docs = load_table(spark, big, "documents")
+            keep = lambda pi: pi.filter(  # noqa: E731
+                F.col("i") * 1000
+                >= F.lit(t_milli) * (F.col("na") + F.col("nb") - F.col("i"))
+            )
+            t0 = time.perf_counter()
+            n_full = keep(_pair_intersections(docs)).count()
+            t_full = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_pref = keep(
+                prefix_pair_intersections(docs, t_milli=t_milli)
+            ).count()
+            t_pref = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            assert n_pref == n_full, (t_milli, n_pref, n_full)
+            print(
+                f"{'jaccard t=' + str(t_milli / 1000):34s} "
+                f"{n_full:>10d} {t_full:>8.2f} {t_pref:>8.2f}"
+            )
+        except Exception as exc:
+            failures.append(
+                (f"sweep_t{t_milli}", f"{type(exc).__name__}: {exc}"[:300])
+            )
+            print(f"sweep_t{t_milli} FAILED {failures[-1][1]}")
 
 
 if __name__ == "__main__":

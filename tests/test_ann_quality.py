@@ -400,3 +400,75 @@ def test_prefix_jaccard_equals_full_and_reduces_candidates(
     assert pref_pairs < full_pairs, (pref_pairs, full_pairs)
     # at t=0.5 the prefix is ~half of each set → ~4× fewer bucket pairs
     assert pref_pairs <= full_pairs * 0.5, (pref_pairs, full_pairs)
+
+
+def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
+    """Independent reimplementation check for the composed IVFADC
+    path: rebuild the whole pipeline (seed codebook → codes → per-query
+    distance tables → in-cell ADC top-5 with the (adc, nid) tie-break)
+    in plain numpy from the raw parquet, and require the Spark result
+    row-for-row. Also pins the probe contract directly: every returned
+    neighbor shares its query's coarse cell."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TOP_K,
+        QUERY_MOD,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vid = np.asarray(tbl["vec_id"], dtype=np.int64)
+    lab = np.asarray(tbl["label"])
+    mat = np.asarray([list(e) for e in tbl["embedding"]], dtype=np.float64)
+    order = np.argsort(vid)
+    vid, lab, mat = vid[order], lab[order], mat[order]
+
+    # codebook: sub-slices of the seed vectors (vec_id < PQ_K)
+    seeds = mat[vid < PQ_K]
+    seed_ids = vid[vid < PQ_K]
+    codes = np.empty((len(vid), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        csub = seeds[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        d = ((sub[:, None, :] - csub[None, :, :]) ** 2).sum(axis=2)
+        # argmin with cid tie-break = first minimum in seed_id order
+        codes[:, m] = seed_ids[
+            np.lexsort((seed_ids[None, :].repeat(len(vid), 0), d), axis=1)[
+                :, 0
+            ]
+        ]
+    qmask = vid % QUERY_MOD == 0
+    expected = set()
+    for qi in np.flatnonzero(qmask):
+        qv, ql, qid = mat[qi], lab[qi], vid[qi]
+        cand = np.flatnonzero((lab == ql) & (vid != qid))
+        adc = np.zeros(len(cand))
+        for m in range(PQ_M):
+            qs = qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            cs = seeds[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            # exact sequential fold matches double math closely enough
+            # for micro-rounding (1e-6 * 1e6 = integer units)
+            dtab = ((qs[None, :] - cs) ** 2).sum(axis=1)
+            lut = {int(s): dtab[k] for k, s in enumerate(seed_ids)}
+            adc += np.asarray([lut[int(codes[c, m])] for c in cand])
+        top = sorted(zip(adc, vid[cand]))[:PQ_TOP_K]
+        for rank, (a, nid) in enumerate(top, start=1):
+            expected.add((int(qid), int(nid), round(a * 1e6), rank))
+
+    got = {
+        (int(r.qid), int(r.nid), int(r.adc_micro), int(r.rank))
+        for r in queries["similarity_ivfpq"](spark, sf_dir).collect()
+    }
+    # allow ±1 micro-unit on the rounded ADC (numpy pairwise-sum vs the
+    # engine's strict sequential fold); identity/rank must be exact
+    assert {(q, n, r) for q, n, _, r in got} == {
+        (q, n, r) for q, n, _, r in expected
+    }
+    gm = {(q, n, r): a for q, n, a, r in got}
+    em = {(q, n, r): a for q, n, a, r in expected}
+    for k, a in gm.items():
+        assert abs(a - em[k]) <= 1, (k, a, em[k])

@@ -639,3 +639,65 @@ def test_er_rollup_broadcasts_local_labels(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_similarity_ivfpq_probe_is_equi_join_no_cartesian(
+    spark, sf_dir, queries
+):
+    """The IVFADC composition contract: unlike `similarity_pq`'s
+    documented exhaustive crossJoin, the composed path's probe is a
+    hash EQUI-join on the coarse-cell id — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere, so per query the engine touches
+    |cell| code rows, never the corpus. The distance tables and query
+    set stay broadcast (corpus codes are never shuffled to them)."""
+    df = queries["similarity_ivfpq"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # cell probe + 4 distance tables + encode codebook joins, all hash
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+
+
+def test_prefix_jaccard_candidate_join_builds_on_prefix(
+    spark, sf_dir, queries
+):
+    """The AllPairs physical contract (complements the row-equality +
+    candidate-count gates in test_ann_quality): BOTH inputs of the
+    candidate self-join are the cached PREFIX projection — the join
+    keyed on the shingle with the in-bucket length filter folded into
+    its condition reads two InMemoryTableScans of the (doc_id, s, n)
+    prefix cache, whose cached definition carries the
+    r ≤ n − ⌈t·n⌉ + 1 filter (the integer-exact ceiling
+    `(t·n + 999) div 1000` is unique to the prefix arm). Never
+    cartesian."""
+    from gomysql2pg_spark.operators.dedup import JACCARD_MILLI
+
+    df = queries["dedup_jaccard_prefix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    ceil_marker = "+ 999) div 1000"
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if ceil_marker in ln]
+    assert len(hits) >= 2, plan  # the prefix filter exists (cached def)
+    for i in hits:
+        assert "Filter" in lines[i] and "<=" in lines[i], lines[i]
+    # the candidate join: equi on the shingle with the length filter
+    # (na·1000 ≥ t·nb) in the condition; both inputs must be scans of
+    # the 3-column prefix cache, not the raw shingle table
+    assert any(
+        "Join" in ln and f"* {JACCARD_MILLI})" in ln for ln in lines
+    ), plan
+    # the (doc_id, s, n) column combo appears ONLY in the prefix cache
+    # (the shingle cache is (s, doc_id, df); the verify arrays carry
+    # arr_a/arr_b) — one scan per side of the candidate join
+    scans = [
+        ln
+        for ln in lines
+        if "InMemoryTableScan" in ln
+        and "doc_id" in ln
+        and ", s#" in ln
+        and ", n#" in ln
+    ]
+    assert len(scans) >= 2, plan

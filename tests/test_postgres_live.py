@@ -1,0 +1,209 @@
+"""Live-PostgreSQL grammar smoke (closes the item carried since r7).
+
+The container ships PostgreSQL 15 binaries and a `postgres` system
+user, so the two dialect seams that until now were proven only against
+Derby + a spec-faithful reimplementation get exercised against the
+REAL engine:
+
+- the COPY-text escape grammar: `sinks.jdbc.encode_copy_text` output
+  is fed to a live `COPY ... FROM STDIN` (the reference's actual load
+  path, `/root/reference/cmd/root.go:412-489`), read back with
+  `COPY ... TO STDOUT`, and decoded with the strict decoder from
+  test_jdbc_roundtrip — a four-way agreement proof (our encoder ↔
+  PG's decoder ↔ PG's encoder ↔ our decoder) over the hostile-value
+  matrix;
+- the composite-key hashmod paging predicates: rendered through a
+  PostgreSQL dialect hash template and executed server-side, the
+  pages must be disjoint and complete — including the NULL-key row
+  routed by the IS-NULL arm.
+
+No psycopg2/JDBC driver is needed: everything flows through `psql`
+subprocesses over a private unix socket, so the cluster can't collide
+with anything else on the host. Skips cleanly when the binaries or
+the unprivileged user are unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import pwd
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from tests.test_jdbc_roundtrip import _HOSTILE_ROWS, _decode_copy_text
+
+
+def _has_pg() -> bool:
+    if os.geteuid() != 0:
+        return False  # need root to su to the postgres user
+    try:
+        pwd.getpwnam("postgres")
+    except KeyError:
+        return False
+    return all(
+        shutil.which(b) for b in ("initdb", "pg_ctl", "psql", "postgres")
+    )
+
+
+pytestmark = pytest.mark.skipif(
+    not _has_pg(), reason="PostgreSQL binaries / postgres user unavailable"
+)
+
+
+def _su_pg(cmd: str, **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", "postgres", "-s", "/bin/bash", "-c", cmd],
+        capture_output=True,
+        text=True,
+        cwd=tempfile.gettempdir(),  # postgres user can't read /root
+        timeout=120,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg_sock():
+    """initdb + start a throwaway cluster on a private unix socket
+    (listen_addresses='' — no TCP port is ever opened); stop and
+    delete on teardown."""
+    base = tempfile.mkdtemp(prefix="pg_live_")
+    os.chmod(base, 0o755)
+    shutil.chown(base, user="postgres")
+    data = os.path.join(base, "data")
+    r = _su_pg(f"initdb -D {data} -A trust -U postgres")
+    assert r.returncode == 0, r.stderr
+    r = _su_pg(
+        f"pg_ctl -D {data} -l {base}/pg.log -w "
+        f"-o \"-c listen_addresses='' -k {base}\" start"
+    )
+    assert r.returncode == 0, r.stderr + r.stdout
+    try:
+        yield base
+    finally:
+        _su_pg(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _psql(sock: str, sql: str, stdin: str | None = None) -> str:
+    r = subprocess.run(
+        [
+            "psql", "-h", sock, "-U", "postgres", "-X", "-q",
+            "-v", "ON_ERROR_STOP=1", "-At", "-c", sql,
+        ],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, f"{sql!r}: {r.stderr}"
+    return r.stdout
+
+
+def test_copy_encoder_roundtrips_through_live_pg(pg_sock):
+    """our encoder → live COPY FROM STDIN → live COPY TO STDOUT → our
+    decoder == original rows. Proves both directions of the escape
+    grammar against the real server: embedded tab/newline/CR/backslash
+    runs survive, literal backslash-N stays a string, true NULL stays
+    NULL, and unicode passes through."""
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+
+    rows = [
+        (1, "plain", "tab\there"),
+        (2, "new\nline", "cr\rhere"),
+        (3, "back\\slash", "\\N"),  # literal backslash-N, NOT null
+        (4, "", None),  # empty string and true NULL are distinct
+        (5, "trailing\\", "\t\n\r"),
+        (6, "αβγ — unicode", "mixed\\t\\n literal escapes"),
+    ]
+    _psql(pg_sock, 'CREATE TABLE copy_rt ("Id" bigint, a text, b text)')
+    _psql(
+        pg_sock,
+        'COPY copy_rt ("Id", a, b) FROM STDIN',
+        stdin=encode_copy_text(rows),
+    )
+    # server-side row count and NULL/literal-\N discrimination
+    assert _psql(pg_sock, "SELECT count(*) FROM copy_rt").strip() == "6"
+    assert _psql(
+        pg_sock, "SELECT count(*) FROM copy_rt WHERE b IS NULL"
+    ).strip() == "1"
+    assert _psql(
+        pg_sock, r"SELECT count(*) FROM copy_rt WHERE b = E'\\N'"
+    ).strip() == "1"
+    wire_out = _psql(
+        pg_sock, 'COPY copy_rt ("Id", a, b) TO STDOUT'
+    )
+    got = sorted(_decode_copy_text(wire_out))
+    expected = sorted(
+        tuple(str(v) if v is not None else None for v in row)
+        for row in rows
+    )
+    assert got == expected
+
+
+def test_hashmod_pages_disjoint_complete_on_live_pg(pg_sock):
+    """The composite-key predicate reader's SQL against the real
+    PostgreSQL grammar: the md5-based dialect hash template must yield
+    disjoint + complete pages, the NULL-key row must land on exactly
+    one page via the IS-NULL arm, and int32-boundary keys must not
+    overflow (the hash widens to bigint before abs)."""
+    from gomysql2pg_spark.plans.pagination import hashmod_predicates
+
+    _psql(
+        pg_sock,
+        'CREATE TABLE pkmix ("Id1" int, "Id2" int, "TxtVal" text)',
+    )
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+
+    _psql(
+        pg_sock,
+        "COPY pkmix FROM STDIN",
+        stdin=encode_copy_text(_HOSTILE_ROWS),
+    )
+    total = int(_psql(pg_sock, "SELECT count(*) FROM pkmix").strip())
+    assert total == len(_HOSTILE_ROWS)
+
+    # PG dialect seams: md5 → 32-bit hex slice → bigint → abs (the
+    # cast to bigint BEFORE abs dodges the int32-min abs overflow)
+    preds = hashmod_predicates(
+        ['"Id1"', '"Id2"'],
+        3,
+        hash_sql=(
+            "abs((('x' || substr(md5({key}), 1, 8))::bit(32)::int)"
+            "::bigint)"
+        ),
+        bucket_sql="({h}) % {n} = {i}",
+    )
+    counts = [
+        int(
+            _psql(
+                pg_sock, f"SELECT count(*) FROM pkmix WHERE {p}"
+            ).strip()
+        )
+        for p in preds
+    ]
+    assert sum(counts) == total  # complete: every row on some page
+    # disjoint: no row satisfies two predicates
+    for i, pi in enumerate(preds):
+        for pj in preds[i + 1 :]:
+            n = int(
+                _psql(
+                    pg_sock,
+                    f"SELECT count(*) FROM pkmix WHERE ({pi}) AND ({pj})",
+                ).strip()
+            )
+            assert n == 0, (pi, pj)
+    # the NULL-key row is on page 0 (the IS-NULL arm), not lost:
+    # concat_ws skips NULL args so the default hash wouldn't need it,
+    # but this custom template's md5(concat_ws(...)) never goes NULL
+    # either — verify the row simply lands on exactly one page
+    n0 = int(
+        _psql(
+            pg_sock,
+            f'SELECT count(*) FROM pkmix WHERE ("Id2" IS NULL) '
+            f"AND ({preds[0]} OR {preds[1]} OR {preds[2]})",
+        ).strip()
+    )
+    assert n0 == 1

@@ -65,3 +65,21 @@ def test_replicated_documents_are_near_duplicates():
     # replica 1 text = original + " rep1": distinct string, shared prefix
     assert texts[n] == texts[0] + " rep1"
     assert len(set(texts)) == len(texts)
+
+
+def test_sparse_replicas_word_suffixed_disjoint_shingles():
+    """--sparse mode: every word carries a per-replica suffix, so
+    replica shingle universes are pairwise disjoint (no cross-replica
+    near-dups) while each replica's internal df distribution is the
+    original's under renaming."""
+    from scale_smoke import build_replicated
+
+    out = build_replicated(BASE, 2, sparse=True)
+    src = pq.read_table(os.path.join(BASE, "documents.parquet"))
+    big = pq.read_table(os.path.join(out, "documents.parquet"))
+    texts = big["text"].to_pylist()
+    n = src.num_rows
+    orig = src["text"].to_pylist()[0].split()
+    assert texts[0].split() == [w + "r0" for w in orig]
+    assert texts[n].split() == [w + "r1" for w in orig]
+    assert set(texts[0].split()).isdisjoint(texts[n].split())

@@ -246,3 +246,86 @@ def test_windowed_counts_append_emits_only_sealed_windows(spark, sf_dir, tmp_pat
     assert _rows(got, cols) == _rows(expected, cols)
     # sanity: something was withheld (the tail 6 hours of windows)
     assert got.count() < ev.select((F.floor(us / win_us)), "event_type").distinct().count()
+
+
+def test_anomaly_bucket_worker_matches_per_user_reference():
+    """The bucketed state worker's vectorized fold must equal a plain
+    per-user reference loop event-for-event, across TWO invocations
+    sharing state: users interleaved in one bucket, prior tails spliced
+    ahead of new values, untouched users' state preserved and the
+    user index kept sorted."""
+    import numpy as np
+    import pandas as pd
+
+    lookback, min_prev, factor = 10, 5, 3
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    rng = np.random.default_rng(7)
+
+    def mkbatch(users, n_each):
+        rows = []
+        for u in users:
+            for i in range(n_each):
+                rows.append(
+                    (
+                        int(rng.integers(0, 10**6)),
+                        u,
+                        int(rng.integers(0, 10**9)),
+                        int(rng.integers(0, 500)),
+                    )
+                )
+        rng.shuffle(rows)
+        return pd.DataFrame(
+            rows, columns=["event_id", "user_id", "us", "vc"]
+        )
+
+    # reference: per-user deque fold over both batches in order
+    def reference(batches):
+        hist: dict[int, list[int]] = {}
+        out = {}
+        for pdf in batches:
+            pdf = pdf.sort_values(["user_id", "us", "event_id"])
+            for _, r in pdf.iterrows():
+                h = hist.setdefault(int(r.user_id), [])
+                window = h[-lookback:]
+                cnt, s = len(window), sum(window)
+                spike = int(cnt >= min_prev and r.vc * cnt > factor * s)
+                out[(int(r.event_id), int(r.user_id))] = (
+                    cnt,
+                    s,
+                    spike,
+                )
+                h.append(int(r.vc))
+        return out
+
+    b1 = mkbatch([3, 7, 11, 500], 8)
+    b2 = mkbatch([7, 11, 999], 9)  # 3 and 500 untouched in batch 2
+    expected = reference([b1, b2])
+
+    worker = S.make_anomaly_worker(lookback, min_prev, factor)
+    st = FakeState()
+    got = {}
+    for pdf in (b1, b2):
+        for out in worker((0,), iter([pdf]), st):
+            for _, r in out.iterrows():
+                got[(int(r.event_id), int(r.user_id))] = (
+                    int(r.prev_cnt),
+                    int(r.prev_sum),
+                    int(r.is_spike),
+                )
+    assert got == expected
+    users, lens, vals = st.get
+    assert users == sorted(users)  # searchsorted precondition
+    assert len(vals) == sum(lens)
+    assert set(users) == {3, 7, 11, 500, 999}
+    assert all(ln <= lookback for ln in lens)  # bounded state
