@@ -43,10 +43,10 @@ _PRIORITY = [
     "mm_decode", "mm_features", "mm_frame_sample", "mm_metadata",
     "mm_resize", "snapshot_diff", "er_blocking_pairs",
     "er_match_pairs", "er_clusters", "er_resolved_rollup",
-    "dedup_clusters", "stream_anomaly", "freq_sketch_check",
-    "similarity_pq", "pagerank_bipartite",
+    "dedup_clusters", "stream_anomaly", "stream_stateful_totals",
+    "freq_sketch_check", "similarity_pq", "pagerank_bipartite",
     # (c) staleness rotation: the oldest remaining rows (r05), by name;
-    # the last entry overflows the 50-slot window and rolls to r11
+    # the last TWO entries overflow the 50-slot window, roll to r11
     "array_funcs", "bigram_counts", "decontamination_check",
     "dedup_embedding", "dedup_substring_chunks", "doc_fingerprint",
     "incremental_dedup", "map_funcs", "math_funcs",

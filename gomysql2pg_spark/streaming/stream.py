@@ -256,6 +256,12 @@ def stream_stream_view_purchase_join(
 # custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------
 
+ANOMALY_BUCKETS = 64  # stateful-operator state-key cardinality
+#   (shared by the totals and anomaly workers). Scale rule: pick
+#   buckets ≈ active-user cardinality / O(10³) so per-bucket state
+#   stays a few KB and the per-group bridge cost stays amortized;
+#   buckets only need to exceed executor-core count for parallelism.
+
 STATEFUL_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -263,47 +269,96 @@ STATEFUL_OUT_SCHEMA = StructType(
         StructField("value_cents", LongType()),
     ]
 )
+# Same bucketed-state layout as the anomaly operator below (see that
+# comment for the why: the Pandas state bridge charges a fixed cost
+# per GROUP, so per-user keys drown the actual work): one state row
+# per user BUCKET, holding the bucketed users' running (count, cents)
+# as sorted parallel arrays.
 STATEFUL_STATE_SCHEMA = StructType(
     [
-        StructField("n", LongType()),
-        StructField("cents", LongType()),
+        StructField("users", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
     ]
 )
 
 
 def make_user_totals_worker():
-    """applyInPandasWithState worker: running (count, exact-cents sum)
-    per user. State is two longs — survives across micro-batches; each
-    batch emits the updated running totals for users seen in the batch.
-    Built by a factory so cloudpickle ships it by value."""
+    """applyInPandasWithState worker over a USER-BUCKET key: running
+    (count, exact-cents sum) per user for every user hashing into the
+    bucket — one vectorized pandas groupby per Arrow batch, state
+    merged via numpy searchsorted. Each batch emits the updated
+    running totals for users seen in the batch (same contract as the
+    per-user-keyed form). Built by a factory so cloudpickle ships it
+    by value."""
 
     def update(key, pdfs: Iterator, state):
+        import numpy as np
         import pandas as pd
 
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdfs:
-            n += len(pdf)
-            cents += int(pdf["cents"].sum())
-        state.update((n, cents))
+        if state.exists:
+            s_users, s_ns, s_cents = (
+                np.asarray(x, dtype=np.int64) for x in state.get
+            )
+        else:
+            s_users = s_ns = s_cents = np.empty(0, dtype=np.int64)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield pd.DataFrame(
+                {f.name: [] for f in STATEFUL_OUT_SCHEMA.fields}
+            )
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        # `size`, not `count`: the oracle is COUNT(*) — all rows
+        g = pdf.groupby("user_id")["cents"].agg(["size", "sum"])
+        b_users = g.index.to_numpy(np.int64)
+        order = np.argsort(b_users)
+        b_users = b_users[order]
+        b_n = g["size"].to_numpy(np.int64)[order]
+        b_c = g["sum"].to_numpy(np.int64)[order]
+        # merge into the running state (state users kept sorted)
+        merged = np.union1d(s_users, b_users)
+        n_out = np.zeros(len(merged), dtype=np.int64)
+        c_out = np.zeros(len(merged), dtype=np.int64)
+        if len(s_users):
+            at = np.searchsorted(merged, s_users)
+            n_out[at] += s_ns
+            c_out[at] += s_cents
+        bt = np.searchsorted(merged, b_users)
+        n_out[bt] += b_n
+        c_out[bt] += b_c
+        state.update(
+            (merged.tolist(), n_out.tolist(), c_out.tolist())
+        )
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            {
+                "user_id": b_users,
+                "n_events": n_out[bt],
+                "value_cents": c_out[bt],
+            }
         )
 
     return update
 
 
-def stateful_user_totals(events: DataFrame) -> DataFrame:
+def stateful_user_totals(
+    events: DataFrame, n_buckets: int = ANOMALY_BUCKETS
+) -> DataFrame:
     """Custom stateful streaming aggregation (running per-user totals)
-    via applyInPandasWithState. Cents are computed Spark-side (HALF_UP
-    `round`, bit-identical to the batch/oracle arithmetic) so the Python
-    state fold is pure integer math. State scales with #users; the
-    shuffle is on user_id only."""
+    via applyInPandasWithState over bucketed user keys. Cents are
+    computed Spark-side (HALF_UP `round`, bit-identical to the
+    batch/oracle arithmetic) so the Python state fold is pure integer
+    math. State still scales with #users (two longs each), but state
+    ROWS — and the per-group bridge cost — scale with n_buckets; the
+    shuffle is on the bucket only."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     prepped = events.select(
-        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        (F.col("user_id") % n_buckets).alias("bucket"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return prepped.groupBy("user_id").applyInPandasWithState(
+    return prepped.groupBy("bucket").applyInPandasWithState(
         make_user_totals_worker(),
         outputStructType=STATEFUL_OUT_SCHEMA,
         stateStructType=STATEFUL_STATE_SCHEMA,
@@ -342,12 +397,6 @@ ANOMALY_STATE_SCHEMA = StructType(
         StructField("vals", ArrayType(LongType())),
     ]
 )
-
-ANOMALY_BUCKETS = 64  # state-key cardinality. Scale rule: pick
-#   buckets ≈ active-user cardinality / O(10³) so per-bucket state
-#   stays a few KB and the per-group bridge cost stays amortized;
-#   buckets only need to exceed executor-core count for parallelism.
-
 
 def make_anomaly_worker(
     lookback: int = 10, min_prev: int = 5, factor: int = 3
@@ -741,7 +790,9 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running count) emission, which AvailableNow on a single file makes
     the only one."""
     ev = read_events_stream(spark, sf_dir)
-    name = run_to_memory(stateful_user_totals(ev), output_mode="update")
+    name = run_to_memory(
+        stateful_user_totals(ev), output_mode="update", state_partitions=8
+    )
     out = spark.table(name)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),

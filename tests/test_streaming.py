@@ -329,3 +329,49 @@ def test_anomaly_bucket_worker_matches_per_user_reference():
     assert len(vals) == sum(lens)
     assert set(users) == {3, 7, 11, 500, 999}
     assert all(ln <= lookback for ln in lens)  # bounded state
+
+
+def test_totals_bucket_worker_merges_state_across_batches():
+    """The bucketed totals worker: per-user running (count, cents)
+    across two invocations sharing one bucket's state — batch users
+    aggregated vectorized, untouched users' totals preserved, user
+    index kept sorted, and each batch emits exactly the batch's users
+    with their RUNNING totals."""
+    import numpy as np
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    def mk(rows):
+        return pd.DataFrame(rows, columns=["user_id", "cents"])
+
+    b1 = mk([(7, 100), (3, 5), (7, 50), (500, 1)])
+    b2 = mk([(3, 10), (999, 7), (3, 20)])
+
+    worker = S.make_user_totals_worker()
+    st = FakeState()
+    out1 = pd.concat(worker((0,), iter([b1]), st))
+    got1 = {
+        int(r.user_id): (int(r.n_events), int(r.value_cents))
+        for _, r in out1.iterrows()
+    }
+    assert got1 == {3: (1, 5), 7: (2, 150), 500: (1, 1)}
+    out2 = pd.concat(worker((0,), iter([b2]), st))
+    got2 = {
+        int(r.user_id): (int(r.n_events), int(r.value_cents))
+        for _, r in out2.iterrows()
+    }
+    assert got2 == {3: (3, 35), 999: (1, 7)}  # running, not per-batch
+    users, ns, cents = st.get
+    assert users == [3, 7, 500, 999]  # sorted; 7/500 preserved
+    assert ns == [3, 2, 1, 1]
+    assert cents == [35, 150, 1, 7]
