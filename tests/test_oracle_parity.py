@@ -35,3 +35,29 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_invariants_no_oracle_entries_have_gated_twins():
+    """Registry meta-gate, mechanizing two process lessons:
+
+    - every rows-only entry (no SQL oracle by design — sketches, LSH
+      neighbor sets) must have a deterministic `<name>_check` /
+      `<name>_verified` twin that IS oracle-gated, so the driver record
+      never depends on an unverifiable row;
+    - the driver evaluates the FIRST 50 queries() entries, so the
+      priority window must contain only oracle-gated entries — r9
+      burned 3 of its 50 slots on no-oracle entries that can never
+      produce a hash row."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    for name in qs:
+        if name in os_:
+            continue
+        twin = f"{name}_check" if f"{name}_check" in qs else f"{name}_verified"
+        assert twin in qs, f"rows-only entry {name} has no twin"
+        assert twin in os_, f"{name}'s twin {twin} is not oracle-gated"
+    window = list(qs)[:50]
+    ungated = [n for n in window if n not in os_]
+    assert not ungated, f"driver window wastes slots on: {ungated}"
