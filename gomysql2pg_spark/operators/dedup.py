@@ -922,6 +922,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over the near-dup clusters —
+    the curation step that actually ships after clustering: exact
+    dedup keeps an arbitrary copy, but near-dup clusters should keep
+    the BEST copy (highest quality score, then longest, then smallest
+    doc_id — a total deterministic order). Returns one row per corpus
+    document: (doc_id, cluster_id, quality_score, n_chars,
+    is_survivor); singletons survive themselves, so filtering
+    is_survivor yields the post-dedup corpus directly.
+
+    Plan shape at 100 TB: cluster labels come from the bounded CC
+    kernel (df-capped edges), quality is a stateless codegen map, and
+    the survivor rank is ONE window over the narrow (doc, cluster,
+    score, len) projection — a single corpus shuffle on cluster_id,
+    no join back to the fact table."""
+    from .text import q_quality_score
+
+    pairs = q_dedup_jaccard(spark, sf_dir).select("da", "db")
+    labels = connected_components(pairs)
+    q = q_quality_score(spark, sf_dir).select(
+        "doc_id", "n_chars", "quality_score"
+    )
+    lab = q.join(labels, q.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        "n_chars",
+        "quality_score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(),
+        F.col("n_chars").desc(),
+        F.col("doc_id"),
+    )
+    return lab.withColumn(
+        "is_survivor", F.row_number().over(w) == 1
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring chunk dedup (Lee et al., "Deduplicating Training Data
 # Makes Language Models Better": cross-document repeated substrings)
@@ -1103,6 +1141,42 @@ reach(node, r) AS (
 SELECT node AS doc_id, MIN(r) AS cluster_id,
        MIN(r) = node AS keep
 FROM reach GROUP BY node
+"""
+
+
+def _oracle_dedup_survivors() -> str:
+    """clusters CTE (shared with ORACLE_DEDUP_CLUSTERS) + the
+    quality-score formula + a survivor rank window — built lazily to
+    reuse the text module's quality oracle verbatim."""
+    from .text import ORACLE_QUALITY_SCORE
+
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT da, db FROM ({ORACLE_DEDUP_JACCARD}) j
+),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+q AS (SELECT doc_id, n_chars, quality_score FROM ({ORACLE_QUALITY_SCORE}))
+SELECT doc_id, cluster_id, n_chars, quality_score,
+       ROW_NUMBER() OVER (
+         PARTITION BY cluster_id
+         ORDER BY quality_score DESC, n_chars DESC, doc_id) = 1
+         AS is_survivor
+FROM (
+  SELECT q.doc_id, COALESCE(labels.label, q.doc_id) AS cluster_id,
+         q.n_chars, q.quality_score
+  FROM q LEFT JOIN labels ON labels.node = q.doc_id
+)
 """
 
 
@@ -1503,6 +1577,7 @@ QUERIES = {
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 ORACLES = {
@@ -1524,4 +1599,5 @@ ORACLES = {
     "dedup_simhash_verified": ORACLE_DEDUP_SIMHASH_VERIFIED,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_survivors": _oracle_dedup_survivors(),
 }

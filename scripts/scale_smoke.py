@@ -61,6 +61,7 @@ SCALE_CRITICAL = [
     "dedup_containment",
     "dedup_lines",
     "dedup_clusters",
+    "dedup_survivors",
     "cross_source_overlap",
     "similarity_topk",
     "similarity_ivf",

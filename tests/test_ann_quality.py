@@ -472,3 +472,51 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
     em = {(q, n, r): a for q, n, a, r in expected}
     for k, a in gm.items():
         assert abs(a - em[k]) <= 1, (k, a, em[k])
+
+
+def test_ivfpq_recall_vs_in_cell_exact(spark, sf_dir, queries):
+    """Recall gate for the composed path: within the probed cell, the
+    PQ quantization must retain ranking signal — the exact-cosine
+    IN-CELL rank of IVFADC's picks averages well above random (same
+    contract as the exhaustive-PQ gate; the untrained seed codebook
+    caps absolute recall, so the gate pins better-than-random, not
+    trained-PQ recall). Random would land at percentile ~0.5."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import dot_double
+    from gomysql2pg_spark.operators.similarity import _l2, QUERY_MOD
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cell = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    ranked = cell.withColumn("xrank", F.row_number().over(w))
+    sizes = ranked.groupBy("qid").agg(F.max("xrank").alias("cell_n"))
+    picks = queries["similarity_ivfpq"](spark, sf_dir).select("qid", "nid")
+    pct = (
+        picks.join(ranked, ["qid", "nid"])
+        .join(sizes, "qid")
+        .agg(F.avg(F.col("xrank") / F.col("cell_n")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert pct < 0.4, pct
