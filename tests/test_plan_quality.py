@@ -701,3 +701,50 @@ def test_prefix_jaccard_candidate_join_builds_on_prefix(
         and ", n#" in ln
     ]
     assert len(scans) >= 2, plan
+
+
+def test_ivfpq_codes_partitioned_by_cell_prune_on_probe(
+    spark, sf_dir, tmp_path
+):
+    """Substantiates the IVFADC 100 TB claim mechanically: write the
+    PQ code table partitioned BY the coarse cell, probe one cell, and
+    require the cell predicate to land as a PartitionFilter (directory
+    pruning) — at corpus scale this is what turns a probe into a scan
+    of |cell| code rows instead of the lake."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.similarity import (
+        _pq_codebook,
+        _pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_codes(emb, _pq_codebook(emb), carry=("label",))
+    path = str(tmp_path / "pq_codes_by_cell")
+    codes.write.partitionBy("label").parquet(path)
+
+    probe_cell = emb.select("label").first()["label"]
+    probed = spark.read.parquet(path).filter(F.col("label") == probe_cell)
+    plan = plan_of(probed)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "label" in pf[0], plan
+    assert (
+        probed.count()
+        == codes.filter(F.col("label") == probe_cell).count()
+    )
+
+
+def test_dedup_survivors_single_window_partial_quality(
+    spark, sf_dir, queries
+):
+    """The survivor rank must be ONE window PARTITIONED by cluster_id
+    (never a global sort), and the plan keeps the quality computation
+    a stateless map — no second documents scan beyond what the
+    cluster-label derivation needs."""
+    df = queries["dedup_survivors"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Window") == 1, plan
+    wline = next(ln for ln in plan.splitlines() if "Window" in ln)
+    assert "cluster_id" in wline or "windowspecdefinition(cluster" in (
+        wline
+    ), wline
+    assert "CartesianProduct" not in plan, plan
