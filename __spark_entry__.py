@@ -31,6 +31,7 @@ _PRIORITY = [
     # (a) entries with NO usable driver row: the never-checked r9/r10
     # additions + the 8 r02-stale rollovers
     "dedup_jaccard_prefix", "similarity_ivfpq", "dedup_survivors",
+    "bigram_lm_logprob",
     "collect_distinct_arrays", "corpus_pipeline", "dataset_split",
     "embedding_quantize", "events_json_props", "profile_orders",
     "seq_packing", "unpivot_metrics",

@@ -137,6 +137,11 @@ HEADLINE = [
     # round-10: composed IVFADC (coarse-cell equi-probe + broadcast
     # distance-table ADC — the corpus-scale PQ path, no crossJoin)
     "similarity_ivfpq",
+    # round-10: quality-aware cluster survivor selection (jaccard →
+    # CC → one narrow window) and conditional bigram LM scoring
+    # (two hash aggs + co-partitioned prob-table probe)
+    "dedup_survivors",
+    "bigram_lm_logprob",
 ]
 
 

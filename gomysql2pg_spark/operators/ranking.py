@@ -381,12 +381,140 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document add-1-smoothed BIGRAM log-likelihood — the CCNet /
+    Gopher LM-filter shape one order up from `q_unigram_logprob`:
+    P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V), scored over each doc's
+    adjacent token pairs. A real deployment swaps the self-trained
+    table for a reference-corpus model (KenLM-style); the plan is
+    identical.
+
+    Determinism: ln() is quantized to integer micro-units ONCE per
+    bigram TYPE (vocabulary-sized frame), so the per-doc score is a
+    sum of exact bigints — order-independent under any partitioning.
+    Scale shape: the bigram stream is built in one pass (token array
+    materialized through its own projection — lambda bodies
+    re-evaluate outer expressions per element), counts/contexts are
+    two partial-applied hash aggs over it, and the probe is an
+    equi-join of the stream against the (w1,w2)-keyed prob table —
+    co-partitioned at 100 TB, never a crossJoin; only V (one row)
+    broadcasts unconditionally."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    # same 0/1-token ANSI guard as text.q_bigram_counts
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ).alias("bigram"),
+        ),
+    )
+    # persist + materialize: feeds the count aggs AND the per-doc
+    # probe join — lazily each consumer would redo the explode (same
+    # discipline as the shingle pipelines)
+    big = pre.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.w1", "p.bigram").persist()
+    big.count()
+    c = big.groupBy("w1", "bigram").agg(F.count("*").alias("cnt"))
+    ctx = c.groupBy("w1").agg(F.sum("cnt").alias("ctx_n"))
+    vocab = pre.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    bp = (
+        c.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("ctx_n") + F.col("v")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    per = (
+        big.join(bp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce("sum_logp_micro", F.lit(0).cast("long")).alias(
+                "sum_logp_micro"
+            ),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM_LOGPROB = r"""
+WITH pre AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                i -> struct_pack(w1 := l[i],
+                                 bigram := l[i] || ' ' || l[i + 1]))) AS p
+  FROM pre
+),
+bigf AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM big),
+c AS (SELECT w1, bigram, COUNT(*) AS cnt FROM bigf GROUP BY w1, bigram),
+ctx AS (SELECT w1, SUM(cnt) AS ctx_n FROM c GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(l) AS t FROM pre)
+),
+bp AS (
+  SELECT bigram,
+         CAST(ROUND(LN(CAST(cnt + 1 AS DOUBLE)
+                       / CAST(ctx_n + v AS DOUBLE)) * 1000000) AS BIGINT)
+           AS logp_micro
+  FROM c JOIN ctx USING (w1), vocab
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro
+  FROM bigf JOIN bp USING (bigram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.sum_logp_micro, 0) AS sum_logp_micro
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
     "vocab_topk": q_vocab_topk,
     "oov_rate": q_oov_rate,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_lm_logprob": q_bigram_lm_logprob,
 }
 
 ORACLES = {
@@ -395,4 +523,5 @@ ORACLES = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "oov_rate": ORACLE_OOV_RATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
 }

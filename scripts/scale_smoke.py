@@ -10,10 +10,13 @@ window, a driver-side collect) that small fixtures can't surface.
     python scripts/scale_smoke.py [replication] [--sparse] [name_filter...]
 
 `--sparse` switches the documents replication to the duplication-SPARSE
-variant (replicas are NOT near-dups — see `build_replicated`) and
-defaults the filter to the Jaccard pair, to measure the AllPairs
-prefix-filter crossover: full index wins dup-dense, prefix wins
-dup-sparse.
+variant (replicas are NOT near-dups — see `build_replicated`), defaults
+the filter to the Jaccard pair, and appends a full-vs-prefix threshold
+sweep. Measured verdict (r10): the count-only full index wins at every
+threshold tried on this fixture family — the prefix path's candidate
+collapse is real (its cost falls monotonically with t) but its
+per-candidate array-verify never overcomes the count-join's cheapness;
+see `dedup.q_dedup_jaccard_prefix` for the scoped winning regime.
 
 The replicated fixture set is built once with pyarrow under /tmp
 (cached by source mtimes + replication factor) from the DRIVER fixtures
@@ -77,6 +80,7 @@ SCALE_CRITICAL = [
     "q3_shipping_priority",
     "window_funcs",
     "token_budget_select",
+    "bigram_lm_logprob",
     "weighted_systematic_sample",
     "group_reservoir_sample",
     "mixture_allocation",
