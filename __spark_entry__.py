@@ -31,7 +31,7 @@ _PRIORITY = [
     # (a) entries with NO usable driver row: the never-checked r9/r10
     # additions + the 8 r02-stale rollovers
     "dedup_jaccard_prefix", "similarity_ivfpq", "dedup_survivors",
-    "bigram_lm_logprob",
+    "bigram_lm_logprob", "copytext_roundtrip",
     "collect_distinct_arrays", "corpus_pipeline", "dataset_split",
     "embedding_quantize", "events_json_props", "profile_orders",
     "seq_packing", "unpivot_metrics",
@@ -104,6 +104,12 @@ def _registries():
         from gomysql2pg_spark.streaming import stream as stream_mod
 
         modules.append(stream_mod)
+    except ImportError:
+        pass
+    try:
+        from gomysql2pg_spark.sources import copytext as copytext_mod
+
+        modules.append(copytext_mod)
     except ImportError:
         pass
     queries: dict[str, Callable] = {}

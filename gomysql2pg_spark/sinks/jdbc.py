@@ -134,6 +134,35 @@ def encode_copy_text(rows, null_marker: str = "\\N") -> str:
     return buf.getvalue()
 
 
+def copy_text_line(cols) -> "object":
+    """One COPY-text wire LINE per row, as a pure Column expression —
+    the DISTRIBUTED twin of `encode_copy_text`: the JVM formats and
+    escapes inside whole-stage codegen, so `df.select(copy_text_line(
+    [...]).alias("value")).write.text(path)` produces a COPY dump with
+    no Python in the hot path and no driver-side collection. Same
+    grammar as the Python encoder (backslash first, then tab/LF/CR;
+    NULL → `\\N`), proven against a live PostgreSQL COPY decoder in
+    tests/test_postgres_live.py. Values are formatted by Spark's
+    string cast — longs/strings/dates identical to `str(v)`; doubles
+    use a shortest-round-trip form whose VALUE parses back exactly.
+    The row terminator comes from the text writer (one line per row),
+    matching `encode_copy_text`'s trailing newline."""
+    from pyspark.sql import functions as F
+
+    cells = []
+    for c in cols:
+        s = c.cast("string")
+        for find, repl in (
+            ("\\", "\\\\"),
+            ("\t", "\\t"),
+            ("\n", "\\n"),
+            ("\r", "\\r"),
+        ):
+            s = F.replace(s, F.lit(find), F.lit(repl))
+        cells.append(F.coalesce(s, F.lit("\\N")))
+    return F.concat_ws("\t", *cells)
+
+
 def copy_partition_writer(
     dsn: str, table: str, columns: list[str], batch_rows: int = 50_000
 ):

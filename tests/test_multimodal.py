@@ -113,6 +113,7 @@ def _all_shipped_workers():
     from gomysql2pg_spark.operators.custom import make_ema_worker
     from gomysql2pg_spark.operators.frequency import make_batch_candidates
     from gomysql2pg_spark.operators.multimodal import make_resizer
+    from gomysql2pg_spark.sources.copytext import make_copytext_source
     from gomysql2pg_spark.streaming.stream import (
         make_anomaly_worker,
         make_user_totals_worker,
@@ -126,6 +127,7 @@ def _all_shipped_workers():
         "ema": make_ema_worker(),
         "user_totals": make_user_totals_worker(),
         "anomaly": make_anomaly_worker(),
+        "copytext_source": make_copytext_source(),
     }
 
 
@@ -143,7 +145,7 @@ def test_workers_unpickle_without_package_on_path(tmp_path):
         "import pickle, sys\n"
         "assert not any('repo' in p for p in sys.path), sys.path\n"
         f"ws = pickle.load(open({str(blob)!r}, 'rb'))\n"
-        "assert len(ws) == 7 and all(callable(f) for f in ws.values())\n"
+        "assert len(ws) == 8 and all(callable(f) for f in ws.values())\n"
         "print('UNPICKLE_OK')\n"
     )
     proc = subprocess.run(

@@ -207,3 +207,36 @@ def test_hashmod_pages_disjoint_complete_on_live_pg(pg_sock):
         ).strip()
     )
     assert n0 == 1
+
+
+def test_pg_copy_out_readable_by_copytext_source(pg_sock, spark, tmp_path):
+    """Close the loop from the other side: PostgreSQL's OWN COPY TO
+    output, written to disk, must be directly queryable through the
+    `copytext` Spark data source — wire produced by the real engine,
+    decoded by our scan, row-identical to the table."""
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+    from gomysql2pg_spark.sources.copytext import register_copytext
+
+    _psql(
+        pg_sock,
+        'CREATE TABLE IF NOT EXISTS pkmix2 '
+        '("Id1" int, "Id2" int, "TxtVal" text)',
+    )
+    _psql(pg_sock, "TRUNCATE pkmix2")
+    _psql(
+        pg_sock, "COPY pkmix2 FROM STDIN",
+        stdin=encode_copy_text(_HOSTILE_ROWS),
+    )
+    wire = _psql(pg_sock, "COPY pkmix2 TO STDOUT")
+    d = tmp_path / "pg_wire"
+    d.mkdir()
+    (d / "part-000.txt").write_text(wire, encoding="utf-8")
+    register_copytext(spark)
+    got = {
+        tuple(r)
+        for r in spark.read.format("copytext")
+        .schema("Id1 int, Id2 int, TxtVal string")
+        .load(str(d))
+        .collect()
+    }
+    assert got == set(_HOSTILE_ROWS)
