@@ -163,6 +163,33 @@ def copy_text_line(cols) -> "object":
     return F.concat_ws("\t", *cells)
 
 
+def copy_dump_sink(out_dir: str, n_files: int | None = None):
+    """`sink_fn` factory for `migrate.MigrationRunner`: stage each
+    table as a COPY-text dump tree (one directory per table, one wire
+    file per partition, written by `copy_text_line` — all JVM-side).
+    The bulk-load path the reference's wire format implies: the dump
+    loads with `psql -c '\\copy t FROM part-file'` per file (proven
+    against live PostgreSQL in tests/test_postgres_live.py) or reads
+    straight back through the `copytext` Spark source. Unlike
+    `copy_partition_writer` this needs no driver library on the
+    executors, and unlike the JDBC batched sink the load side can be
+    parallelized/retried per file AFTER the Spark job is done — the
+    staging pattern big migrations actually use."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    def sink(df, table: str) -> None:
+        out = df.select(
+            copy_text_line([F.col(c) for c in df.columns]).alias("value")
+        )
+        if n_files:
+            out = out.repartition(n_files)
+        out.write.mode("overwrite").text(_os.path.join(out_dir, table))
+
+    return sink
+
+
 def copy_partition_writer(
     dsn: str, table: str, columns: list[str], batch_rows: int = 50_000
 ):
