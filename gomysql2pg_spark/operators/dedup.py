@@ -922,7 +922,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_survivors(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Quality-aware survivor selection over the near-dup clusters —
     the curation step that actually ships after clustering: exact
     dedup keeps an arbitrary copy, but near-dup clusters should keep
@@ -936,10 +938,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (df-capped edges), quality is a stateless codegen map, and
     the survivor rank is ONE window over the narrow (doc, cluster,
     score, len) projection — a single corpus shuffle on cluster_id,
-    no join back to the fact table."""
+    no join back to the fact table. The edge source is pluggable:
+    the oracle-gated default is the exact-Jaccard verifier, while a
+    corpus-scale run passes `pairs=` from the sub-quadratic MinHash-
+    LSH generator (`q_dedup_minhash_lsh`) — the survivor semantics
+    are edge-source-agnostic (tests pin the one-survivor-per-cluster
+    invariant on the LSH edges too)."""
     from .text import q_quality_score
 
-    pairs = q_dedup_jaccard(spark, sf_dir).select("da", "db")
+    if pairs is None:
+        pairs = q_dedup_jaccard(spark, sf_dir).select("da", "db")
     labels = connected_components(pairs)
     q = q_quality_score(spark, sf_dir).select(
         "doc_id", "n_chars", "quality_score"

@@ -520,3 +520,44 @@ def test_ivfpq_recall_vs_in_cell_exact(spark, sf_dir, queries):
         .collect()[0]["p"]
     )
     assert pct < 0.4, pct
+
+
+def test_survivors_invariants_hold_on_lsh_edges(spark, sf_dir, queries):
+    """The survivor semantics are edge-source-agnostic: with the
+    sub-quadratic MinHash-LSH pair generator (the 100 TB edge source)
+    instead of the exact verifier, every cluster still elects exactly
+    one survivor, every corpus doc appears exactly once, and each
+    survivor maximizes (quality_score, n_chars, -doc_id) within its
+    cluster."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_survivors,
+    )
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    surv = q_dedup_survivors(spark, sf_dir, pairs=pairs)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert surv.count() == n_docs
+    assert surv.select("doc_id").distinct().count() == n_docs
+    per = surv.groupBy("cluster_id").agg(
+        F.sum(F.col("is_survivor").cast("int")).alias("n_surv")
+    )
+    assert per.filter(F.col("n_surv") != 1).count() == 0
+    # the elected survivor is the cluster maximum under the total order
+    best = surv.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                "quality_score", "n_chars", (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("b")
+    )
+    elected = surv.filter("is_survivor").join(best, "cluster_id")
+    bad = elected.filter(
+        (F.col("quality_score") != F.col("b.quality_score"))
+        | (F.col("n_chars") != F.col("b.n_chars"))
+        | (F.col("doc_id") != -F.col("b.nid"))
+    )
+    assert bad.count() == 0
