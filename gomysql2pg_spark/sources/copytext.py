@@ -192,9 +192,12 @@ def q_copytext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.jdbc import copy_text_line
 
     src = os.path.join(sf_dir, "orders.parquet")
+    # the key covers the ENCODER RECIPE version too (same lesson as
+    # the scale-smoke corpus cache): editing the wire format must not
+    # silently reuse a tree written by the old encoder
     key = hashlib.md5(
         repr((os.path.abspath(src), int(os.path.getmtime(src)),
-              _RT_COLS)).encode()
+              _RT_COLS, "wire-v1")).encode()
     ).hexdigest()[:12]
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_copytext_{key}"
