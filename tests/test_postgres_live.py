@@ -291,3 +291,118 @@ def test_copy_dump_sink_bulk_loads_into_live_pg(pg_sock, spark, tmp_path):
         for row in _decode_copy_text(wire)
     }
     assert got == set(_HOSTILE_ROWS)
+
+
+def test_generated_ddl_executes_on_live_pg(pg_sock):
+    """A10-A14 DDL generators, engine-validated (previously only
+    string-compared): the generated CREATE TABLE over a representative
+    MySQL type matrix, sequence + nextval default, PK / unique / plain
+    indexes, a composite foreign key, and a view whose MySQL-isms
+    (backticks, schema prefix, convert(... using ...)) were rewritten —
+    all must EXECUTE on PostgreSQL 15 and land in the catalog with the
+    mapped types. (A15 triggers are excluded: the reference's
+    `... for each row as <body>` form is the Gauss dialect, not
+    vanilla PG.)"""
+    from gomysql2pg_spark.ddl import (
+        ForeignKeyMeta,
+        IndexMeta,
+        create_table_sql,
+        foreign_key_sql,
+        index_sql,
+        sequence_sql,
+        view_sql,
+    )
+    from gomysql2pg_spark.functions.typemap import ColumnMeta
+
+    cols = [
+        ColumnMeta("id", "int", ordinal_position=1, is_nullable="NO"),
+        ColumnMeta("big_u", "bigint", ordinal_position=2,
+                   column_type="bigint(20) unsigned"),
+        ColumnMeta("name", "varchar", char_max_len=20, ordinal_position=3),
+        ColumnMeta("body", "text", ordinal_position=4),
+        ColumnMeta("ts", "datetime", ordinal_position=5),
+        ColumnMeta("amount", "decimal", numeric_precision=10,
+                   numeric_scale=2, ordinal_position=6),
+        ColumnMeta("ratio", "double", ordinal_position=7),
+        ColumnMeta("flag", "tinyint", ordinal_position=8),
+    ]
+    for stmt in create_table_sql("T_DDL", cols):
+        _psql(pg_sock, stmt)
+    got_types = dict(
+        tuple(ln.split("|"))
+        for ln in _psql(
+            pg_sock,
+            "SELECT column_name, data_type FROM information_schema.columns "
+            "WHERE table_name = 't_ddl' ORDER BY ordinal_position",
+        ).strip().splitlines()
+    )
+    assert got_types["name"] == "character varying"
+    assert got_types["amount"] == "numeric"
+    assert got_types["big_u"] == "numeric"  # unsigned widening
+    assert got_types["id"] == "integer"
+
+    for stmt in sequence_sql("T_DDL", "ID", start=7):
+        _psql(pg_sock, stmt)
+    _psql(pg_sock, "INSERT INTO t_ddl (name) VALUES ('a')")
+    assert _psql(
+        pg_sock, "SELECT id FROM t_ddl WHERE name = 'a'"
+    ).strip() == "7"
+
+    _psql(pg_sock, index_sql(IndexMeta("T_DDL", "PRIMARY", ["ID"])))
+    _psql(
+        pg_sock,
+        index_sql(
+            IndexMeta("T_DDL", "uk_name", ["NAME"], non_unique=False),
+            suffix="livepg",
+        ),
+    )
+    _psql(
+        pg_sock,
+        index_sql(IndexMeta("T_DDL", "ix_ts", ["TS", "RATIO"])),
+    )
+    n_idx = int(
+        _psql(
+            pg_sock,
+            "SELECT count(*) FROM pg_indexes WHERE tablename = 't_ddl'",
+        ).strip()
+    )
+    assert n_idx == 3  # pkey + unique + plain
+
+    for stmt in create_table_sql(
+        "T_CHILD",
+        [
+            ColumnMeta("cid", "int", ordinal_position=1, is_nullable="NO"),
+            ColumnMeta("parent_id", "int", ordinal_position=2),
+        ],
+    ):
+        _psql(pg_sock, stmt)
+    _psql(
+        pg_sock,
+        foreign_key_sql(
+            ForeignKeyMeta(
+                "T_CHILD", "fk_parent", ["PARENT_ID"], "T_DDL", ["ID"],
+                delete_rule="CASCADE",
+            )
+        ),
+    )
+    # the constraint is live: a dangling FK insert must be rejected
+    import subprocess
+
+    r = subprocess.run(
+        ["psql", "-h", pg_sock, "-U", "postgres", "-X", "-q",
+         "-v", "ON_ERROR_STOP=1", "-c",
+         "INSERT INTO t_child VALUES (1, 99999)"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode != 0 and "fk_parent" in r.stderr
+
+    _psql(
+        pg_sock,
+        view_sql(
+            "V_DDL",
+            "select `id`, convert(`name` using utf8mb4) as nm "
+            "from srcdb.t_ddl where `id` > 0",
+            source_schema="srcdb",
+        ),
+    )
+    assert _psql(pg_sock, "SELECT nm FROM v_ddl").strip() == "a"
