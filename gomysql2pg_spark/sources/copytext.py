@@ -14,6 +14,24 @@ cells TAB-separated; `\\N` (backslash-N) is NULL; data backslash, tab,
 newline, CR are escaped as `\\\\`, `\\t`, `\\n`, `\\r`; an unknown
 escape or dangling backslash is a corrupt file and fails loudly.
 
+Scan shape: the reader yields `pyarrow.RecordBatch`es (the PySpark-4
+DataSource arrow path), decoding each ~32 MiB chunk with vectorized
+Arrow kernels — one `split_pattern` for lines, one for cells,
+stride-`take` per column, escape decoding as four `replace_substring`
+passes (escaped-backslash is swapped to a NUL placeholder first so
+`\\t`/`\\n`/`\\r` replacement cannot misfire on it; NUL itself cannot
+appear in COPY text — PostgreSQL text values never contain it, and a
+chunk that does anyway takes the strict per-cell Python fallback), and
+typed columns via Arrow string casts. Any backslash REMAINING after
+the four passes is a corrupt cell; the strict scalar decoder re-runs
+on it to raise the precise unknown-escape/dangling-backslash error.
+
+Partition planning lists files on the DRIVER and read() re-opens the
+same paths on executors: the source assumes a filesystem shared
+between driver and executors (true in local mode and on clusters
+scanning NFS/fuse mounts; for object stores, stage the dump tree to a
+shared mount first).
+
 The DataSource class is built inside a FACTORY and registered from the
 returned value, so cloudpickle ships it BY VALUE — Python workers in a
 bare-PYTHONPATH deployment (e.g. the round driver's gate) never need
@@ -66,6 +84,7 @@ def make_copytext_source():
         return "".join(out)
 
     def caster_for(dt):
+        """Scalar (per-cell) caster — the strict fallback path."""
         import datetime
         import decimal
 
@@ -93,6 +112,37 @@ def make_copytext_source():
             return lambda s: s
         raise TypeError(f"copytext: unsupported column type {dt}")
 
+    def arrow_type_for(dt):
+        """Arrow target type per Spark type — the vectorized cast path
+        (must accept exactly what `caster_for` accepts; pinned by
+        tests/test_copytext_source.py)."""
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.IntegerType):
+            return pa.int32()
+        if isinstance(dt, T.ShortType):
+            return pa.int16()
+        if isinstance(dt, T.ByteType):
+            return pa.int8()
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        if isinstance(dt, T.FloatType):
+            return pa.float32()
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, T.BooleanType):
+            return pa.bool_()
+        if isinstance(dt, T.DateType):
+            return pa.date32()
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return pa.timestamp("us")
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        raise TypeError(f"copytext: unsupported column type {dt}")
+
     class _FilePartition(InputPartition):
         def __init__(self, path: str):
             self.path = path
@@ -103,6 +153,9 @@ def make_copytext_source():
             self._path = options.get("path")
             if not self._path:
                 raise ValueError("copytext: .load(path) is required")
+            # wire bytes per RecordBatch; tests shrink it to force
+            # chunk-boundary handling
+            self._chunk = int(options.get("chunk_bytes", 1 << 25))
 
         def partitions(self):
             p = self._path
@@ -117,25 +170,153 @@ def make_copytext_source():
                 )
             return [_FilePartition(f) for f in files]
 
-        def read(self, partition):
-            casters = [caster_for(f.dataType) for f in self._schema.fields]
+        def _decode_chunk_slow(self, chunk: bytes):
+            """Strict per-cell scalar decode — the fallback for chunks
+            containing a NUL byte (never emitted by PostgreSQL; a NUL
+            would collide with the vectorized path's escape
+            placeholder). Returns one RecordBatch."""
+            import pyarrow as pa
+
+            fields = self._schema.fields
+            casters = [caster_for(f.dataType) for f in fields]
             n = len(casters)
-            with open(partition.path, encoding="utf-8", newline="\n") as fh:
-                for line in fh:
-                    if line.endswith("\n"):
-                        line = line[:-1]
-                    elif line == "":
-                        continue
-                    cells = line.split("\t")
-                    if len(cells) != n:
-                        raise ValueError(
-                            f"corrupt COPY text: {len(cells)} cells, "
-                            f"schema has {n}"
-                        )
-                    yield tuple(
-                        None if (d := decode_cell(c)) is None else k(d)
-                        for c, k in zip(cells, casters)
+            cols: list[list] = [[] for _ in range(n)]
+            for line in chunk.decode("utf-8").split("\n")[:-1]:
+                cells = line.split("\t")
+                if len(cells) != n:
+                    raise ValueError(
+                        f"corrupt COPY text: {len(cells)} cells, "
+                        f"schema has {n}"
                     )
+                for j, (c, k) in enumerate(zip(cells, casters)):
+                    d = decode_cell(c)
+                    cols[j].append(None if d is None else k(d))
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=arrow_type_for(f.dataType))
+                    for col, f in zip(cols, fields)
+                ],
+                names=[f.name for f in fields],
+            )
+
+        def _decode_chunk(self, chunk: bytes):
+            """Vectorized decode of one LF-terminated chunk into a
+            RecordBatch: Arrow split/take/replace kernels end-to-end;
+            Python touches individual cells only to re-raise a precise
+            error for a corrupt one."""
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if b"\x00" in chunk:
+                return self._decode_chunk_slow(chunk)
+            fields = self._schema.fields
+            n = len(fields)
+            lines = pc.list_flatten(
+                pc.split_pattern(pa.array([chunk.decode("utf-8")]), "\n")
+            )
+            lines = lines.slice(0, len(lines) - 1)  # after trailing LF
+            nrows = len(lines)
+            if nrows == 0:
+                return None
+            cells_list = pc.split_pattern(lines, "\t")
+            lengths = pc.list_value_length(cells_list)
+            if not pc.all(pc.equal(lengths, n)).as_py():
+                bad = lengths.to_numpy()
+                bad = int(bad[bad != n][0])
+                raise ValueError(
+                    f"corrupt COPY text: {bad} cells, schema has {n}"
+                )
+            flat = pc.list_flatten(cells_list)
+            has_escapes = b"\\" in chunk
+            arrays = []
+            for j, f in enumerate(fields):
+                col = flat.take(
+                    pa.array(np.arange(j, nrows * n, n, dtype=np.int64))
+                )
+                if has_escapes:
+                    col = self._decode_escapes(col)
+                at = arrow_type_for(f.dataType)
+                if pa.types.is_boolean(at):
+                    col = self._cast_bool(col)
+                elif not pa.types.is_string(at):
+                    col = pc.cast(col, at)
+                arrays.append(col)
+            return pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in fields]
+            )
+
+        def _decode_escapes(self, col):
+            """`\\N` → null, then the four escapes via non-overlapping
+            left-to-right replaces: escaped-backslash is parked on a
+            NUL placeholder FIRST (so `\\t` etc. cannot fire inside
+            it), and any backslash still present afterwards is a
+            corrupt cell — re-decoded scalar-side for the exact
+            unknown-escape / dangling-backslash message."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            col = pc.if_else(
+                pc.equal(col, "\\N"), pa.scalar(None, pa.string()), col
+            )
+            if not pc.any(pc.match_substring(col, "\\")).as_py():
+                return col
+            s = pc.replace_substring(col, "\\\\", "\x00")
+            s = pc.replace_substring(s, "\\t", "\t")
+            s = pc.replace_substring(s, "\\n", "\n")
+            s = pc.replace_substring(s, "\\r", "\r")
+            bad = pc.match_substring(s, "\\")
+            if pc.any(bad).as_py():
+                i = int(
+                    pc.index(bad, pa.scalar(True, pa.bool_())).as_py()
+                )
+                decode_cell(col[i].as_py())  # raises the precise error
+                raise ValueError("corrupt COPY text")  # unreachable
+            return pc.replace_substring(s, "\x00", "\\")
+
+        def _cast_bool(self, col):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            low = pc.utf8_lower(col)
+            t = pc.is_in(low, value_set=pa.array(["t", "true", "1"]))
+            fa = pc.is_in(low, value_set=pa.array(["f", "false", "0"]))
+            invalid = pc.and_(
+                pc.invert(pc.or_(t, fa)), pc.is_valid(col)
+            )
+            if pc.any(invalid).as_py():
+                i = int(
+                    pc.index(invalid, pa.scalar(True, pa.bool_())).as_py()
+                )
+                raise ValueError(
+                    f"corrupt COPY text: invalid boolean "
+                    f"{col[i].as_py()!r}"
+                )
+            res = pc.if_else(t, pa.scalar(True), pa.scalar(False))
+            return pc.if_else(
+                pc.is_valid(col), res, pa.scalar(None, pa.bool_())
+            )
+
+        def read(self, partition):
+            with open(partition.path, "rb") as fh:
+                carry = b""
+                while True:
+                    block = fh.read(self._chunk)
+                    if not block:
+                        break
+                    buf = carry + block
+                    cut = buf.rfind(b"\n")
+                    if cut < 0:
+                        carry = buf
+                        continue
+                    carry = buf[cut + 1:]
+                    batch = self._decode_chunk(buf[: cut + 1])
+                    if batch is not None:
+                        yield batch
+                if carry:  # final line without trailing LF
+                    batch = self._decode_chunk(carry + b"\n")
+                    if batch is not None:
+                        yield batch
 
     class CopyTextDataSource(DataSource):
         """COPY-text reader; schema must be supplied by the caller
@@ -202,10 +383,12 @@ def q_copytext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"spark_graft_copytext_{key}"
     )
-    done = os.path.isdir(out) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(out)
-    )
-    if not done:
+    # 'done' is keyed on Spark's own _SUCCESS marker (not 'any file'),
+    # and writers stage to a private temp dir then atomically rename —
+    # two processes racing on the same key cannot interleave a read
+    # with a half-written tree, and a foreign file cannot fake
+    # completion
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
         orders = load_table(spark, sf_dir, "orders")
         cols = [
             # the fixture's o_orderdate is a timestamp; the entry
@@ -214,11 +397,18 @@ def q_copytext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(c).cast("date") if c == "o_orderdate" else F.col(c)
             for c in _RT_COLS
         ]
+        tmp = f"{out}.tmp-{os.getpid()}"
         (
             orders.select(copy_text_line(cols).alias("value"))
             .write.mode("overwrite")
-            .text(out)
+            .text(tmp)
         )
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race — the winner's tree is complete
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     register_copytext(spark)
     return spark.read.format("copytext").schema(_RT_SCHEMA).load(out)
 

@@ -168,3 +168,100 @@ def test_fuzz_parity_jvm_vs_python_encoder(spark, tmp_path):
         .collect()
     }
     assert got == set(rows)
+
+
+def test_chunk_boundary_handling(spark, tmp_path):
+    """A tiny chunk_bytes forces every code path across RecordBatch
+    boundaries: rows split mid-line between chunks, a chunk with no
+    newline at all (carried forward), and a final line without a
+    trailing LF."""
+    d = tmp_path / "chunky"
+    d.mkdir()
+    rows = [(i, f"cell-{i}" * 3, None if i % 3 == 0 else f"v{i}")
+            for i in range(57)]
+    wire = encode_copy_text(rows)
+    # strip the final LF: the last line must still be decoded
+    (d / "part-000.txt").write_text(wire[:-1], encoding="utf-8")
+    register_copytext(spark)
+    got = {
+        tuple(r)
+        for r in spark.read.format("copytext")
+        .schema(SCHEMA)
+        .option("chunk_bytes", 16)  # smaller than one line
+        .load(str(d))
+        .collect()
+    }
+    assert got == set(rows)
+
+
+def test_nul_byte_takes_strict_fallback(spark, tmp_path):
+    """A NUL byte in the wire (never emitted by PostgreSQL) collides
+    with the vectorized escape placeholder, so those chunks must route
+    through the scalar decoder — and still decode correctly."""
+    d = tmp_path / "nul"
+    d.mkdir()
+    (d / "part-000.txt").write_bytes(b"1\ta\x00b\t\\N\n2\tx\ty\\tz\n")
+    register_copytext(spark)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("copytext")
+        .schema(SCHEMA)
+        .load(str(d))
+        .collect()
+    )
+    assert got == [(1, "a\x00b", None), (2, "x", "y\tz")]
+
+
+def test_vectorized_casts_full_type_matrix(spark, tmp_path):
+    """Every type the scalar caster accepts must cast identically on
+    the vectorized arrow path (int widths, float, decimal, timestamp,
+    timestamp_ntz) including NULLs per column."""
+    import datetime
+    from decimal import Decimal
+
+    d = tmp_path / "types"
+    d.mkdir()
+    (d / "part-000.txt").write_text(
+        "127\t-32768\t-2147483648\t9007199254740993\t1.5\t-2.25\t"
+        "12345.67\t2020-02-29\t2020-01-02 03:04:05.123456\t"
+        "1999-12-31 23:59:59\ttRuE\n"
+        "\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\n",
+        encoding="utf-8",
+    )
+    sch = (
+        "b tinyint, s smallint, i int, l bigint, f float, d double, "
+        "dec decimal(10,2), dt date, ts timestamp, tsn timestamp_ntz, "
+        "bo boolean"
+    )
+    register_copytext(spark)
+    rows = sorted(
+        (
+            tuple(r)
+            for r in spark.read.format("copytext")
+            .schema(sch)
+            .load(str(d))
+            .collect()
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert rows[0] == (
+        127, -32768, -2147483648, 9007199254740993, 1.5, -2.25,
+        Decimal("12345.67"), datetime.date(2020, 2, 29),
+        datetime.datetime(2020, 1, 2, 3, 4, 5, 123456),
+        datetime.datetime(1999, 12, 31, 23, 59, 59), True,
+    )
+    assert rows[1] == (None,) * 11
+
+
+def test_invalid_boolean_fails_loudly(spark, tmp_path):
+    d = tmp_path / "badbool"
+    d.mkdir()
+    (d / "part-000.txt").write_text("1\tmaybe\n", encoding="utf-8")
+    register_copytext(spark)
+    df = (
+        spark.read.format("copytext")
+        .schema("k bigint, b boolean")
+        .load(str(d))
+    )
+    with pytest.raises(Exception, match="invalid boolean"):
+        df.collect()
