@@ -22,41 +22,38 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r10 window. NO no_oracle-by-design entries (approx_distinct,
-    # approx_quantiles, dedup_simhash, dedup_minhash_lsh, random_ids,
-    # similarity_lsh): they cannot produce hash rows and burned 3 r9
-    # slots; their correctness gates are their driver-green
-    # *_check/*_verified twins.
+    # --- r11 window (50 slots). NO no_oracle-by-design entries
+    # (approx_distinct, approx_quantiles, dedup_simhash,
+    # dedup_minhash_lsh, random_ids, similarity_lsh,
+    # dedup_survivors_lsh): they cannot produce hash rows; their
+    # correctness gates are their driver-green *_check/*_verified
+    # twins or invariant pytests.
     #
-    # (a) entries with NO usable driver row: the never-checked r9/r10
-    # additions + the 8 r02-stale rollovers
-    "dedup_jaccard_prefix", "similarity_ivfpq", "dedup_survivors",
-    "bigram_lm_logprob", "copytext_roundtrip",
-    "collect_distinct_arrays", "corpus_pipeline", "dataset_split",
-    "embedding_quantize", "events_json_props", "profile_orders",
-    "seq_packing", "unpivot_metrics",
-    # (b) every entry whose code changed AFTER its latest driver row:
-    # the r9 rewrites (real mm_decode + the mm_* family chain,
-    # single-scan snapshot_diff, the ER chain + dedup_clusters CC
-    # rewiring, freq_sketch_check worker pickling, pagerank edge
-    # caching, similarity_pq) and the r10 changes (bucketed
-    # stream_anomaly state, prefix-jaccard persist, _pq_codes carry)
-    "mm_decode", "mm_features", "mm_frame_sample", "mm_metadata",
-    "mm_resize", "snapshot_diff", "er_blocking_pairs",
-    "er_match_pairs", "er_clusters", "er_resolved_rollup",
-    "dedup_clusters", "stream_anomaly", "stream_stateful_totals",
-    "freq_sketch_check", "similarity_pq", "pagerank_bipartite",
-    # (c) staleness rotation: the oldest remaining rows (r05), by name;
-    # the last TWO entries overflow the 50-slot window, roll to r11
-    "array_funcs", "bigram_counts", "decontamination_check",
-    "dedup_embedding", "dedup_substring_chunks", "doc_fingerprint",
-    "incremental_dedup", "map_funcs", "math_funcs",
-    "pandas_udaf_wavg", "q13_custdist", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
-    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
-    "regex_funcs", "repetition_filter", "sequence_semantics",
+    # (a) entries whose code changed this round (r11): the vectorized
+    # copytext reader and the multi-probe IVFADC
+    "copytext_roundtrip", "similarity_ivfpq",
+    # (b) staleness rotation — the 5 r05-stale rollovers, then 43 of
+    # the 46 r06-stale entries; validate_bucket_checksum,
+    # value_quantiles, vocab_topk overflow the window and roll to r12
+    # (all three were green in this round's full local oracle sweep)
     "skew_salted_agg", "stratified_sample", "string_distance",
     "typemap_matrix", "validate_content_hash",
+    "cohort_retention", "curation_pipeline", "dedup_containment",
+    "dedup_exact_norm", "dedup_jaccard", "dedup_lines",
+    "dedup_semantic", "domain_cap_sample", "engagement_dau",
+    "events_anomaly", "events_asof_next_purchase",
+    "events_asof_purchase", "events_asof_tolerance",
+    "events_cdc_merge", "events_ema", "events_funnel",
+    "events_latest_per_user", "events_sessionize", "events_window",
+    "group_agg", "hapax_stats", "hash_mod_sample",
+    "key_skew_histogram", "kmeans_assign", "kmeans_update",
+    "ngram_novelty", "oov_rate", "q18_large_volume",
+    "q3_shipping_priority", "q7_volume_shipping", "rfm_segments",
+    "scd2_intervals", "stream_dedup", "stream_dedup_then_window",
+    "stream_session_windows", "stream_sliding_windows",
+    "stream_stream_join", "stream_windowed_counts",
+    "temperature_sample", "token_budget_select", "ts_gapfill_ffill",
+    "ts_ohlc", "unigram_logprob",
 ]
 
 

@@ -176,3 +176,47 @@ def trigger_sql(trg: TriggerMeta) -> str:
         f"create or replace trigger {trg.name.lower()} {trg.timing.lower()} "
         f'{trg.event.lower()} on "{trg.table.lower()}" for each row as {body}'
     )
+
+
+def trigger_sql_pg(trg: TriggerMeta) -> tuple[str, str]:
+    """Vanilla-PostgreSQL two-statement trigger form — exceeds the
+    reference: its one-statement `for each row as <body>` grammar
+    (`tablemeta.go:339`) is openGauss dialect and vanilla PG rejects
+    it, so `trigger_sql` can only ever be string-compared there. This
+    form EXECUTES: a named plpgsql trigger function plus a
+    `CREATE TRIGGER … EXECUTE FUNCTION` (CREATE OR REPLACE TRIGGER
+    needs PG 14+). Body translation stays as light as the reference's
+    (`#` → `--`), plus the one MySQL-ism a row trigger body always
+    carries: `SET NEW.col = expr` becomes the plpgsql assignment
+    `new.col := expr`. The function returns OLD for DELETE and NEW
+    otherwise, the standard timing-agnostic epilogue. Proven to fire
+    on a live PostgreSQL 15 in tests/test_postgres_live.py."""
+    import re
+
+    lines = []
+    for line in trg.body.splitlines():
+        ls = line.strip()
+        if not ls:
+            continue
+        if ls.startswith("#"):
+            lines.append("-- " + ls[1:].strip())
+            continue
+        m = re.match(r"(?i)^set\s+(new\.\w+)\s*=\s*(.+?);?$", ls)
+        if m:
+            lines.append(f"{m.group(1).lower()} := {m.group(2)};")
+        else:
+            lines.append(ls if ls.endswith(";") else ls + ";")
+    body = "\n  ".join(lines) or "null;"
+    fn = f"{trg.name.lower()}_tgfn"
+    func = (
+        f"create or replace function {fn}() returns trigger "
+        f"language plpgsql as $$\nbegin\n  {body}\n"
+        "  if tg_op = 'DELETE' then return old; end if;\n"
+        "  return new;\nend $$"
+    )
+    trig = (
+        f"create or replace trigger {trg.name.lower()} "
+        f"{trg.timing.lower()} {trg.event.lower()} on "
+        f'"{trg.table.lower()}" for each row execute function {fn}()'
+    )
+    return func, trig

@@ -968,6 +968,21 @@ def q_dedup_survivors(
     )
 
 
+def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_dedup_survivors` on its 100 TB edge source: the sub-quadratic
+    MinHash-LSH pair generator instead of the exact-Jaccard verifier.
+    This is the plan a corpus-scale run executes (band-bucketed
+    candidate join, never all-pairs), benched as its own headline row
+    so the survivor number reflects the scale path. Rows-only registry
+    entry (the LSH hash family is engine-specific); semantics are
+    gated by tests/test_ann_quality.py::
+    test_survivors_invariants_hold_on_lsh_edges — one survivor per
+    cluster, every doc exactly once, survivor maximizes
+    (quality_score, n_chars, -doc_id)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    return q_dedup_survivors(spark, sf_dir, pairs=pairs)
+
+
 # ---------------------------------------------------------------------------
 # exact-substring chunk dedup (Lee et al., "Deduplicating Training Data
 # Makes Language Models Better": cross-document repeated substrings)
@@ -1586,6 +1601,9 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    # rows-only by design (LSH edge source): invariant-gated in
+    # tests/test_ann_quality.py, benched as the scale-path headline
+    "dedup_survivors_lsh": q_dedup_survivors_lsh,
 }
 
 ORACLES = {

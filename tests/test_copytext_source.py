@@ -265,3 +265,68 @@ def test_invalid_boolean_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="invalid boolean"):
         df.collect()
+
+
+def test_binary_bytea_roundtrip(spark, tmp_path):
+    """BinaryType columns ship as PG bytea hex (`\\x` + lowercase hex,
+    doubled backslash on the wire) through the JVM encoder and decode
+    back byte-for-byte — the blob path ADVICE flagged: a plain
+    cast(binary as string) would mangle non-UTF-8 bytes."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, bytes(range(256))),
+        (2, b""),
+        (3, None),
+        (4, b"\x00\\\t\n\r\xff"),
+    ]
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, sch)
+    out = str(tmp_path / "bin")
+    (
+        df.select(
+            copy_text_line(
+                [F.col("id"), F.col("blob")],
+                types=[f.dataType for f in sch.fields],
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    # wire form: lowercase hex with doubled backslash
+    wire = []
+    for f in os.listdir(out):
+        if not f.startswith(("_", ".")):
+            with open(os.path.join(out, f), encoding="utf-8") as fh:
+                wire += [ln[:-1] for ln in fh if ln.endswith("\n")]
+    assert sorted(wire) == sorted(
+        encode_copy_text(rows).split("\n")[:-1]
+    )
+    assert any("\\\\x00ff" in ln or "\\\\x" in ln for ln in wire)
+    register_copytext(spark)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("copytext")
+        .schema("id bigint, blob binary")
+        .load(out)
+        .collect()
+    )
+    got = [(i, bytes(b) if b is not None else None) for i, b in got]
+    assert got == sorted(rows)
+
+
+def test_binary_without_prefix_fails_loudly(spark, tmp_path):
+    d = tmp_path / "badbin"
+    d.mkdir()
+    (d / "part-000.txt").write_text("1\tdeadbeef\n", encoding="utf-8")
+    register_copytext(spark)
+    df = (
+        spark.read.format("copytext")
+        .schema("id bigint, blob binary")
+        .load(str(d))
+    )
+    with pytest.raises(Exception, match="bytea"):
+        df.collect()

@@ -116,3 +116,27 @@ def test_trigger_sql_comment_rewrite():
     assert out.startswith(
         'create or replace trigger trg before insert on "t" for each row as'
     )
+
+
+def test_trigger_sql_pg_two_statement_form():
+    from gomysql2pg_spark.ddl import TriggerMeta, trigger_sql_pg
+
+    trg = TriggerMeta(
+        name="TRG",
+        table="T",
+        timing="BEFORE",
+        event="INSERT",
+        body="# note\nSET NEW.x = NEW.x + 1\nperform 1",
+    )
+    func, trig = trigger_sql_pg(trg)
+    assert func.startswith(
+        "create or replace function trg_tgfn() returns trigger"
+    )
+    assert "-- note" in func
+    assert "new.x := NEW.x + 1;" in func
+    assert "perform 1;" in func
+    assert "if tg_op = 'DELETE' then return old" in func
+    assert trig == (
+        'create or replace trigger trg before insert on "t" '
+        "for each row execute function trg_tgfn()"
+    )

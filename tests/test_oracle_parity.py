@@ -55,6 +55,14 @@ def test_registry_invariants_no_oracle_entries_have_gated_twins():
     for name in qs:
         if name in os_:
             continue
+        # variant of an oracle-gated base (e.g. dedup_survivors_lsh is
+        # dedup_survivors on its scale edge source: same operator, a
+        # different — engine-specific — candidate generator); the base
+        # oracle gates the semantics, invariant pytests gate the
+        # variant wiring
+        base = name.rsplit("_", 1)[0]
+        if base in os_:
+            continue
         twin = f"{name}_check" if f"{name}_check" in qs else f"{name}_verified"
         assert twin in qs, f"rows-only entry {name} has no twin"
         assert twin in os_, f"{name}'s twin {twin} is not oracle-gated"

@@ -406,3 +406,105 @@ def test_generated_ddl_executes_on_live_pg(pg_sock):
         ),
     )
     assert _psql(pg_sock, "SELECT nm FROM v_ddl").strip() == "a"
+
+
+def test_bytea_copy_roundtrips_through_live_pg(pg_sock):
+    """BinaryType/bytea leg of the COPY grammar proof: our hex-form
+    encode (`\\x` + lowercase hex, backslash doubled on the wire) must
+    load into a live bytea column byte-for-byte, and PG's own COPY TO
+    output must decode back through the copytext scalar+arrow casters.
+    This is the ADVICE blob-corruption case: cast(binary as string)
+    would mangle 0x00/0xFF; the hex form cannot."""
+    from gomysql2pg_spark.sinks.jdbc import encode_copy_text
+
+    rows = [
+        (1, bytes(range(256))),
+        (2, b""),
+        (3, None),
+        (4, b"\x00\\\t\n\r\xff"),
+    ]
+    _psql(pg_sock, "CREATE TABLE bytea_rt (id bigint, blob bytea)")
+    _psql(
+        pg_sock,
+        "COPY bytea_rt (id, blob) FROM STDIN",
+        stdin=encode_copy_text(rows),
+    )
+    # server-side byte-identity: length + md5 of each blob
+    got = _psql(
+        pg_sock,
+        "SELECT id, octet_length(blob), md5(blob) FROM bytea_rt "
+        "WHERE blob IS NOT NULL ORDER BY id",
+    ).strip().splitlines()
+    import hashlib
+
+    expected = [
+        f"{i}|{len(b)}|{hashlib.md5(b).hexdigest()}"
+        for i, b in rows
+        if b is not None
+    ]
+    assert got == expected
+    assert _psql(
+        pg_sock, "SELECT count(*) FROM bytea_rt WHERE blob IS NULL"
+    ).strip() == "1"
+    # PG's own COPY TO wire → the copytext source's decoders
+    wire = _psql(pg_sock, "COPY bytea_rt (id, blob) TO STDOUT")
+    from gomysql2pg_spark.sources.copytext import make_copytext_source
+
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as d:
+        p = os.path.join(d, "part-000")
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write(wire)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        )
+        DS = make_copytext_source()
+        reader = DS(options={"path": p}).reader(schema)
+        decoded = []
+        for part in reader.partitions():
+            for batch in reader.read(part):
+                decoded += [
+                    (r["id"], None if r["blob"] is None else bytes(r["blob"]))
+                    for r in batch.to_pylist()
+                ]
+        assert sorted(decoded, key=lambda t: t[0]) == rows
+
+
+def test_trigger_pg_form_fires_on_live_pg(pg_sock):
+    """A15, executable form: the vanilla-PG two-statement translation
+    (`ddl.trigger_sql_pg` — plpgsql function + CREATE TRIGGER, since
+    the reference's one-statement Gauss grammar can't run here) must
+    CREATE cleanly on PostgreSQL 15 and demonstrably FIRE: a BEFORE
+    INSERT trigger with a MySQL `SET NEW.col = expr` body rewrites the
+    inserted value; re-applying both statements (create OR REPLACE) is
+    idempotent."""
+    from gomysql2pg_spark.ddl import TriggerMeta, trigger_sql_pg
+
+    _psql(pg_sock, "CREATE TABLE trg_t (id bigint, n bigint)")
+    trg = TriggerMeta(
+        name="TRG_BUMP",
+        table="TRG_T",
+        timing="BEFORE",
+        event="INSERT",
+        body="# bump the counter on the way in\nSET NEW.n = NEW.n + 10",
+    )
+    func, trig = trigger_sql_pg(trg)
+    for stmt in (func, trig, func, trig):  # idempotent re-apply
+        _psql(pg_sock, stmt)
+    _psql(pg_sock, "INSERT INTO trg_t VALUES (1, 5)")
+    assert _psql(
+        pg_sock, "SELECT n FROM trg_t WHERE id = 1"
+    ).strip() == "15"
+    # catalog: the trigger is attached with the right timing/event
+    row = _psql(
+        pg_sock,
+        "SELECT action_timing, event_manipulation "
+        "FROM information_schema.triggers WHERE trigger_name = 'trg_bump'",
+    ).strip()
+    assert row == "BEFORE|INSERT"
