@@ -6,7 +6,12 @@ is encoded to this wire format and streamed through `pq.CopyIn`
 real Spark SOURCE via the PySpark 4 Python DataSource API — so a COPY
 dump (from the reference, from `pg_dump`, or from this repo's
 distributed encoder in `sinks.jdbc.copy_text_line`) is directly
-queryable, one scan task per file.
+queryable. Files above `split_bytes` (default 128 MiB) split into
+byte-range scan tasks with Hadoop LineRecordReader semantics (a task
+with start > 0 discards through the first newline; every task emits
+exactly the lines whose first byte is at offset <= its end, reading
+past `end` to finish a straddling line), so one multi-GB dump file
+parallelizes across executors without coordination.
 
 Grammar (the strict server-side rules, proven against a live
 PostgreSQL 15 in tests/test_postgres_live.py): rows are LF-terminated,
@@ -357,23 +362,78 @@ def make_copytext_source():
             )
 
         def read(self, partition):
+            """Scan one [start, end) byte range with Hadoop
+            LineRecordReader semantics: a range with start > 0 discards
+            through the first newline (that line belongs to the
+            previous range), then emits every line whose FIRST byte
+            sits at absolute offset <= end — including the one line
+            that starts exactly at `end` (the next range skips it) and
+            reading past `end` to finish a straddling line. Ranges are
+            therefore disjoint and complete for any split points."""
+            start = getattr(partition, "start", 0) or 0
+            end = getattr(partition, "end", None)
             with open(partition.path, "rb") as fh:
+                if end is None:
+                    fh.seek(0, os.SEEK_END)
+                    end = fh.tell()
+                fh.seek(start)
+                pos = start  # absolute offset of the next unread byte
                 carry = b""
+                carry_abs = start  # absolute offset of carry[0]
+                if start > 0:
+                    # discard through the first newline; the previous
+                    # range reads through it (its line starts <= its
+                    # own end == this start)
+                    while True:
+                        block = fh.read(self._chunk)
+                        if not block:
+                            return  # range lies inside the final line
+                        before = pos
+                        pos += len(block)
+                        nl = block.find(b"\n")
+                        if nl >= 0:
+                            carry = block[nl + 1:]
+                            carry_abs = before + nl + 1
+                            break
                 while True:
+                    if carry_abs > end:
+                        return  # next line starts past the range
                     block = fh.read(self._chunk)
                     if not block:
                         break
+                    pos += len(block)
                     buf = carry + block
+                    buf_abs = carry_abs
+                    # first newline at absolute offset >= end closes
+                    # the last line this range owns
+                    stop = buf.find(b"\n", end - buf_abs)
+                    if stop >= 0:
+                        batch = self._decode_chunk(buf[: stop + 1])
+                        if batch is not None:
+                            yield batch
+                        return
                     cut = buf.rfind(b"\n")
                     if cut < 0:
                         carry = buf
                         continue
                     carry = buf[cut + 1:]
+                    carry_abs = buf_abs + cut + 1
                     batch = self._decode_chunk(buf[: cut + 1])
                     if batch is not None:
                         yield batch
-                if carry:  # final line without trailing LF
-                    batch = self._decode_chunk(carry + b"\n")
+                if carry:
+                    # EOF with leftover bytes: the stopping newline may
+                    # sit inside the carry (small file, small ranges),
+                    # and carry from the skip loop can already hold
+                    # complete LF-terminated lines
+                    stop = carry.find(b"\n", end - carry_abs)
+                    if stop >= 0:
+                        piece = carry[: stop + 1]
+                    elif carry.endswith(b"\n"):
+                        piece = carry
+                    else:  # final line without trailing LF
+                        piece = carry + b"\n"
+                    batch = self._decode_chunk(piece)
                     if batch is not None:
                         yield batch
 
@@ -464,10 +524,20 @@ def q_copytext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             os.rename(tmp, out)
-        except OSError:  # lost the race — the winner's tree is complete
+        except OSError:
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isfile(os.path.join(out, "_SUCCESS")):
+                # lost the race — the winner's tree is complete
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # stale partial tree (crashed older run): evict it and
+                # install the fresh complete one
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:  # a concurrent writer beat the retry
+                    shutil.rmtree(tmp, ignore_errors=True)
     register_copytext(spark)
     return spark.read.format("copytext").schema(_RT_SCHEMA).load(out)
 
