@@ -55,13 +55,18 @@ def test_registry_invariants_no_oracle_entries_have_gated_twins():
     for name in qs:
         if name in os_:
             continue
-        # variant of an oracle-gated base (e.g. dedup_survivors_lsh is
-        # dedup_survivors on its scale edge source: same operator, a
+        # EXPLICIT variant allowlist: each key is a rows-only variant
+        # of the oracle-gated base it maps to (same operator, a
         # different — engine-specific — candidate generator); the base
         # oracle gates the semantics, invariant pytests gate the
-        # variant wiring
-        base = name.rsplit("_", 1)[0]
-        if base in os_:
+        # variant wiring. Deliberately not a name-prefix heuristic: a
+        # future <entry>_<suffix> must be added here CONSCIOUSLY or
+        # carry its own twin.
+        variants = {"dedup_survivors_lsh": "dedup_survivors"}
+        if name in variants:
+            assert variants[name] in os_, (
+                f"{name}'s base {variants[name]} lost its oracle"
+            )
             continue
         twin = f"{name}_check" if f"{name}_check" in qs else f"{name}_verified"
         assert twin in qs, f"rows-only entry {name} has no twin"
