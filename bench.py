@@ -148,6 +148,12 @@ HEADLINE = [
     # cached wire tree — the reps measure the scan, not the encode)
     "dedup_survivors_lsh",
     "copytext_roundtrip",
+    # round-12: the whole migration pipeline as one row (bounded-
+    # parallel table pump -> JVM COPY-text encode -> staged dump tree
+    # -> copytext read-back -> canonical content checksum); every rep
+    # RE-STAGES the tree, so the number is the migration itself — the
+    # one phase the reference publishes wall times for
+    "migration_e2e",
 ]
 
 

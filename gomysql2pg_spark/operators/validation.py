@@ -517,8 +517,165 @@ FROM diff GROUP BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end migration (round 12): the reference's TableData phase as
+# ONE benched, oracle-gated entry
+# ---------------------------------------------------------------------------
+
+# canonical checksum serialization per migrated table (same contract
+# discipline as _CHECKSUM_COLS): CENTS: = money double as exact cents,
+# DATE: = calendar date as 'YYYY-MM-DD'
+_E2E_TABLES = {
+    "nation": {
+        "ddl": "n_nationkey int, n_name string, n_regionkey int",
+        "canon": ["n_nationkey", "n_name", "n_regionkey"],
+    },
+    "customer": {
+        "ddl": (
+            "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        ),
+        "canon": [
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "CENTS:c_acctbal",
+            "c_mktsegment",
+        ],
+    },
+    "orders": {
+        "ddl": (
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date, o_orderpriority string"
+        ),
+        "canon": [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "CENTS:o_totalprice",
+            "DATE:o_orderdate",
+            "o_orderpriority",
+        ],
+    },
+}
+
+
+def _canon_checksum(df: DataFrame, table: str, canon: list[str]):
+    """(tbl, n_rows, checksum) over the canonical serialization — the
+    same 60-bit md5/bit_xor digest as `q_validate_content_hash`
+    (order-insensitive, engine-portable, overflow-free)."""
+    from ..functions.numeric import cents
+
+    cols = []
+    for c in canon:
+        tag, _, name = c.partition(":")
+        if tag == "CENTS":
+            cols.append(cents(name).cast("string"))
+        elif tag == "DATE":
+            cols.append(F.col(name).cast("date").cast("string"))
+        else:
+            cols.append(F.col(c).cast("string"))
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(digest.alias("d")).agg(
+        F.lit(table).alias("tbl"),
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(d)").alias("checksum"),
+    )
+
+
+def q_migration_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole TableData phase (`cmd/root.go:311-504`:
+    per-table bounded-parallel pump → COPY wire encode → load →
+    compareDb), end-to-end on the Spark stack: the `Migrator`
+    orchestrator drives each table through the JVM COPY-text encoder
+    into a staged dump tree (`sinks.jdbc.copy_dump_sink` — the bulk-
+    load layout `psql \\copy` consumes, proven live in
+    tests/test_postgres_live.py), the tree is read BACK through the
+    `copytext` Spark source, and the result is the read-back side's
+    content checksum per table. The oracle computes the identical
+    canonical checksum over the ORIGINAL tables, so any corruption in
+    encode, file split, decode, or type round-trip (money doubles,
+    dates, int widths) fails the value hash — a strictly stronger
+    verdict than the reference's count-only compare, measured as one
+    bench row against the reference's published migration wall times
+    (BASELINE.md; its only benchmarks are this phase). Every rep
+    re-stages the dump tree: the measured number IS the migration, not
+    a cached scan."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..migrate import MigrationConfig, Migrator
+    from ..sinks.jdbc import copy_dump_sink
+    from ..sources.copytext import register_copytext
+
+    out_dir = _tempfile.mkdtemp(prefix="spark_graft_mig_e2e_")
+
+    def source(table: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        if table == "orders":
+            # exercise the DATE wire form (fixture stores a timestamp)
+            df = df.select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "o_orderpriority",
+            )
+        return df
+
+    mig = Migrator(
+        spark,
+        MigrationConfig(max_parallel=len(_E2E_TABLES)),
+        source_fn=source,
+        sink_fn=copy_dump_sink(out_dir),
+    )
+    report = mig.run(list(_E2E_TABLES))
+    if report.failed:
+        raise RuntimeError(f"migration_e2e failed: {report.failed}")
+    register_copytext(spark)
+    parts = []
+    for table, spec in _E2E_TABLES.items():
+        back = (
+            spark.read.format("copytext")
+            .schema(spec["ddl"])
+            .load(_os.path.join(out_dir, table))
+        )
+        parts.append(_canon_checksum(back, table, spec["canon"]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _e2e_oracle_one(table: str, canon: list[str]) -> str:
+    cols = []
+    for c in canon:
+        tag, _, name = c.partition(":")
+        if tag == "CENTS":
+            cols.append(f"CAST(CAST(ROUND({name} * 100) AS BIGINT) AS VARCHAR)")
+        elif tag == "DATE":
+            cols.append(f"CAST(CAST({name} AS DATE) AS VARCHAR)")
+        else:
+            cols.append(f"CAST({c} AS VARCHAR)")
+    return (
+        f"SELECT '{table}' AS tbl, COUNT(*) AS n_rows, "
+        f"bit_xor(CAST(('0x' || substring(md5(concat_ws('|', "
+        f"{', '.join(cols)})), 1, 15)) AS BIGINT)) AS checksum "
+        f"FROM {table}"
+    )
+
+
+ORACLE_MIGRATION_E2E = " UNION ALL ".join(
+    _e2e_oracle_one(t, spec["canon"]) for t, spec in _E2E_TABLES.items()
+)
+
+
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
+    "migration_e2e": q_migration_e2e,
     "profile_orders": q_profile_orders,
     "validate_fk_orphans": q_validate_fk_orphans,
     "validate_bucket_checksum": q_validate_bucket_checksum,
@@ -531,6 +688,7 @@ QUERIES = {
 
 ORACLES = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "migration_e2e": ORACLE_MIGRATION_E2E,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_fk_orphans": ORACLE_VALIDATE_FK_ORPHANS,
     "validate_bucket_checksum": ORACLE_VALIDATE_BUCKET_CHECKSUM,

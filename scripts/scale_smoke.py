@@ -67,6 +67,10 @@ SCALE_CRITICAL = [
     "dedup_survivors",
     "dedup_survivors_lsh",
     "copytext_roundtrip",
+    # r12: the end-to-end migration row (re-stages the dump tree each
+    # run — encode, write, range-split read-back, checksum all scale
+    # with rows)
+    "migration_e2e",
     "cross_source_overlap",
     "similarity_topk",
     "similarity_ivf",
