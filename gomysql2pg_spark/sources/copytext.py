@@ -31,11 +31,15 @@ typed columns via Arrow string casts. Any backslash REMAINING after
 the four passes is a corrupt cell; the strict scalar decoder re-runs
 on it to raise the precise unknown-escape/dangling-backslash error.
 
-Partition planning lists files on the DRIVER and read() re-opens the
-same paths on executors: the source assumes a filesystem shared
-between driver and executors (true in local mode and on clusters
-scanning NFS/fuse mounts; for object stores, stage the dump tree to a
-shared mount first).
+All file access goes through `pyarrow.fs`: partition planning lists
+files on the DRIVER (FileInfo/FileSelector) and read() re-opens the
+same paths on executors through the SAME FileSystem, which rides
+inside the pickled reader. A bare path scans the local filesystem; a
+URI path (`s3://…`, `hdfs://…`, `gs://…`, `file:///…`) resolves via
+`pyarrow.fs.FileSystem.from_uri`, so an object-store dump tree scans
+directly — no staging to a shared mount. Callers instantiating the
+reader directly may inject any FileSystem object (e.g. a
+SubTreeFileSystem) under the `filesystem` option.
 
 The DataSource class is built inside a FACTORY and registered from the
 returned value, so cloudpickle ships it BY VALUE — Python workers in a
@@ -185,21 +189,52 @@ def make_copytext_source():
             self._chunk = int(options.get("chunk_bytes", 1 << 25))
             # files above this split into byte-range scan tasks
             self._split = int(options.get("split_bytes", 128 << 20))
+            # the filesystem is resolved ONCE on the driver and rides
+            # to executors inside the pickled reader (pyarrow
+            # filesystems implement __reduce__): a URI path
+            # ("s3://...", "hdfs://...", "file:///...") resolves via
+            # FileSystem.from_uri, a bare path gets LocalFileSystem,
+            # and a direct instantiation (tests, embedding callers)
+            # may inject any pyarrow FileSystem object — e.g. a
+            # SubTreeFileSystem — under the "filesystem" option
+            fs_opt = options.get("filesystem")
+            self._fs, self._root = self._resolve_fs(self._path, fs_opt)
+
+        @staticmethod
+        def _resolve_fs(path: str, fs_opt):
+            from pyarrow import fs as pafs
+
+            if fs_opt is not None and not isinstance(fs_opt, str):
+                return fs_opt, path  # injected FileSystem object
+            if fs_opt not in (None, "", "auto", "local"):
+                raise ValueError(
+                    f"copytext: unknown filesystem {fs_opt!r}"
+                )
+            if fs_opt in (None, "", "auto") and "://" in path:
+                return pafs.FileSystem.from_uri(path)
+            return pafs.LocalFileSystem(), path
 
         def partitions(self):
-            p = self._path
-            if os.path.isfile(p):
-                files = [p]
-            else:
+            from pyarrow import fs as pafs
+
+            info = self._fs.get_file_info(self._root)
+            if info.type == pafs.FileType.File:
+                files = [(info.path, info.size)]
+            elif info.type == pafs.FileType.Directory:
                 files = sorted(
-                    os.path.join(p, f)
-                    for f in os.listdir(p)
-                    if not f.startswith(("_", "."))
-                    and os.path.isfile(os.path.join(p, f))
+                    (i.path, i.size)
+                    for i in self._fs.get_file_info(
+                        pafs.FileSelector(self._root)
+                    )
+                    if i.type == pafs.FileType.File
+                    and not i.base_name.startswith(("_", "."))
+                )
+            else:
+                raise FileNotFoundError(
+                    f"copytext: no such file or directory: {self._root}"
                 )
             parts = []
-            for f in files:
-                size = os.path.getsize(f)
+            for f, size in files:
                 n = max(1, -(-size // self._split))
                 step = -(-size // n) if size else 1
                 parts += [
@@ -372,9 +407,9 @@ def make_copytext_source():
             therefore disjoint and complete for any split points."""
             start = getattr(partition, "start", 0) or 0
             end = getattr(partition, "end", None)
-            with open(partition.path, "rb") as fh:
+            with self._fs.open_input_file(partition.path) as fh:
                 if end is None:
-                    fh.seek(0, os.SEEK_END)
+                    fh.seek(0, 2)
                     end = fh.tell()
                 fh.seek(start)
                 pos = start  # absolute offset of the next unread byte
