@@ -544,7 +544,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # widest in the pipeline). The frame is tiny (confirmed pairs).
         .persist()
     )
-    cand.count()
+    n_cand = cand.count()
     # verify candidates with exact jaccard on shingle sets — computed
     # ONLY for docs that appear in a candidate pair (semi-join pruning:
     # at scale verification touches |candidates| docs, not the corpus),
@@ -573,7 +573,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    sh.count()
+    # the materializing count exists to stop sha/shb's CONCURRENT
+    # shuffle-map stages from racing the empty cache and shingling
+    # twice — worth one extra job only when the candidate set is big
+    # enough for the duplicated work to beat the job's scheduling
+    # latency (at 256 pairs the race duplicates ~0.02 s of shingling;
+    # the barrier job costs ~0.2 s)
+    if n_cand > 5_000:
+        sh.count()
     sha = sh.select(F.col("doc_id").alias("da"), F.col("sset").alias("set_a"))
     shb = sh.select(F.col("doc_id").alias("db"), F.col("sset").alias("set_b"))
     verified = (
@@ -856,9 +863,15 @@ def connected_components(
                 ]
             )
             raw.unpersist()
-            return sess.createDataFrame(
-                sorted(labels_map.items()), out_schema
+            # pandas in, not a row list: the plain-list createDataFrame
+            # path serializes through RDD conversion (~0.5 s even for
+            # hundreds of rows); the pandas path ships one Arrow batch
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                sorted(labels_map.items()), columns=["node", "label"]
             )
+            return sess.createDataFrame(pdf, out_schema)
     both = raw.unionByName(
         raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -978,7 +991,20 @@ def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated by tests/test_ann_quality.py::
     test_survivors_invariants_hold_on_lsh_edges — one survivor per
     cluster, every doc exactly once, survivor maximizes
-    (quality_score, n_chars, -doc_id)."""
+    (quality_score, n_chars, -doc_id).
+
+    Measured floor (r12, sf0.1 local[32], min over 5 warm reps):
+    ~1.8 s, decomposing as the full MinHash-LSH pipeline ~1.17 s (its
+    own standalone bench row — the survivor entry deliberately
+    re-executes it end-to-end so this row prices the COMPLETE corpus
+    plan) + ~0.6 s survivor increment (CC probe job + driver
+    union-find on the 256-edge graph + the quality join + ONE
+    cluster window). The increment is job-scheduling latency on
+    candidate-scale frames, not data volume — it does not grow with
+    the corpus (the 10× smoke ratio tracks the LSH stage) — so the
+    r10 brief's 1.2 s target is unreachable without caching the pair
+    pipeline across calls, which would fake the headline (the bench
+    rep would measure a cache hit, not the migration-scale plan)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("da", "db")
     return q_dedup_survivors(spark, sf_dir, pairs=pairs)
 
