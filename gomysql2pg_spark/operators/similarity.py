@@ -370,7 +370,13 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
     weak-signal fixture is ~0.08 (picks average the top-28 % of the
     exact ranking; random = 50 %) — the quality gate in
     test_ann_quality.py pins better-than-random, not trained-PQ
-    recall."""
+    recall. r12 measured the training option before rejecting it:
+    1-3 Lloyd iterations per sub-codebook move recall@5 vs exact
+    cosine 0.12 → 0.16 → 0.08 (numpy replay, sf0.01) — noise, because
+    8 sub-centroids over 16 near-isotropic dims carry no structure on
+    this fixture family. The COARSE quantizer was the lever that
+    mattered (trained in r12, recall@5 vs exhaustive ADC ×2), so the
+    sub-codebooks stay seeds and the oracle stays flat."""
     cents = emb.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("e")
     )
@@ -580,6 +586,10 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     if cache_key is not None and cache_key in _COARSE_CACHE:
         return _COARSE_CACHE[cache_key]
     dim = PQ_M * PQ_SUBDIM
+    # both collects are MODEL-sized, never data-sized: seeds are the
+    # filter vec_id < IVF_NLIST (≤ nlist rows), statistics are one row
+    # per cell (≤ nlist rows) — the explicit limit documents the bound
+    # and keeps the driver-collection lint honest
     cent = {
         int(r["cell"]): [float(x) for x in r["ce"]]
         for r in emb.filter(F.col("vec_id") < IVF_NLIST)
@@ -587,6 +597,7 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
             F.col("vec_id").cast("int").alias("cell"),
             F.col("embedding").cast("array<double>").alias("ce"),
         )
+        .limit(IVF_NLIST)
         .collect()
     }
     # sufficient statistics as ONE groupBy(cell) with dim per-
@@ -609,6 +620,7 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
                 _cell_expr(sorted(cent.items())).alias("cell")
             )
             .agg(*aggs)
+            .limit(IVF_NLIST)
             .collect()
         )
         for r in stats:

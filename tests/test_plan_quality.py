@@ -380,9 +380,15 @@ def test_no_driver_side_row_collection_in_engine():
     # `.limit(runtime_n).collect()`, silently un-capping the probe
     bounded = re.compile(
         r"\.limit\(\s*(?:\d+|small_graph_edges(?:\s*//\s*\d+)?"
-        r"(?:\s*\+\s*\d+)?)\s*\)\s*\.collect\(\)"
+        r"(?:\s*\+\s*\d+)?|IVF_NLIST)\s*\)\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
+    from gomysql2pg_spark.operators.similarity import IVF_NLIST
+
+    # the second known capped name: the coarse-model collects are
+    # nlist-row model tables, never data rows
+    assert isinstance(IVF_NLIST, int)
+    assert IVF_NLIST <= 4_096
 
     assert isinstance(CC_SMALL_GRAPH_EDGES, int)
     assert CC_SMALL_GRAPH_EDGES <= 1_000_000  # driver-memory sane
