@@ -22,38 +22,37 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r11 window (50 slots). NO no_oracle-by-design entries
-    # (approx_distinct, approx_quantiles, dedup_simhash,
-    # dedup_minhash_lsh, random_ids, similarity_lsh,
-    # dedup_survivors_lsh): they cannot produce hash rows; their
-    # correctness gates are their driver-green *_check/*_verified
-    # twins or invariant pytests.
+    # --- r12 window (50 slots). NO no_oracle-by-design entries.
     #
-    # (a) entries whose code changed this round (r11): the vectorized
-    # copytext reader and the multi-probe IVFADC
-    "copytext_roundtrip", "similarity_ivfpq",
-    # (b) staleness rotation — the 5 r05-stale rollovers, then 43 of
-    # the 46 r06-stale entries; validate_bucket_checksum,
-    # value_quantiles, vocab_topk overflow the window and roll to r12
-    # (all three were green in this round's full local oracle sweep)
-    "skew_salted_agg", "stratified_sample", "string_distance",
-    "typemap_matrix", "validate_content_hash",
-    "cohort_retention", "curation_pipeline", "dedup_containment",
-    "dedup_exact_norm", "dedup_jaccard", "dedup_lines",
-    "dedup_semantic", "domain_cap_sample", "engagement_dau",
-    "events_anomaly", "events_asof_next_purchase",
-    "events_asof_purchase", "events_asof_tolerance",
-    "events_cdc_merge", "events_ema", "events_funnel",
-    "events_latest_per_user", "events_sessionize", "events_window",
-    "group_agg", "hapax_stats", "hash_mod_sample",
-    "key_skew_histogram", "kmeans_assign", "kmeans_update",
-    "ngram_novelty", "oov_rate", "q18_large_volume",
-    "q3_shipping_priority", "q7_volume_shipping", "rfm_segments",
-    "scd2_intervals", "stream_dedup", "stream_dedup_then_window",
-    "stream_session_windows", "stream_sliding_windows",
-    "stream_stream_join", "stream_windowed_counts",
-    "temperature_sample", "token_budget_select", "ts_gapfill_ffill",
-    "ts_ohlc", "unigram_logprob",
+    # (a) entries whose code r12 changed: the copytext byte-range
+    # split fix + pyarrow.fs plumbing, the trained-coarse-quantizer
+    # IVFADC, the new end-to-end migration row, and every oracled
+    # consumer of the connected-components small-graph path / the
+    # MinHash-LSH barrier tuning
+    "copytext_roundtrip", "similarity_ivfpq", "migration_e2e",
+    "dedup_survivors", "dedup_clusters", "er_clusters",
+    "er_resolved_rollup", "pagerank_bipartite",
+    "dedup_minhash_lsh_verified",
+    # (b) the 3 r06-stale rollovers budgeted for r12 by the r11 brief
+    "validate_bucket_checksum", "value_quantiles", "vocab_topk",
+    # (c) staleness rotation: 38 of the 41 remaining r08-stale
+    # entries (alphabetical; weighted_systematic_sample,
+    # winsorized_stats, zorder_layout overflow to r13 — all three
+    # green in this round's full local oracle sweep)
+    "anti_join", "approx_distinct_check", "approx_quantiles_check",
+    "bloom_prefilter_join", "cell_transforms", "char_entropy",
+    "classifier_score", "conditional_null", "cooccurrence_lift",
+    "coreset_margin_select", "count_star", "cross_source_overlap",
+    "dedup_exact", "dedup_simhash_verified", "distinct_agg",
+    "doc_chunking", "domain_cap_sample_scaled", "domain_reweight",
+    "events_top_paths", "events_transition_matrix", "filter_like",
+    "full_scan", "group_concat", "group_reservoir_sample",
+    "heavy_hitters", "interval_overlap_join", "mad_outliers",
+    "mixture_allocation", "multikey_sort", "page_count",
+    "quality_calibration", "random_ids_check", "rfm_segments_scaled",
+    "similarity_lsh_verified", "stream_heavy_hitters",
+    "stream_quality_gate", "stream_source_stats",
+    "validate_fk_orphans",
 ]
 
 
