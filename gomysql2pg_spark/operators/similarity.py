@@ -652,36 +652,57 @@ def _coarse_model(sf_dir: str, emb: DataFrame) -> list:
     return _train_coarse(emb, cache_key=_fixture_key(sf_dir))
 
 
-# persisted (cell, c0..c3) code tables per (application, fixture):
-# building the IVF index — coarse training + PQ encode of the corpus —
-# is the OFFLINE step of a real system (at 100 TB the code table is
-# written out partitioned by cell and queries only probe it), so
-# repeated searches against an unchanged corpus reuse the persisted
-# index instead of re-encoding per query
-_CODES_CACHE: dict = {}
-
-
 def _ivf_index(
     spark: SparkSession, sf_dir: str, emb: DataFrame, cb: DataFrame
 ):
-    """(cent_rows, codes): the trained coarse model + the persisted
-    per-cell PQ code table. Cell assignment is the zero-shuffle
-    `_cell_expr` map; the persist doubles as a lineage cut so query
-    plans downstream reference the index, not the (large, literal-
-    heavy) build expression."""
+    """(cent_rows, codes): the trained coarse model + the per-cell PQ
+    code table, MATERIALIZED TO DISK partitioned by cell — this is the
+    real IVFADC architecture, not just a cache: building the index
+    (coarse training + corpus encode) is the offline step, the index
+    LIVES as a cell-partitioned table, and queries read it back so the
+    probe equi-join prunes to nprobe directories (partition-pruning
+    plan gate in tests/test_ann_quality.py). Keyed by fixture identity
+    (path + mtime + hyperparams + recipe tag) under /tmp with the
+    _SUCCESS + atomic-rename discipline of the copytext wire cache, so
+    racing processes can't interleave a read with a half-written tree
+    and an unchanged corpus never re-encodes. Cell assignment inside
+    the build is the zero-shuffle `_cell_expr` map."""
+    import hashlib
+    import shutil
+    import tempfile
+
     cent_rows = _coarse_model(sf_dir, emb)
-    key = (spark.sparkContext.applicationId, _fixture_key(sf_dir))
-    if key[1] is not None and key in _CODES_CACHE:
-        return cent_rows, _CODES_CACHE[key]
-    codes = _pq_codes(
-        emb.withColumn("cell", _cell_expr(cent_rows)),
-        cb,
-        carry=("cell",),
-    ).persist()
-    codes.count()
-    if key[1] is not None:
-        _CODES_CACHE[key] = codes
-    return cent_rows, codes
+    fk = _fixture_key(sf_dir)
+    if fk is None:  # unkeyable fixture: build in memory, no reuse
+        codes = _pq_codes(
+            emb.withColumn("cell", _cell_expr(cent_rows)),
+            cb,
+            carry=("cell",),
+        )
+        return cent_rows, codes
+    key = hashlib.md5(repr((fk, "ivf-codes-v1")).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        codes = _pq_codes(
+            emb.withColumn("cell", _cell_expr(cent_rows)),
+            cb,
+            carry=("cell",),
+        )
+        tmp = f"{out}.tmp-{os.getpid()}"
+        codes.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.isfile(os.path.join(out, "_SUCCESS")):
+                # lost the race — the winner's tree is complete
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:  # stale partial tree: evict, install the fresh one
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)
+    return cent_rows, spark.read.parquet(out)
 
 
 def _cell_expr(cent_rows: list, emb_col: str = "embedding") -> "F.Column":

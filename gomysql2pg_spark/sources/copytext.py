@@ -574,7 +574,16 @@ def q_copytext_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 except OSError:  # a concurrent writer beat the retry
                     shutil.rmtree(tmp, ignore_errors=True)
     register_copytext(spark)
-    return spark.read.format("copytext").schema(_RT_SCHEMA).load(out)
+    # split_bytes forced far below the default so the ORACLE-GATED
+    # entry exercises the byte-range split path on every driver run
+    # (~3 ranges/file at sf0.01, ~5 at sf0.1): any range-boundary
+    # duplication or loss breaks the value hash, not just a pytest
+    return (
+        spark.read.format("copytext")
+        .schema(_RT_SCHEMA)
+        .option("split_bytes", str(256 << 10))
+        .load(out)
+    )
 
 
 ORACLE_COPYTEXT_ROUNDTRIP = """

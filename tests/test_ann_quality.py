@@ -680,3 +680,50 @@ def test_ivf_code_table_partition_prunes_on_probe(spark, sf_dir, tmp_path):
         == full.filter(F.col("cell").isin(3, 5)).count()
         < full.count()
     )
+
+
+def test_train_coarse_empty_cell_keeps_previous_centroid(spark):
+    """The one training branch the fixture never hits: a cell that
+    loses every member keeps its previous centroid, in BOTH engines.
+    Two identical seed vectors force it deterministically — every
+    vector equidistant to cells 2 and 3 tie-breaks to the smaller
+    cell, so cell 3 is empty from iteration 1. The Spark-side model
+    must keep cell 3's seed centroid verbatim, and the oracle's
+    COALESCE CTE must produce the identical final centroids."""
+    import duckdb
+    import pandas as pd
+
+    from gomysql2pg_spark.operators.similarity import (
+        IVF_TRAIN_ITERS,
+        _coarse_train_sql,
+        _train_coarse,
+    )
+
+    dim = 64
+    # seeds = vec_id 0..7; seed 7 DUPLICATES seed 6, and members (ids
+    # >= 100) sit strictly nearer their seed than any other, with a
+    # member at 7.1 equidistant to cells 6 and 7 tie-breaking to 6
+    seeds = [[float(i + 1)] * dim for i in range(7)]
+    seeds.append(seeds[6])
+    rows = [(i, v) for i, v in enumerate(seeds)]
+    rows += [(100 + j, [1.0 + 0.1 * (j + 1)] * dim) for j in range(3)]
+    rows.append((200, [7.1] * dim))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = dict(_train_coarse(emb))
+    # cell 7 never wins a tie against cell 6 -> kept its seed centroid
+    assert model[7] == seeds[6]
+    assert model[6] != seeds[6]  # cell 6 absorbed the 7.1 member
+    assert model[0] != seeds[0]  # cell 0 absorbed the 1.1/1.2/1.3 set
+    # the oracle's training CTEs produce the identical final model
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]}),
+    )
+    got = con.execute(
+        f"WITH {_coarse_train_sql()} SELECT cell, ce "
+        f"FROM cent{IVF_TRAIN_ITERS} ORDER BY cell"
+    ).fetchall()
+    oracle_model = {c: list(ce) for c, ce in got}
+    assert oracle_model == model
