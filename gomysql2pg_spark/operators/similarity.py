@@ -759,7 +759,12 @@ def q_similarity_ivfpq(
     code table is written partitioned BY cell, so the probe is a
     partition-pruned scan of |queries| × nprobe cells, and the scanned
     state is nprobe × n/nlist × PQ_M bytes per query instead of
-    n × dim floats. Same fixed-order left-associated ADC sum and
+    n × dim floats — and that is the EXECUTED plan, not an aspiration:
+    the code table lives on disk partitioned by cell (`_ivf_index`),
+    and the probe join compiles to dynamic partition pruning
+    (SubqueryAdaptiveBroadcast → dynamicpruning partition filter on
+    the cell directories; plan-gated in tests/test_ann_quality.py).
+    Same fixed-order left-associated ADC sum and
     (adc, nid) tie-break as the exhaustive form, so results are
     engine-exact. Measured recall@5 vs exhaustive ADC on the sf0.01
     fixture: 0.36 (nprobe=1) → 0.56 (nprobe=2) → 0.72 (nprobe=3) —

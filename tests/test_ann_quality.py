@@ -661,6 +661,20 @@ def test_ivf_code_table_partition_prunes_on_probe(spark, sf_dir, tmp_path):
     out = str(tmp_path / "codes")
     codes.write.partitionBy("cell").parquet(out)
     full = spark.read.parquet(out)
+    # the ENTRY's own plan: the probe equi-join against the disk index
+    # compiles to dynamic partition pruning on the cell directories
+    # (SubqueryAdaptiveBroadcast feeding a dynamicpruning partition
+    # filter) — the literal "query touches nprobe cells" 100 TB claim
+    from gomysql2pg_spark.operators.similarity import q_similarity_ivfpq
+
+    entry_plan = (
+        q_similarity_ivfpq(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression(cell" in entry_plan
+
     probed = full.filter(F.col("cell").isin(3, 5))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan.split(

@@ -59,3 +59,52 @@ def test_compare_report_shape(spark, sf_dir):
     rep = compare_report(results)
     assert rep["failed"] == ["region"]
     assert not rep["ok"]
+
+
+def test_migration_e2e_checksum_detects_wire_corruption(spark, sf_dir, tmp_path):
+    """Negative proof for the end-to-end migration gate: flip ONE cell
+    value inside the staged COPY wire tree and the canonical checksum
+    must change while the row count stays equal — exactly the silent-
+    corruption class the reference's count-only compareDb passes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.operators.validation import _canon_checksum
+    from gomysql2pg_spark.sinks.jdbc import copy_dump_sink
+    from gomysql2pg_spark.sources.copytext import register_copytext
+
+    out_dir = str(tmp_path / "stage")
+    nation = load_table(spark, sf_dir, "nation")
+    copy_dump_sink(out_dir)(nation.select("n_nationkey", "n_name", "n_regionkey"), "nation")
+    register_copytext(spark)
+    ddl = "n_nationkey int, n_name string, n_regionkey int"
+    canon = ["n_nationkey", "n_name", "n_regionkey"]
+
+    def checksum():
+        back = (
+            spark.read.format("copytext")
+            .schema(ddl)
+            .load(os.path.join(out_dir, "nation"))
+        )
+        row = _canon_checksum(back, "nation", canon).collect()[0]
+        return row["n_rows"], row["checksum"]
+
+    n0, h0 = checksum()
+    # corrupt one byte of one data file: swap the first region digit
+    # on some row (keeps cell count and row count intact)
+    tree = os.path.join(out_dir, "nation")
+    victim = next(
+        os.path.join(tree, f)
+        for f in sorted(os.listdir(tree))
+        if not f.startswith(("_", ".")) and os.path.getsize(os.path.join(tree, f))
+    )
+    raw = open(victim, "rb").read()
+    lines = raw.split(b"\n")
+    cells = lines[0].split(b"\t")
+    cells[2] = b"9" if cells[2] != b"9" else b"8"
+    lines[0] = b"\t".join(cells)
+    open(victim, "wb").write(b"\n".join(lines))
+    n1, h1 = checksum()
+    assert n1 == n0  # the reference's verdict: unchanged → "ok"
+    assert h1 != h0  # the content gate: corruption detected
