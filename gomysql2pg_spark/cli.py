@@ -1,0 +1,445 @@
+"""The reference's command-line surface, rebuilt on the Spark stack.
+
+`gomysql2pg` is a CLI tool (cobra commands at `/root/reference/cmd/
+root.go:39`, `create.go:28-179`, `compare.go:24`, `version.go:19`); a
+user switching to this repo needs the same entry points, not just the
+library. This module maps each subcommand onto the already-proven
+layers:
+
+    python -m gomysql2pg_spark -c config.yml [command]
+
+| command     | reference              | here                                |
+|-------------|------------------------|-------------------------------------|
+| migrate     | root `gomysql2pg`      | DDL -> Migrator data phase -> compareDb |
+| onlyData    | create.go:178          | Migrator data phase only            |
+| createTable | create.go:28           | A10 CREATE TABLE DDL per table      |
+| seqOnly     | create.go:86           | A11 sequence DDL (metadata block)   |
+| idxOnly     | create.go:116          | A12 index/PK/unique DDL (metadata)  |
+| viewOnly    | create.go:148          | A14 rewritten view DDL (metadata)   |
+| compareDb   | compare.go:24          | A16 row counts + content hash       |
+| version     | version.go:19          | prints the package version          |
+
+Config is the reference's example.yml shape (`MigrationConfig.
+from_yaml`). Source/destination resolution extends it just enough to
+be runnable without a live MySQL:
+
+- ``src.host`` starting with ``jdbc:`` -> the URL is passed through to
+  the partitioned JDBC reader (the shape the embedded-Derby migration
+  tests prove);
+- ``src.database`` naming a DIRECTORY -> a parquet table tree
+  (`catalog.list_tables`/`load_table`) — the offline-dump form of a
+  source database. Per-table custom SQL from the ``tables:`` block
+  runs against temp views of the tree (reference `root.go:531-545`).
+- ``dest.dbType: copydump`` (or a directory ``dest.database`` with no
+  host) -> each table stages as a COPY-text dump tree
+  (`sinks.jdbc.copy_dump_sink`, bulk-loadable via ``psql \\copy``),
+  and compareDb reads it BACK through the `copytext` source;
+- ``dest.host`` starting with ``jdbc:`` -> the batched JDBC sink.
+
+DDL commands print statements to stdout (or ``--out FILE``); execution
+on a live target is proven separately (tests/test_postgres_live.py) —
+the CLI emits, the DBA applies, exactly how dump-based migrations are
+operated. Sequences/indexes/views need catalog metadata a parquet tree
+doesn't carry, so they read an optional ``metadata:`` block in the
+config (lists of sequence/index/view specs) — the declared-metadata
+form of the reference's information_schema queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+VERSION = "0.12.0"  # tracks the build round
+
+
+# ---------------------------------------------------------------------------
+# Spark schema -> ColumnMeta (for DDL over parquet sources)
+# ---------------------------------------------------------------------------
+
+
+def column_meta_from_field(field, pos: int):
+    """Reverse-map a Spark StructField to the MySQL-shaped ColumnMeta
+    the A10 generator consumes. Parquet carries no length/default
+    metadata, so strings map to text (longtext) and defaults are
+    absent. Nested types (array/map/struct) have no MySQL source form
+    — they fail loudly per table rather than emit wrong DDL."""
+    from pyspark.sql import types as T
+
+    from .functions.typemap import ColumnMeta
+
+    dt = field.dataType
+    if isinstance(dt, T.DecimalType):
+        return ColumnMeta(
+            name=field.name,
+            data_type="decimal",
+            numeric_precision=dt.precision,
+            numeric_scale=dt.scale,
+            is_nullable="YES" if field.nullable else "NO",
+            ordinal_position=pos,
+        )
+    simple = {
+        T.LongType: "bigint",
+        T.IntegerType: "int",
+        T.ShortType: "smallint",
+        T.ByteType: "tinyint",
+        T.DoubleType: "double",
+        T.FloatType: "float",
+        T.BooleanType: "tinyint",
+        T.StringType: "longtext",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+        T.TimestampNTZType: "datetime",
+        T.BinaryType: "blob",
+    }
+    for spark_t, mysql_t in simple.items():
+        if isinstance(dt, spark_t):
+            return ColumnMeta(
+                name=field.name,
+                data_type=mysql_t,
+                is_nullable="YES" if field.nullable else "NO",
+                ordinal_position=pos,
+            )
+    raise ValueError(
+        f"column {field.name}: Spark type {dt.simpleString()} has no "
+        f"MySQL source form (nested types are not migratable DDL)"
+    )
+
+
+def _copytext_ddl(df) -> str:
+    """Schema string for reading a staged dump back through the
+    `copytext` source — the staged columns ARE the source columns."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+# ---------------------------------------------------------------------------
+# source / destination resolution
+# ---------------------------------------------------------------------------
+
+
+#: JDBC driver class by URL scheme (the reference hard-codes the MySQL
+#: driver for src and switches dest on dbType, `cmd/app.go:36-81`;
+#: derby is the embedded engine the test suite proves round-trips)
+_JDBC_DRIVERS = {
+    "jdbc:mysql": "com.mysql.cj.jdbc.Driver",
+    "jdbc:postgresql": "org.postgresql.Driver",
+    "jdbc:derby": "org.apache.derby.jdbc.EmbeddedDriver",
+}
+
+
+def _driver_for(url: str) -> str:
+    for prefix, driver in _JDBC_DRIVERS.items():
+        if url.startswith(prefix):
+            return driver
+    return _JDBC_DRIVERS["jdbc:mysql"]
+
+
+def _build_source(spark, cfg):
+    """-> (tables, source_fn). Parquet-dir or JDBC-URL sources."""
+    from .catalog import list_tables, load_table
+    from .sources.jdbc import JdbcSourceConfig
+    from .sources.jdbc import read as jdbc_read
+
+    src = cfg.src
+    if src.host.startswith("jdbc:"):
+        jcfg = JdbcSourceConfig(
+            url=src.host,
+            user=src.username,
+            password=src.password,
+            driver=_driver_for(src.host),
+            max_parallel=cfg.max_parallel,
+        )
+        if not cfg.tables:
+            raise SystemExit(
+                "jdbc source: list the tables to move under `tables:` "
+                "(catalog discovery needs a dialect-specific query)"
+            )
+
+        def source(table: str):
+            sql = cfg.tables.get(table) or None
+            return jdbc_read(spark, jcfg, table=None if sql else table,
+                             query=sql)
+
+        return list(cfg.tables), source
+
+    root = src.database
+    if not os.path.isdir(root):
+        raise SystemExit(
+            f"src: {root!r} is neither a directory of parquet tables "
+            f"nor a jdbc: URL in src.host"
+        )
+    tables = list_tables(root, exclude=cfg.exclude)
+
+    def source(table: str):
+        sql = cfg.tables.get(table, "")
+        if sql:
+            for t in tables:  # custom SQL may join any source table
+                load_table(spark, root, t).createOrReplaceTempView(t)
+            return spark.sql(sql)
+        return load_table(spark, root, table)
+
+    return tables, source
+
+
+def _dest_is_dump(cfg) -> bool:
+    d = cfg.dest
+    return d.dbtype == "copydump" or (
+        not d.host and bool(d.database) and not d.username
+    )
+
+
+def _build_sink(spark, cfg):
+    """-> (sink_fn, readback_fn|None). Dump-tree or JDBC destinations;
+    readback_fn(table, src_df) -> DataFrame re-reads what was loaded,
+    for compareDb."""
+    from .sinks.jdbc import JdbcSinkConfig, copy_dump_sink, write
+    from .sources.copytext import register_copytext
+
+    dest = cfg.dest
+    if _dest_is_dump(cfg):
+        dump_dir = dest.database
+        os.makedirs(dump_dir, exist_ok=True)
+        sink = copy_dump_sink(dump_dir)
+        register_copytext(spark)
+
+        def readback(table: str, src_df):
+            return (
+                spark.read.format("copytext")
+                .schema(_copytext_ddl(src_df))
+                .load(os.path.join(dump_dir, table))
+            )
+
+        return sink, readback
+    if dest.host.startswith("jdbc:"):
+        jcfg = JdbcSinkConfig(
+            url=dest.host,
+            user=dest.username,
+            password=dest.password,
+            driver=_driver_for(dest.host),
+        )
+
+        def sink(df, table: str):
+            write(df, jcfg, table)
+
+        def readback(table: str, src_df):
+            return (
+                spark.read.format("jdbc")
+                .option("url", jcfg.url)
+                .option("user", jcfg.user)
+                .option("password", jcfg.password)
+                .option("driver", jcfg.driver)
+                .option("dbtable", table)
+                .load()
+            )
+
+        return sink, readback
+    raise SystemExit(
+        "dest: set dbType: copydump with a directory in dest.database, "
+        "or a jdbc: URL in dest.host"
+    )
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+
+def _emit(statements: list[str], out_path: str | None) -> None:
+    text = ";\n".join(statements) + (";\n" if statements else "")
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+
+
+def cmd_create_table(spark, cfg, tables, source, out=None) -> int:
+    """createTable (`create.go:28-84`): target DDL per source table;
+    un-migratable tables (nested Spark types) are reported and counted
+    as failures, like the reference's per-table error accounting."""
+    from .ddl import create_table_sql
+
+    stmts, failed = [], []
+    for t in tables:
+        df = source(t)
+        try:
+            cols = [
+                column_meta_from_field(f, i + 1)
+                for i, f in enumerate(df.schema.fields)
+            ]
+        except ValueError as exc:
+            failed.append((t, str(exc)))
+            continue
+        stmts += create_table_sql(
+            t, cols, cfg.char_in_length, cfg.use_nvarchar2
+        )
+    _emit(stmts, out)
+    for t, err in failed:
+        print(f"-- SKIPPED {t}: {err}", file=sys.stderr)
+    return 1 if failed and not stmts else 0
+
+
+def _metadata_block(config_path: str) -> dict:
+    import yaml
+
+    with open(config_path) as f:
+        raw = yaml.safe_load(f) or {}
+    return raw.get("metadata") or {}
+
+
+def cmd_seq_only(config_path, out=None) -> int:
+    from .ddl import sequence_sql
+
+    stmts = []
+    for s in _metadata_block(config_path).get("sequences", []):
+        stmts += sequence_sql(
+            s["table"], s["column"], int(s.get("start", 1))
+        )
+    _emit(stmts, out)
+    return 0
+
+
+def cmd_idx_only(config_path, cfg=None, out=None) -> int:
+    from .ddl import IndexMeta, index_sql
+
+    distributed = bool(cfg and cfg.distributed)
+    stmts = []
+    for s in _metadata_block(config_path).get("indexes", []):
+        stmts.append(
+            index_sql(
+                IndexMeta(
+                    table=s["table"],
+                    index_name=s["name"],
+                    columns=list(s["columns"]),
+                    non_unique=not bool(s.get("unique", False)),
+                    index_type=str(s.get("type", "BTREE")),
+                ),
+                distributed=distributed,
+                suffix=s.get("suffix"),
+            )
+        )
+    _emit(stmts, out)
+    return 0
+
+
+def cmd_view_only(config_path, out=None) -> int:
+    from .ddl import view_sql
+
+    stmts = [
+        view_sql(
+            v["name"], v["definition"], v.get("sourceSchema", "")
+        ).rstrip(";")
+        for v in _metadata_block(config_path).get("views", [])
+    ]
+    _emit(stmts, out)
+    return 0
+
+
+def cmd_only_data(spark, cfg, tables, source, sink) -> int:
+    """onlyData (`create.go:178`): the bounded-parallel data phase with
+    the reference's per-table failure accounting and summary."""
+    from .migrate import Migrator
+
+    mig = Migrator(spark, cfg, source_fn=source, sink_fn=sink)
+    report = mig.run(tables)
+    for r in report.results:
+        status = "ok" if r.ok else f"FAILED ({(r.error or '').splitlines()[0]})"
+        print(f"{r.table}: {r.rows} rows in {r.seconds:.2f}s {status}")
+    print(
+        f"migrated {sum(1 for r in report.results if r.ok)}/"
+        f"{len(report.results)} tables"
+    )
+    return 1 if report.failed else 0
+
+
+def cmd_compare_db(spark, cfg, tables, source, readback) -> int:
+    """compareDb (`compare.go:24-132`) upgraded with the content hash:
+    per-table row counts AND the order-insensitive checksum."""
+    from .validate import compare_report, compare_tables
+
+    results = []
+    for t in tables:
+        src_df = source(t)
+        try:
+            dst_df = readback(t, src_df)
+            results.append(compare_tables(src_df, dst_df, t))
+        except Exception as exc:  # missing/unreadable target table
+            from .validate import TableCompareResult
+
+            results.append(TableCompareResult(t, src_df.count(), -1))
+            print(f"{t}: target unreadable: {exc}", file=sys.stderr)
+    rep = compare_report(results)
+    for row in rep["tables"]:
+        verdict = "ok" if row["content_ok"] else "MISMATCH"
+        print(
+            f"{row['table']}: src={row['src_rows']} "
+            f"dst={row['dst_rows']} {verdict}"
+        )
+    print("compareDb:", "ok" if rep["ok"] else f"failed {rep['failed']}")
+    return 0 if rep["ok"] else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="gomysql2pg-spark",
+        description=__doc__.splitlines()[0],
+    )
+    p.add_argument("-c", "--config", help="example.yml-shaped config")
+    p.add_argument(
+        "command",
+        nargs="?",
+        default="migrate",
+        choices=[
+            "migrate", "onlyData", "createTable", "seqOnly", "idxOnly",
+            "viewOnly", "compareDb", "version",
+        ],
+    )
+    p.add_argument("--out", help="write DDL here instead of stdout")
+    args = p.parse_args(argv)
+
+    if args.command == "version":
+        print(f"gomysql2pg-spark {VERSION}")
+        return 0
+    if not args.config:
+        p.error("-c/--config is required for every command but version")
+
+    from .migrate import MigrationConfig
+
+    cfg = MigrationConfig.from_yaml(args.config)
+
+    # DDL-from-metadata commands need no Spark session at all
+    if args.command == "seqOnly":
+        return cmd_seq_only(args.config, args.out)
+    if args.command == "idxOnly":
+        return cmd_idx_only(args.config, cfg, args.out)
+    if args.command == "viewOnly":
+        return cmd_view_only(args.config, args.out)
+
+    from .session import get_spark
+    spark = get_spark(app_name="gomysql2pg-spark-cli")
+    tables, source = _build_source(spark, cfg)
+
+    if args.command == "createTable":
+        return cmd_create_table(spark, cfg, tables, source, args.out)
+
+    sink, readback = _build_sink(spark, cfg)
+    if args.command == "onlyData":
+        return cmd_only_data(spark, cfg, tables, source, sink)
+    if args.command == "compareDb":
+        if readback is None:
+            raise SystemExit("compareDb: destination is not readable")
+        return cmd_compare_db(spark, cfg, tables, source, readback)
+
+    # migrate = createTable DDL + data + compare (`root.go:60-213`)
+    rc = cmd_create_table(spark, cfg, tables, source, args.out)
+    rc = cmd_only_data(spark, cfg, tables, source, sink) or rc
+    if readback is not None:
+        rc = cmd_compare_db(spark, cfg, tables, source, readback) or rc
+    return rc
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
