@@ -10,7 +10,7 @@ layers:
 
 | command     | reference              | here                                |
 |-------------|------------------------|-------------------------------------|
-| migrate     | root `gomysql2pg`      | DDL -> Migrator data phase -> compareDb |
+| migrate     | root `gomysql2pg`      | full phase order: tables -> data -> idx/view/trigger/seq -> compareDb |
 | onlyData    | create.go:178          | Migrator data phase only            |
 | createTable | create.go:28           | A10 CREATE TABLE DDL per table      |
 | seqOnly     | create.go:86           | A11 sequence DDL (metadata block)   |
@@ -41,8 +41,13 @@ on a live target is proven separately (tests/test_postgres_live.py) —
 the CLI emits, the DBA applies, exactly how dump-based migrations are
 operated. Sequences/indexes/views need catalog metadata a parquet tree
 doesn't carry, so they read an optional ``metadata:`` block in the
-config (lists of sequence/index/view specs) — the declared-metadata
-form of the reference's information_schema queries.
+config (lists of sequence/index/view/trigger specs) — the
+declared-metadata form of the reference's information_schema queries.
+The data phase applies the reference's A8 NUL-strip to text cells
+(`root.go:441-470`), records stripped rows under
+``errorsDir/invalidTableData/<table>`` when ``errorsDir`` is set, and
+compareDb's content hash will flag such rows as changed — the honest
+verdict for data the pump mutated.
 """
 
 from __future__ import annotations
@@ -290,7 +295,7 @@ def _metadata_block(config_path: str) -> dict:
     return raw.get("metadata") or {}
 
 
-def cmd_seq_only(config_path, out=None) -> int:
+def _seq_stmts(config_path) -> list[str]:
     from .ddl import sequence_sql
 
     stmts = []
@@ -298,11 +303,15 @@ def cmd_seq_only(config_path, out=None) -> int:
         stmts += sequence_sql(
             s["table"], s["column"], int(s.get("start", 1))
         )
-    _emit(stmts, out)
+    return stmts
+
+
+def cmd_seq_only(config_path, out=None) -> int:
+    _emit(_seq_stmts(config_path), out)
     return 0
 
 
-def cmd_idx_only(config_path, cfg=None, out=None) -> int:
+def _idx_stmts(config_path, cfg=None) -> list[str]:
     from .ddl import IndexMeta, index_sql
 
     distributed = bool(cfg and cfg.distributed)
@@ -321,29 +330,94 @@ def cmd_idx_only(config_path, cfg=None, out=None) -> int:
                 suffix=s.get("suffix"),
             )
         )
-    _emit(stmts, out)
+    return stmts
+
+
+def cmd_idx_only(config_path, cfg=None, out=None) -> int:
+    _emit(_idx_stmts(config_path, cfg), out)
     return 0
 
 
-def cmd_view_only(config_path, out=None) -> int:
+def _view_stmts(config_path) -> list[str]:
     from .ddl import view_sql
 
-    stmts = [
+    return [
         view_sql(
             v["name"], v["definition"], v.get("sourceSchema", "")
         ).rstrip(";")
         for v in _metadata_block(config_path).get("views", [])
     ]
-    _emit(stmts, out)
+
+
+def cmd_view_only(config_path, out=None) -> int:
+    _emit(_view_stmts(config_path), out)
     return 0
+
+
+def _trigger_stmts(config_path) -> list[str]:
+    """Trigger DDL from the metadata block in the vanilla-PG
+    two-statement plpgsql form that actually executes on PostgreSQL
+    (A15; the Gauss one-statement grammar stays available as
+    `ddl.trigger_sql` for reference-parity emission)."""
+    from .ddl import TriggerMeta, trigger_sql_pg
+
+    stmts = []
+    for s in _metadata_block(config_path).get("triggers", []):
+        fn_sql, trg_sql = trigger_sql_pg(
+            TriggerMeta(
+                name=s["name"],
+                table=s["table"],
+                timing=s["timing"],
+                event=s["event"],
+                body=s["body"],
+            )
+        )
+        stmts += [fn_sql.rstrip(";"), trg_sql.rstrip(";")]
+    return stmts
 
 
 def cmd_only_data(spark, cfg, tables, source, sink) -> int:
     """onlyData (`create.go:178`): the bounded-parallel data phase with
-    the reference's per-table failure accounting and summary."""
+    the reference's per-table failure accounting, the invalidTableData
+    side channel when errorsDir is set (`root.go:450-470`), and the
+    summary."""
+    from .functions.transforms import invalid_rows
     from .migrate import Migrator
 
-    mig = Migrator(spark, cfg, source_fn=source, sink_fn=sink)
+    from .functions.transforms import strip_nul
+
+    def _string_cols(df):
+        # parquet sources carry no MySQL catalog; treat every string
+        # column as NUL-vulnerable text (the superset)
+        return [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+
+    def transform(df):
+        # A8: the reference's pump strips U+0000 from text cells before
+        # writing (`root.go:441-470` — PG text rejects NUL). NOTE: a
+        # stripped row therefore hashes differently from its source in
+        # compareDb — by design; the side channel below records it
+        out = df
+        for c in _string_cols(df):
+            out = out.withColumn(c, strip_nul(c))
+        return out
+
+    error_rows_fn = None
+    if cfg.errors_dir:
+
+        def error_rows_fn(df):
+            return invalid_rows(
+                df, {c: "text" for c in _string_cols(df)}
+            )
+
+    mig = Migrator(
+        spark, cfg, source_fn=source, sink_fn=sink,
+        transform_fn=transform,
+        error_rows_fn=error_rows_fn,
+    )
     report = mig.run(tables)
     for r in report.results:
         status = "ok" if r.ok else f"FAILED ({(r.error or '').splitlines()[0]})"
@@ -433,9 +507,19 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("compareDb: destination is not readable")
         return cmd_compare_db(spark, cfg, tables, source, readback)
 
-    # migrate = createTable DDL + data + compare (`root.go:60-213`)
+    # migrate = the reference's full phase order (`root.go:60-213`):
+    # table DDL -> data -> indexes -> views -> triggers -> sequences
+    # (from the metadata block, where declared) -> compareDb summary
     rc = cmd_create_table(spark, cfg, tables, source, args.out)
     rc = cmd_only_data(spark, cfg, tables, source, sink) or rc
+    post_ddl = (
+        _idx_stmts(args.config, cfg)
+        + _view_stmts(args.config)
+        + _trigger_stmts(args.config)
+        + _seq_stmts(args.config)
+    )
+    if post_ddl:
+        _emit(post_ddl, None)
     if readback is not None:
         rc = cmd_compare_db(spark, cfg, tables, source, readback) or rc
     return rc

@@ -187,3 +187,112 @@ def test_cli_jdbc_dest_roundtrips_through_derby(spark, tmp_path, sf_dir, capsys)
     assert "migrated 2/2 tables" in capsys.readouterr().out
     assert main(["-c", str(path), "compareDb"]) == 0
     assert "compareDb: ok" in capsys.readouterr().out
+
+
+def test_migrate_emits_post_ddl_phases(spark, config, capsys, tmp_path):
+    """The full migrate mirrors the reference's phase order: after the
+    data phase, declared indexes/views/sequences (and triggers) are
+    emitted too."""
+    path, _ = config
+    assert main(["-c", path, "migrate"]) == 0
+    out = capsys.readouterr().out
+    assert 'alter table "nation" add primary key' in out
+    assert "create or replace view v_nation" in out
+    assert "create sequence seq_nation_n_nationkey" in out
+
+
+def test_trigger_metadata_emits_pg_form(tmp_path, capsys):
+    """Declared triggers come out in the vanilla-PG two-statement
+    plpgsql form (the one that actually fires, A15/K5)."""
+    import yaml as _yaml
+
+    cfg = {
+        "src": {"database": "/nonexistent"},
+        "dest": {"dbType": "copydump", "database": str(tmp_path / "d")},
+        "metadata": {
+            "triggers": [
+                {
+                    "name": "trg_touch",
+                    "table": "orders",
+                    "timing": "BEFORE",
+                    "event": "UPDATE",
+                    "body": "set new.o_comment = 'touched'",
+                }
+            ]
+        },
+    }
+    path = tmp_path / "cfg.yml"
+    path.write_text(_yaml.safe_dump(cfg))
+    from gomysql2pg_spark.cli import _trigger_stmts
+
+    stmts = _trigger_stmts(str(path))
+    joined = ";\n".join(stmts)
+    assert "create or replace function" in joined.lower()
+    assert "execute function" in joined.lower()
+    assert "new.o_comment" in joined.lower()
+
+
+def test_errors_dir_side_channel(spark, tmp_path, sf_dir, capsys):
+    """errorsDir wires the invalidTableData side channel: a planted
+    NUL row lands under errorsDir/invalidTableData/<table> while the
+    migration itself proceeds."""
+    import yaml as _yaml
+
+    from pyspark.sql import functions as F
+
+    # plant a NUL into a private copy of region
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("bad\x00name")).otherwise(
+            F.col("r_name")
+        ),
+    ).coalesce(1).write.parquet(str(src_dir / "region.parquet"))
+    errors = tmp_path / "errs"
+    cfg = {
+        "src": {"database": str(src_dir)},
+        "dest": {"dbType": "copydump", "database": str(tmp_path / "dump")},
+        "errorsDir": str(errors),
+    }
+    path = tmp_path / "cfg.yml"
+    path.write_text(_yaml.safe_dump(cfg))
+    assert main(["-c", str(path), "onlyData"]) == 0
+    side = errors / "invalidTableData" / "region"
+    assert side.is_dir()
+    rows = spark.read.json(str(side)).collect()
+    assert len(rows) == 1 and rows[0]["r_regionkey"] == 0
+
+
+def test_data_phase_strips_nul_like_the_reference(spark, tmp_path, sf_dir):
+    """A8 parity: the pump strips U+0000 from text cells before the
+    wire (PG text rejects NUL) — the staged dump must carry the
+    cleaned value."""
+    import yaml as _yaml
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 1, F.lit("A\x00B")).otherwise(
+            F.col("r_name")
+        ),
+    ).coalesce(1).write.parquet(str(src_dir / "region.parquet"))
+    dump = tmp_path / "dump"
+    cfg = {
+        "src": {"database": str(src_dir)},
+        "dest": {"dbType": "copydump", "database": str(dump)},
+    }
+    path = tmp_path / "cfg.yml"
+    path.write_text(_yaml.safe_dump(cfg))
+    assert main(["-c", str(path), "onlyData"]) == 0
+    wire = b""
+    for f in os.listdir(dump / "region"):
+        if not f.startswith(("_", ".")):
+            wire += open(dump / "region" / f, "rb").read()
+    assert b"\x00" not in wire
+    assert b"AB" in wire  # the stripped value, not a dropped row
