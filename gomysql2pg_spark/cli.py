@@ -23,9 +23,10 @@ Config is the reference's example.yml shape (`MigrationConfig.
 from_yaml`). Source/destination resolution extends it just enough to
 be runnable without a live MySQL:
 
-- ``src.host`` starting with ``jdbc:`` -> the URL is passed through to
-  the partitioned JDBC reader (the shape the embedded-Derby migration
-  tests prove);
+- ``src.host`` set -> the partitioned JDBC reader: a ``jdbc:`` URL
+  passes through (the shape the embedded-Derby migration tests prove);
+  a verbatim example.yml host/port/database block builds the MySQL URL
+  the reference opens (`cmd/app.go:36-44`);
 - ``src.database`` naming a DIRECTORY -> a parquet table tree
   (`catalog.list_tables`/`load_table`) — the offline-dump form of a
   source database. Per-table custom SQL from the ``tables:`` block
@@ -34,7 +35,10 @@ be runnable without a live MySQL:
   host) -> each table stages as a COPY-text dump tree
   (`sinks.jdbc.copy_dump_sink`, bulk-loadable via ``psql \\copy``),
   and compareDb reads it BACK through the `copytext` source;
-- ``dest.host`` starting with ``jdbc:`` -> the batched JDBC sink.
+- ``dest.host`` set -> the batched JDBC sink: a ``jdbc:`` URL passes
+  through; a verbatim host/port/database block routes through the
+  reference's dbType dialect switch (postgres/gauss/vastbase/kingbase,
+  `cmd/app.go:59-81`).
 
 DDL commands print statements to stdout (or ``--out FILE``); execution
 on a live target is proven separately (tests/test_postgres_live.py) —
@@ -142,21 +146,37 @@ def _driver_for(url: str) -> str:
     return _JDBC_DRIVERS["jdbc:mysql"]
 
 
-def _build_source(spark, cfg):
-    """-> (tables, source_fn). Parquet-dir or JDBC-URL sources."""
-    from .catalog import list_tables, load_table
+def src_source_config(cfg):
+    """The JdbcSourceConfig a src block resolves to: a ``jdbc:`` URL
+    in ``src.host`` passes through; a verbatim example.yml
+    host/port/database block builds the MySQL URL the reference's
+    driver opens (`cmd/app.go:36-44`). Exposed for unit tests."""
     from .sources.jdbc import JdbcSourceConfig
+
+    src = cfg.src
+    url = (
+        src.host
+        if src.host.startswith("jdbc:")
+        else f"jdbc:mysql://{src.host}:{src.port}/{src.database}"
+    )
+    return JdbcSourceConfig(
+        url=url,
+        user=src.username,
+        password=src.password,
+        driver=_driver_for(url),
+        max_parallel=cfg.max_parallel,
+    )
+
+
+def _build_source(spark, cfg):
+    """-> (tables, source_fn). Parquet-dir or JDBC sources (URL or
+    the reference's native host/port/database block)."""
+    from .catalog import list_tables, load_table
     from .sources.jdbc import read as jdbc_read
 
     src = cfg.src
-    if src.host.startswith("jdbc:"):
-        jcfg = JdbcSourceConfig(
-            url=src.host,
-            user=src.username,
-            password=src.password,
-            driver=_driver_for(src.host),
-            max_parallel=cfg.max_parallel,
-        )
+    if src.host:
+        jcfg = src_source_config(cfg)
         if not cfg.tables:
             raise SystemExit(
                 "jdbc source: list the tables to move under `tables:` "
@@ -196,11 +216,38 @@ def _dest_is_dump(cfg) -> bool:
     )
 
 
+def dest_sink_config(cfg):
+    """The JdbcSinkConfig a dest block resolves to. A verbatim
+    example.yml (host/port/database + dbType postgres|gauss|vastbase|
+    kingbase) goes through the reference's dialect switch
+    (`sink_config_for`, `cmd/app.go:59-81`); a ``jdbc:`` URL in
+    ``dest.host`` passes straight through. Exposed (not underscored)
+    so the URL/driver resolution is unit-testable without a server."""
+    from .sinks.jdbc import JdbcSinkConfig, sink_config_for
+
+    dest = cfg.dest
+    if dest.host.startswith("jdbc:"):
+        return JdbcSinkConfig(
+            url=dest.host,
+            user=dest.username,
+            password=dest.password,
+            driver=_driver_for(dest.host),
+        )
+    return sink_config_for(
+        dest.dbtype,
+        dest.host,
+        dest.port,
+        dest.database,
+        user=dest.username,
+        password=dest.password,
+    )
+
+
 def _build_sink(spark, cfg):
     """-> (sink_fn, readback_fn|None). Dump-tree or JDBC destinations;
     readback_fn(table, src_df) -> DataFrame re-reads what was loaded,
     for compareDb."""
-    from .sinks.jdbc import JdbcSinkConfig, copy_dump_sink, write
+    from .sinks.jdbc import copy_dump_sink, write
     from .sources.copytext import register_copytext
 
     dest = cfg.dest
@@ -218,33 +265,29 @@ def _build_sink(spark, cfg):
             )
 
         return sink, readback
-    if dest.host.startswith("jdbc:"):
-        jcfg = JdbcSinkConfig(
-            url=dest.host,
-            user=dest.username,
-            password=dest.password,
-            driver=_driver_for(dest.host),
+    if not dest.host:
+        raise SystemExit(
+            "dest: set dbType: copydump with a directory in "
+            "dest.database, a host/port/database block, or a jdbc: "
+            "URL in dest.host"
+        )
+    jcfg = dest_sink_config(cfg)
+
+    def sink(df, table: str):
+        write(df, jcfg, table)
+
+    def readback(table: str, src_df):
+        return (
+            spark.read.format("jdbc")
+            .option("url", jcfg.url)
+            .option("user", jcfg.user)
+            .option("password", jcfg.password)
+            .option("driver", jcfg.driver)
+            .option("dbtable", table)
+            .load()
         )
 
-        def sink(df, table: str):
-            write(df, jcfg, table)
-
-        def readback(table: str, src_df):
-            return (
-                spark.read.format("jdbc")
-                .option("url", jcfg.url)
-                .option("user", jcfg.user)
-                .option("password", jcfg.password)
-                .option("driver", jcfg.driver)
-                .option("dbtable", table)
-                .load()
-            )
-
-        return sink, readback
-    raise SystemExit(
-        "dest: set dbType: copydump with a directory in dest.database, "
-        "or a jdbc: URL in dest.host"
-    )
+    return sink, readback
 
 
 # ---------------------------------------------------------------------------

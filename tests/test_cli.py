@@ -296,3 +296,43 @@ def test_data_phase_strips_nul_like_the_reference(spark, tmp_path, sf_dir):
             wire += open(dump / "region" / f, "rb").read()
     assert b"\x00" not in wire
     assert b"AB" in wire  # the stripped value, not a dropped row
+
+
+def test_verbatim_example_yml_connection_blocks_resolve():
+    """A user's unmodified example.yml (host/port/database blocks, no
+    jdbc: URLs) must resolve to the same URLs/drivers the reference
+    opens (`cmd/app.go:21-81`) — pure config resolution, no server."""
+    import yaml as _yaml
+
+    from gomysql2pg_spark.cli import dest_sink_config, src_source_config
+    from gomysql2pg_spark.migrate import MigrationConfig
+
+    raw = {
+        "src": {
+            "host": "10.0.0.5", "port": 3306, "database": "mydb",
+            "username": "u", "password": "p",
+        },
+        "dest": {
+            "host": "10.0.0.9", "port": 5432, "database": "pgdb",
+            "username": "v", "password": "q", "dbType": "postgres",
+        },
+        "maxParallel": 7,
+    }
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yml") as f:
+        f.write(_yaml.safe_dump(raw))
+        f.flush()
+        cfg = MigrationConfig.from_yaml(f.name)
+    s = src_source_config(cfg)
+    assert s.url == "jdbc:mysql://10.0.0.5:3306/mydb"
+    assert s.driver == "com.mysql.cj.jdbc.Driver"
+    assert s.user == "u" and s.max_parallel == 7
+    d = dest_sink_config(cfg)
+    assert d.url == "jdbc:postgresql://10.0.0.9:5432/pgdb"
+    assert d.driver == "org.postgresql.Driver"
+    # the gauss dialect swaps driver and URL scheme, like the reference
+    cfg.dest.dbtype = "gauss"
+    d = dest_sink_config(cfg)
+    assert d.url.startswith("jdbc:opengauss://")
+    assert d.driver == "org.opengauss.Driver"
