@@ -139,9 +139,17 @@ PAYLOAD_SCHEMA = "doc_id long, payload binary"
 def _payload_only(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) — the decode input. Fixture stand-in: real
     BMP/WAV/PPM containers synthesized from the document row; in
-    production this column arrives from the lakehouse as-is."""
-    return docs.select("doc_id", "text").mapInPandas(
-        make_media_synth(), schema=PAYLOAD_SCHEMA
+    production this column arrives from the lakehouse as-is.
+
+    A NULL source row is MISSING media (a failed fetch), not corrupt
+    media: it is dropped here (mirrored as `WHERE text IS NOT NULL` in
+    every mm_* oracle), so one absent payload in a 100 TB corpus skips
+    a row instead of killing the job — the fail-loudly contract stays
+    reserved for NON-NULL malformed bytes."""
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .mapInPandas(make_media_synth(), schema=PAYLOAD_SCHEMA)
     )
 
 
@@ -184,7 +192,7 @@ SELECT doc_id,
     END AS header_hex,
   CASE {_SQL_C} % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
     END AS modality
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -301,7 +309,7 @@ SELECT doc_id,
        ELSE 1 + {_SQL_C} % 4 END AS INT) AS n_frames,
   CASE {_SQL_C} % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pcm_s16le' ELSE 'ppm'
     END AS codec
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -333,7 +341,8 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MM_FRAME_SAMPLE = f"""
 WITH p AS (
-  SELECT doc_id, {_SQL_C} AS c FROM documents WHERE {_SQL_C} % 3 = 2
+  SELECT doc_id, {_SQL_C} AS c FROM documents
+  WHERE text IS NOT NULL AND {_SQL_C} % 3 = 2
 )
 SELECT doc_id,
        unnest(range(0, 1 + c % 4, 2)) AS frame_idx,
@@ -405,7 +414,7 @@ WITH d AS (
     CAST(16 + {_SQL_C} % 48 AS BIGINT) AS width,
     CAST(16 + ({_SQL_C} * 7) % 32 AS BIGINT) AS height
   FROM documents
-  WHERE {_SQL_C} % 3 = 0
+  WHERE text IS NOT NULL AND {_SQL_C} % 3 = 0
 )
 SELECT doc_id,
   CAST(width AS INT) AS width,

@@ -112,7 +112,9 @@ def q_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     post = _postings(docs)
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    total_terms = dl.agg(F.sum("dl")).first()[0]
+    # SUM over zero rows is NULL; on an empty corpus the output frame
+    # is empty regardless, so the constant only needs to stay finite
+    total_terms = dl.agg(F.sum("dl")).first()[0] or 1
     post_q = post.filter(F.col("term").isin(BM25_QUERY))
     dfreq = post_q.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")

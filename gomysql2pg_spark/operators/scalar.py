@@ -315,8 +315,14 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (map-valued outputs don't hash portably across engines; the
     map type is exercised, the contract stays row-shaped)."""
     orders = load_table(spark, sf_dir, "orders")
-    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count("*").alias("n")
+    # a NULL status would become a NULL MAP KEY — illegal in Spark SQL
+    # (NULL_MAP_KEY) and undefined across engines; exclude it
+    # explicitly on BOTH sides (mirrored in the oracle) so a corpus
+    # with missing statuses degrades instead of failing the job
+    per = (
+        orders.filter(F.col("o_orderstatus").isNotNull())
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
     )
     mapped = per.groupBy("o_orderpriority").agg(
         F.map_from_entries(
@@ -341,7 +347,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MAP_FUNCS = """
 WITH per AS (
   SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2
 ),
 agg AS (
   SELECT o_orderpriority,

@@ -600,6 +600,8 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
         .limit(IVF_NLIST)
         .collect()
     }
+    if not cent:  # empty corpus: no seeds, no model
+        return []
     # sufficient statistics as ONE groupBy(cell) with dim per-
     # component sum columns — no posexplode: a generator row-multiplies
     # the corpus dim× and Catalyst re-evaluates the (large, literal-
@@ -672,6 +674,8 @@ def _ivf_index(
     import tempfile
 
     cent_rows = _coarse_model(sf_dir, emb)
+    if not cent_rows:  # empty corpus: no model, no code table
+        return [], None
     fk = _fixture_key(sf_dir)
     if fk is None:  # unkeyable fixture: build in memory, no reuse
         codes = _pq_codes(
@@ -773,6 +777,13 @@ def q_similarity_ivfpq(
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebook(emb)
     cent_rows, codes = _ivf_index(spark, sf_dir, emb, cb)
+    if not cent_rows:
+        # empty corpus (empty filter result / pruned-away partition):
+        # degrade to zero neighbors with the normal output schema, the
+        # same contract as every other operator on empty input
+        return spark.createDataFrame(
+            [], "qid bigint, nid bigint, adc_micro bigint, rank int"
+        )
     cent = spark.createDataFrame(cent_rows, "cell int, ce array<double>")
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"),

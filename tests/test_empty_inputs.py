@@ -109,6 +109,15 @@ REPRESENTATIVES = [
     "events_transition_matrix",
     "events_top_paths",
     "snapshot_diff",
+    # r12: the composed IVFADC (empty corpus -> empty model -> zero
+    # neighbors, guarded), the survivor operator on LSH edges, the
+    # COPY round-trip, and the end-to-end migration
+    "similarity_ivfpq",
+    "dedup_survivors_lsh",
+    "copytext_roundtrip",
+    "migration_e2e",
+    # r12 audit: SUM-over-zero-rows NULL reached float() (fixed)
+    "bm25_components",
 ]
 
 # global aggregates legitimately emit rows over empty input (SQL
@@ -126,6 +135,8 @@ GLOBAL_AGG = {
     "random_ids_check": 1,
     # one-row bloom audit (counts 0 / NULL sums over an empty probe)
     "bloom_prefilter_join": 1,
+    # one checksum row per migrated table (n_rows 0, NULL checksum)
+    "migration_e2e": 3,
 }
 
 
@@ -162,3 +173,38 @@ def test_operator_survives_empty_input(spark, empty_dir, name):
         )
     else:
         assert n == 0, f"{name} fabricated {n} rows from empty input"
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, sf_dir, tmp_path_factory):
+    """Schema-identical fixtures where EVERY column of every row is
+    NULL — keys included. Hostile but legal parquet: the shape of a
+    failed upstream extract. r12 audit: this sweep found real
+    crashers (NULL map keys in map_funcs, NULL media payloads in the
+    mm_* family, SUM-over-zero-rows NULL reaching float() in
+    bm25_components)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        schema = pq.read_schema(src)
+        arrays = [pa.nulls(2, type=f.type) for f in schema]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=schema),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_operator_survives_all_null_rows(spark, nulls_dir, name):
+    """No operator may CRASH on rows whose every cell is NULL (the
+    result may legitimately be empty, NULL-propagating rows, or a
+    global-agg summary — the contract here is survival, not a count:
+    a single bad row in a 100 TB corpus must not kill the job)."""
+    qs = entry.queries()
+    assert qs[name](spark, nulls_dir).count() >= 0
