@@ -444,7 +444,12 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
             "n_tokens"
         ),
-        (cp_sum.cast("double") / n_chars).alias("mean_codepoint"),
+        # try_divide: an EMPTY text (0 chars) must yield NULL, not an
+        # ANSI divide-by-zero job failure — DuckDB's NULL/0 is NULL on
+        # the oracle side (r12 hostile-text audit)
+        F.try_divide(cp_sum.cast("double"), n_chars).alias(
+            "mean_codepoint"
+        ),
     )
 
 

@@ -2,8 +2,12 @@
 
 This is the local mirror of the driver's CORRECTNESS gate."""
 
+import os
+
 import pytest
 
+import __spark_entry__ as entry
+from gomysql2pg_spark.catalog import TABLES
 from tests.oracle_utils import compare_query
 
 
@@ -74,3 +78,121 @@ def test_registry_invariants_no_oracle_entries_have_gated_twins():
     window = list(qs)[:50]
     ungated = [n for n in window if n not in os_]
     assert not ungated, f"driver window wastes slots on: {ungated}"
+
+
+def test_known_unicode_case_mapping_divergence_is_pinned(spark, duck):
+    """r12 hostile-text audit: Spark (JVM, FULL Unicode case mapping)
+    lowercases U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE) to
+    'i' + U+0307 combining dot; DuckDB's lower() maps it to plain
+    'i'. Operators that normalize via lower() (dedup_exact_norm,
+    tfidf_top_terms, the n-gram LMs, repetition_filter) therefore
+    diverge from the DuckDB oracle on text containing İ — an
+    engine-collation fact, not an implementation bug: each engine is
+    self-consistent, and a corpus pipeline runs inside ONE engine.
+    Pinned here so the divergence stays visible (and so a future
+    engine upgrade that changes either mapping is noticed); the
+    driver fixtures contain no such codepoints, so every oracle gate
+    is unaffected."""
+    from pyspark.sql import functions as F
+
+    jvm = (
+        spark.range(1)
+        .select(F.lower(F.lit("İ")).alias("x"))
+        .collect()[0]["x"]
+    )
+    dd = duck.execute("SELECT lower('İ')").fetchone()[0]
+    assert jvm == "i̇"
+    assert dd == "i"
+    assert jvm != dd
+
+
+HOSTILE_TEXT = [
+    "emoji 🙂🙂 and 家族 mixed",
+    "combining é acute and zero​width",
+    "  leading and trailing   ",
+    "",  # empty string != NULL
+    "TAB\there NEW\nline CR\rreturn",
+    "a" * 500,  # one huge token
+    "word " * 200,  # long repetitive doc
+    "ACENTÚÀ àccents ÇÉDILLE",
+    "𝔪𝔞𝔱𝔥 𝓈𝒸𝓇𝒾𝓅𝓉 astral plane",
+    "sharp-s ß only; dotted-capital-I excluded (pinned above)",
+]
+
+# the text-processing family: every operator whose result is a pure
+# function of documents.text normalization/tokenization/hashing
+HOSTILE_TEXT_ENTRIES = [
+    "text_stats",
+    "token_count",
+    "char_entropy",
+    "lang_id",
+    "quality_score",
+    "dedup_exact_norm",
+    "unigram_logprob",
+    "bigram_counts",
+    "tfidf_top_terms",
+    "repetition_filter",
+    "mm_features",
+    "doc_chunking",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_text_dir(spark, sf_dir, tmp_path_factory):
+    """sf fixtures with documents.text swapped for adversarial strings
+    (emoji, astral plane, combining marks, zero-width, empty, embedded
+    control whitespace, degenerate token shapes). r12 audit origin:
+    this sweep surfaced the mm_features divide-by-zero on empty text
+    and the İ case-mapping divergence pinned above."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("sf_hostile_text"))
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src) and t != "documents":
+            shutil.copy(src, os.path.join(out, f"{t}.parquet"))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    d = tbl.to_pydict()
+    for i in range(len(d["text"])):
+        d["text"][i] = HOSTILE_TEXT[i % len(HOSTILE_TEXT)]
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        os.path.join(out, "documents.parquet"),
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def hostile_duck(hostile_text_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(hostile_text_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HOSTILE_TEXT_ENTRIES)
+def test_text_operators_hash_match_on_hostile_text(
+    spark, hostile_text_dir, hostile_duck, name
+):
+    """Cross-engine EXACTNESS (not just survival) on adversarial text:
+    normalization, tokenization, hashing, and codepoint math must
+    agree with the DuckDB oracle byte-for-byte beyond the friendly
+    fixture charset."""
+    qs, osql = entry.queries(), entry.oracle_sql()
+    r = compare_query(
+        qs[name](spark, hostile_text_dir), osql[name], hostile_duck
+    )
+    assert r["count_match"] and r["schema_match"] and r["value_match"], (
+        name,
+        r.get("sample_diff"),
+    )
