@@ -28,21 +28,30 @@ from pyspark.sql import functions as F
 
 
 def cents(c: Column | str) -> Column:
-    """Exact integer cents of a 2-decimal double column."""
+    """Exact integer cents of a 2-decimal double column.
+
+    try_cast, not cast: a NaN/±Inf measurement (upstream sensor junk,
+    a bad join product) becomes NULL — missing money, skipped by
+    aggregation — instead of an ANSI CAST_OVERFLOW that kills the
+    whole job (r12 poisoned-numerics audit: one NaN in a money column
+    took down 11 operators). For every FINITE value try_cast ≡ cast,
+    so the exact-integer discipline and all oracle hashes are
+    unchanged."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(c * F.lit(100)).cast("long")
+    return F.round(c * F.lit(100)).try_cast("long")
 
 
 def whole(c: Column | str) -> Column:
-    """Exact integer value of a whole-number double column."""
+    """Exact integer value of a whole-number double column (same
+    NaN→NULL try_cast contract as `cents`)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(c).cast("long")
+    return F.round(c).try_cast("long")
 
 
 # SQL-side equivalents (DuckDB oracle snippets), kept adjacent so the two
 # definitions can't drift:
-SQL_CENTS = "CAST(ROUND(({x}) * 100) AS BIGINT)"
-SQL_WHOLE = "CAST(ROUND({x}) AS BIGINT)"
+SQL_CENTS = "TRY_CAST(ROUND(({x}) * 100) AS BIGINT)"
+SQL_WHOLE = "TRY_CAST(ROUND({x}) AS BIGINT)"
 
 
 def sql_cents(x: str) -> str:

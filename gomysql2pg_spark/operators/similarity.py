@@ -478,7 +478,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round(adc * 1e6).cast("bigint").alias("adc_micro"),
+            F.round(adc * 1e6).try_cast("bigint").alias("adc_micro"),
             "rank",
         )
     )
@@ -612,7 +612,7 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
         F.sum(
             F.round(
                 F.element_at("embedding", p + 1).cast("double") * 1e6
-            ).cast("bigint")
+            ).try_cast("bigint")
         ).alias(f"s{p}")
         for p in range(dim)
     ]
@@ -626,8 +626,10 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
             .collect()
         )
         for r in stats:
+            # a component sum can be NULL if every member's value was
+            # non-finite (poisoned vectors) — contribute 0, not a crash
             cent[int(r["cell"])] = [
-                (r[f"s{p}"] / 1e6) / r["c"] for p in range(dim)
+                ((r[f"s{p}"] or 0) / 1e6) / r["c"] for p in range(dim)
             ]
     rows = sorted(cent.items())
     if cache_key is not None:
@@ -858,7 +860,7 @@ def q_similarity_ivfpq(
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round(adc * 1e6).cast("bigint").alias("adc_micro"),
+            F.round(adc * 1e6).try_cast("bigint").alias("adc_micro"),
             "rank",
         )
     )

@@ -428,7 +428,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification is a stateless CASE and the final aggregate is
     4-group-bounded."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).try_cast("bigint")
 
     def h_of(c):
         return F.md5(

@@ -208,3 +208,57 @@ def test_operator_survives_all_null_rows(spark, nulls_dir, name):
     a single bad row in a 100 TB corpus must not kill the job)."""
     qs = entry.queries()
     assert qs[name](spark, nulls_dir).count() >= 0
+
+
+@pytest.fixture(scope="module")
+def poisoned_dir(spark, sf_dir, tmp_path_factory):
+    """Fixtures with NaN/+Inf/-Inf planted in every money/quantity
+    double column and one all-NaN embedding vector. r12 audit: one NaN
+    in a money column killed 11 operators through the exact-cents
+    discipline's ANSI cast (now try_cast -> NULL = missing money)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("sf_poisoned"))
+    plain = ["region", "nation", "part", "documents", "events"]
+    for t in plain:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out, f"{t}.parquet"))
+    poison = {
+        "orders": ["o_totalprice"],
+        "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
+        "lineitem": ["l_extendedprice", "l_discount", "l_tax", "l_quantity"],
+    }
+    for t, cols in poison.items():
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        d = tbl.to_pydict()
+        for c in cols:
+            d[c][0] = float("nan")
+            if len(d[c]) > 1:
+                d[c][1] = float("inf")
+            if len(d[c]) > 2:
+                d[c][2] = float("-inf")
+        pq.write_table(
+            pa.Table.from_pydict(d, schema=tbl.schema),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = tbl.to_pydict()
+    d["embedding"][0] = [float("nan")] * len(d["embedding"][0])
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_operator_survives_poisoned_numerics(spark, poisoned_dir, name):
+    """Non-finite doubles (sensor junk, bad join products) must yield
+    NULL/skipped values, never an ANSI CAST_OVERFLOW job death."""
+    qs = entry.queries()
+    assert qs[name](spark, poisoned_dir).count() >= 0
