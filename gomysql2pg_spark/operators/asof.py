@@ -5,12 +5,20 @@ ops if semantics allow").
 
 Semantics (backward as-of): for each left row, attach the payload of the
 most recent right row with `right.ts <= left.ts` for the same key —
-inclusive at equal timestamps (matching DuckDB's `ASOF JOIN ... ON
-l.ts >= r.ts`, which is the oracle).
+inclusive at equal timestamps. TIES ARE DETERMINISTIC (r12
+duplicate-timestamp audit): when several right rows share the qualifying
+timestamp, the one with the LARGEST tie id wins for backward joins
+("latest among ties" — the id is the monotonic ingestion order) and the
+SMALLEST for forward joins ("next among ties"). A tie-break is not
+optional: DuckDB's native ASOF JOIN and an un-tiebroken window both
+pick an ARBITRARY row among equal timestamps, which a value-hash
+compare exposes the moment real data has duplicate event times. The
+oracles are therefore written as LATERAL top-1 subqueries with a total
+(ts, id) order, not ASOF JOIN.
 
 Implementation: union the two sides tagged, one window per key ordered
-by (ts, side) with right rows sorting BEFORE left rows at equal ts, and
-`last(payload, ignoreNulls)` over the unbounded-preceding frame. One
+by (ts, side, tie) with right rows sorting BEFORE left rows at equal ts,
+and `last(payload, ignoreNulls)` over the unbounded-preceding frame. One
 shuffle on the key, horizontally scalable — no range explosion, no
 per-row subqueries. This is the standard large-scale formulation (the
 union-window trick); a broadcast variant applies when the right side is
@@ -32,17 +40,25 @@ def asof_join_backward(
     ts_col: str,
     payload_cols: list[str],
     suffix: str = "_asof",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Generic backward as-of join. `payload_cols` are taken from
     `right` and appear as `<name><suffix>` on the output; left rows with
-    no prior right row get NULLs (left-outer semantics)."""
+    no prior right row get NULLs (left-outer semantics). `tie_col`
+    names a column of `right` whose ASCENDING order breaks equal-`ts`
+    ties (the LAST one wins — pass the monotonic event/ingestion id);
+    without it, ties fall back to the engine's arbitrary order."""
     lt = left.withColumn("_side", F.lit(1))
     for c in payload_cols:
         lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn("_tie", F.lit(None).cast("long"))
     rt = right.select(
         *on,
         ts_col,
         *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        (
+            F.col(tie_col).cast("long") if tie_col else F.lit(None).cast("long")
+        ).alias("_tie"),
     ).withColumn("_side", F.lit(0))
     for c in left.columns:
         if c not in rt.columns:
@@ -52,7 +68,11 @@ def asof_join_backward(
     unioned = lt.unionByName(rt)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            F.col("_tie").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned
@@ -60,14 +80,14 @@ def asof_join_backward(
         filled = filled.withColumn(
             f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
         )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).drop("_side", "_tie")
 
 
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event: the user's most recent purchase value at or before the
     event time (classic point-in-time feature join for training-data
-    pipelines). Exact-cents payload; oracle is DuckDB's native ASOF
-    LEFT JOIN."""
+    pipelines). Exact-cents payload; equal-timestamp purchases resolve
+    to the largest purchase event_id on both engines."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros("ts")
     )
@@ -76,7 +96,7 @@ def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "us",
-            F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+            F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
             F.col("event_id").alias("purch_event_id"),
         )
     )
@@ -86,6 +106,7 @@ def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         ts_col="us",
         payload_cols=["purch_cents", "purch_event_id"],
+        tie_col="purch_event_id",
     )
     return joined.select(
         "event_id",
@@ -100,7 +121,7 @@ def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_ASOF = """
 WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
 purchases AS (
@@ -111,8 +132,11 @@ SELECT e.event_id, e.user_id, e.us, e.event_type,
        p.purch_cents AS last_purchase_cents,
        p.purch_event_id AS last_purchase_event_id
 FROM ev e
-ASOF LEFT JOIN purchases p
-  ON e.user_id = p.user_id AND e.us >= p.us
+LEFT JOIN LATERAL (
+  SELECT purch_cents, purch_event_id FROM purchases p
+  WHERE p.user_id = e.user_id AND p.us <= e.us
+  ORDER BY p.us DESC, p.purch_event_id DESC LIMIT 1
+) p ON TRUE
 """
 
 
@@ -123,25 +147,33 @@ def q_events_asof_next_purchase(
     after the event time (label-attachment join for churn/propensity
     training sets). Same union-window trick mirrored: right rows sort
     AFTER left rows at equal ts, `first(payload) over (following)`
-    frame."""
+    frame; equal-timestamp purchases resolve to the SMALLEST purchase
+    event_id ("next among ties") on both engines."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros("ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "us",
-        F.round(F.col("value") * 100).cast("long").alias("next_cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("next_cents"),
+        F.col("event_id").alias("_tie"),
     )
     lt = ev.select("event_id", "user_id", "us", "event_type").withColumn(
         "_side", F.lit(0)
-    ).withColumn("next_cents", F.lit(None).cast("long"))
+    ).withColumn("next_cents", F.lit(None).cast("long")).withColumn(
+        "_tie", F.lit(None).cast("long")
+    )
     rt = purchases.withColumn("_side", F.lit(1)).withColumn(
         "event_id", F.lit(None).cast("long")
     ).withColumn("event_type", F.lit(None).cast("string"))
     unioned = lt.unionByName(rt.select(*lt.columns))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("us").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("us").asc(),
+            F.col("_side").asc(),
+            F.col("_tie").asc_nulls_first(),
+        )
         .rowsBetween(0, Window.unboundedFollowing)
     )
     filled = unioned.withColumn(
@@ -156,18 +188,21 @@ def q_events_asof_next_purchase(
 ORACLE_EVENTS_ASOF_NEXT = """
 WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
 purchases AS (
-  SELECT user_id, us, cents AS next_cents FROM ev
+  SELECT user_id, us, cents AS next_cents, event_id FROM ev
   WHERE event_type = 'purchase'
 )
 SELECT e.event_id, e.user_id, e.us, e.event_type,
        p.next_cents AS next_purchase_cents
 FROM ev e
-ASOF LEFT JOIN purchases p
-  ON e.user_id = p.user_id AND e.us <= p.us
+LEFT JOIN LATERAL (
+  SELECT next_cents FROM purchases p
+  WHERE p.user_id = e.user_id AND p.us >= e.us
+  ORDER BY p.us ASC, p.event_id ASC LIMIT 1
+) p ON TRUE
 """
 
 
@@ -179,15 +214,16 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the event, but only if it is within 1 hour — otherwise NULL
     (feature-store staleness bound: a feature older than the tolerance
     is worse than no feature). Same union-window plan + one filter on
-    the matched timestamp."""
+    the matched timestamp; ties resolve like `q_events_asof_purchase`."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros("ts")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "us",
-        F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
         F.col("us").alias("purch_us"),
+        F.col("event_id").alias("purch_eid"),
     )
     joined = asof_join_backward(
         ev.select("event_id", "user_id", "us", "event_type"),
@@ -195,6 +231,7 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         ts_col="us",
         payload_cols=["purch_cents", "purch_us"],
+        tie_col="purch_eid",
     )
     fresh = F.col("purch_us_asof") >= F.col("us") - F.lit(TOLERANCE_US)
     return joined.select(
@@ -211,11 +248,12 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_ASOF_TOLERANCE = f"""
 WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
 purchases AS (
-  SELECT user_id, us AS purch_us, cents AS purch_cents
+  SELECT user_id, us AS purch_us, cents AS purch_cents,
+         event_id AS purch_eid
   FROM ev WHERE event_type = 'purchase'
 )
 SELECT e.event_id, e.user_id, e.us,
@@ -224,8 +262,11 @@ SELECT e.event_id, e.user_id, e.us,
   CASE WHEN p.purch_us >= e.us - {TOLERANCE_US}
        THEN e.us - p.purch_us END AS staleness_us
 FROM ev e
-ASOF LEFT JOIN purchases p
-  ON e.user_id = p.user_id AND e.us >= p.purch_us
+LEFT JOIN LATERAL (
+  SELECT purch_us, purch_cents FROM purchases p
+  WHERE p.user_id = e.user_id AND p.purch_us <= e.us
+  ORDER BY p.purch_us DESC, p.purch_eid DESC LIMIT 1
+) p ON TRUE
 """
 
 

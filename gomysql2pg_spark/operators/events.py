@@ -37,7 +37,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
                 "value_cents"
             ),
             F.countDistinct("user_id").alias("n_users"),
@@ -249,7 +249,7 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "us",
             "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.round(F.col("value") * 100).try_cast("long").alias("cents"),
             F.col("src").alias("from_changes"),
         )
     )
@@ -307,7 +307,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-ANOMALY_LOOKBACK, -1)
     )
-    vc = F.round(F.col("value") * 100).cast("long")
+    vc = F.round(F.col("value") * 100).try_cast("long")
     prev_cnt = F.count("vc").over(w)
     prev_sum = F.sum("vc").over(w)
     return (

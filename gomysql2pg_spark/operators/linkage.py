@@ -222,7 +222,7 @@ def q_er_resolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # price mean via exact integer cents summed first, then ONE float
     # division — immune to cross-engine float summation order
-    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    cents = F.round(F.col("p_retailprice") * 100).try_cast("bigint")
     return (
         part.withColumn("cents", cents)
         .join(F.broadcast(labels), part.p_name == labels.node, "left")

@@ -344,7 +344,7 @@ def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count("*").alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
                 "monetary_cents"
             ),
         )
@@ -569,7 +569,7 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     cents = events.select(
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
     )
     cents.createOrReplaceTempView("_vq_cents")
     return spark.sql(

@@ -26,7 +26,7 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
         "event_id",
     )
     day = (F.floor(F.col("us") / GRID_US) * GRID_US).cast("long")
@@ -118,7 +118,7 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
         "event_id",
     )
     bucket = (F.floor(F.col("us") / OHLC_US) * OHLC_US).cast("long")
@@ -172,7 +172,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
         "event_id",
         "event_type",
     )

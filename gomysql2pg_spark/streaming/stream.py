@@ -143,7 +143,7 @@ def windowed_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
                 "value_cents"
             ),
         )
@@ -233,7 +233,7 @@ def stream_stream_view_purchase_join(
             F.col("event_id").alias("purch_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-            F.round(F.col("value") * 100).cast("long").alias("purch_cents"),
+            F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
         )
         .withWatermark("p_ts", "10 minutes")
     )
@@ -356,7 +356,7 @@ def stateful_user_totals(
     prepped = events.select(
         (F.col("user_id") % n_buckets).alias("bucket"),
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
     )
     return prepped.groupBy("bucket").applyInPandasWithState(
         make_user_totals_worker(),
@@ -532,7 +532,7 @@ def stateful_anomaly(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.round(F.col("value") * 100).try_cast("long").alias("vc"),
     )
     return prepped.groupBy("bucket").applyInPandasWithState(
         make_anomaly_worker(),
