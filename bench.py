@@ -285,12 +285,16 @@ def main() -> None:
     # kills the run — two rounds of bench were lost to one
     # AnalysisException propagating out of the timed loop.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # Sub-0.4 s entries are dominated by task-launch jitter: between
+    # Sub-0.7 s entries are dominated by task-launch jitter: between
     # driver rounds they swung ±45% at 3 reps, drowning real
-    # regressions. For those, keep sampling (up to `fast_reps` total)
-    # until the min stabilizes — extra reps on a 0.2 s query cost
-    # little and tighten the min estimate where it is noisiest.
-    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUT", "0.4"))
+    # regressions (r11: q15_top_supplier 0.48→0.64→0.48 with untouched
+    # code; r12: bigram_lm_logprob 0.41→0.56 the same way — both above
+    # the old 0.4 s cut, so the re-sampler never engaged; widened to
+    # 0.7 per the r12 verdict to kill this false-alarm class). For
+    # those, keep sampling (up to `fast_reps` total) until the min
+    # stabilizes — extra reps on a sub-second query cost little and
+    # tighten the min estimate where it is noisiest.
+    fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUT", "0.7"))
     fast_reps = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "7"))
     load_start = os.getloadavg()  # host-contention marker (1/5/15 min)
     times: dict[str, float | None] = {}

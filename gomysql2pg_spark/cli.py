@@ -295,10 +295,12 @@ def _build_sink(spark, cfg):
 # ---------------------------------------------------------------------------
 
 
-def _emit(statements: list[str], out_path: str | None) -> None:
+def _emit(
+    statements: list[str], out_path: str | None, append: bool = False
+) -> None:
     text = ";\n".join(statements) + (";\n" if statements else "")
     if out_path:
-        with open(out_path, "w", encoding="utf-8") as f:
+        with open(out_path, "a" if append else "w", encoding="utf-8") as f:
             f.write(text)
     else:
         sys.stdout.write(text)
@@ -327,7 +329,11 @@ def cmd_create_table(spark, cfg, tables, source, out=None) -> int:
     _emit(stmts, out)
     for t, err in failed:
         print(f"-- SKIPPED {t}: {err}", file=sys.stderr)
-    return 1 if failed and not stmts else 0
+    # any un-migratable table is a nonzero exit, even when other
+    # tables succeeded — the reference counts per-table failures into
+    # its summary verdict (`root.go:166-209`); the stderr SKIPPED
+    # notes alone would let scripted callers miss a partial failure
+    return 1 if failed else 0
 
 
 def _metadata_block(config_path: str) -> dict:
@@ -562,7 +568,9 @@ def main(argv: list[str] | None = None) -> int:
         + _seq_stmts(args.config)
     )
     if post_ddl:
-        _emit(post_ddl, None)
+        # same destination as the table DDL: one --out file carries the
+        # whole DDL artifact (append — cmd_create_table already wrote it)
+        _emit(post_ddl, args.out, append=True)
     if readback is not None:
         rc = cmd_compare_db(spark, cfg, tables, source, readback) or rc
     return rc

@@ -49,7 +49,7 @@ ORACLE_EVENTS_WINDOW = f"""
 SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) AS bucket,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -258,7 +258,7 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_CDC_MERGE = """
 WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
 mid AS (
@@ -336,7 +336,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_ANOMALY = f"""
 WITH e AS (
   SELECT event_id, user_id, ts,
-         CAST(ROUND(value * 100) AS BIGINT) AS vc
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS vc
   FROM events
 )
 SELECT event_id, user_id, vc,

@@ -254,7 +254,7 @@ agg AS (
   SELECT dic.canonical AS canonical,
          COUNT(*) AS n_records,
          COUNT(DISTINCT p.p_name) AS n_variants,
-         SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS sum_cents,
+         SUM(TRY_CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS sum_cents,
          MIN(p.p_partkey) AS survivor_key
   FROM part p JOIN dic ON p.p_name = dic.name
   GROUP BY dic.canonical

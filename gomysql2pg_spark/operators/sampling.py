@@ -400,7 +400,7 @@ WITH per_user AS (
          CAST(date_trunc('day', (SELECT MAX(ts) FROM events)) AS DATE)
            - CAST(date_trunc('day', MAX(ts)) AS DATE) AS recency_days,
          COUNT(*) AS frequency,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            AS monetary_cents
   FROM events GROUP BY user_id
 ),
@@ -480,7 +480,7 @@ WITH per_user AS (
          CAST(date_trunc('day', (SELECT MAX(ts) FROM events)) AS DATE)
            - CAST(date_trunc('day', MAX(ts)) AS DATE) AS recency_days,
          COUNT(*) AS frequency,
-         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
            AS monetary_cents
   FROM events GROUP BY user_id
 ),
@@ -592,7 +592,7 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VALUE_QUANTILES = """
 WITH cents AS (
-  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  SELECT event_type, TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 )
 SELECT event_type,

@@ -538,7 +538,7 @@ scored AS (
   JOIN dt t3 ON t3.qid = q.qid AND t3.m = 3 AND t3.cid = c.c3
   WHERE c.vec_id <> q.qid
 )
-SELECT qid, nid, CAST(ROUND(adc * 1e6) AS BIGINT) AS adc_micro, rank
+SELECT qid, nid, TRY_CAST(ROUND(adc * 1e6) AS BIGINT) AS adc_micro, rank
 FROM (
   SELECT qid, nid, adc,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
@@ -618,9 +618,8 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     ]
     for _ in range(IVF_TRAIN_ITERS):
         stats = (
-            emb.groupBy(
-                _cell_expr(sorted(cent.items())).alias("cell")
-            )
+            _assign_cells(emb, sorted(cent.items()))
+            .groupBy("cell")
             .agg(*aggs)
             .limit(IVF_NLIST)
             .collect()
@@ -637,15 +636,44 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     return rows
 
 
+def _join(root: str, name: str) -> str:
+    """Path join that works for both URI roots (s3://…, hdfs://…) and
+    plain local paths — URIs always use '/'."""
+    if "://" in root:
+        return root.rstrip("/") + "/" + name
+    return os.path.join(root, name)
+
+
 def _fixture_key(sf_dir: str):
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    """Identity of the embeddings fixture, read through `pyarrow.fs`
+    like every other file the engine plans against: (path, shallow
+    (name, size, mtime_ns) listing, hyperparams). size + mtime_ns —
+    not whole-second mtime — so a fixture rewritten in place within
+    the same second still changes the key (the r12 advice's staleness
+    hole), and a URI fixture (object store) keys through the same
+    FileInfo surface instead of os.stat."""
+    from pyarrow import fs as pafs
+
     try:
-        return (
-            os.path.abspath(path),
-            int(os.path.getmtime(path)),
-            IVF_NLIST,
-            IVF_TRAIN_ITERS,
-        )
+        if "://" in sf_dir:
+            fs, root = pafs.FileSystem.from_uri(sf_dir)
+            path = root.rstrip("/") + "/embeddings.parquet"
+            ident = _join(sf_dir, "embeddings.parquet")
+        else:
+            fs = pafs.LocalFileSystem()
+            path = os.path.join(sf_dir, "embeddings.parquet")
+            ident = os.path.abspath(path)
+        info = fs.get_file_info(path)
+        if info.type == pafs.FileType.NotFound:
+            return None
+        entries = [("", info.size or -1, info.mtime_ns or -1)]
+        if info.type == pafs.FileType.Directory:
+            entries += sorted(
+                (i.base_name, i.size or -1, i.mtime_ns or -1)
+                for i in fs.get_file_info(pafs.FileSelector(path))
+                if i.type == pafs.FileType.File
+            )
+        return (ident, tuple(entries), IVF_NLIST, IVF_TRAIN_ITERS)
     except OSError:
         return None
 
@@ -656,8 +684,61 @@ def _coarse_model(sf_dir: str, emb: DataFrame) -> list:
     return _train_coarse(emb, cache_key=_fixture_key(sf_dir))
 
 
+def _resolve_index_fs(
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+):
+    """(fs, control_root, spark_root) for the IVF index tree. The
+    CONTROL plane (existence / _SUCCESS gate / atomic install /
+    eviction) rides `pyarrow.fs`; the DATA plane (the executor-parallel
+    parquet write/read of the corpus-sized code table) rides Spark's
+    own Hadoop filesystem at `spark_root` — same split as the copytext
+    source's L4 treatment (driver planning through pyarrow, bulk bytes
+    through the engine). Three forms:
+
+    - default: a per-user mode-0700 local cache dir (NOT the old
+      world-shared /tmp path — another user's pre-created tree with a
+      _SUCCESS marker must never be trusted);
+    - `index_root` with a scheme ("s3://bucket/ann", "hdfs://…"):
+      resolved via `pyarrow.fs.FileSystem.from_uri`, Spark reads and
+      writes the URI verbatim — the offline index build targets object
+      storage exactly like the COPY dump trees do;
+    - injected `filesystem` object (tests: a SubTreeFileSystem that
+      would break any leftover os.* access): `index_root` is the
+      control-plane root inside that filesystem and `spark_root` says
+      where Spark sees the same bytes."""
+    import tempfile
+
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        if index_root is None or spark_root is None:
+            raise ValueError(
+                "injected filesystem needs index_root + spark_root"
+            )
+        return filesystem, index_root, spark_root
+    if index_root is not None and "://" in index_root:
+        fs, inner = pafs.FileSystem.from_uri(index_root)
+        return fs, inner, index_root
+    if index_root is None:
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        index_root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ivf-u{uid}"
+        )
+        os.makedirs(index_root, mode=0o700, exist_ok=True)
+    return pafs.LocalFileSystem(), index_root, index_root
+
+
 def _ivf_index(
-    spark: SparkSession, sf_dir: str, emb: DataFrame, cb: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    cb: DataFrame,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
 ):
     """(cent_rows, codes): the trained coarse model + the per-cell PQ
     code table, MATERIALIZED TO DISK partitioned by cell — this is the
@@ -670,10 +751,17 @@ def _ivf_index(
     _SUCCESS + atomic-rename discipline of the copytext wire cache, so
     racing processes can't interleave a read with a half-written tree
     and an unchanged corpus never re-encodes. Cell assignment inside
-    the build is the zero-shuffle `_cell_expr` map."""
+    the build is the zero-shuffle `_cell_expr` map. ALL tree
+    manipulation rides `pyarrow.fs` (`_resolve_index_fs`): the
+    _SUCCESS gate, the atomic tmp→final install, race-loss cleanup and
+    stale-tree eviction are fs.get_file_info / fs.move / fs.delete_dir
+    calls, so the same code runs against local disk, an injected test
+    filesystem, or an object store (where `move` may be copy+delete —
+    non-atomic, which is exactly why the _SUCCESS re-check keeps the
+    loser of a race from trusting a half-installed tree)."""
     import hashlib
-    import shutil
-    import tempfile
+
+    from pyarrow import fs as pafs
 
     cent_rows = _coarse_model(sf_dir, emb)
     if not cent_rows:  # empty corpus: no model, no code table
@@ -681,34 +769,51 @@ def _ivf_index(
     fk = _fixture_key(sf_dir)
     if fk is None:  # unkeyable fixture: build in memory, no reuse
         codes = _pq_codes(
-            emb.withColumn("cell", _cell_expr(cent_rows)),
+            _assign_cells(emb, cent_rows),
             cb,
             carry=("cell",),
         )
         return cent_rows, codes
-    key = hashlib.md5(repr((fk, "ivf-codes-v1")).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
-    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    out_c, out_s = _join(croot, name), _join(sroot, name)
+
+    def _built() -> bool:
+        return (
+            fs.get_file_info(out_c + "/_SUCCESS").type
+            == pafs.FileType.File
+        )
+
+    def _rm(path: str) -> None:
+        try:
+            fs.delete_dir(path)
+        except (OSError, FileNotFoundError):
+            pass
+
+    if not _built():
         codes = _pq_codes(
-            emb.withColumn("cell", _cell_expr(cent_rows)),
+            _assign_cells(emb, cent_rows),
             cb,
             carry=("cell",),
         )
-        tmp = f"{out}.tmp-{os.getpid()}"
-        codes.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        tmp_name = f"{name}.tmp-{os.getpid()}"
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            _join(sroot, tmp_name)
+        )
+        tmp_c = _join(croot, tmp_name)
         try:
-            os.rename(tmp, out)
+            fs.move(tmp_c, out_c)
         except OSError:
-            if os.path.isfile(os.path.join(out, "_SUCCESS")):
-                # lost the race — the winner's tree is complete
-                shutil.rmtree(tmp, ignore_errors=True)
+            if _built():
+                _rm(tmp_c)  # lost the race — the winner's tree is complete
             else:  # stale partial tree: evict, install the fresh one
-                shutil.rmtree(out, ignore_errors=True)
+                _rm(out_c)
                 try:
-                    os.rename(tmp, out)
+                    fs.move(tmp_c, out_c)
                 except OSError:
-                    shutil.rmtree(tmp, ignore_errors=True)
-    return cent_rows, spark.read.parquet(out)
+                    _rm(tmp_c)
+    return cent_rows, spark.read.parquet(out_s)
 
 
 def _cell_expr(cent_rows: list, emb_col: str = "embedding") -> "F.Column":
@@ -740,8 +845,85 @@ def _cell_expr(cent_rows: list, emb_col: str = "embedding") -> "F.Column":
     return F.expr(f"array_min(array({','.join(structs)})).cell")
 
 
+# above this many inlined doubles (nlist × dim) the `_cell_expr` plan
+# stops being the right physical form: at production scale (nlist 4096,
+# dim 768 → ~3M literals) the expression itself dominates plan size and
+# codegen, so assignment switches to the broadcast-codebook join below
+_CELL_LITERAL_BUDGET = 65536
+
+
+def _assign_cells(
+    df: DataFrame,
+    cent_rows: list,
+    key_col: str = "vec_id",
+    emb_col: str = "embedding",
+    budget: int | None = None,
+) -> DataFrame:
+    """`df` + a `cell` column = id of the nearest trained centroid,
+    with the SAME (dist², cell) tie-break in both physical forms:
+
+    - nlist × dim ≤ budget (every fixture setting): the inlined-literal
+      `_cell_expr` — a stateless zero-shuffle map, the model rides in
+      the task binary;
+    - above the budget: the model becomes a BROADCAST nlist-row table
+      (the form the probe side already uses): a constant-derived-key
+      BroadcastHashJoin fans each row to its nlist candidates and a
+      groupBy(key) keeps min(struct(d², cell, payload…)) — candidates
+      for a row are co-located in its task, so map-side partial
+      aggregation collapses them to one row per key per partition
+      before the (narrow, n-row) shuffle. Never a nested loop
+      (plan-gated in tests/test_ann_quality.py).
+
+    The distance folds are the identical expression tree (`_sq_dist`'s
+    strict left fold of (x-y)² over doubles vs `_cell_expr`'s SQL
+    string of the same fold), so assignments are bit-identical —
+    proven by the equality test at a forced-low budget."""
+    if budget is None:
+        budget = _CELL_LITERAL_BUDGET
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    if not cent_rows or len(cent_rows) * dim <= budget:
+        return df.withColumn("cell", _cell_expr(cent_rows, emb_col))
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        cent_rows, "cell int, __ce array<double>"
+    )
+    payload = [c for c in df.columns if c != key_col]
+    joined = (
+        df.withColumn("_x", F.col(key_col).cast("bigint") % F.lit(1))
+        .join(
+            F.broadcast(
+                cent.withColumn(
+                    "_x", F.col("cell").cast("bigint") % F.lit(1)
+                )
+            ),
+            "_x",
+        )
+    )
+    d2 = _sub_sq_dist(F.col(emb_col), F.col("__ce"))
+    best = joined.groupBy(key_col).agg(
+        F.min(
+            F.struct(
+                d2.alias("d"),
+                F.col("cell").alias("cell"),
+                *[F.col(c).alias(c) for c in payload],
+            )
+        ).alias("b")
+    )
+    return best.select(
+        key_col,
+        *[F.col(f"b.{c}").alias(c) for c in payload],
+        F.col("b.cell").alias("cell"),
+    ).select(*df.columns, "cell")
+
+
 def q_similarity_ivfpq(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
 ) -> DataFrame:
     """IVF-then-ADC — the composition that makes PQ viable at corpus
     scale (Jégou et al., TPAMI 2011, the IVFADC system): the coarse
@@ -778,7 +960,15 @@ def q_similarity_ivfpq(
     monotone gate in tests/test_ann_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebook(emb)
-    cent_rows, codes = _ivf_index(spark, sf_dir, emb, cb)
+    cent_rows, codes = _ivf_index(
+        spark,
+        sf_dir,
+        emb,
+        cb,
+        index_root=index_root,
+        filesystem=filesystem,
+        spark_root=spark_root,
+    )
     if not cent_rows:
         # empty corpus (empty filter result / pruned-away partition):
         # degrade to zero neighbors with the normal output schema, the
@@ -895,7 +1085,7 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
         ctes.append(
             f"""s{t} AS (
   SELECT cell, i AS pos,
-         SUM(CAST(ROUND(e.embedding[i] * 1e6) AS BIGINT)) AS s,
+         SUM(TRY_CAST(ROUND(e.embedding[i] * 1e6) AS BIGINT)) AS s,
          COUNT(*) AS c
   FROM a{t} JOIN embeddings e USING (vec_id)
   CROSS JOIN range(1, {dim + 1}) t(i)
@@ -983,7 +1173,7 @@ scored AS (
   JOIN dt t2 ON t2.qid = q.qid AND t2.m = 2 AND t2.cid = c.c2
   JOIN dt t3 ON t3.qid = q.qid AND t3.m = 3 AND t3.cid = c.c3
 )
-SELECT qid, nid, CAST(ROUND(adc * 1e6) AS BIGINT) AS adc_micro, rank
+SELECT qid, nid, TRY_CAST(ROUND(adc * 1e6) AS BIGINT) AS adc_micro, rank
 FROM (
   SELECT qid, nid, adc,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank

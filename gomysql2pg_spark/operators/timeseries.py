@@ -66,7 +66,7 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TS_GAPFILL = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
   FROM events
 ),
 ranked AS (
@@ -139,7 +139,7 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TS_OHLC = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id,
          CAST(FLOOR(epoch_us(ts) / {OHLC_US}.0) AS BIGINT) * {OHLC_US}
            AS bucket_us
   FROM events
@@ -190,7 +190,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCD2 = f"""
 SELECT user_id,
-  CAST(ROUND(value * 100) AS BIGINT) AS attr_cents,
+  TRY_CAST(ROUND(value * 100) AS BIGINT) AS attr_cents,
   event_type,
   epoch_us(ts) AS valid_from_us,
   COALESCE(LEAD(epoch_us(ts)) OVER w, {2**62}) AS valid_to_us,

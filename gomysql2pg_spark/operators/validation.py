@@ -109,7 +109,7 @@ def q_validate_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_checksum(table: str, cols: list[str]) -> str:
     canon = ", ".join(
-        f"CAST(ROUND({c.split(':', 1)[1]} * 100) AS BIGINT)"
+        f"TRY_CAST(ROUND({c.split(':', 1)[1]} * 100) AS BIGINT)"
         if c.startswith("CENTS:")
         else f"CAST({c} AS VARCHAR)"
         for c in cols
@@ -396,7 +396,7 @@ SELECT CAST(o_orderkey % {N_CHECKSUM_BUCKETS} AS INTEGER) AS bucket,
        bit_xor(CAST(('0x' || substring(md5(concat_ws('|',
          CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
          CAST(o_orderstatus AS VARCHAR),
-         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         CAST(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
        )), 1, 15)) AS BIGINT)) AS checksum
 FROM orders GROUP BY 1
 """
@@ -485,21 +485,21 @@ ORACLE_SNAPSHOT_DIFF = """
 WITH v1 AS (
   SELECT o_orderkey AS k,
          md5(o_orderstatus || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+             CAST(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
            AS h1
   FROM orders
 ),
 v2 AS (
   SELECT o_orderkey AS k,
          md5(o_orderstatus || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+             CAST(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT)
                   + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END
                   AS VARCHAR)) AS h2
   FROM orders WHERE o_orderkey % 97 <> 0
   UNION ALL
   SELECT -o_orderkey AS k,
          md5(o_orderstatus || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+             CAST(TRY_CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
            AS h2
   FROM orders WHERE o_orderkey % 101 = 0
 ),
@@ -602,7 +602,11 @@ def q_migration_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench row against the reference's published migration wall times
     (BASELINE.md; its only benchmarks are this phase). Every rep
     re-stages the dump tree: the measured number IS the migration, not
-    a cached scan."""
+    a cached scan. The staging tree lives at a FIXED per-user,
+    per-fixture path that every rep overwrites (the table writers are
+    mode("overwrite")), so repeated bench reps / scale-smoke runs reuse
+    one tree instead of leaking a fresh mkdtemp per invocation."""
+    import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
@@ -610,7 +614,14 @@ def q_migration_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.jdbc import copy_dump_sink
     from ..sources.copytext import register_copytext
 
-    out_dir = _tempfile.mkdtemp(prefix="spark_graft_mig_e2e_")
+    fixture = _hashlib.md5(
+        _os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    uid = _os.getuid() if hasattr(_os, "getuid") else 0
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_mig_e2e-u{uid}-{fixture}"
+    )
+    _os.makedirs(out_dir, mode=0o700, exist_ok=True)
 
     def source(table: str) -> DataFrame:
         df = load_table(spark, sf_dir, table)
@@ -655,7 +666,7 @@ def _e2e_oracle_one(table: str, canon: list[str]) -> str:
     for c in canon:
         tag, _, name = c.partition(":")
         if tag == "CENTS":
-            cols.append(f"CAST(CAST(ROUND({name} * 100) AS BIGINT) AS VARCHAR)")
+            cols.append(f"CAST(TRY_CAST(ROUND({name} * 100) AS BIGINT) AS VARCHAR)")
         elif tag == "DATE":
             cols.append(f"CAST(CAST({name} AS DATE) AS VARCHAR)")
         else:

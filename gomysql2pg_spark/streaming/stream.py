@@ -616,7 +616,7 @@ SELECT CAST(FLOOR(epoch_us(ts) / {WINDOW_US}.0) AS BIGINT) * {WINDOW_US}
          + {WINDOW_US} AS win_end_us,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -702,7 +702,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_STREAM_JOIN = """
 WITH ev AS (
   SELECT event_id, user_id, ts, event_type,
-         CAST(ROUND(value * 100) AS BIGINT) AS cents
+         TRY_CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 )
 SELECT v.event_id AS view_id, p.event_id AS purch_id,
@@ -802,7 +802,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAM_STATEFUL = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY user_id
 """

@@ -741,3 +741,141 @@ def test_train_coarse_empty_cell_keeps_previous_centroid(spark):
     ).fetchall()
     oracle_model = {c: list(ce) for c, ce in got}
     assert oracle_model == model
+
+
+def test_ivf_index_control_plane_rides_pyarrow_fs(spark, sf_dir, tmp_path):
+    """The L4 treatment applied to the ANN index (r12 verdict item 2):
+    build + probe the IVFADC index through an injected
+    SubTreeFileSystem. The control plane (cache-key check, _SUCCESS
+    gate, install, eviction) sees only subtree-RELATIVE paths — any
+    leftover os.* access on those paths would ENOENT — while Spark
+    reads/writes the same bytes at `spark_root`. Results must be
+    byte-identical to the default-local-path build, a _SUCCESS removed
+    through the filesystem must force a rebuild, and the installed
+    tree must carry the atomic-install marker."""
+    from pyarrow import fs as pafs
+
+    base = tmp_path / "objstore" / "ann"
+    base.mkdir(parents=True)
+    subfs = pafs.SubTreeFileSystem(
+        str(tmp_path / "objstore"), pafs.LocalFileSystem()
+    )
+    kw = dict(
+        index_root="ann",  # subtree-relative: os.* on this would ENOENT
+        filesystem=subfs,
+        spark_root=str(base),
+    )
+    got = sorted(
+        map(tuple, SIM.q_similarity_ivfpq(spark, sf_dir, **kw).collect())
+    )
+    want = sorted(
+        map(tuple, SIM.q_similarity_ivfpq(spark, sf_dir).collect())
+    )
+    assert got == want and got
+    trees = [
+        i.base_name
+        for i in subfs.get_file_info(pafs.FileSelector("ann"))
+        if i.type == pafs.FileType.Directory
+    ]
+    assert len(trees) == 1 and trees[0].startswith("spark_graft_ivf_")
+    success = f"ann/{trees[0]}/_SUCCESS"
+    assert subfs.get_file_info(success).type == pafs.FileType.File
+    # evict the marker THROUGH the filesystem: the next build must not
+    # trust the half-tree and must reinstall (same results)
+    subfs.delete_file(success)
+    again = sorted(
+        map(tuple, SIM.q_similarity_ivfpq(spark, sf_dir, **kw).collect())
+    )
+    assert again == want
+    assert subfs.get_file_info(success).type == pafs.FileType.File
+
+
+def test_ivf_index_default_root_is_per_user(tmp_path, monkeypatch):
+    """The default index root is a per-user 0700 cache dir, not the
+    old world-shared predictable /tmp path (r12 advice: another user's
+    pre-created dir with a _SUCCESS marker must never be trusted)."""
+    import os
+    import stat
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", None)  # re-read TMPDIR
+    fs, croot, sroot = SIM._resolve_index_fs()
+    assert croot == sroot
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    assert croot.endswith(f"spark_graft_ivf-u{uid}")
+    assert croot.startswith(str(tmp_path))
+    mode = stat.S_IMODE(os.stat(croot).st_mode)
+    assert mode == 0o700
+
+
+def test_fixture_key_catches_same_second_rewrite(tmp_path):
+    """Cache-key staleness hole from the r12 advice: a fixture
+    rewritten in place within the same wall-clock second must change
+    the key. The key uses (size, mtime_ns), so either a size change or
+    a sub-second mtime change re-keys; identical bytes at identical
+    mtime_ns (a true no-op) may share the key."""
+    import os
+
+    fx = tmp_path / "embeddings.parquet"
+    fx.write_bytes(b"one")
+    os.utime(fx, (1_700_000_000, 1_700_000_000))
+    k1 = SIM._fixture_key(str(tmp_path))
+    # same second (os.utime with identical integer seconds), new size
+    fx.write_bytes(b"longer-content")
+    os.utime(fx, (1_700_000_000, 1_700_000_000))
+    k2 = SIM._fixture_key(str(tmp_path))
+    assert k1 is not None and k2 is not None and k1 != k2
+    # sub-second mtime change, same size
+    os.utime(fx, ns=(1_700_000_000_000_000_000, 1_700_000_000_500_000_000))
+    k3 = SIM._fixture_key(str(tmp_path))
+    assert k3 != k2
+    # missing fixture -> unkeyable, never a crash
+    assert SIM._fixture_key(str(tmp_path / "nope")) is None
+
+
+def test_assign_cells_join_form_equals_literal_form(spark, sf_dir):
+    """The `_cell_expr` literal ceiling (r12 verdict item 3): above
+    the literal budget (production nlist × dim would inline ~3M
+    doubles into the plan) cell assignment switches to the broadcast-
+    codebook join. Forced-low budget → join form; assignments must be
+    IDENTICAL to the literal form for every vector (same strict-left-
+    fold distance tree, same (d², cell) tie-break), the join must
+    compile to a BroadcastHashJoin (never a nested loop / cartesian),
+    and the literal form must stay join-free."""
+    from gomysql2pg_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = SIM._coarse_model(sf_dir, emb)
+    assert rows
+    lit_df = SIM._assign_cells(emb, rows)  # fixture scale ≤ budget
+    join_df = SIM._assign_cells(emb, rows, budget=0)  # forced join form
+    assert lit_df.columns == join_df.columns == emb.columns + ["cell"]
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    join_plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan
+    assert "BroadcastHashJoin" in join_plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in join_plan, join_plan
+    lit = {r["vec_id"]: r["cell"] for r in lit_df.select("vec_id", "cell").collect()}
+    jn = {r["vec_id"]: r["cell"] for r in join_df.select("vec_id", "cell").collect()}
+    assert lit == jn and len(lit) == emb.count()
+    # a payload column survives the join form unchanged
+    lbl = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    jl = {r["vec_id"]: r["label"] for r in join_df.select("vec_id", "label").collect()}
+    assert jl == lbl
+
+
+def test_assign_cells_join_form_trains_identically(spark, sf_dir, monkeypatch):
+    """End-to-end at the forced-low budget: a full `_train_coarse` run
+    through the join-form assignment yields the bit-identical model
+    the literal form trains (the oracle replays training CTE-for-CTE,
+    so the model must not depend on the physical assignment plan)."""
+    from gomysql2pg_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = SIM._train_coarse(emb)  # fresh, uncached (no cache_key)
+    monkeypatch.setattr(SIM, "_CELL_LITERAL_BUDGET", 0)
+    got = SIM._train_coarse(emb)
+    assert got == want

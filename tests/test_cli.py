@@ -161,9 +161,32 @@ def test_nested_types_fail_loudly_in_ddl(spark, tmp_path, sf_dir, capsys):
     }
     path = tmp_path / "cfg.yml"
     path.write_text(yaml.safe_dump(cfg))
-    main(["-c", str(path), "createTable"])
+    assert main(["-c", str(path), "createTable"]) == 1
     err = capsys.readouterr().err
     assert "SKIPPED embeddings" in err and "no MySQL source form" in err
+
+
+def test_partial_create_table_failure_is_nonzero(
+    spark, tmp_path, sf_dir, capsys
+):
+    """A createTable where SOME tables map and one fails must still
+    exit nonzero — the reference counts per-table failures into its
+    summary verdict (`root.go:166-209`); exit 0 with stderr-only
+    SKIPPED notes lets scripted callers miss the partial failure."""
+    cfg = {
+        "src": {"database": sf_dir},
+        "dest": {"dbType": "copydump", "database": str(tmp_path / "d")},
+        "exclude": [
+            "customer", "documents", "events", "lineitem",
+            "orders", "part", "supplier",
+        ],  # leaves nation+region (mappable) and embeddings (not)
+    }
+    path = tmp_path / "cfg.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    assert main(["-c", str(path), "createTable"]) == 1
+    captured = capsys.readouterr()
+    assert 'create table "nation"' in captured.out  # good DDL still out
+    assert "SKIPPED embeddings" in captured.err
 
 
 def test_cli_jdbc_dest_roundtrips_through_derby(spark, tmp_path, sf_dir, capsys):
@@ -199,6 +222,20 @@ def test_migrate_emits_post_ddl_phases(spark, config, capsys, tmp_path):
     assert 'alter table "nation" add primary key' in out
     assert "create or replace view v_nation" in out
     assert "create sequence seq_nation_n_nationkey" in out
+
+
+def test_migrate_out_collects_all_ddl_in_one_file(spark, config, tmp_path):
+    """With --out, the table DDL AND the post-DDL phases (indexes /
+    views / triggers / sequences) land in the SAME file — one DDL
+    artifact, not table DDL in the file and the rest on stdout."""
+    path, _ = config
+    out_file = str(tmp_path / "all_ddl.sql")
+    assert main(["-c", path, "migrate", "--out", out_file]) == 0
+    text = open(out_file).read()
+    assert 'create table "nation"' in text
+    assert 'alter table "nation" add primary key' in text
+    assert "create or replace view v_nation" in text
+    assert "create sequence seq_nation_n_nationkey" in text
 
 
 def test_trigger_metadata_emits_pg_form(tmp_path, capsys):
