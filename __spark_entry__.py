@@ -22,37 +22,44 @@ from pyspark.sql import DataFrame, SparkSession
 # correctness row, rotating per round until every entry has a green row.
 # Cumulative driver-verified coverage is tracked in README.md.
 _PRIORITY = [
-    # --- r12 window (50 slots). NO no_oracle-by-design entries.
+    # --- r13 window (50 slots). NO no_oracle-by-design entries.
     #
-    # (a) entries whose code r12 changed: the copytext byte-range
-    # split fix + pyarrow.fs plumbing, the trained-coarse-quantizer
-    # IVFADC, the new end-to-end migration row, and every oracled
-    # consumer of the connected-components small-graph path / the
-    # MinHash-LSH barrier tuning
-    "copytext_roundtrip", "similarity_ivfpq", "migration_e2e",
-    "dedup_survivors", "dedup_clusters", "er_clusters",
-    "er_resolved_rollup", "pagerank_bipartite",
-    "dedup_minhash_lsh_verified",
-    # (b) the 3 r06-stale rollovers budgeted for r12 by the r11 brief
-    "validate_bucket_checksum", "value_quantiles", "vocab_topk",
-    # (c) staleness rotation: 38 of the 41 remaining r08-stale
-    # entries (alphabetical; weighted_systematic_sample,
-    # winsorized_stats, zorder_layout overflow to r13 — all three
-    # green in this round's full local oracle sweep)
-    "anti_join", "approx_distinct_check", "approx_quantiles_check",
-    "bloom_prefilter_join", "cell_transforms", "char_entropy",
-    "classifier_score", "conditional_null", "cooccurrence_lift",
-    "coreset_margin_select", "count_star", "cross_source_overlap",
-    "dedup_exact", "dedup_simhash_verified", "distinct_agg",
-    "doc_chunking", "domain_cap_sample_scaled", "domain_reweight",
-    "events_top_paths", "events_transition_matrix", "filter_like",
-    "full_scan", "group_concat", "group_reservoir_sample",
-    "heavy_hitters", "interval_overlap_join", "mad_outliers",
-    "mixture_allocation", "multikey_sort", "page_count",
-    "quality_calibration", "random_ids_check", "rfm_segments_scaled",
-    "similarity_lsh_verified", "stream_heavy_hitters",
-    "stream_quality_gate", "stream_source_stats",
-    "validate_fk_orphans",
+    # (a) the post-window driver-row gap (r12 verdict item 1): the
+    # r12 snapshot commit (ca6f8a4) changed asof/events/linkage/
+    # sampling/timeseries/stream code AFTER the r12 window froze, so
+    # every oracled entry in those files whose latest driver row
+    # predates that commit gets a fresh row here — all verified green
+    # in this round's full local oracle sweep at sf0.01
+    "events_asof_purchase", "events_asof_next_purchase",
+    "events_asof_tolerance",
+    "events_anomaly", "events_cdc_merge", "events_funnel",
+    "events_json_props", "events_latest_per_user",
+    "events_sessionize", "events_window",
+    "er_blocking_pairs", "er_match_pairs",
+    "cohort_retention", "curation_pipeline", "domain_cap_sample",
+    "engagement_dau", "hapax_stats", "hash_mod_sample",
+    "key_skew_histogram", "ngram_novelty", "rfm_segments",
+    "ts_gapfill_ffill", "ts_ohlc", "scd2_intervals",
+    "stream_anomaly", "stream_dedup", "stream_dedup_then_window",
+    "stream_session_windows", "stream_sliding_windows",
+    "stream_stateful_totals", "stream_stream_join",
+    "stream_windowed_counts",
+    # (b) the 3 r08-stale rollovers budgeted for r13 by the r12 brief
+    "weighted_systematic_sample", "winsorized_stats", "zorder_layout",
+    # (c) entries whose code/oracles r13 itself changed: the TRY_CAST
+    # oracle sync (events/ts/sampling/linkage/stream/similarity/
+    # validation — entries above already covered; these are the
+    # r12-fresh ones the sync re-touched), the pyarrow.fs ANN index +
+    # broadcast-join cell-assignment fallback, and the fixed
+    # migration_e2e staging path
+    "er_resolved_rollup", "rfm_segments_scaled", "value_quantiles",
+    "similarity_pq", "similarity_ivfpq",
+    "migration_e2e", "validate_bucket_checksum",
+    "validate_content_hash", "snapshot_diff",
+    # (d) staleness rotation: the oldest remaining r09 rows, biased to
+    # files this round touched (similarity/validation)
+    "similarity_topk", "similarity_ivf", "similarity_norms",
+    "catalog_tables", "validate_rowcount", "window_funcs",
 ]
 
 

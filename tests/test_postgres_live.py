@@ -508,3 +508,139 @@ def test_trigger_pg_form_fires_on_live_pg(pg_sock):
         "FROM information_schema.triggers WHERE trigger_name = 'trg_bump'",
     ).strip()
     assert row == "BEFORE|INSERT"
+
+
+def test_cli_migrate_artifacts_execute_on_live_pg(
+    pg_sock, spark, tmp_path, sf_dir
+):
+    """The CLI's full `migrate` phase order against the real target
+    engine the reference ships for (`readme.md:9`): one `migrate
+    --out` run emits the complete DDL artifact (tables + post-DDL
+    indexes/sequences/views) and stages the COPY dump trees, its own
+    compareDb phase exits 0, the artifact then executes VERBATIM on
+    live PostgreSQL 15, every dump file bulk-loads via `psql \\copy`,
+    and the loaded rows content-match the Spark source — the
+    reference's createTable → TableData → compareDb pipeline
+    (`cmd/root.go:60-213`) proven end-to-end on the engine it
+    targets, not just against an embedded proxy."""
+    import yaml
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.cli import main
+
+    dump = tmp_path / "dump"
+    cfg = {
+        "src": {"database": sf_dir},
+        "dest": {"dbType": "copydump", "database": str(dump)},
+        "maxParallel": 2,
+        "exclude": [
+            "customer", "documents", "embeddings", "events",
+            "lineitem", "orders", "part", "supplier",
+        ],
+        "metadata": {
+            "sequences": [
+                {"table": "nation", "column": "n_nationkey", "start": 26}
+            ],
+            "indexes": [
+                {
+                    "table": "nation",
+                    "name": "PRIMARY",
+                    "columns": ["n_nationkey"],
+                },
+                {
+                    "table": "region",
+                    "name": "idx_rname",
+                    "columns": ["r_name"],
+                },
+            ],
+            "views": [
+                {
+                    "name": "v_nation",
+                    "definition": "select `n_name` from nation",
+                }
+            ],
+        },
+    }
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    ddl_path = tmp_path / "all_ddl.sql"
+    assert main(["-c", str(cfg_path), "migrate", "--out", str(ddl_path)]) == 0
+
+    # phase 1+3: the single DDL artifact executes verbatim on PG 15
+    r = subprocess.run(
+        [
+            "psql", "-h", pg_sock, "-U", "postgres", "-X", "-q",
+            "-v", "ON_ERROR_STOP=1", "-f", str(ddl_path),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+
+    # phase 2: bulk-load each staged dump file (the parallelizable /
+    # per-file-retryable load the staging layout exists for)
+    for table in ("nation", "region"):
+        parts = sorted(
+            p
+            for p in (dump / table).iterdir()
+            if not p.name.startswith(("_", "."))
+        )
+        assert parts
+        for p in parts:
+            r = subprocess.run(
+                [
+                    "psql", "-h", pg_sock, "-U", "postgres", "-X", "-q",
+                    "-v", "ON_ERROR_STOP=1",
+                    "-c", f"\\copy {table} FROM '{p}'",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=120,
+            )
+            assert r.returncode == 0, r.stderr
+
+    # content compare, strictly stronger than the reference's
+    # count-only compareDb: key+name pairs match the Spark source
+    for table, key, name in (
+        ("nation", "n_nationkey", "n_name"),
+        ("region", "r_regionkey", "r_name"),
+    ):
+        got = {
+            (int(k), v)
+            for k, v in (
+                row.split("|", 1)
+                for row in _psql(
+                    pg_sock, f"SELECT {key}, {name} FROM {table}"
+                ).splitlines()
+            )
+        }
+        want = {
+            (r[key], r[name])
+            for r in load_table(spark, sf_dir, table)
+            .select(key, name)
+            .collect()
+        }
+        assert got == want and got
+
+    # post-DDL really landed: the view reads, the sequence advances
+    # from its declared start, the PK index rejects a duplicate key
+    assert int(_psql(pg_sock, "SELECT count(*) FROM v_nation").strip()) > 0
+    assert (
+        _psql(
+            pg_sock, "SELECT nextval('seq_nation_n_nationkey')"
+        ).strip()
+        == "26"
+    )
+    dup = subprocess.run(
+        [
+            "psql", "-h", pg_sock, "-U", "postgres", "-X", "-q",
+            "-v", "ON_ERROR_STOP=1", "-c",
+            "INSERT INTO nation SELECT * FROM nation LIMIT 1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert dup.returncode != 0
+    assert "duplicate key" in dup.stderr
