@@ -154,6 +154,13 @@ HEADLINE = [
     # RE-STAGES the tree, so the number is the migration itself — the
     # one phase the reference publishes wall times for
     "migration_e2e",
+    # round-13: leakage-free cluster-atomic splits (CC labels + one
+    # stateless md5/CASE map), the per-source dedup accounting rollup,
+    # and the corpus diversity distinct-n (one (source, bigram)
+    # partial-agg shuffle)
+    "split_by_cluster",
+    "dedup_impact_report",
+    "distinct_ngram_ratio",
 ]
 
 

@@ -1010,6 +1010,146 @@ def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# leakage-free dataset splits + the dedup impact report — the two
+# steps every training-data pipeline runs AFTER clustering: assign
+# splits so near-duplicates never straddle train/eval, and account for
+# what dedup removed
+# ---------------------------------------------------------------------------
+
+_SPLIT_HEX = "0123456789abcdef"
+SPLIT_TEST_BUCKETS = 13  # bucket 0-12  → test  (~5.1% of 256)
+SPLIT_VAL_BUCKETS = 26  # bucket 13-25 → val   (~5.1%); rest → train
+
+
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: the WHOLE near-dup cluster
+    goes to one split, so a test document can never have a near-
+    duplicate in train (the contamination mode document-level random
+    splits are blind to — splitting the corpus before dedup clustering
+    leaks ~|cluster|-1 twins of every eval doc into training). Split
+    assignment is the deterministic md5 bucket of the CLUSTER id (the
+    `hash_mod_sample` recipe applied one level up): every member
+    inherits its cluster's bucket, singletons are their own cluster,
+    and the same corpus splits identically on every engine/run.
+
+    Plan at 100 TB: cluster labels from the bounded CC kernel
+    (df-capped edges), one left join of the doc spine to the (small,
+    cluster-count-sized) label frame, then a stateless md5/CASE map —
+    no shuffle beyond what clustering already paid. Returns one row
+    per corpus document: (doc_id, cluster_id, bucket, split)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_dedup_jaccard(spark, sf_dir).select("da", "db")
+    labels = connected_components(pairs)
+    lab = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    h = "md5(CAST(cluster_id AS STRING))"
+    bucket = F.expr(
+        f"CAST((instr('{_SPLIT_HEX}', substring({h}, 31, 1)) - 1) * 16"
+        f" + (instr('{_SPLIT_HEX}', substring({h}, 32, 1)) - 1) AS INT)"
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TEST_BUCKETS, F.lit("test"))
+        .when(bucket < SPLIT_VAL_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+ORACLE_SPLIT_BY_CLUSTER = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT da, db FROM ({ORACLE_DEDUP_JACCARD}) j
+),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST((strpos('{_SPLIT_HEX}',
+                      substr(md5(CAST(cluster_id AS VARCHAR)), 31, 1)) - 1)
+              * 16
+              + (strpos('{_SPLIT_HEX}',
+                        substr(md5(CAST(cluster_id AS VARCHAR)), 32, 1)) - 1)
+              AS INTEGER) AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < {SPLIT_TEST_BUCKETS} THEN 'test'
+            WHEN bucket < {SPLIT_VAL_BUCKETS} THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+def q_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting — the report a curation run prints
+    before anyone trusts it: documents and characters before/after
+    quality-aware survivor selection, per source. Composes the
+    survivor operator (cluster labels + quality ranking) with one
+    join to the doc spine for `source` and a source-bounded aggregate
+    (map-side combinable; output is |sources| rows). The character
+    sums quantify what the reference's row-count compare can't: HOW
+    MUCH corpus each source loses to near-duplication."""
+    surv = q_dedup_survivors(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    keep = F.col("is_survivor").cast("long")
+    return (
+        surv.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.sum(keep).alias("docs_after"),
+            F.sum("n_chars").alias("chars_before"),
+            F.sum(F.col("n_chars") * keep).alias("chars_after"),
+        )
+        .withColumn(
+            "docs_removed", F.col("docs_before") - F.col("docs_after")
+        )
+    )
+
+
+def _oracle_dedup_impact_report() -> str:
+    """survivors oracle (verbatim, as a nested CTE subquery) + the
+    source join + the per-source rollup; the integer SUMs carry the
+    outer BIGINT cast (DuckDB SUM(int) is HUGEINT)."""
+    return f"""
+WITH s AS (SELECT * FROM ({_oracle_dedup_survivors()}) ss),
+j AS (
+  SELECT s.doc_id, s.n_chars, s.is_survivor, d.source
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS docs_before,
+       CAST(SUM(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_after,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       CAST(SUM(CASE WHEN is_survivor THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_after,
+       COUNT(*) - CAST(SUM(CASE WHEN is_survivor THEN 1 ELSE 0 END)
+                       AS BIGINT) AS docs_removed
+FROM j GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact-substring chunk dedup (Lee et al., "Deduplicating Training Data
 # Makes Language Models Better": cross-document repeated substrings)
 # ---------------------------------------------------------------------------
@@ -1627,6 +1767,8 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "split_by_cluster": q_split_by_cluster,
+    "dedup_impact_report": q_dedup_impact_report,
     # rows-only by design (LSH edge source): invariant-gated in
     # tests/test_ann_quality.py, benched as the scale-path headline
     "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -1652,4 +1794,6 @@ ORACLES = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_survivors": _oracle_dedup_survivors(),
+    "split_by_cluster": ORACLE_SPLIT_BY_CLUSTER,
+    "dedup_impact_report": _oracle_dedup_impact_report(),
 }

@@ -358,6 +358,81 @@ LIMIT 50
 """
 
 
+def q_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity via distinct-n (Li et al. 2016,
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models"): distinct bigrams / total bigrams per source, in exact
+    integer micro-units. The corpus-health dashboard number next to
+    `hapax_stats` — a source whose ratio collapses is template spam
+    (the same boilerplate stamped out over and over) even when every
+    DOCUMENT passes the per-doc repetition filter, because the
+    repetition lives ACROSS documents, not within them.
+
+    Same tokenization + 0/1-token guard as `q_bigram_counts`. Plan at
+    100 TB: tokens materialized once per doc, one explode, then one
+    partial-aggregated shuffle keyed by (source, bigram) for the
+    distinct count folded into a |sources|-row rollup — bounded output,
+    no per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    toks = F.col("toks")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        pre.select("source", F.explode(bigrams).alias("bigram"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_bigrams"),
+            F.countDistinct("bigram").alias("distinct_bigrams"),
+        )
+        .select(
+            "source",
+            "total_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams")
+                * F.lit(1_000_000).cast("double")
+                / F.col("total_bigrams")
+            )
+            .cast("long")
+            .alias("distinct_ratio_micro"),
+        )
+    )
+
+
+ORACLE_DISTINCT_NGRAM_RATIO = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+bi AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+),
+agg AS (
+  SELECT source, COUNT(*) AS total_bigrams,
+         CAST(COUNT(DISTINCT bigram) AS BIGINT) AS distinct_bigrams
+  FROM bi GROUP BY source
+)
+SELECT source, total_bigrams, distinct_bigrams,
+       CAST(ROUND(distinct_bigrams * CAST(1000000 AS DOUBLE)
+                  / total_bigrams) AS BIGINT) AS distinct_ratio_micro
+FROM agg
+"""
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality metrics per document: top-word
     fraction, duplicate-bigram fraction, mean word length — the filters
@@ -612,6 +687,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "stratified_sample": q_stratified_sample,
     "bigram_counts": q_bigram_counts,
+    "distinct_ngram_ratio": q_distinct_ngram_ratio,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -625,6 +701,7 @@ ORACLES = {
     "repetition_filter": ORACLE_REPETITION_FILTER,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "bigram_counts": ORACLE_BIGRAM_COUNTS,
+    "distinct_ngram_ratio": ORACLE_DISTINCT_NGRAM_RATIO,
     "text_stats": ORACLE_TEXT_STATS,
     "token_count": ORACLE_TOKEN_COUNT,
     "lang_id": ORACLE_LANG_ID,

@@ -128,3 +128,102 @@ def test_pagerank_mass_conserved_and_positive(spark, sf_dir, queries):
     assert abs(sum(r["pr_nano"] for r in rows) - 1_000_000_000) <= len(rows)
     for r in rows:
         assert r["pr_nano"] > 0
+
+
+def test_split_by_cluster_is_leakage_free(spark, sf_dir, queries):
+    """The invariant that IS the operator: no near-dup cluster
+    straddles two splits (so a test doc can never have a near-dup in
+    train), every corpus document appears exactly once, and the
+    bucket→split mapping realizes roughly 90/5/5."""
+    from pyspark.sql import functions as F
+
+    df = queries["split_by_cluster"](spark, sf_dir).persist()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    # leakage-freedom: one split per cluster
+    straddle = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # members inherit the CLUSTER's bucket, not their own doc hash
+    pairs = queries["dedup_jaccard"](spark, sf_dir).select("da", "db")
+    if pairs.count():
+        joined = (
+            pairs.join(
+                df.select(
+                    F.col("doc_id").alias("da"),
+                    F.col("split").alias("sa"),
+                ),
+                "da",
+            )
+            .join(
+                df.select(
+                    F.col("doc_id").alias("db"),
+                    F.col("split").alias("sb"),
+                ),
+                "db",
+            )
+        )
+        assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+    frac = {
+        r["split"]: r["n"] / n_docs
+        for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert frac.get("train", 0) > 0.8
+    assert 0.005 < frac.get("test", 0) < 0.15
+    assert 0.005 < frac.get("val", 0) < 0.15
+    df.unpersist()
+
+
+def test_dedup_impact_report_accounts_exactly(spark, sf_dir, queries):
+    """The report's totals must reconcile exactly with its inputs:
+    docs/chars before = the corpus per source, docs after = the
+    survivor count, removed = before - after, and chars_after ≤
+    chars_before with equality iff nothing was removed."""
+    from pyspark.sql import functions as F
+
+    rep = {r["source"]: r for r in queries["dedup_impact_report"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .collect()
+    }
+    assert set(rep) == set(truth)
+    surv = (
+        queries["dedup_survivors"](spark, sf_dir)
+        .filter("is_survivor")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_surv"))
+    )
+    n_surv = {r["source"]: r["n_surv"] for r in surv.collect()}
+    for s, r in rep.items():
+        assert r["docs_before"] == truth[s]["n"]
+        assert r["chars_before"] == truth[s]["chars"]
+        assert r["docs_after"] == n_surv.get(s, 0)
+        assert r["docs_removed"] == r["docs_before"] - r["docs_after"]
+        assert r["chars_after"] <= r["chars_before"]
+        if r["docs_removed"] == 0:
+            assert r["chars_after"] == r["chars_before"]
+
+
+def test_distinct_ngram_ratio_bounds_and_exactness(spark, sf_dir, queries):
+    """distinct ≤ total, ratio in (0, 1e6], and the micro ratio is
+    exactly round(distinct*1e6/total) recomputed from the row's own
+    integer columns (no hidden float drift)."""
+    rows = queries["distinct_ngram_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["distinct_bigrams"] <= r["total_bigrams"]
+        want = round(r["distinct_bigrams"] * 1e6 / r["total_bigrams"])
+        assert r["distinct_ratio_micro"] == want
+        assert 0 < r["distinct_ratio_micro"] <= 1_000_000
