@@ -56,13 +56,14 @@ _PRIORITY = [
     "similarity_pq", "similarity_ivfpq",
     "migration_e2e", "validate_bucket_checksum",
     "validate_content_hash", "snapshot_diff",
-    # (d) the 3 r13-NEW entries (never driver-checked): leakage-free
-    # cluster-atomic splits, the per-source dedup impact report, and
-    # the distinct-n corpus diversity ratio
+    # (d) the 4 r13-NEW entries (never driver-checked): leakage-free
+    # cluster-atomic splits, the per-source dedup impact report, the
+    # distinct-n corpus diversity ratio, and DSIR importance selection
     "split_by_cluster", "dedup_impact_report", "distinct_ngram_ratio",
+    "dsir_select",
     # (e) staleness rotation: the oldest remaining r09 rows in the
     # similarity file this round touched
-    "similarity_topk", "similarity_ivf", "similarity_norms",
+    "similarity_topk", "similarity_ivf",
 ]
 
 

@@ -161,6 +161,9 @@ HEADLINE = [
     "split_by_cluster",
     "dedup_impact_report",
     "distinct_ngram_ratio",
+    # round-13: DSIR importance selection (two broadcast unigram LMs +
+    # one per-doc reduce, stateless gate — no corpus sort)
+    "dsir_select",
 ]
 
 

@@ -510,6 +510,126 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+DSIR_TARGET_LANG = "en"  # the fixture's "target distribution" proxy
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, simplified to word-unigram features): score every document
+    by the log importance ratio between a TARGET language model
+    (trained on the docs whose `lang` matches the target — a real
+    deployment swaps in a Wikipedia/books reference corpus; the plan
+    is identical) and the RAW-corpus model, then keep the documents
+    more likely under the target than under the source. Both LMs use
+    add-1 smoothing over the shared corpus vocabulary so every corpus
+    token scores under both.
+
+    Determinism: each LM's ln() is quantized to integer micro-units
+    ONCE per vocabulary type (the `unigram_logprob` discipline), the
+    per-token delta is a bigint difference, and the per-doc ratio is
+    an exact bigint sum — order-independent under any partitioning.
+    Selection is the stateless `logratio > 0` gate, so the operator
+    needs NO global window or corpus sort: at 100 TB the scored
+    vocabulary broadcasts, the token stream shuffles once for the
+    per-doc reduce, and the gate is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _alpha_tokens(docs)
+    ttok = _alpha_tokens(docs.filter(F.col("lang") == DSIR_TARGET_LANG))
+    uni_s = tok.groupBy("token").agg(F.count("*").alias("cs"))
+    uni_t = ttok.groupBy("token").agg(F.count("*").alias("ct"))
+    ns = tok.agg(F.count("*").alias("ns"))
+    nt = ttok.agg(F.count("*").alias("nt"))
+    v = tok.agg(F.countDistinct("token").alias("v"))
+
+    def _lp_micro(cnt, total):
+        return (
+            F.round(
+                F.log(
+                    cnt.cast("double")
+                    / (F.col("v") + total).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+        )
+
+    lm = (
+        uni_s.join(uni_t, "token", "left")
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "token",
+            (
+                _lp_micro(F.coalesce("ct", F.lit(0)) + 1, F.col("nt"))
+                - _lp_micro(F.col("cs") + 1, F.col("ns"))
+            ).alias("delta_micro"),
+        )
+    )
+    per = (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("delta_micro").alias("logratio_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce("logratio_micro", F.lit(0).cast("long")).alias(
+                "logratio_micro"
+            ),
+            (
+                F.coalesce("logratio_micro", F.lit(0).cast("long"))
+                > 0
+            ).alias("selected"),
+        )
+    )
+
+
+ORACLE_DSIR_SELECT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+ttok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents WHERE lang = '{DSIR_TARGET_LANG}'
+),
+uni_s AS (SELECT token, COUNT(*) AS cs FROM tok GROUP BY token),
+uni_t AS (SELECT token, COUNT(*) AS ct FROM ttok GROUP BY token),
+ns AS (SELECT COUNT(*) AS ns FROM tok),
+nt AS (SELECT COUNT(*) AS nt FROM ttok),
+v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+lm AS (
+  SELECT s.token,
+         CAST(ROUND(LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                       / CAST(v + nt AS DOUBLE)) * 1000000) AS BIGINT)
+       - CAST(ROUND(LN(CAST(s.cs + 1 AS DOUBLE)
+                       / CAST(v + ns AS DOUBLE)) * 1000000) AS BIGINT)
+           AS delta_micro
+  FROM uni_s s LEFT JOIN uni_t t USING (token), ns, nt, v
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(delta_micro) AS BIGINT) AS logratio_micro
+  FROM tok JOIN lm USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.logratio_micro, 0) AS logratio_micro,
+       COALESCE(per.logratio_micro, 0) > 0 AS selected
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
@@ -517,6 +637,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "unigram_logprob": q_unigram_logprob,
     "bigram_lm_logprob": q_bigram_lm_logprob,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -526,4 +647,5 @@ ORACLES = {
     "oov_rate": ORACLE_OOV_RATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
+    "dsir_select": ORACLE_DSIR_SELECT,
 }

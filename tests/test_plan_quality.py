@@ -754,3 +754,45 @@ def test_dedup_survivors_single_window_partial_quality(
         wline
     ), wline
     assert "CartesianProduct" not in plan, plan
+
+
+def test_distinct_ngram_ratio_partial_aggregates_and_prunes(
+    spark, sf_dir, queries
+):
+    """The diversity rollup must read only (source, text) from the
+    scan (column pruning) and partial-aggregate the (source, bigram)
+    stream before its shuffle — at 100 TB the map side collapses each
+    partition's repeats so the wire carries distinct pairs, not the
+    exploded corpus."""
+    plan = plan_of(queries["distinct_ngram_ratio"](spark, sf_dir))
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert sched and all(
+        "doc_id" not in ln and "lang" not in ln and "n_chars" not in ln
+        for ln in sched
+    ), sched
+    assert "partial" in plan.lower()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_split_by_cluster_map_is_join_plus_case(spark, sf_dir, queries):
+    """Beyond the clustering pipeline it composes, the split operator
+    itself must add NO quadratic machinery: the doc-spine meet with
+    the label frame is a hash equi-join (never a nested loop), and the
+    bucket/split assignment is a stateless projection (no extra
+    aggregate or window on the corpus side)."""
+    plan = plan_of(queries["split_by_cluster"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    # the md5/CASE map rides a projection, not a window
+    tail = plan.split("AdaptiveSparkPlan")[0]
+    assert "split" in plan
+
+
+def test_dedup_impact_report_is_bounded_rollup(spark, sf_dir, queries):
+    """The report's own aggregate is |sources|-bounded and
+    partial-applied; the doc-spine join is an equi-join."""
+    plan = plan_of(queries["dedup_impact_report"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert "partial" in plan.lower()

@@ -227,3 +227,40 @@ def test_distinct_ngram_ratio_bounds_and_exactness(spark, sf_dir, queries):
         want = round(r["distinct_bigrams"] * 1e6 / r["total_bigrams"])
         assert r["distinct_ratio_micro"] == want
         assert 0 < r["distinct_ratio_micro"] <= 1_000_000
+
+
+def test_dsir_select_favors_target_language(spark, sf_dir, queries):
+    """The operator's point, made measurable: documents in the target
+    language must be selected at a (much) higher rate than the rest —
+    the importance ratio is trained to tell exactly that apart. Also
+    pins the stateless gate (selected ⇔ logratio > 0), full-corpus
+    coverage, and token-less docs defaulting to not-selected."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.operators.ranking import DSIR_TARGET_LANG
+
+    df = queries["dsir_select"](spark, sf_dir).persist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    assert df.count() == docs.count()
+    bad_gate = df.filter(
+        (F.col("selected") != (F.col("logratio_micro") > 0))
+    ).count()
+    assert bad_gate == 0
+    stats = {
+        r["is_target"]: r
+        for r in df.join(docs, "doc_id")
+        .groupBy((F.col("lang") == DSIR_TARGET_LANG).alias("is_target"))
+        .agg(
+            F.avg(F.col("selected").cast("double")).alias("rate"),
+            F.avg("logratio_micro").alias("mean_ratio"),
+        )
+        .collect()
+    }
+    # weak-signal fixture (synthetic "languages" share most of the
+    # latin vocabulary, docs are ~55 tokens), so the gate is pinned the
+    # way the ANN recall gates are: clearly better than non-target,
+    # not production-separation — measured: target rate 0.56 vs 0.38,
+    # mean ratio +35k vs -86k micro at sf0.001
+    assert stats[True]["rate"] > stats[False]["rate"] + 0.1
+    assert stats[True]["mean_ratio"] > 0 > stats[False]["mean_ratio"]
+    df.unpersist()
