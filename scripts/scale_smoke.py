@@ -72,6 +72,14 @@ SCALE_CRITICAL = [
     # with rows)
     "migration_e2e",
     "cross_source_overlap",
+    # r13: cluster-atomic splits + the per-source dedup accounting
+    # (both ride the jaccard+CC pipeline, priced end-to-end), the
+    # distinct-n diversity rollup and DSIR selection (corpus token
+    # shuffles with broadcast models)
+    "split_by_cluster",
+    "dedup_impact_report",
+    "distinct_ngram_ratio",
+    "dsir_select",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",
