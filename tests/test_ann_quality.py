@@ -879,3 +879,38 @@ def test_assign_cells_join_form_trains_identically(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(SIM, "_CELL_LITERAL_BUDGET", 0)
     got = SIM._train_coarse(emb)
     assert got == want
+
+
+def test_ivf_index_accepts_file_uri_root(spark, sf_dir, tmp_path):
+    """The `FileSystem.from_uri` branch of `_resolve_index_fs`: a
+    file:// URI index root resolves to a pyarrow LocalFileSystem for
+    the control plane while Spark reads/writes the URI — the same
+    wiring an s3://... root would use. Results must match the default
+    build and the tree must land under the URI's path."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    root_uri = (tmp_path / "uri_idx").as_uri()  # file:///...
+    got = sorted(
+        map(
+            tuple,
+            SIM.q_similarity_ivfpq(
+                spark, sf_dir, index_root=root_uri
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, SIM.q_similarity_ivfpq(spark, sf_dir).collect())
+    )
+    assert got == want and got
+    trees = [
+        d
+        for d in os.listdir(tmp_path / "uri_idx")
+        if d.startswith("spark_graft_ivf_")
+    ]
+    assert len(trees) == 1
+    assert os.path.isfile(tmp_path / "uri_idx" / trees[0] / "_SUCCESS")
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root_uri)
+    assert isinstance(fs, pafs.LocalFileSystem)
+    assert sroot == root_uri and not croot.startswith("file://")
