@@ -914,3 +914,122 @@ def test_ivf_index_accepts_file_uri_root(spark, sf_dir, tmp_path):
     fs, croot, sroot = SIM._resolve_index_fs(index_root=root_uri)
     assert isinstance(fs, pafs.LocalFileSystem)
     assert sroot == root_uri and not croot.startswith("file://")
+
+
+def test_ivf_index_losing_a_race_trusts_the_winner(spark, sf_dir, tmp_path):
+    """The non-atomic-move story made executable: if the tmp→final
+    move fails because another writer already installed a COMPLETE
+    tree (_SUCCESS present), the loser must clean up its tmp tree and
+    serve the winner's; if the existing tree is INCOMPLETE (no
+    _SUCCESS — a crashed writer), it must be evicted and replaced."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    base = tmp_path / "race"
+    base.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    class MoveOnceFails:
+        """Delegating wrapper whose first move() raises — the shape of
+        losing an object-store install race."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.failed = False
+
+        def move(self, src, dst):
+            if not self.failed:
+                self.failed = True
+                raise OSError("simulated lost install race")
+            return self._inner.move(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    kw = dict(index_root="race", spark_root=str(base))
+
+    # case 1: incomplete pre-existing tree (no _SUCCESS) -> evicted,
+    # fresh tree installed on the retry inside the except branch
+    from gomysql2pg_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM._pq_codebook(emb)
+    fk = SIM._fixture_key(sf_dir)
+    import hashlib
+
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    stale = base / f"spark_graft_ivf_{key}"
+    stale.mkdir()
+    (stale / "part-junk.parquet").write_bytes(b"not parquet")
+    racing = MoveOnceFails(subfs)
+    cent, codes = SIM._ivf_index(
+        spark, sf_dir, emb, cb, filesystem=racing, **kw
+    )
+    assert racing.failed and codes is not None
+    assert (stale / "_SUCCESS").is_file()  # fresh tree installed
+    assert not (stale / "part-junk.parquet").exists()  # junk evicted
+    n_codes = codes.count()
+    assert n_codes == emb.count()
+    # no tmp litter left behind
+    assert not [d for d in os.listdir(base) if ".tmp-" in d]
+
+    # case 2: complete winner tree already present -> loser's rebuild
+    # is discarded, winner served, winner bytes untouched
+    marker_mtime = (stale / "_SUCCESS").stat().st_mtime_ns
+    racing2 = MoveOnceFails(subfs)
+    # force a rebuild attempt by removing only the in-memory model
+    # cache (the on-disk _SUCCESS short-circuits before any move, so
+    # simulate the race window: hide _SUCCESS from the FIRST check)
+    class HideSuccessOnce:
+        def __init__(self, inner):
+            self._inner = inner
+            self._hidden = False
+
+        def get_file_info(self, path):
+            if not self._hidden and isinstance(path, str) and path.endswith("_SUCCESS"):
+                self._hidden = True
+                from pyarrow import fs as _pafs
+
+                return _pafs.FileInfo(path, _pafs.FileType.NotFound)
+            return self._inner.get_file_info(path)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    cent2, codes2 = SIM._ivf_index(
+        spark, sf_dir, emb, cb, filesystem=HideSuccessOnce(MoveOnceFails(subfs)), **kw
+    )
+    assert codes2 is not None and codes2.count() == n_codes
+    assert (stale / "_SUCCESS").stat().st_mtime_ns == marker_mtime
+    assert not [d for d in os.listdir(base) if ".tmp-" in d]
+
+
+def test_assign_cells_forms_agree_on_poisoned_vectors(spark):
+    """Both assignment forms must pick the SAME cell even for vectors
+    carrying NaN/Inf components (a NaN distance sorts above every
+    finite distance in both Spark's struct-min ordering and
+    array_min, so a poisoned vector deterministically falls to the
+    lowest cell id among all-NaN candidates instead of diverging
+    between the two plans)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [float("nan")] * 64),
+            (1, [1.0] * 64),
+            (2, [float("inf")] + [0.0] * 63),
+            (3, [-float("inf")] + [2.0] * 63),
+            (4, [0.5] * 64),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = [(0, [0.0] * 64), (1, [1.0] * 64), (2, [2.0] * 64)]
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in SIM._assign_cells(emb, rows).collect()
+    }
+    jn = {
+        r["vec_id"]: r["cell"]
+        for r in SIM._assign_cells(emb, rows, budget=0).collect()
+    }
+    assert lit == jn and len(lit) == 5
+    assert lit[1] == 1 and lit[4] == 0  # finite rows: true nearest
