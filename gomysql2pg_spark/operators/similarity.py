@@ -722,11 +722,12 @@ def _resolve_index_fs(
         fs, inner = pafs.FileSystem.from_uri(index_root)
         return fs, inner, index_root
     if index_root is None:
+        from ..functions.paths import secure_private_dir
+
         uid = os.getuid() if hasattr(os, "getuid") else 0
-        index_root = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_ivf-u{uid}"
+        index_root = secure_private_dir(
+            os.path.join(tempfile.gettempdir(), f"spark_graft_ivf-u{uid}")
         )
-        os.makedirs(index_root, mode=0o700, exist_ok=True)
     return pafs.LocalFileSystem(), index_root, index_root
 
 
@@ -813,6 +814,12 @@ def _ivf_index(
                     fs.move(tmp_c, out_c)
                 except OSError:
                     _rm(tmp_c)
+        if not _built():
+            # both install attempts failed (transient fs error, no
+            # winner tree either): serve the in-memory frame we just
+            # built instead of crashing on the missing final path —
+            # the next call retries the install
+            return cent_rows, codes
     return cent_rows, spark.read.parquet(out_s)
 
 
@@ -855,7 +862,6 @@ _CELL_LITERAL_BUDGET = 65536
 def _assign_cells(
     df: DataFrame,
     cent_rows: list,
-    key_col: str = "vec_id",
     emb_col: str = "embedding",
     budget: int | None = None,
 ) -> DataFrame:
@@ -868,11 +874,19 @@ def _assign_cells(
     - above the budget: the model becomes a BROADCAST nlist-row table
       (the form the probe side already uses): a constant-derived-key
       BroadcastHashJoin fans each row to its nlist candidates and a
-      groupBy(key) keeps min(struct(d², cell, payload…)) — candidates
-      for a row are co-located in its task, so map-side partial
-      aggregation collapses them to one row per key per partition
-      before the (narrow, n-row) shuffle. Never a nested loop
-      (plan-gated in tests/test_ann_quality.py).
+      groupBy over a synthetic per-row id keeps min(struct(d², cell,
+      payload…)) — candidates for a row are co-located in its task, so
+      map-side partial aggregation collapses them to one row per id
+      per partition before the (narrow, n-row) shuffle. Never a
+      nested loop (plan-gated in tests/test_ann_quality.py).
+
+    The join form is row-PRESERVING by construction: the fan-out key
+    and the regroup key are a `monotonically_increasing_id` added
+    before the join (never NULL, unique per row), so rows with NULL
+    or duplicate natural keys — the hostile-fixture families — come
+    out exactly once, just like the literal map (the first cut keyed
+    on `vec_id` and silently dropped NULL-keyed rows and merged
+    duplicates).
 
     The distance folds are the identical expression tree (`_sq_dist`'s
     strict left fold of (x-y)² over doubles vs `_cell_expr`'s SQL
@@ -887,9 +901,9 @@ def _assign_cells(
     cent = spark.createDataFrame(
         cent_rows, "cell int, __ce array<double>"
     )
-    payload = [c for c in df.columns if c != key_col]
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
     joined = (
-        df.withColumn("_x", F.col(key_col).cast("bigint") % F.lit(1))
+        tagged.withColumn("_x", F.col("__rid") % F.lit(1))
         .join(
             F.broadcast(
                 cent.withColumn(
@@ -900,20 +914,19 @@ def _assign_cells(
         )
     )
     d2 = _sub_sq_dist(F.col(emb_col), F.col("__ce"))
-    best = joined.groupBy(key_col).agg(
+    best = joined.groupBy("__rid").agg(
         F.min(
             F.struct(
                 d2.alias("d"),
                 F.col("cell").alias("cell"),
-                *[F.col(c).alias(c) for c in payload],
+                *[F.col(c).alias(c) for c in df.columns],
             )
         ).alias("b")
     )
     return best.select(
-        key_col,
-        *[F.col(f"b.{c}").alias(c) for c in payload],
+        *[F.col(f"b.{c}").alias(c) for c in df.columns],
         F.col("b.cell").alias("cell"),
-    ).select(*df.columns, "cell")
+    )
 
 
 def q_similarity_ivfpq(

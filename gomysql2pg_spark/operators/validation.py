@@ -605,11 +605,17 @@ def q_migration_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cached scan. The staging tree lives at a FIXED per-user,
     per-fixture path that every rep overwrites (the table writers are
     mode("overwrite")), so repeated bench reps / scale-smoke runs reuse
-    one tree instead of leaking a fresh mkdtemp per invocation."""
+    one tree instead of leaking a fresh mkdtemp per invocation; the
+    path is ownership-verified (`secure_private_dir`) so a squatted
+    pre-created dir at the predictable name is refused, and the
+    single-runner assumption is explicit: two CONCURRENT runs of this
+    entry on the same fixture would overwrite each other's staging
+    (the bench, smoke, and driver all execute entries sequentially)."""
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
+    from ..functions.paths import secure_private_dir
     from ..migrate import MigrationConfig, Migrator
     from ..sinks.jdbc import copy_dump_sink
     from ..sources.copytext import register_copytext
@@ -618,10 +624,12 @@ def q_migration_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.abspath(sf_dir).encode()
     ).hexdigest()[:12]
     uid = _os.getuid() if hasattr(_os, "getuid") else 0
-    out_dir = _os.path.join(
-        _tempfile.gettempdir(), f"spark_graft_mig_e2e-u{uid}-{fixture}"
+    out_dir = secure_private_dir(
+        _os.path.join(
+            _tempfile.gettempdir(),
+            f"spark_graft_mig_e2e-u{uid}-{fixture}",
+        )
     )
-    _os.makedirs(out_dir, mode=0o700, exist_ok=True)
 
     def source(table: str) -> DataFrame:
         df = load_table(spark, sf_dir, table)

@@ -290,8 +290,17 @@ def main() -> int:
                     f"{time.perf_counter() - t0:.2f}s",
                     file=sys.stderr,
                 )
-            except Exception:
-                pass
+            except Exception as exc:
+                # loud, not fatal: a failed pre-build means the timed
+                # loop measures build+probe, so the ratio would
+                # misattribute a one-off build cost as a scaling
+                # regression — say so instead of hiding it
+                print(
+                    f"# ivfpq PRE-BUILD FAILED ({d}): "
+                    f"{type(exc).__name__}: {exc} — the timed row "
+                    f"below includes the index build",
+                    file=sys.stderr,
+                )
         spark.catalog.clearCache()
 
     failures = []

@@ -1033,3 +1033,113 @@ def test_assign_cells_forms_agree_on_poisoned_vectors(spark):
     }
     assert lit == jn and len(lit) == 5
     assert lit[1] == 1 and lit[4] == 0  # finite rows: true nearest
+
+
+def test_assign_cells_join_form_preserves_hostile_rows(spark):
+    """The join form regroups on a synthetic per-row id, so rows with
+    NULL or DUPLICATE natural keys — which an equi-join/groupBy on
+    vec_id would silently drop or merge — come out exactly once with
+    the same cell as the literal map, NULL embeddings included."""
+    emb = spark.createDataFrame(
+        [
+            (None, [1.0] * 64),
+            (7, [1.0] * 64),
+            (7, [0.4] * 64),
+            (3, None),
+            (4, [0.5] * 64),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = [(0, [0.0] * 64), (1, [1.0] * 64), (2, [2.0] * 64)]
+
+    def canon(df):
+        rows_out = [
+            (
+                r["vec_id"],
+                None if r["embedding"] is None else r["embedding"][0],
+                r["cell"],
+            )
+            for r in df.collect()
+        ]
+        return sorted(rows_out, key=str)
+
+    lit = canon(SIM._assign_cells(emb, rows))
+    jn = canon(SIM._assign_cells(emb, rows, budget=0))
+    assert lit == jn
+    assert len(jn) == 5  # nothing dropped, nothing merged
+
+
+def test_ivf_index_serves_in_memory_codes_when_install_fails(
+    spark, sf_dir, tmp_path
+):
+    """Both install attempts failing (transient fs error, no winner
+    tree) must DEGRADE — serve the in-memory code table just built —
+    not crash reading a final path that was never installed."""
+    from pyarrow import fs as pafs
+
+    from gomysql2pg_spark.catalog import load_table
+
+    base = tmp_path / "broken"
+    base.mkdir()
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    class MoveAlwaysFails:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def move(self, src, dst):
+            raise OSError("simulated persistent install failure")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM._pq_codebook(emb)
+    cent, codes = SIM._ivf_index(
+        spark,
+        sf_dir,
+        emb,
+        cb,
+        index_root="broken",
+        filesystem=MoveAlwaysFails(subfs),
+        spark_root=str(base),
+    )
+    assert cent and codes is not None
+    assert codes.count() == emb.count()  # the in-memory frame works
+
+
+def test_secure_private_dir_refuses_squats(tmp_path):
+    """The predictable-path trust fix: a symlink at the scratch path
+    is refused, a dir owned by another uid is refused (root can chown
+    to simulate the squatter), a loose mode on our own dir is
+    re-tightened, and a fresh path is created 0700."""
+    import os
+    import stat as stat_mod
+
+    import pytest as _pytest
+
+    from gomysql2pg_spark.functions.paths import secure_private_dir
+
+    fresh = tmp_path / "fresh"
+    out = secure_private_dir(str(fresh))
+    assert stat_mod.S_IMODE(os.stat(out).st_mode) == 0o700
+
+    loose = tmp_path / "loose"
+    loose.mkdir(mode=0o777)
+    os.chmod(loose, 0o777)
+    secure_private_dir(str(loose))
+    assert stat_mod.S_IMODE(os.stat(loose).st_mode) == 0o700
+
+    target = tmp_path / "target"
+    target.mkdir()
+    link = tmp_path / "link"
+    link.symlink_to(target)
+    with _pytest.raises(RuntimeError, match="not a real directory"):
+        secure_private_dir(str(link))
+
+    if hasattr(os, "getuid") and os.getuid() == 0:
+        foreign = tmp_path / "foreign"
+        foreign.mkdir()
+        os.chown(foreign, 12345, 12345)  # the squatter
+        with _pytest.raises(RuntimeError, match="owned by uid 12345"):
+            secure_private_dir(str(foreign))

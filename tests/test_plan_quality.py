@@ -784,9 +784,13 @@ def test_split_by_cluster_map_is_join_plus_case(spark, sf_dir, queries):
     plan = plan_of(queries["split_by_cluster"](spark, sf_dir))
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
-    # the md5/CASE map rides a projection, not a window
-    tail = plan.split("AdaptiveSparkPlan")[0]
-    assert "split" in plan
+    # the md5/CASE map rides a projection, not a window: the cluster
+    # labels enter through a lineage-truncated checkpoint, so the
+    # WHOLE final plan must be window-free (contrast dedup_survivors,
+    # whose survivor rank legitimately needs one)
+    assert "Window" not in plan, plan
+    surv_plan = plan_of(queries["dedup_survivors"](spark, sf_dir))
+    assert "Window" in surv_plan  # the contrast that keeps this gate honest
 
 
 def test_dedup_impact_report_is_bounded_rollup(spark, sf_dir, queries):
