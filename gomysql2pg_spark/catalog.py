@@ -129,3 +129,40 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or list_tables(sf_dir))}
+
+
+def fixture_stat(sf_dir: str, table: str):
+    """Identity of one fixture table for driver-side caches, read
+    through `pyarrow.fs` like every other file the engine plans
+    against: (canonical path, ((name, size, mtime_ns), ...)) over the
+    file or its shallow listing, or None when the table is missing /
+    unstatable. (size, mtime_ns) — not whole-second mtime, not bare
+    path — so a fixture rewritten in place within the same second
+    still changes the key (the r12/r13 cache-staleness findings), and
+    a URI sf_dir keys through the same FileInfo surface instead of
+    os.stat (os.path.abspath would mangle 's3://…' into a local
+    path)."""
+    from pyarrow import fs as pafs
+
+    try:
+        if "://" in sf_dir:
+            fs, root = pafs.FileSystem.from_uri(sf_dir)
+            path = root.rstrip("/") + f"/{table}.parquet"
+            ident = sf_dir.rstrip("/") + f"/{table}.parquet"
+        else:
+            fs = pafs.LocalFileSystem()
+            path = os.path.join(sf_dir, f"{table}.parquet")
+            ident = os.path.abspath(path)
+        info = fs.get_file_info(path)
+        if info.type == pafs.FileType.NotFound:
+            return None
+        entries = [("", info.size or -1, info.mtime_ns or -1)]
+        if info.type == pafs.FileType.Directory:
+            entries += sorted(
+                (i.base_name, i.size or -1, i.mtime_ns or -1)
+                for i in fs.get_file_info(pafs.FileSelector(path))
+                if i.type == pafs.FileType.File
+            )
+        return (ident, tuple(entries))
+    except OSError:
+        return None

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..catalog import load_table
+from ..catalog import fixture_stat, load_table
 
 # ---------------------------------------------------------------------------
 # C1: exact dedup
@@ -54,7 +54,7 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over NORMALIZED text (lower, trim, collapse
     whitespace) — catches whitespace/case-only duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     return (
         docs.select("doc_id", F.md5(norm).alias("h"))
         .groupBy("h")
@@ -77,6 +77,16 @@ FROM documents GROUP BY 1
 def tokenize(text_col):
     """The shared whitespace tokenizer (lowercase, trimmed)."""
     return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def norm_text(text_col):
+    """The shared whitespace-collapsed normal form (lowercase,
+    trimmed, runs of whitespace → one space). ONE definition: four
+    operators hash or equi-join this expression and their DuckDB
+    oracles replay it verbatim, so hand-copies that drift would break
+    cross-engine exactness only for the copies that weren't updated
+    (r13 review finding)."""
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
 
 
 def shingles_from_tokens(toks, n: int = 3):
@@ -460,6 +470,14 @@ WHERE i * 1000 >= {CONTAINMENT_MILLI} * least(sa.n, sb.n)
 
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate | j=0.5) ≈ 0.22, j=0.8 ≈ 0.93
+# band buckets above this size are dropped before the candidate
+# self-join (B members → B² pairs): the Σ bucket² cost bound of the
+# LSH path is enforced, not assumed. Far above anything a healthy
+# corpus produces (fixture max ≈ cluster size ≈ 10), so recall on
+# non-degenerate data is untouched; a template stamped across ≫1024
+# docs is exactly the boilerplate near-dup case the repetition filter
+# and exact-norm dedup already handle upstream.
+LSH_MAX_BUCKET = 1024
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -495,8 +513,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → 16-perm minhash signature → 4 bands of 4 → band
     bucket-join (only equal (band, 4-minhash-slice) collide) → exact
     Jaccard verification of candidates. At 100 TB: the band join is the
-    only shuffle over candidates (Σ bucket²  ≪ n²); skewed buckets are
-    frequency-capped upstream. Output = confirmed pairs; rows-only
+    only shuffle over candidates (Σ bucket² ≪ n²), and that bound is
+    ENFORCED, not assumed: bucket sizes are counted (one map-side-
+    combinable aggregate over the 4n-row band frame) and buckets above
+    ``LSH_MAX_BUCKET`` are dropped via a broadcast anti-join of the
+    (tiny) oversized-key list before the self-join — a
+    boilerplate-heavy corpus where d docs share a template would
+    otherwise put d² candidate pairs in one bucket (the docstring used
+    to CLAIM an upstream frequency cap that did not exist — r13 review
+    finding). Dropping a mega-bucket trades recall exactly like the
+    df-cap on the exact-Jaccard path: members that ALSO collide in a
+    healthy band still pair up. Output = confirmed pairs; rows-only
     check (LSH recall < 1, so no SQL oracle claims completeness)."""
     docs = load_table(spark, sf_dir, "documents")
     # persist + materialize: the signature table is tiny (n_docs × 16
@@ -525,6 +552,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+    # the enforced Σ bucket² bound: drop degenerate buckets before the
+    # self-join (B members → B² candidates). The oversized-key list is
+    # tiny by construction (≤ 4n / LSH_MAX_BUCKET keys), so it
+    # broadcasts; the count aggregate is partial-combinable.
+    oversized = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > LSH_MAX_BUCKET)
+        .select("band", "bkey")
+    )
+    bands = bands.join(
+        F.broadcast(oversized), ["band", "bkey"], "left_anti"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -828,11 +868,14 @@ def connected_components(
     distributed iteration is pure scheduling latency (measured 2.4s
     for a 16-node graph at sf0.1). ``small_graph_edges=0`` skips the
     probe for callers that know the graph is large. Larger graphs run
-    min-label propagation through
-    the shared fixed-point kernel (`plans/iterative.py`): one shuffle
-    join + one aggregate per round, rounds = graph diameter,
+    min-label propagation WITH pointer jumping through the shared
+    fixed-point kernel (`plans/iterative.py`): one shuffle join + one
+    aggregate + one label self-join per round, rounds =
+    O(log diameter) (label paths halve each round),
     localCheckpoint-per-round so plan depth stays O(1) — the standard
-    100 TB large-graph CC formulation with no driver-side state."""
+    100 TB large-graph CC formulation with no driver-side state. If
+    max_iter is still exhausted unconverged the kernel RAISES rather
+    than returning silently split components."""
     from ..plans.iterative import iterate_fixed_point
 
     # persisted BEFORE the probe: the probe job caches (most of) the
@@ -891,17 +934,40 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # POINTER JUMPING alongside the one-hop min: also look up the
+        # label of each node's current label (a self-join of the
+        # label frame) and take the three-way minimum. One-hop-only
+        # propagation needs diameter-many rounds, so a chain component
+        # longer than max_iter came back SPLIT — silently, since the
+        # kernel just stopped iterating (r13 review finding). With
+        # label-of-label the label graph's paths halve every round:
+        # convergence in O(log diameter) rounds, so max_iter=20 covers
+        # ~10^6-node chains instead of 20-node ones. Invariant
+        # preserved: label(v) always names a node in v's component
+        # (initially v; neighbor labels and the label's own label stay
+        # in-component; min of in-component ids is in-component), and
+        # a fixed point of the one-hop term alone already forces
+        # per-component constancy = the component minimum.
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         # carry the old label through the propagation join so the
         # kernel's convergence check is a filter on the SAME
         # materialized frame — one join per round, not two
-        return labels.join(
-            neighbor_min, labels.node == neighbor_min.a, "left"
-        ).select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
+        return (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.a, "left"
+            )
+            .join(parent, labels.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("p_label", F.col("label")),
+                ).alias("label"),
+            )
         )
 
     final = iterate_fixed_point(
@@ -909,6 +975,9 @@ def connected_components(
         propagate,
         max_iter,
         changed=F.col("label") != F.col("old_label"),
+        # exhausting max_iter unconverged would mean SPLIT components
+        # (wrong dedup clusters, leaking dataset splits) — fail loudly
+        require_convergence=True,
     )
     labels = final.select("node", "label")
     # labels are localCheckpoint-materialized; the edge cache is no
@@ -1179,7 +1248,7 @@ def q_dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pre = docs.select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        tokenize(F.col("text")).alias("toks"),
     )
     toks = F.col("toks")
     n_windows = F.greatest(
@@ -1271,7 +1340,7 @@ def q_decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan with the probes in a broadcast Bloom/array instead of
     unrolled predicates."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     hits = sum(
         (norm.contains(p).cast("int") for p in PROBE_NGRAMS),
         start=F.lit(0),
@@ -1463,7 +1532,7 @@ MAX_SEMANTIC_CLUSTER = MAX_EXACT_VECTORS
 
 #: per-sf_dir cache for the mega-cluster guard (fixtures are immutable
 #: within a run, so one count per directory suffices)
-_MAX_CLUSTER_CACHE: dict[str, int] = {}
+_MAX_CLUSTER_CACHE: dict = {}
 
 
 def _max_cluster_size(spark: SparkSession, sf_dir: str) -> int:
@@ -1471,8 +1540,14 @@ def _max_cluster_size(spark: SparkSession, sf_dir: str) -> int:
 
     Null labels are excluded: the semantic-dedup pair join is an inner
     equi-join on ``label``, which drops null-label rows, so a large
-    unlabeled population must not cause a spurious guard refusal."""
-    key = os.path.abspath(sf_dir)
+    unlabeled population must not cause a spurious guard refusal.
+
+    Cached by FIXTURE IDENTITY (path + per-file size/mtime_ns via
+    `catalog.fixture_stat`), not by bare path: a fixture regenerated
+    in place used to serve the stale count and bypass the Σ|cluster|²
+    mega-cluster guard this feeds (r13 review finding); an unstatable
+    fixture is simply not cached."""
+    key = fixture_stat(sf_dir, "embeddings") or object()
     if key not in _MAX_CLUSTER_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _MAX_CLUSTER_CACHE[key] = (
@@ -1602,7 +1677,7 @@ def _norm_dup_pairs(docs: DataFrame) -> DataFrame:
     Group sizes are duplicate-cluster sizes (tiny), so the equality
     self-join is bounded; at 100 TB this is the exact-dedup groupBy
     plus a within-group pair expansion."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     keyed = (
         docs.select(
             "doc_id",
@@ -1721,7 +1796,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final matrix is |sources|²-sized. One extra hash-keyed
     shuffle over exact dedup; no all-pairs document join anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     hs = docs.select(F.md5(norm).alias("h"), "source").distinct()
     a, b = hs.alias("a"), hs.alias("b")
     return (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .dedup import norm_text
 from ..functions.numeric import cents, sql_cents
 
 # ---------------------------------------------------------------------------
@@ -48,7 +49,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_punct * 100 < n_chars * 20)
         & (n_stop > 0)
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     deduped = (
         kept.select("doc_id", "lang", "source", "n_tokens", F.md5(norm).alias("h"))
         .groupBy("h")
@@ -344,7 +345,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shuffles only the NEW batch. Output: admitted docs with their
     in-batch duplicate counts."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     hashed = docs.select("doc_id", "lang", F.md5(norm).alias("h"))
     corpus = hashed.filter(F.col("doc_id") % 2 == 0)
     batch = hashed.filter(F.col("doc_id") % 2 == 1)

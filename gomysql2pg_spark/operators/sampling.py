@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .dedup import norm_text
 
 #: hex-digit → value via position lookup — portable to any SQL engine
 #: (`strpos`/`instr` both exist; avoids hex-cast builtins DuckDB lacks).
@@ -671,7 +672,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + (instr('{_HEX}', substring(md5(text), 32, 1)) - 1) AS INT)"
     )
     sampled = capped.filter(bucket < 128)  # deterministic half-sample
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = norm_text(F.col("text"))
     deduped = (
         sampled.select(
             "doc_id", "source", "n_chars", F.md5(norm).alias("h")

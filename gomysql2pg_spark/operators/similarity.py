@@ -164,14 +164,27 @@ def lsh_bucket_keys_udf():
     def bucket_keys(emb: pd.Series) -> pd.Series:
         rng = np.random.default_rng(LSH_SEED)
         planes = rng.standard_normal((DIM, N_TABLES * K_BITS))
-        mat = np.vstack(emb.to_numpy())  # (n, DIM)
-        bits = (mat @ planes) > 0  # (n, L*k)
-        weights = (1 << np.arange(K_BITS)).astype(np.int64)
-        keys = np.empty((mat.shape[0], N_TABLES), dtype=np.int64)
-        for t in range(N_TABLES):
-            chunk = bits[:, t * K_BITS : (t + 1) * K_BITS]
-            keys[:, t] = (chunk @ weights) + (t << K_BITS)
-        return pd.Series(list(keys))
+        vals = emb.to_numpy()
+        # NULL-safe: one NULL embedding in a 100 TB corpus must not
+        # kill the job (np.vstack over a mixed batch raises). A NULL
+        # vector gets NULL keys — explode() then emits no bucket rows,
+        # so it simply can't be a candidate, matching how dot_double
+        # degrades every other similarity operator to NULL.
+        mask = np.fromiter(
+            (v is not None for v in vals), dtype=bool, count=len(vals)
+        )
+        out = np.empty(len(vals), dtype=object)
+        if mask.any():
+            mat = np.vstack(vals[mask])  # (n_valid, DIM)
+            bits = (mat @ planes) > 0  # (n_valid, L*k)
+            weights = (1 << np.arange(K_BITS)).astype(np.int64)
+            keys = np.empty((mat.shape[0], N_TABLES), dtype=np.int64)
+            for t in range(N_TABLES):
+                chunk = bits[:, t * K_BITS : (t + 1) * K_BITS]
+                keys[:, t] = (chunk @ weights) + (t << K_BITS)
+            for j, i in enumerate(np.flatnonzero(mask)):
+                out[i] = keys[j]
+        return pd.Series(list(out))
 
     return bucket_keys
 
@@ -199,7 +212,7 @@ def multiprobe_keys(bkeys_col):
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN with query-side multi-probe:
-    candidates = corpus vectors sharing ANY of the L=16 8-bit bucket
+    candidates = corpus vectors sharing ANY of the N_TABLES=32 K_BITS=12-bit bucket
     keys (or a 1-bit-flip neighbor) with the query, exact cosine
     rerank, top-5. At 100 TB the corpus is written bucketed by key so a
     query touches L·(k+1) buckets (≈ L·(k+1)·n/2^k rows), never the
@@ -427,18 +440,10 @@ def _pq_codes(
     )
 
 
-def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k: encode the corpus to PQ codes, build
-    each query's (m, cid) distance table (PQ_M × |labels| rows, broadcast),
-    score every vector as the left-associated sum of its PQ_M table
-    lookups, and rank per query. Returns (qid, nid, adc_micro, rank)
-    — micro-rounded ADC keeps the published value integer-exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(emb)
-    codes = _pq_codes(emb, cb)
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
+def _adc_distance_table(q: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query PQ distance table (qid, m, cid, d): slice each query
+    into its PQ_M sub-vectors and meet the broadcast codebook — the
+    (PQ_M × PQ_K)-row model table every ADC consumer looks up."""
     qsub = q.select(
         "qid",
         F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
@@ -446,15 +451,23 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "qs", F.expr(f"slice(e, 1 + {PQ_SUBDIM} * m, {PQ_SUBDIM})")
     )
-    dt = qsub.join(F.broadcast(cb), "m").select(
+    return qsub.join(F.broadcast(cb), "m").select(
         "qid",
         "m",
         "cid",
         _sub_sq_dist(F.col("qs"), F.col("ce")).alias("d"),
     )
-    scored = codes.crossJoin(F.broadcast(q.select("qid"))).filter(
-        F.col("vec_id") != F.col("qid")
-    )
+
+
+def _score_with_adc(cands: DataFrame, dt: DataFrame) -> DataFrame:
+    """(qid, nid, adc_micro, rank) from a candidate frame carrying
+    (qid, vec_id, c0..c{PQ_M-1}): PQ_M broadcast distance-table
+    lookups, the FIXED left-associated ADC sum, the (adc, nid)
+    tie-break, top PQ_TOP_K per query. ONE definition shared by the
+    exhaustive (`q_similarity_pq`) and IVF-probed
+    (`q_similarity_ivfpq`) paths, so a tie-break or quantization fix
+    lands in both (r13 review deduplication)."""
+    scored = cands
     for m in range(PQ_M):
         dm = dt.filter(F.col("m") == m).select(
             F.col("qid").alias(f"q{m}"),
@@ -466,12 +479,10 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qid") == F.col(f"q{m}"))
             & (F.col(f"c{m}") == F.col(f"k{m}")),
         )
-    adc = (
-        ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
-    )
-    w = Window.partitionBy("qid").orderBy(
-        adc.asc(), F.col("vec_id").asc()
-    )
+    adc = F.col("d0")
+    for m in range(1, PQ_M):
+        adc = adc + F.col(f"d{m}")
+    w = Window.partitionBy("qid").orderBy(adc.asc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOP_K)
@@ -482,6 +493,23 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the corpus to PQ codes, build
+    each query's (m, cid) distance table (PQ_M × |labels| rows, broadcast),
+    score every vector as the left-associated sum of its PQ_M table
+    lookups, and rank per query. Returns (qid, nid, adc_micro, rank)
+    — micro-rounded ADC keeps the published value integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(emb)
+    codes = _pq_codes(emb, cb)
+    q = _queries_df(emb)
+    dt = _adc_distance_table(q, cb)
+    cands = codes.crossJoin(F.broadcast(q.select("qid"))).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    return _score_with_adc(cands, dt)
 
 
 _PQ_FOLD = """list_reduce(
@@ -645,37 +673,17 @@ def _join(root: str, name: str) -> str:
 
 
 def _fixture_key(sf_dir: str):
-    """Identity of the embeddings fixture, read through `pyarrow.fs`
-    like every other file the engine plans against: (path, shallow
-    (name, size, mtime_ns) listing, hyperparams). size + mtime_ns —
-    not whole-second mtime — so a fixture rewritten in place within
-    the same second still changes the key (the r12 advice's staleness
-    hole), and a URI fixture (object store) keys through the same
-    FileInfo surface instead of os.stat."""
-    from pyarrow import fs as pafs
+    """Identity of the embeddings fixture + the training hyperparams:
+    `catalog.fixture_stat`'s (path, shallow (name, size, mtime_ns)
+    listing) — the shared staleness-proof, URI-capable key every
+    driver-side fixture cache uses — extended with (nlist, iters) so
+    retuning the quantizer re-keys the model and index caches."""
+    from ..catalog import fixture_stat
 
-    try:
-        if "://" in sf_dir:
-            fs, root = pafs.FileSystem.from_uri(sf_dir)
-            path = root.rstrip("/") + "/embeddings.parquet"
-            ident = _join(sf_dir, "embeddings.parquet")
-        else:
-            fs = pafs.LocalFileSystem()
-            path = os.path.join(sf_dir, "embeddings.parquet")
-            ident = os.path.abspath(path)
-        info = fs.get_file_info(path)
-        if info.type == pafs.FileType.NotFound:
-            return None
-        entries = [("", info.size or -1, info.mtime_ns or -1)]
-        if info.type == pafs.FileType.Directory:
-            entries += sorted(
-                (i.base_name, i.size or -1, i.mtime_ns or -1)
-                for i in fs.get_file_info(pafs.FileSelector(path))
-                if i.type == pafs.FileType.File
-            )
-        return (ident, tuple(entries), IVF_NLIST, IVF_TRAIN_ITERS)
-    except OSError:
+    stat = fixture_stat(sf_dir, "embeddings")
+    if stat is None:
         return None
+    return (*stat, IVF_NLIST, IVF_TRAIN_ITERS)
 
 
 def _coarse_model(sf_dir: str, emb: DataFrame) -> list:
@@ -894,8 +902,14 @@ def _assign_cells(
     proven by the equality test at a forced-low budget."""
     if budget is None:
         budget = _CELL_LITERAL_BUDGET
-    dim = len(cent_rows[0][1]) if cent_rows else 0
-    if not cent_rows or len(cent_rows) * dim <= budget:
+    if not cent_rows:
+        # an empty model assigns no cell — explicit NULL column, not
+        # _cell_expr([]) (array_min(array()).cell fails ANALYSIS on
+        # the empty non-struct array; this branch looked supported
+        # but crashed — r13 review finding)
+        return df.withColumn("cell", F.lit(None).cast("int"))
+    dim = len(cent_rows[0][1])
+    if len(cent_rows) * dim <= budget:
         return df.withColumn("cell", _cell_expr(cent_rows, emb_col))
     spark = df.sparkSession
     cent = spark.createDataFrame(
@@ -990,23 +1004,8 @@ def q_similarity_ivfpq(
             [], "qid bigint, nid bigint, adc_micro bigint, rank int"
         )
     cent = spark.createDataFrame(cent_rows, "cell int, ce array<double>")
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-    )
-    qsub = q.select(
-        "qid",
-        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
-        F.col("qe").alias("e"),
-    ).withColumn(
-        "qs", F.expr(f"slice(e, 1 + {PQ_SUBDIM} * m, {PQ_SUBDIM})")
-    )
-    dt = qsub.join(F.broadcast(cb), "m").select(
-        "qid",
-        "m",
-        "cid",
-        _sub_sq_dist(F.col("qs"), F.col("ce")).alias("d"),
-    )
+    q = _queries_df(emb)
+    dt = _adc_distance_table(q, cb)
     # coarse ranking: every query scores every trained centroid (tiny
     # both sides), deterministic (cd, cell) order, keep the top
     # nprobe. The all-pairs meet is keyed on a column-derived constant
@@ -1044,29 +1043,7 @@ def q_similarity_ivfpq(
         (F.col("cell") == F.col("qcell"))
         & (F.col("vec_id") != F.col("qid")),
     )
-    for m in range(PQ_M):
-        dm = dt.filter(F.col("m") == m).select(
-            F.col("qid").alias(f"q{m}"),
-            F.col("cid").alias(f"k{m}"),
-            F.col("d").alias(f"d{m}"),
-        )
-        probed = probed.join(
-            F.broadcast(dm),
-            (F.col("qid") == F.col(f"q{m}"))
-            & (F.col(f"c{m}") == F.col(f"k{m}")),
-        )
-    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
-    w = Window.partitionBy("qid").orderBy(adc.asc(), F.col("vec_id").asc())
-    return (
-        probed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PQ_TOP_K)
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(adc * 1e6).try_cast("bigint").alias("adc_micro"),
-            "rank",
-        )
-    )
+    return _score_with_adc(probed, dt)
 
 
 def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
@@ -1109,7 +1086,12 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
             f"""cent{t} AS (
   SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
   FROM {prev} p LEFT JOIN (
-    SELECT cell, LIST(CAST(s AS DOUBLE) / 1e6 / c ORDER BY pos) AS ce
+    -- COALESCE mirrors the engine's `(s or 0)`: a component whose
+    -- every member was non-finite (poisoned vectors) contributes 0,
+    -- not NULL — without it the engines diverge on exactly the input
+    -- class the engine side already handles (r13 review finding)
+    SELECT cell, LIST(CAST(COALESCE(s, 0) AS DOUBLE) / 1e6 / c
+                      ORDER BY pos) AS ce
     FROM s{t} GROUP BY cell
   ) m USING (cell)
 )"""

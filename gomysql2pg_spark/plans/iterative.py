@@ -42,6 +42,7 @@ def iterate_fixed_point(
     step: Callable[[DataFrame], DataFrame],
     max_iter: int,
     changed: Column | None = None,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` with per-round lineage
     truncation.
@@ -64,6 +65,13 @@ def iterate_fixed_point(
         satisfies it. The returned frame is the final (checkpointed)
         state, possibly still carrying scaffold columns — callers
         select the columns they publish.
+    require_convergence:
+        Dynamic mode only: when True, exhausting ``max_iter`` with the
+        ``changed`` predicate still firing raises RuntimeError instead
+        of silently returning a half-converged state — a
+        label-propagation caller that returns early produces WRONG
+        (split) components with no error, which is strictly worse
+        than failing loudly.
     """
     # eager=False: the checkpoint materializes inside the FIRST job
     # that touches the round's output (the convergence count in
@@ -75,10 +83,18 @@ def iterate_fixed_point(
     # Spark completes any partitions the first job skipped before
     # truncating lineage, so the truncation guarantee is unchanged.
     state = state.localCheckpoint(eager=False)
+    converged = changed is None
     for _ in range(max_iter):
         new_state = step(state).localCheckpoint(eager=False)
         state = new_state
         if changed is not None:
             if new_state.filter(changed).limit(1).count() == 0:
+                converged = True
                 break
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"fixed-point iteration did not converge within "
+            f"{max_iter} rounds — refusing to return a partially "
+            f"propagated state"
+        )
     return state

@@ -1143,3 +1143,113 @@ def test_secure_private_dir_refuses_squats(tmp_path):
         os.chown(foreign, 12345, 12345)  # the squatter
         with _pytest.raises(RuntimeError, match="owned by uid 12345"):
             secure_private_dir(str(foreign))
+
+
+def test_cc_long_chain_converges_within_log_rounds(spark):
+    """The r13 review finding made a test: one-hop min-label needs
+    diameter-many rounds, so a chain longer than max_iter came back
+    SILENTLY SPLIT. With pointer jumping the label paths halve per
+    round, so a 200-node chain (diameter 199) through the DISTRIBUTED
+    path must converge to ONE component within max_iter=12 rounds —
+    and an impossible budget must RAISE, never return split
+    components."""
+    import pytest as _pytest
+
+    from gomysql2pg_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "da bigint, db bigint"
+    )
+    labels = connected_components(
+        chain, small_graph_edges=0, max_iter=12
+    )
+    got = {r["label"] for r in labels.collect()}
+    assert got == {0}  # one component, rooted at the minimum
+    assert labels.count() == 200
+    # an impossible round budget fails LOUDLY instead of splitting
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            chain, small_graph_edges=0, max_iter=2
+        ).count()
+
+
+def test_iterate_fixed_point_exhaustion_guard(spark):
+    """require_convergence: a step that never converges raises at
+    max_iter instead of returning the half-propagated state; without
+    the flag the legacy best-effort return is preserved."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.plans.iterative import iterate_fixed_point
+
+    state = spark.range(3).select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    )
+
+    def never_converges(s):
+        return s.select(
+            "node",
+            F.col("label").alias("old_label"),
+            (F.col("label") + 1).alias("label"),
+        )
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        iterate_fixed_point(
+            state,
+            never_converges,
+            3,
+            changed=F.col("label") != F.col("old_label"),
+            require_convergence=True,
+        )
+    out = iterate_fixed_point(
+        state,
+        never_converges,
+        3,
+        changed=F.col("label") != F.col("old_label"),
+    )
+    assert out.count() == 3  # legacy best-effort path unchanged
+
+
+def test_minhash_lsh_mega_bucket_cap(spark, tmp_path, monkeypatch):
+    """The Σ bucket² bound is enforced: with the cap forced low, a
+    template stamped across many docs (every band bucket identical,
+    size ≫ cap) produces NO candidate pairs from the mega-bucket,
+    while an unrelated near-dup pair in a healthy (size-2) bucket
+    still comes through. With the production cap the same corpus
+    pairs up normally — the cap only bites degenerate buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators import dedup as DD
+
+    template = "the same boilerplate template text stamped everywhere " * 4
+    near_a = "completely different unique content about alpha beta gamma delta epsilon zeta"
+    near_b = near_a + " extra"
+    texts = [template] * 30 + [near_a, near_b]
+    tbl = pa.table(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    fx = tmp_path / "documents.parquet"
+    pq.write_table(tbl, fx)
+
+    monkeypatch.setattr(DD, "LSH_MAX_BUCKET", 10)
+    pairs = {
+        (r["da"], r["db"])
+        for r in DD.q_dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert (30, 31) in pairs  # healthy bucket survives
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # mega-bucket dropped
+
+    monkeypatch.setattr(DD, "LSH_MAX_BUCKET", 1024)
+    pairs_full = {
+        (r["da"], r["db"])
+        for r in DD.q_dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    assert (30, 31) in pairs_full
+    assert (0, 1) in pairs_full  # identical docs pair up under the real cap
