@@ -927,7 +927,10 @@ def connected_components(
     raw.unpersist()
     nodes = both.select(F.col("a").alias("node")).distinct()
 
+    round_no = {"n": 0}  # sequential driver loop: a plain counter
+
     def propagate(state: DataFrame) -> DataFrame:
+        round_no["n"] += 1
         labels = state.select("node", "label")
         neighbor_min = (
             both.join(labels, both.b == labels.node)
@@ -948,26 +951,32 @@ def connected_components(
         # in-component; min of in-component ids is in-component), and
         # a fixed point of the one-hop term alone already forces
         # per-component constancy = the component minimum.
-        parent = labels.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        # round 1 skips the self-join: labels are the identity
+        # (label(v) = v), so label-of-label cannot tighten anything —
+        # the join would be pure overhead on every CC call
+        out = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
         )
+        terms = [
+            F.col("label"),
+            F.coalesce("nbr_label", F.col("label")),
+        ]
+        if round_no["n"] > 1:
+            parent = labels.select(
+                F.col("node").alias("p_node"),
+                F.col("label").alias("p_label"),
+            )
+            out = out.join(
+                parent, labels.label == parent.p_node, "left"
+            )
+            terms.append(F.coalesce("p_label", F.col("label")))
         # carry the old label through the propagation join so the
         # kernel's convergence check is a filter on the SAME
-        # materialized frame — one join per round, not two
-        return (
-            labels.join(
-                neighbor_min, labels.node == neighbor_min.a, "left"
-            )
-            .join(parent, labels.label == parent.p_node, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_label", F.col("label")),
-                    F.coalesce("p_label", F.col("label")),
-                ).alias("label"),
-            )
+        # materialized frame
+        return out.select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(*terms).alias("label"),
         )
 
     final = iterate_fixed_point(
