@@ -665,12 +665,26 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1)+(2): histogram-level threshold — a doc at length L can only
     # be selected if the chars strictly longer than L (which all
     # precede it in fill order) leave budget headroom
-    hist = docs.groupBy("source", "n_chars").agg(
-        F.sum("n_chars").cast("bigint").alias("chars_at_len")
+    # NULL n_chars rides a -2^62 sentinel for ORDERING/thresholding so
+    # it sorts with the oracle's DESC nulls_last and isn't silently
+    # dropped by the `>= len_threshold` predicate (r13 review
+    # finding); cum_chars still sums the REAL column (SUM skips NULL —
+    # a zero-length contribution, exactly like the oracle's window).
+    _null_len = -(2 ** 62)
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("n_chars"), F.lit(_null_len)).alias("__nc"),
+    )
+    hist = tagged.groupBy("source", "__nc").agg(
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("chars_at_len")
     )
     w_hist = (
         Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc())
+        .orderBy(F.col("__nc").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     thresholds = (
@@ -679,17 +693,26 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("chars_at_len").over(w_hist), F.lit(0)),
         )
         .join(F.broadcast(budgets), "source")
-        .filter(F.col("chars_before") < F.col("budget_chars"))
+        # a NULL-length doc adds 0 chars, so it fits whenever the
+        # preceding mass EQUALS the budget too (<= vs the strict <
+        # every positive-length group needs)
+        .filter(
+            (F.col("chars_before") < F.col("budget_chars"))
+            | (
+                (F.col("__nc") == F.lit(_null_len))
+                & (F.col("chars_before") <= F.col("budget_chars"))
+            )
+        )
         .groupBy("source")
-        .agg(F.min("n_chars").alias("len_threshold"))
+        .agg(F.min("__nc").alias("len_threshold"))
     )
     # (3): stateless candidate predicate; (4): exact fill on the
     # budget-bounded candidate set
-    candidates = docs.select("doc_id", "source", "n_chars").join(
+    candidates = tagged.join(
         F.broadcast(thresholds), "source"
-    ).filter(F.col("n_chars") >= F.col("len_threshold"))
+    ).filter(F.col("__nc") >= F.col("len_threshold"))
     w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+        F.col("__nc").desc(), F.col("doc_id").asc()
     )
     filled = (
         candidates.withColumn(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import cents, sql_cents
 from .dedup import norm_text
 
 #: hex-digit → value via position lookup — portable to any SQL engine
@@ -57,7 +58,9 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (
         Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .orderBy(
+            F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()
+        )
     )
     return (
         docs.withColumn("rank_in_source", F.row_number().over(w))
@@ -70,7 +73,7 @@ ORACLE_DOMAIN_CAP_SAMPLE = f"""
 WITH ranked AS (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY n_chars DESC, doc_id ASC)
+                            ORDER BY n_chars DESC NULLS LAST, doc_id ASC)
            AS rank_in_source
   FROM documents
 )
@@ -101,10 +104,17 @@ def q_domain_cap_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    hist = docs.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    # NULL semantics must match the unscaled window the shared oracle
+    # ranks with (r13 review finding): a NULL n_chars doc sorts DESC
+    # NULLS LAST (internally a -2^62 sentinel, below any real length)
+    # and a NULL source is its own domain (groupBy keeps it; the
+    # threshold join is null-safe so it isn't silently dropped).
+    nc = F.coalesce(F.col("n_chars"), F.lit(-(2 ** 62)))
+    tagged = docs.withColumn("__nc", nc)
+    hist = tagged.groupBy("source", "__nc").agg(F.count("*").alias("cnt"))
     w_hist = (
         Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc())
+        .orderBy(F.col("__nc").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     thresholds = (
@@ -113,14 +123,16 @@ def q_domain_cap_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_before") < DOMAIN_CAP)
         .groupBy("source")
-        .agg(F.min("n_chars").alias("len_threshold"))
+        .agg(F.min("__nc").alias("len_threshold"))
+        .withColumnRenamed("source", "__src")
     )
-    candidates = docs.join(F.broadcast(thresholds), "source").filter(
-        F.col("n_chars") >= F.col("len_threshold")
-    )
+    candidates = tagged.join(
+        F.broadcast(thresholds),
+        tagged["source"].eqNullSafe(thresholds["__src"]),
+    ).filter(F.col("__nc") >= F.col("len_threshold"))
     w_rank = (
         Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("__nc").desc(), F.col("doc_id").asc())
     )
     return (
         candidates.withColumn("rank_in_source", F.row_number().over(w_rank))
@@ -345,7 +357,7 @@ def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count("*").alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
+            F.sum(cents("value")).alias(
                 "monetary_cents"
             ),
         )
@@ -377,10 +389,18 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     per_user = _rfm_per_user(spark, sf_dir)
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    # NULL order pinned on both engines (Spark asc = NULLS FIRST,
+    # DuckDB default nulls_last): a user with all-NULL ts (recency
+    # NULL) or all-poisoned values (monetary NULL) must land in the
+    # same quartile everywhere
+    r_w = Window.orderBy(
+        F.col("recency_days").asc_nulls_last(), F.col("user_id").asc()
+    )
+    f_w = Window.orderBy(
+        F.col("frequency").desc_nulls_last(), F.col("user_id").asc()
+    )
     m_w = Window.orderBy(
-        F.col("monetary_cents").desc(), F.col("user_id").asc()
+        F.col("monetary_cents").desc_nulls_last(), F.col("user_id").asc()
     )
     scored = per_user.select(
         "user_id",
@@ -407,11 +427,11 @@ WITH per_user AS (
 ),
 scored AS (
   SELECT user_id, monetary_cents,
-         NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC)
+         NTILE(4) OVER (ORDER BY recency_days ASC NULLS LAST, user_id ASC)
            AS r_quartile,
-         NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC)
+         NTILE(4) OVER (ORDER BY frequency DESC NULLS LAST, user_id ASC)
            AS f_quartile,
-         NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id ASC)
+         NTILE(4) OVER (ORDER BY monetary_cents DESC NULLS LAST, user_id ASC)
            AS m_quartile
   FROM per_user
 )
@@ -568,11 +588,11 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every engine. At 100 TB swap in approx_percentile (t-digest,
     map-side combinable) — this exact formulation is its oracle."""
     events = load_table(spark, sf_dir, "events")
-    cents = events.select(
+    cents_df = events.select(
         "event_type",
-        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        cents("value").alias("cents"),
     )
-    cents.createOrReplaceTempView("_vq_cents")
+    cents_df.createOrReplaceTempView("_vq_cents")
     return spark.sql(
         """
         SELECT event_type,
@@ -697,7 +717,7 @@ WITH capped AS (
   SELECT doc_id, source, n_chars, text FROM (
     SELECT doc_id, source, n_chars, text,
            ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY n_chars DESC, doc_id ASC) AS rk
+                              ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rk
     FROM documents
   ) WHERE rk <= {DOMAIN_CAP}
 ),
@@ -746,8 +766,11 @@ def q_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # asc_nulls_last on BOTH engines: Spark asc() is NULLS FIRST but
+    # DuckDB defaults nulls_last, so a NULL-text doc would rank 1 in
+    # Spark and last in the oracle (r13 review finding)
     w = Window.partitionBy("source").orderBy(
-        F.md5("text").asc(), F.col("doc_id").asc()
+        F.md5("text").asc_nulls_last(), F.col("doc_id").asc()
     )
     return (
         docs.withColumn("rk", F.row_number().over(w))
@@ -760,7 +783,7 @@ ORACLE_GROUP_RESERVOIR = f"""
 SELECT doc_id, source, lang, rk FROM (
   SELECT doc_id, source, lang,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY md5(text), doc_id) AS rk
+                            ORDER BY md5(text) NULLS LAST, doc_id) AS rk
   FROM documents
 ) WHERE rk <= {RESERVOIR_K}
 """

@@ -143,7 +143,7 @@ def windowed_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
+            F.sum(cents("value")).alias(
                 "value_cents"
             ),
         )
@@ -233,7 +233,7 @@ def stream_stream_view_purchase_join(
             F.col("event_id").alias("purch_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-            F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
+            cents("value").alias("purch_cents"),
         )
         .withWatermark("p_ts", "10 minutes")
     )
@@ -279,6 +279,7 @@ STATEFUL_STATE_SCHEMA = StructType(
         StructField("users", ArrayType(LongType())),
         StructField("ns", ArrayType(LongType())),
         StructField("cents", ArrayType(LongType())),
+        StructField("valids", ArrayType(LongType())),
     ]
 )
 
@@ -297,11 +298,13 @@ def make_user_totals_worker():
         import pandas as pd
 
         if state.exists:
-            s_users, s_ns, s_cents = (
+            s_users, s_ns, s_cents, s_valid = (
                 np.asarray(x, dtype=np.int64) for x in state.get
             )
         else:
-            s_users = s_ns = s_cents = np.empty(0, dtype=np.int64)
+            s_users = s_ns = s_cents = s_valid = np.empty(
+                0, dtype=np.int64
+            )
         frames = [p for p in pdfs if len(p)]
         if not frames:
             yield pd.DataFrame(
@@ -309,32 +312,55 @@ def make_user_totals_worker():
             )
             return
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-        # `size`, not `count`: the oracle is COUNT(*) — all rows
-        g = pdf.groupby("user_id")["cents"].agg(["size", "sum"])
+        # NULL discipline (r13 review finding): `cents` arrives as
+        # float64 with NaN when any value was non-finite upstream —
+        # a blind to_numpy(int64) turns NaN into INT64_MIN garbage.
+        # `size` counts ALL rows (the oracle is COUNT(*)), `count`
+        # counts the VALID measurements (the oracle's SUM skips NULL),
+        # and the sum contributes NaN as 0 while `valids` remembers
+        # whether the user has ever had a real measurement — a user
+        # with none reports value_cents NULL, like the oracle.
+        g = pdf.groupby("user_id")["cents"].agg(["size", "sum", "count"])
         b_users = g.index.to_numpy(np.int64)
         order = np.argsort(b_users)
         b_users = b_users[order]
         b_n = g["size"].to_numpy(np.int64)[order]
-        b_c = g["sum"].to_numpy(np.int64)[order]
+        b_c = (
+            np.nan_to_num(g["sum"].to_numpy(np.float64), nan=0.0)
+            .astype(np.int64)[order]
+            if g["sum"].dtype.kind == "f"
+            else g["sum"].to_numpy(np.int64)[order]
+        )
+        b_v = g["count"].to_numpy(np.int64)[order]
         # merge into the running state (state users kept sorted)
         merged = np.union1d(s_users, b_users)
         n_out = np.zeros(len(merged), dtype=np.int64)
         c_out = np.zeros(len(merged), dtype=np.int64)
+        v_out = np.zeros(len(merged), dtype=np.int64)
         if len(s_users):
             at = np.searchsorted(merged, s_users)
             n_out[at] += s_ns
             c_out[at] += s_cents
+            v_out[at] += s_valid
         bt = np.searchsorted(merged, b_users)
         n_out[bt] += b_n
         c_out[bt] += b_c
+        v_out[bt] += b_v
         state.update(
-            (merged.tolist(), n_out.tolist(), c_out.tolist())
+            (
+                merged.tolist(),
+                n_out.tolist(),
+                c_out.tolist(),
+                v_out.tolist(),
+            )
         )
+        out_cents = pd.Series(c_out[bt]).astype("Int64")
+        out_cents[v_out[bt] == 0] = None
         yield pd.DataFrame(
             {
                 "user_id": b_users,
                 "n_events": n_out[bt],
-                "value_cents": c_out[bt],
+                "value_cents": out_cents,
             }
         )
 
@@ -353,10 +379,13 @@ def stateful_user_totals(
     shuffle is on the bucket only."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    prepped = events.select(
+    # user_id is the state identity: a NULL there is invalid
+    # telemetry that would corrupt the int64 state arrays (pandas
+    # groupby would silently drop it anyway) — filtered, visibly
+    prepped = events.filter(F.col("user_id").isNotNull()).select(
         (F.col("user_id") % n_buckets).alias("bucket"),
         "user_id",
-        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        cents("value").alias("cents"),
     )
     return prepped.groupBy("bucket").applyInPandasWithState(
         make_user_totals_worker(),
@@ -436,7 +465,20 @@ def make_anomaly_worker(
         uid = pdf["user_id"].to_numpy(np.int64)
         us = pdf["us"].to_numpy(np.int64)
         eid = pdf["event_id"].to_numpy(np.int64)
-        vc = pdf["vc"].to_numpy(np.int64)
+        # a NULL vc (non-finite value upstream) arrives as float NaN;
+        # a blind int64 cast would smuggle INT64_MIN into the tail
+        # (r13 review finding). NULL becomes an explicit sentinel: it
+        # OCCUPIES a window slot (the oracle's ROWS frame does too)
+        # but contributes to neither COUNT(vc) nor SUM(vc).
+        _sent = np.iinfo(np.int64).min
+        raw_vc = pdf["vc"].to_numpy()
+        if raw_vc.dtype.kind == "f":
+            nanmask = np.isnan(raw_vc)
+            vc = np.where(nanmask, _sent, np.nan_to_num(raw_vc)).astype(
+                np.int64
+            )
+        else:
+            vc = raw_vc.astype(np.int64)
         order = np.lexsort((eid, us, uid))
         uid, us, eid, vc = uid[order], us[order], eid[order], vc[order]
         b_users, b_start, b_counts = np.unique(
@@ -467,12 +509,21 @@ def make_anomaly_worker(
         within = np.arange(len(uid)) - np.repeat(b_start, b_counts)
         pos = comb_start[row_user] + pre_len[row_user] + within
         comb[pos] = vc
-        cs = np.concatenate([[0], np.cumsum(comb)])
+        valid = comb != _sent
+        cs = np.concatenate(
+            [[0], np.cumsum(np.where(valid, comb, 0))]
+        )
+        ccnt = np.concatenate(
+            [[0], np.cumsum(valid.astype(np.int64))]
+        )
         lo = np.maximum(pos - lookback, comb_start[row_user])
-        cnt = pos - lo
-        s = cs[pos] - cs[lo]
+        cnt = ccnt[pos] - ccnt[lo]  # COUNT(vc): valid slots only
+        s = cs[pos] - cs[lo]  # SUM(vc) with the oracle's COALESCE(,0)
+        vc_ok = vc != _sent
         spike = (
-            (cnt >= min_prev) & (vc * cnt > factor * s)
+            (cnt >= min_prev)
+            & vc_ok
+            & (np.where(vc_ok, vc, 0) * cnt > factor * s)
         ).astype(np.int64)
         # new state: batch users' fresh tails + untouched state users,
         # merged back into sorted-user order
@@ -501,11 +552,13 @@ def make_anomaly_worker(
                 else [],
             )
         )
+        out_vc = pd.Series(vc).astype("Int64")
+        out_vc[~vc_ok] = None
         yield pd.DataFrame(
             {
                 "event_id": eid,
                 "user_id": uid,
-                "vc": vc,
+                "vc": out_vc,
                 "prev_cnt": cnt,
                 "prev_sum": s,
                 "is_spike": spike,
@@ -527,12 +580,20 @@ def stateful_anomaly(
     stays per-user exact (see `make_anomaly_worker`)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    prepped = events.select(
+    # identity/ordering keys must be non-null (a NaN cast to int64 is
+    # INT64_MIN garbage in the sort and bucket id) — filtered, visibly;
+    # a NULL VALUE is handled exactly (sentinel + validity, see the
+    # worker), because missing measurements are real data
+    prepped = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
         (F.col("user_id") % n_buckets).alias("bucket"),
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).try_cast("long").alias("vc"),
+        cents("value").alias("vc"),
     )
     return prepped.groupBy("bucket").applyInPandasWithState(
         make_anomaly_worker(),
@@ -794,9 +855,14 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_totals(ev), output_mode="update", state_partitions=8
     )
     out = spark.table(name)
+    # the LAST emission per user = the one with the highest running
+    # event count; its value_cents rides ALONG via max_by — two
+    # independent max()es would decouple the pair whenever a negative
+    # event value (refund) makes the running cents total decrease
+    # between micro-batches (r13 review finding)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("value_cents").alias("value_cents"),
+        F.max_by("value_cents", "n_events").alias("value_cents"),
     )
 
 
@@ -958,6 +1024,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.frequency import HH_SUPPORT as _HH_SUPPORT  # noqa: E402
+from ..functions.numeric import cents, sql_cents
 
 ORACLE_STREAM_HEAVY_HITTERS = f"""
 WITH tot AS (SELECT COUNT(*) AS n_total FROM events)

@@ -50,6 +50,11 @@ REPRESENTATIVES = [
     "oov_rate",
     "token_budget_select",
     "events_anomaly",
+    # r13: the applyInPandasWithState workers and the LSH bucket UDF —
+    # the three streaming/ANN paths a NaN used to corrupt or kill
+    "stream_stateful_totals",
+    "stream_anomaly",
+    "similarity_lsh",
     "unigram_logprob",
     "temperature_sample",
     # r6 sampling/curation/validation family
@@ -222,12 +227,13 @@ def poisoned_dir(spark, sf_dir, tmp_path_factory):
     import pyarrow.parquet as pq
 
     out = str(tmp_path_factory.mktemp("sf_poisoned"))
-    plain = ["region", "nation", "part", "documents", "events"]
+    plain = ["region", "nation", "part", "documents"]
     for t in plain:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out, f"{t}.parquet"))
     poison = {
+        "events": ["value"],
         "orders": ["o_totalprice"],
         "customer": ["c_acctbal"],
         "supplier": ["s_acctbal"],

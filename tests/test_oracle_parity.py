@@ -196,3 +196,22 @@ def test_text_operators_hash_match_on_hostile_text(
         name,
         r.get("sample_diff"),
     )
+
+
+def test_oracle_money_casts_are_try_cast():
+    """Mechanical drift guard for the r12-advice class: the Spark side
+    converts money to exact cents via numeric.cents() (try_cast — a
+    non-finite value becomes a missing measurement), so EVERY oracle's
+    cents conversion must be TRY_CAST too. A plain CAST diverges on
+    poisoned input (DuckDB hard-errors where Spark yields NULL); six
+    hand-inlined copies drifted exactly this way before r13."""
+    import re
+
+    import __spark_entry__ as entry
+
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        hits = re.findall(r"(?<!TRY_)CAST\(ROUND\([^()]*\* 100\)\s*AS\s*BIGINT\)", sql)
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plain CAST on money cents in oracles: {bad}"

@@ -130,7 +130,7 @@ def test_stateful_totals_across_micro_batches(spark, sf_dir, tmp_path):
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("value_cents").alias("value_cents"),
+            F.max_by("value_cents", "n_events").alias("value_cents"),
         )
     )
     expected = ev_batch.groupBy("user_id").agg(
@@ -371,7 +371,52 @@ def test_totals_bucket_worker_merges_state_across_batches():
         for _, r in out2.iterrows()
     }
     assert got2 == {3: (3, 35), 999: (1, 7)}  # running, not per-batch
-    users, ns, cents = st.get
+    users, ns, cents, valids = st.get
     assert users == [3, 7, 500, 999]  # sorted; 7/500 preserved
     assert ns == [3, 2, 1, 1]
     assert cents == [35, 150, 1, 7]
+    assert valids == ns  # every measurement in this fixture is finite
+
+
+def test_stateful_totals_survive_refunds_across_batches(spark, tmp_path):
+    """The max/max decoupling regression (r13 review finding): a
+    negative event value (refund) in a LATER micro-batch makes the
+    running cents total DECREASE between emissions; two independent
+    max()es would pair batch-2's event count with batch-1's higher
+    cents. max_by keeps the pair from the final emission."""
+    import datetime as dt
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "refund_events")
+    spark.createDataFrame(
+        [(1, t0, 7, "purchase", 5.00, "{}")], schema
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=1), 7, "refund", -2.00, "{}")],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = S.run_to_memory(
+        S.stateful_user_totals(stream), output_mode="update"
+    )
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_cents", "n_events").alias("value_cents"),
+        )
+        .collect()
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["n_events"], r["value_cents"]) == (7, 2, 300)
