@@ -174,14 +174,29 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     )
-    return (
-        joined.cube("c_mktsegment", "n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum(cents("c_acctbal")).alias("acctbal_cents"),
-            F.grouping_id().alias("gid"),
-        )
+    # the () grouping set rides a SEPARATE global aggregate: Spark's
+    # cube() on EMPTY input emits 0 rows where SQL emits the one ()
+    # row (count 0, NULL sums) — r13 review finding, verified on both
+    # engines. groupingSets without () is empty-on-empty in both, and
+    # .agg() is always exactly one row, so the union matches SQL CUBE
+    # on every input.
+    aggs = [
+        F.count("*").alias("n_customers"),
+        F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+    ]
+    gs = joined.groupingSets(
+        [["c_mktsegment", "n_name"], ["c_mktsegment"], ["n_name"]],
+        "c_mktsegment",
+        "n_name",
+    ).agg(*aggs, F.grouping_id().alias("gid"))
+    glob = joined.agg(*aggs).select(
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("string").alias("n_name"),
+        "n_customers",
+        "acctbal_cents",
+        F.lit(3).cast("int").alias("gid"),
     )
+    return gs.unionByName(glob)
 
 
 ORACLE_CUBE_AGG = f"""
@@ -198,15 +213,24 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS: ((status, priority), (status), ()) —
     the general form rollup/cube compile to."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupingSets(
-        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
+    # same ()-row-on-empty treatment as q_cube_agg above
+    aggs = [
         F.count("*").alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("price_cents"),
-        F.grouping_id().alias("gid"),
+    ]
+    gs = orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(*aggs, F.grouping_id().alias("gid"))
+    glob = orders.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "price_cents",
+        F.lit(3).cast("int").alias("gid"),
     )
+    return gs.unionByName(glob)
 
 
 ORACLE_GROUPING_SETS = f"""
@@ -314,16 +338,23 @@ def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1 = F.col("k1").cast("double")
     k2 = F.col("k2").cast("double")
     sk = F.col("sk").cast("double")
+    # try_divide, not /: under ANSI mode a 1-customer segment
+    # (n-1 = 0) or a constant-valued segment (zero stddev in the corr
+    # denominator) would raise DIVIDE_BY_ZERO and kill the job, where
+    # the DuckDB oracle returns NULL (r13 review finding; n itself is
+    # ≥1 for every group, so mean/var_pop keep the plain division)
     return g.select(
         "c_mktsegment",
         "n",
         (s1 / n).alias("mean_cents"),
-        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("var_samp"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1.0))).alias("stddev_samp"),
+        F.try_divide(s2 - s1 * s1 / n, n - F.lit(1.0)).alias("var_samp"),
+        F.sqrt(
+            F.try_divide(s2 - s1 * s1 / n, n - F.lit(1.0))
+        ).alias("stddev_samp"),
         ((s2 - s1 * s1 / n) / n).alias("var_pop"),
-        (
-            (sk - s1 * k1 / n)
-            / (F.sqrt(s2 - s1 * s1 / n) * F.sqrt(k2 - k1 * k1 / n))
+        F.try_divide(
+            sk - s1 * k1 / n,
+            F.sqrt(s2 - s1 * s1 / n) * F.sqrt(k2 - k1 * k1 / n),
         ).alias("corr_bal_key"),
     )
 
@@ -518,9 +549,16 @@ def q_topk_by_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups are small and the sort dominates. Output identical to
     window_topk (the oracle is the window formulation)."""
     orders = load_table(spark, sf_dir, "orders")
+    # sort key coalesces NULL cents to +2^62 so a NULL-price order
+    # sorts LAST, matching the oracle's DESC (DuckDB nulls_last) —
+    # array_sort otherwise puts NULL struct fields FIRST, promoting
+    # poisoned orders into the top-3 (r13 review finding); the real
+    # value rides alongside and stays NULL in the output
+    neg = -cents("o_totalprice")
     entry = F.struct(
-        (-cents("o_totalprice")).alias("neg_cents"),
+        F.coalesce(neg, F.lit(2 ** 62)).alias("sort_key"),
         F.col("o_orderkey").alias("okey"),
+        neg.alias("neg_cents"),
     )
     top = (
         orders.groupBy("o_custkey")
@@ -545,7 +583,8 @@ SELECT * FROM (
   SELECT o_custkey, o_orderkey,
          {sql_cents('o_totalprice')} AS total_cents,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY {sql_cents('o_totalprice')} DESC,
+                            ORDER BY {sql_cents('o_totalprice')}
+                                       DESC NULLS LAST,
                                      o_orderkey) AS rk
   FROM orders
 ) WHERE rk <= 3
@@ -693,13 +732,16 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "bal_cents",
         F.sum("bal_cents").over(w_region).cast("long").alias("region_cents"),
-        (
-            F.col("bal_cents").cast("double")
-            / F.sum("bal_cents").over(w_region).cast("double")
+        # try_divide: signed balances can cancel a region (or the
+        # grand total) to exactly 0 cents — ANSI would raise where the
+        # oracle returns NULL (r13 review finding)
+        F.try_divide(
+            F.col("bal_cents").cast("double"),
+            F.sum("bal_cents").over(w_region).cast("double"),
         ).alias("share_of_region"),
-        (
-            F.col("bal_cents").cast("double")
-            / F.sum("bal_cents").over(w_all).cast("double")
+        F.try_divide(
+            F.col("bal_cents").cast("double"),
+            F.sum("bal_cents").over(w_all).cast("double"),
         ).alias("share_of_total"),
     )
 

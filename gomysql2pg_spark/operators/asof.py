@@ -23,14 +23,25 @@ shuffle on the key, horizontally scalable — no range explosion, no
 per-row subqueries. This is the standard large-scale formulation (the
 union-window trick); a broadcast variant applies when the right side is
 a small reference table.
+
+The payload rides as ONE STRUCT, not per-column fills (r13 review
+finding): per-column `last(ignorenulls)` silently skipped a matched
+right row whose payload column was genuinely NULL (a NaN value →
+try_cast NULL cents) in favor of an OLDER row — wrong AND internally
+incoherent, since other payload columns could come from a different
+row. A struct is non-NULL whenever a right row exists, so the fill is
+atomic: the whole matched row or nothing, exactly the LATERAL top-1
+oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..functions.numeric import cents
 
 
 def asof_join_backward(
@@ -48,14 +59,21 @@ def asof_join_backward(
     names a column of `right` whose ASCENDING order breaks equal-`ts`
     ties (the LAST one wins — pass the monotonic event/ingestion id);
     without it, ties fall back to the engine's arbitrary order."""
-    lt = left.withColumn("_side", F.lit(1))
-    for c in payload_cols:
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn("_tie", F.lit(None).cast("long"))
+    p_type = T.StructType(
+        [
+            T.StructField(c, right.schema[c].dataType)
+            for c in payload_cols
+        ]
+    )
+    lt = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_p", F.lit(None).cast(p_type))
+        .withColumn("_tie", F.lit(None).cast("long"))
+    )
     rt = right.select(
         *on,
         ts_col,
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
         (
             F.col(tie_col).cast("long") if tie_col else F.lit(None).cast("long")
         ).alias("_tie"),
@@ -75,12 +93,15 @@ def asof_join_backward(
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    # ONE atomic fill: the struct is non-NULL iff a right row exists,
+    # so a NULL payload FIELD in the matched row is carried as-is
+    filled = unioned.withColumn(
+        "_p", F.last("_p", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("_side") == 1)
     for c in payload_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("_side") == 1).drop("_side", "_tie")
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_p.{c}"))
+    return out.drop("_side", "_tie", "_p")
 
 
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +117,7 @@ def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "us",
-            F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
+            cents("value").alias("purch_cents"),
             F.col("event_id").alias("purch_event_id"),
         )
     )
@@ -155,15 +176,22 @@ def q_events_asof_next_purchase(
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "us",
-        F.round(F.col("value") * 100).try_cast("long").alias("next_cents"),
+        cents("value").alias("next_cents"),
         F.col("event_id").alias("_tie"),
     )
+    # same atomic-struct fill as the backward kernel: first(ignorenulls)
+    # on the bare column would skip a NULL-cents purchase for a LATER one
     lt = ev.select("event_id", "user_id", "us", "event_type").withColumn(
         "_side", F.lit(0)
-    ).withColumn("next_cents", F.lit(None).cast("long")).withColumn(
-        "_tie", F.lit(None).cast("long")
-    )
-    rt = purchases.withColumn("_side", F.lit(1)).withColumn(
+    ).withColumn(
+        "_p", F.lit(None).cast(T.StructType([T.StructField("next_cents", T.LongType())]))
+    ).withColumn("_tie", F.lit(None).cast("long"))
+    rt = purchases.select(
+        "user_id",
+        "us",
+        F.struct(F.col("next_cents").alias("next_cents")).alias("_p"),
+        "_tie",
+    ).withColumn("_side", F.lit(1)).withColumn(
         "event_id", F.lit(None).cast("long")
     ).withColumn("event_type", F.lit(None).cast("string"))
     unioned = lt.unionByName(rt.select(*lt.columns))
@@ -177,11 +205,14 @@ def q_events_asof_next_purchase(
         .rowsBetween(0, Window.unboundedFollowing)
     )
     filled = unioned.withColumn(
-        "next_purchase_cents",
-        F.first("next_cents", ignorenulls=True).over(w),
+        "_p", F.first("_p", ignorenulls=True).over(w)
     )
     return filled.filter(F.col("_side") == 0).select(
-        "event_id", "user_id", "us", "event_type", "next_purchase_cents"
+        "event_id",
+        "user_id",
+        "us",
+        "event_type",
+        F.col("_p.next_cents").alias("next_purchase_cents"),
     )
 
 
@@ -221,7 +252,7 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "us",
-        F.round(F.col("value") * 100).try_cast("long").alias("purch_cents"),
+        cents("value").alias("purch_cents"),
         F.col("us").alias("purch_us"),
         F.col("event_id").alias("purch_eid"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import cents
 
 WINDOW_US = 300 * 1_000_000  # 5-minute tumbling windows
 SESSION_GAP_US = 1800 * 1_000_000  # 30-minute session gap
@@ -37,7 +38,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
+            F.sum(cents("value")).alias(
                 "value_cents"
             ),
             F.countDistinct("user_id").alias("n_users"),
@@ -143,14 +144,16 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        # try_cast: hostile $.k ("abc", 1.5) must degrade to NULL,
+        # not raise ANSI CAST_INVALID_INPUT (r13 review finding)
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         F.get_json_object("props", "$.missing").alias("missing"),
     )
 
 
 ORACLE_EVENTS_JSON = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        json_extract_string(props, '$.missing') AS missing
 FROM events
 """
@@ -232,12 +235,17 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros("ts")
     )
-    mid = ev.agg(
-        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long")
-    ).first()[0]
-    base = ev.filter(F.col("us") < mid).withColumn("src", F.lit(0))
-    changes = ev.filter(F.col("us") >= mid).withColumn("src", F.lit(1))
-    merged = base.unionByName(changes)
+    # lazy midpoint: crossJoin the one-row broadcast aggregate instead
+    # of .first() — the eager driver action ran a full scan at PLAN
+    # time and then scanned events twice more (r13 review finding);
+    # same double-divide-then-truncate arithmetic as before
+    mid_df = ev.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("_mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid_df)).withColumn(
+        "src", F.when(F.col("us") >= F.col("_mid"), 1).otherwise(0)
+    )
+    merged = tagged.drop("_mid")
     w = Window.partitionBy("user_id").orderBy(
         F.col("us").desc(), F.col("src").desc(), F.col("event_id").desc()
     )
@@ -249,7 +257,7 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "us",
             "event_type",
-            F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+            cents("value").alias("cents"),
             F.col("src").alias("from_changes"),
         )
     )
@@ -307,7 +315,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-ANOMALY_LOOKBACK, -1)
     )
-    vc = F.round(F.col("value") * 100).try_cast("long")
+    vc = cents("value")
     prev_cnt = F.count("vc").over(w)
     prev_sum = F.sum("vc").over(w)
     return (
@@ -364,8 +372,6 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partials; the probability denominator joins back as
     a broadcast of the |types|-row margins, and the single float
     division is micro-rounded for cross-engine stability."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
@@ -428,15 +434,21 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregate is |types|³-bounded with map-side partials, so the
     final rank window runs over a domain-sized (≤125-row) frame —
     never the event stream."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn("t2", F.lead("event_type", 1).over(w))
         .withColumn("t3", F.lead("event_type", 2).over(w))
-        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        # ALL THREE steps non-null: concat_ws silently SKIPS a NULL
+        # leading type (emitting a malformed 2-step path) where the
+        # oracle's || nulls the whole path and drops the row (r13
+        # review finding)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("t2").isNotNull()
+            & F.col("t3").isNotNull()
+        )
         .select(
             F.concat_ws(
                 ">", F.col("event_type"), F.col("t2"), F.col("t3")

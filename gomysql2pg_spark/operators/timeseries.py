@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import cents
 
 GRID_US = 24 * 3600 * 1_000_000  # daily grid
 
@@ -26,7 +27,7 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        cents("value").alias("cents"),
         "event_id",
     )
     day = (F.floor(F.col("us") / GRID_US) * GRID_US).cast("long")
@@ -118,7 +119,7 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        cents("value").alias("cents"),
         "event_id",
     )
     bucket = (F.floor(F.col("us") / OHLC_US) * OHLC_US).cast("long")
@@ -172,7 +173,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).try_cast("long").alias("cents"),
+        cents("value").alias("cents"),
         "event_id",
         "event_type",
     )

@@ -55,6 +55,14 @@ REPRESENTATIVES = [
     "stream_stateful_totals",
     "stream_anomaly",
     "similarity_lsh",
+    "cube_agg",
+    "grouping_sets",
+    "topk_by_aggregation",
+    "stats_aggs",
+    "ratio_to_report",
+    "events_json_props",
+    "events_cdc_merge",
+    "events_top_paths",
     "unigram_logprob",
     "temperature_sample",
     # r6 sampling/curation/validation family
@@ -130,6 +138,11 @@ REPRESENTATIVES = [
 # value = the exact expected row count
 GLOBAL_AGG = {
     "profile_orders": 5,
+    # SQL CUBE/GROUPING SETS emit the () row even on empty input
+    # (count 0, NULL sums) — r13: the () set now rides a separate
+    # global aggregate so Spark matches
+    "cube_agg": 1,
+    "grouping_sets": 1,
     # one global count row per FK edge, 0 orphans each
     "validate_fk_orphans": 5,
     # contract twins aggregate to exactly one summary row (counts 0 /
