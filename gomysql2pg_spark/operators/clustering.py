@@ -78,9 +78,22 @@ def _assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's output is (n·k) narrow rows with map-side partial min, so
     the shuffle carries one struct per vector."""
     scored = _centroid_scores(load_table(spark, sf_dir, "embeddings"))
+    # leading null-flag key pins NULL dist2 (NULL/length-mismatched
+    # embedding) to sort LAST on both engines: Spark struct-min is
+    # nulls-FIRST, the oracle's ROW_NUMBER default is nulls-LAST —
+    # without the flag a poisoned centroid would win every Spark
+    # assignment and lose every oracle one (r13 review finding)
     best = (
         scored.groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("m"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist2").isNull().cast("int").alias("nl"),
+                    "dist2",
+                    "cid",
+                )
+            ).alias("m")
+        )
         .select(
             "vec_id",
             F.col("m.cid").alias("cid"),
@@ -112,7 +125,7 @@ scored AS (
 ranked AS (
   SELECT vec_id, cid, dist2,
          ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY dist2, cid) AS rn
+                            ORDER BY (dist2 IS NULL), dist2, cid) AS rn
   FROM scored
 )
 SELECT vec_id, cid, dist2 FROM ranked WHERE rn = 1
@@ -168,7 +181,7 @@ assign AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dist2, cid) AS rn
+                              ORDER BY (dist2 IS NULL), dist2, cid) AS rn
     FROM scored) WHERE rn = 1
 ),
 comp AS (
@@ -213,7 +226,13 @@ def q_coreset_margin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("vec_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("dist2", "cid"))
+                F.collect_list(
+                    F.struct(
+                        F.col("dist2").isNull().cast("int").alias("nl"),
+                        "dist2",
+                        "cid",
+                    )
+                )
             ).alias("ranked")
         )
         .select(
@@ -226,7 +245,8 @@ def q_coreset_margin_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("cid").orderBy(
-        (F.col("d2") - F.col("d1")).asc(), F.col("vec_id").asc()
+        (F.col("d2") - F.col("d1")).asc_nulls_last(),
+        F.col("vec_id").asc(),
     )
     return (
         best2.withColumn("rank_in_cluster", F.row_number().over(w))
@@ -259,7 +279,7 @@ scored AS (
 ranked AS (
   SELECT vec_id, cid, dist2,
          ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY dist2, cid) AS rn
+                            ORDER BY (dist2 IS NULL), dist2, cid) AS rn
   FROM scored
 ),
 best2 AS (
@@ -270,7 +290,8 @@ best2 AS (
 sel AS (
   SELECT cid, vec_id, d2 - d1 AS margin,
          ROW_NUMBER() OVER (PARTITION BY cid
-                            ORDER BY d2 - d1, vec_id) AS rank_in_cluster
+                            ORDER BY (d2 - d1) NULLS LAST, vec_id)
+                           AS rank_in_cluster
   FROM best2
 )
 SELECT cid, vec_id,

@@ -268,7 +268,7 @@ CROSS JOIN n
 BLOOM_HEX_SLICES = ((1, 4), (5, 4), (9, 4))  # disjoint md5 nibbles
 
 
-def _positions(df: DataFrame, key: str) -> list:
+def _positions(key: str) -> list:
     h = F.md5(F.col(key).cast("string"))
     return [
         F.conv(F.substring(h, start, ln), 16, 10).cast("long")
@@ -289,18 +289,24 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-broadcast position joins.)"""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # persisted: build feeds the truth join and bits; bits feeds THREE
+    # per-position broadcast builds — unpersisted, the urgent-orders
+    # scan + distinct pipeline re-executed once per consumer (r13
+    # review finding: ~4-5 full scans of orders per run)
     build = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .persist()
     )
-    bp = _positions(build, "k")
+    bp = _positions("k")
     bits = (
         build.select(F.explode(F.array(*bp)).alias("pos"))
         .distinct()
+        .persist()
     )
     probe = li.select(F.col("l_orderkey").alias("k")).distinct()
-    pp = _positions(probe, "k")
+    pp = _positions("k")
     flagged = probe.select(
         "k", pp[0].alias("p1"), pp[1].alias("p2"), pp[2].alias("p3")
     )
@@ -328,12 +334,18 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("passed") & F.col("is_true")).cast("int"))
         .cast("bigint")
         .alias("n_false_neg"),
+        # try_divide + try_cast: with ZERO true negatives (every
+        # probe key in the build set) the rate is undefined — NULL on
+        # both engines, never a NaN->bigint ANSI crash (r13 review
+        # finding)
         F.round(
-            F.sum((F.col("passed") & ~F.col("is_true")).cast("int"))
-            * F.lit(1e6)
-            / F.sum((~F.col("is_true")).cast("int"))
+            F.try_divide(
+                F.sum((F.col("passed") & ~F.col("is_true")).cast("int"))
+                * F.lit(1e6),
+                F.sum((~F.col("is_true")).cast("int")),
+            )
         )
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("fp_rate_micro"),
     )
 
@@ -383,8 +395,8 @@ SELECT COUNT(*) AS n_keys,
          AS n_false_pos,
        CAST(SUM(CAST(NOT passed AND is_true AS INTEGER)) AS BIGINT)
          AS n_false_neg,
-       CAST(ROUND(SUM(CAST(passed AND NOT is_true AS INTEGER)) * 1e6
-                  / SUM(CAST(NOT is_true AS INTEGER))) AS BIGINT)
+       TRY_CAST(ROUND(SUM(CAST(passed AND NOT is_true AS INTEGER)) * 1e6
+                  / NULLIF(SUM(CAST(NOT is_true AS INTEGER)), 0)) AS BIGINT)
          AS fp_rate_micro
 FROM audited
 """

@@ -224,7 +224,12 @@ def q_er_resolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division — immune to cross-engine float summation order
     cents = F.round(F.col("p_retailprice") * 100).try_cast("bigint")
     return (
-        part.withColumn("cents", cents)
+        # NULL names carry no entity identity and the oracle's inner
+        # dictionary join drops them — filter explicitly instead of
+        # silently rolling them into a canonical-NULL group the oracle
+        # never emits (r13 review finding)
+        part.filter(F.col("p_name").isNotNull())
+        .withColumn("cents", cents)
         .join(F.broadcast(labels), part.p_name == labels.node, "left")
         .withColumn("canonical", F.coalesce("label", "p_name"))
         .groupBy("canonical")

@@ -129,12 +129,17 @@ def q_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    dl_norm = F.col("dl").cast("double") * F.lit(float(n_docs)) / F.lit(
-        float(total_terms)
+    # the SAME left-associated IEEE tree as the oracle's
+    # `B * dl * n / tot` (((B*dl)*n)/tot): the previous
+    # B*((dl*n)/tot) grouping could differ by an ulp and flip a .5
+    # micro rounding boundary between engines (r13 review finding)
+    bnorm = (
+        F.lit(BM25_B)
+        * F.col("dl").cast("double")
+        * F.lit(float(n_docs))
+        / F.lit(float(total_terms))
     )
-    denom = tf + F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl_norm
-    )
+    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + bnorm)
     return joined.select(
         "doc_id",
         "term",
@@ -406,13 +411,11 @@ def q_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
     )
+    from .text import bigram_index
+
     toks = F.col("toks")
-    # same 0/1-token ANSI guard as text.q_bigram_counts
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
     pairs = F.transform(
-        idx,
+        bigram_index(toks),
         lambda i: F.struct(
             F.element_at(toks, i).alias("w1"),
             F.concat_ws(

@@ -274,6 +274,33 @@ def scrub_pii(col):
     return out
 
 
+def bigram_index(toks):
+    """Guarded adjacent-pair index array for a TOKEN-ARRAY column.
+
+    The 0/1-token case MUST emit an empty array: sequence(1, 0) yields
+    the DESCENDING array [1, 0], and element_at(toks, 0) then throws
+    under ANSI mode (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word
+    doc anywhere in the corpus would kill the job. Matches the oracle's
+    range(1, greatest(len-1, 0) + 1). ONE definition: four operators
+    copied this guard verbatim before r13."""
+    return F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def bigrams_from_tokens(toks):
+    """Adjacent-word bigram strings from a TOKEN-ARRAY column (pass a
+    materialized column, not an inline split() — lambda bodies
+    re-evaluate outer expressions per element; see
+    dedup.shingles_from_tokens)."""
+    return F.transform(
+        bigram_index(toks),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over the corpus: per-doc counts of
     email/phone/long-number spans and the scrubbed-text length (clean
@@ -318,21 +345,7 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = docs.select(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
     )
-    toks = F.col("toks")
-    # Guard the 0/1-token case: sequence(1, 0) yields the DESCENDING
-    # array [1, 0], and element_at(toks, 0) then throws under ANSI mode
-    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) — a single-word doc anywhere
-    # in the corpus would kill the job. Emit no bigram indices instead,
-    # matching the oracle's range(1, greatest(len-1,0)+1).
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = bigrams_from_tokens(F.col("toks"))
     return (
         pre.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -378,16 +391,7 @@ def q_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
     )
-    toks = F.col("toks")
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = bigrams_from_tokens(F.col("toks"))
     return (
         pre.select("source", F.explode(bigrams).alias("bigram"))
         .groupBy("source")
@@ -469,16 +473,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matching the oracle's range(1, greatest(len-1,0)+1).
     # Tokens go through their own projection so the bigram lambda
     # doesn't re-split per element (see dedup.shingles_from_tokens).
-    tokc = F.col("toks")
-    idx = F.when(
-        F.size(tokc) >= 2, F.sequence(F.lit(1), F.size(tokc) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(tokc, i), F.element_at(tokc, i + 1)
-        ),
-    )
+    bigrams = bigrams_from_tokens(F.col("toks"))
     bigram_stats = docs.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),

@@ -106,6 +106,30 @@ def test_known_unicode_case_mapping_divergence_is_pinned(spark, duck):
     assert jvm != dd
 
 
+def test_known_whitespace_class_divergence_is_pinned(spark, duck):
+    """r13 review: Java's regex \\s includes vertical tab U+000B;
+    DuckDB's RE2 \\s does not. Every \\s-based tokenizer therefore
+    splits on \\x0B in Spark but keeps it inside a token in DuckDB —
+    an engine-regex fact of the same class as the İ case-mapping
+    divergence above: each engine is self-consistent, a pipeline runs
+    inside one engine, and the driver fixtures' charset never emits
+    \\x0B. Pinned so the divergence stays visible and an engine
+    upgrade that changes either \\s definition is noticed."""
+    from pyspark.sql import functions as F
+
+    jvm = (
+        spark.range(1)
+        .select(F.split(F.lit("a\x0bb"), r"\s+").alias("t"))
+        .collect()[0]["t"]
+    )
+    dd = duck.execute(
+        r"SELECT string_split_regex('a' || chr(11) || 'b', '\s+')"
+    ).fetchone()[0]
+    assert jvm == ["a", "b"]  # Java \s matches \x0B
+    assert dd == ["a\x0bb"]  # RE2 \s does not
+    assert jvm != dd
+
+
 HOSTILE_TEXT = [
     "emoji 🙂🙂 and 家族 mixed",
     "combining é acute and zero​width",
