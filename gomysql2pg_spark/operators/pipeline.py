@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import norm_text
+from .dedup import norm_text, tokenize
 from ..functions.numeric import cents, sql_cents
 
 # ---------------------------------------------------------------------------
@@ -35,7 +35,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone operators (text.q_quality_score, dedup.q_dedup_exact_norm)
     — this entry proves they COMPOSE."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = tokenize(F.col("text"))
     n_chars = F.length("text")
     n_punct = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
@@ -178,7 +178,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_tokens = F.size(tokenize(F.col("text")))
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -241,7 +241,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < TRAIN_PCT + VAL_PCT, "val")
         .otherwise("test")
     )
-    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_tokens = F.size(tokenize(F.col("text")))
     return (
         docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
         .groupBy("split")
@@ -292,11 +292,15 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carried as an output column alongside its use in the lambda so
     # CollapseProject cannot substitute it back in (multi-reference).
     scaled = emb.select("vec_id", "embedding", max_abs.alias("scale"))
+    # try_divide + try_cast: an all-zero vector has scale 0 (0/0 =
+    # NaN) and a poisoned component makes scale NaN/Inf — both must
+    # quantize to NULL components, not raise ANSI CAST_INVALID_INPUT
+    # (r13 review finding)
     q = F.transform(
         e,
         lambda x: F.round(
-            x.cast("double") * F.lit(127.0) / F.col("scale")
-        ).cast("int"),
+            F.try_divide(x.cast("double") * F.lit(127.0), F.col("scale"))
+        ).try_cast("int"),
     )
     quantized = scaled.select("vec_id", "scale", q.alias("q"))
     # q8 is serialized to a comma-joined string: array-typed cells crash
@@ -322,11 +326,11 @@ WITH s AS (
 )
 SELECT vec_id,
   array_to_string(list_transform(embedding::DOUBLE[],
-                 x -> CAST(round(x * 127.0 / scale) AS INT)), ',') AS q8,
+                 x -> TRY_CAST(round(x * 127.0 / NULLIF(scale, 0)) AS INT)), ',') AS q8,
   scale,
   list_max(list_transform(
     list_transform(embedding::DOUBLE[],
-                   x -> CAST(round(x * 127.0 / scale) AS INT)),
+                   x -> TRY_CAST(round(x * 127.0 / NULLIF(scale, 0)) AS INT)),
     v -> abs(v))) AS q_max
 FROM s
 """
@@ -346,7 +350,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-batch duplicate counts."""
     docs = load_table(spark, sf_dir, "documents")
     norm = norm_text(F.col("text"))
-    hashed = docs.select("doc_id", "lang", F.md5(norm).alias("h"))
+    hashed = docs.select("doc_id", F.md5(norm).alias("h"))
     corpus = hashed.filter(F.col("doc_id") % 2 == 0)
     batch = hashed.filter(F.col("doc_id") % 2 == 1)
     fresh = batch.join(

@@ -72,11 +72,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.abs(F.col("o_custkey") - 750).alias("abs_dist"),
         F.pmod(F.col("o_orderkey"), F.lit(7)).alias("mod7"),
-        F.floor(tp).cast("long").alias("floor_tp"),
-        F.ceil(tp).cast("long").alias("ceil_tp"),
+        # try_cast: floor/ceil of a non-finite price must degrade to
+        # NULL, not raise ANSI CAST_INVALID_INPUT (r13 review finding)
+        F.floor(tp).try_cast("long").alias("floor_tp"),
+        F.ceil(tp).try_cast("long").alias("ceil_tp"),
         F.round(tp, 1).alias("round_tp1"),
         F.sqrt(F.col("o_orderkey").cast("double")).alias("sqrt_key"),
-        F.signum(tp - 10000.0).cast("int").alias("sign_vs_10k"),
+        F.signum(tp - 10000.0).try_cast("int").alias("sign_vs_10k"),
         F.greatest(F.col("o_custkey"), F.lit(100).cast("long")).alias("greatest_100"),
         F.least(F.col("o_custkey"), F.lit(100).cast("long")).alias("least_100"),
         F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias(
@@ -89,11 +91,11 @@ ORACLE_MATH_FUNCS = """
 SELECT o_orderkey,
   abs(o_custkey - 750) AS abs_dist,
   o_orderkey % 7 AS mod7,
-  CAST(floor(o_totalprice) AS BIGINT) AS floor_tp,
-  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_tp,
+  TRY_CAST(floor(o_totalprice) AS BIGINT) AS floor_tp,
+  TRY_CAST(ceil(o_totalprice) AS BIGINT) AS ceil_tp,
   round(o_totalprice, 1) AS round_tp1,
   sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_key,
-  CAST(sign(o_totalprice - 10000.0) AS INT) AS sign_vs_10k,
+  TRY_CAST(sign(o_totalprice - 10000.0) AS INT) AS sign_vs_10k,
   greatest(o_custkey, 100) AS greatest_100,
   least(o_custkey, 100) AS least_100,
   pow(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2
@@ -110,6 +112,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array cells crash the driver's canonicalizer (VERDICT r01), and
     # keeping the elements as floats (not strings) preserves the exact
     # float32 value compare.
+    # Spark sort_array is NULLS FIRST; pin DuckDB's list_sort to the
+    # same order (its default is NULLS LAST) so a NULL component in
+    # the head slice sorts identically (r13 review finding)
     s4 = F.sort_array(F.slice(emb, 1, 4))
     return e.select(
         "vec_id",
@@ -136,10 +141,10 @@ SELECT vec_id,
   embedding[1] AS h4_1, embedding[2] AS h4_2,
   embedding[3] AS h4_3, embedding[4] AS h4_4,
   embedding[3] AS third,
-  list_sort(embedding[1:4])[1] AS h4s_1,
-  list_sort(embedding[1:4])[2] AS h4s_2,
-  list_sort(embedding[1:4])[3] AS h4s_3,
-  list_sort(embedding[1:4])[4] AS h4s_4,
+  list_sort(embedding[1:4], 'ASC', 'NULLS FIRST')[1] AS h4s_1,
+  list_sort(embedding[1:4], 'ASC', 'NULLS FIRST')[2] AS h4s_2,
+  list_sort(embedding[1:4], 'ASC', 'NULLS FIRST')[3] AS h4s_3,
+  list_sort(embedding[1:4], 'ASC', 'NULLS FIRST')[4] AS h4s_4,
   list_max(embedding) AS vmax,
   list_min(embedding) AS vmin,
   CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
@@ -267,7 +272,11 @@ FROM embeddings
 UNION ALL
 SELECT vec_id,
        CAST(0 AS BIGINT) AS pos,
-       unnest(CASE WHEN len(list_filter(embedding, x -> x > 0.15)) = 0
+       -- embedding IS NULL: Spark's explode_outer(NULL) emits one
+       -- NULL-val row; len(NULL) = NULL skips the =0 branch, so the
+       -- NULL case must be caught explicitly (r13 review finding)
+       unnest(CASE WHEN embedding IS NULL
+                    OR len(list_filter(embedding, x -> x > 0.15)) = 0
                    THEN [NULL]
                    ELSE list_filter(embedding, x -> x > 0.15) END) AS val,
        'explode_outer' AS op

@@ -497,7 +497,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem scan + shuffle would run twice. The only remaining
     # SinglePartition exchange is the scalar-max gather over per-
     # partition partials (≤ one row each), inherent to any global max.
-    rev = rev.persist()
+    # localCheckpoint, not persist(): same reuse (the max side and the
+    # join probe read the materialized frame once), but the storage is
+    # released by the ContextCleaner when the frame is GC'd — persist()
+    # pinned supplier-cardinality cache in the shared session forever,
+    # one copy per q15 evaluation (r13 review finding)
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_rev_c4").alias("max_rev_c4"))
     top = rev.join(
         F.broadcast(mx), F.col("total_rev_c4") == F.col("max_rev_c4")
@@ -544,17 +549,24 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_lines = li.join(
         F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    per_part = brand_lines.groupBy("l_partkey").agg(
-        F.sum(whole("l_quantity")).cast("long").alias("qty_sum"),
-        F.count("*").alias("qty_cnt"),
-    ).select(
-        F.col("l_partkey").alias("ap_key"), "qty_sum", "qty_cnt"
-    )
-    small = brand_lines.join(
-        F.broadcast(per_part), F.col("l_partkey") == F.col("ap_key")
-    ).filter(
-        whole("l_quantity") * F.lit(10) * F.col("qty_cnt")
-        < F.lit(2) * F.col("qty_sum")
+    # ONE pass: per-part sufficient statistics as a window over the
+    # same shuffle the filter consumes — the groupBy+broadcast-back
+    # form scanned lineitem (and re-ran the brand join) TWICE because
+    # Catalyst cannot reuse the aggregation exchange across the
+    # broadcast boundary (r13 review finding; q15's comment documents
+    # the same plan fact)
+    from pyspark.sql.window import Window as _W
+
+    w_part = _W.partitionBy("l_partkey")
+    small = (
+        brand_lines.withColumn(
+            "qty_sum", F.sum(whole("l_quantity")).over(w_part).cast("long")
+        )
+        .withColumn("qty_cnt", F.count("*").over(w_part))
+        .filter(
+            whole("l_quantity") * F.lit(10) * F.col("qty_cnt")
+            < F.lit(2) * F.col("qty_sum")
+        )
     )
     return small.agg(
         F.sum(cents("l_extendedprice")).cast("long").alias("price_cents"),
