@@ -136,7 +136,10 @@ def rewrite_view_definition(definition: str, source_schema: str) -> str:
     backticks, strip `schema.` prefixes, drop convert(… using utf8mb4)
     wrappers."""
     out = definition.replace("`", "")
-    out = out.replace(f"{source_schema}.", "")
+    if source_schema:
+        # guard: with the empty default this replace would strip EVERY
+        # dot — "a.x" -> "ax", "1.5" -> "15" (r13 review finding)
+        out = out.replace(f"{source_schema}.", "")
     import re
 
     out = re.sub(
@@ -205,7 +208,16 @@ def trigger_sql_pg(trg: TriggerMeta) -> tuple[str, str]:
         if m:
             lines.append(f"{m.group(1).lower()} := {m.group(2)};")
         else:
-            lines.append(ls if ls.endswith(";") else ls + ";")
+            # block-opening lines (IF ... THEN / ELSE / LOOP / BEGIN)
+            # must NOT get a semicolon — 'IF x THEN;' is a plpgsql
+            # syntax error (r13 review finding); statement lines do
+            tail = ls.rstrip().lower()
+            opens_block = tail.endswith(
+                ("then", "else", "loop", "begin")
+            )
+            lines.append(
+                ls if (ls.endswith(";") or opens_block) else ls + ";"
+            )
     body = "\n  ".join(lines) or "null;"
     fn = f"{trg.name.lower()}_tgfn"
     func = (

@@ -91,8 +91,8 @@ class MigrationConfig:
             else:
                 tables[str(name)] = str(sqls)
         return cls(
-            page_size=int(raw.get("pageSize", 100_000)),
-            max_parallel=int(raw.get("maxParallel", 20)),
+            page_size=int(raw.get("pageSize") or 100_000),
+            max_parallel=int(raw.get("maxParallel") or 20),
             exclude=[str(p) for p in (raw.get("exclude") or [])],
             tables=tables,
             char_in_length=bool(raw.get("charInLength", False)),
@@ -271,7 +271,15 @@ class Migrator:
         """compareDb phase (`cmd/compare.go:23-100`), fanned out on the
         same bounded pool, with content-hash upgrade."""
         def one(t: str) -> TableCompareResult:
-            return compare_tables(self.source_fn(t), dst_fn(t), t)
+            # per-table failure accounting, like run(): one missing /
+            # unreadable target table must yield a failed ROW in the
+            # report, not abort the whole compare and discard every
+            # other table's result (r13 review finding; pool.map
+            # re-raises the first exception otherwise)
+            try:
+                return compare_tables(self.source_fn(t), dst_fn(t), t)
+            except Exception:
+                return TableCompareResult(t, -1, -2, 0, 1)  # count_ok AND content_ok both False
 
         with ThreadPoolExecutor(
             max_workers=self.config.max_parallel

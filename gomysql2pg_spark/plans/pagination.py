@@ -73,7 +73,12 @@ def hashmod_predicates(
     pk_cols: list[str],
     num_pages: int,
     hash_sql: str | None = None,
-    bucket_sql: str = "({h}) % {n} = {i}",
+    # sign-normalized residue: SQL `%` follows the DIVIDEND's sign
+    # (MySQL/Spark/PG alike), so a dialect-supplied hash_sql without
+    # ABS would put negative hashes in NO bucket — silent row loss the
+    # completeness claim forbids (r13 review finding); the +n %n wrap
+    # is a no-op for the non-negative default crc32
+    bucket_sql: str = "((({h}) % {n}) + {n}) % {n} = {i}",
 ) -> list[str]:
     """Disjoint + complete buckets for composite / non-numeric keys.
 

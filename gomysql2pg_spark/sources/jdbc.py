@@ -105,17 +105,26 @@ def read(
     server-side, mirroring `runMigration`'s page cursors). Column names
     are lowercased (reference `root.go:327-329`)."""
     if plan is not None and plan.predicates and plan.strategy != "full":
+        # EVERY predicate: the plan is a disjoint+complete partition of
+        # the table, so dropping any (the old max_parallel*50 cap)
+        # silently loses whole pages of rows — Spark schedules excess
+        # partitions fine, max_parallel only bounds CONCURRENT JDBC
+        # sessions via executor slots (r13 review finding). The props
+        # ride through reader_options so useCursorFetch /
+        # sessionInitStatement / cfg.extra apply to paged reads exactly
+        # like unpaged ones (MySQL without cursor fetch buffers each
+        # full page in executor memory).
         props = {
-            "user": cfg.user,
-            "password": cfg.password,
-            "driver": cfg.driver,
-            "fetchsize": str(cfg.fetch_size),
+            k: v
+            for k, v in reader_options(cfg).items()
+            if k not in ("url", "dbtable", "query", "numPartitions",
+                         "partitionColumn", "lowerBound", "upperBound")
         }
         return _lowercase_columns(
             spark.read.jdbc(
                 cfg.url,
                 table or plan.table,
-                predicates=plan.predicates[: cfg.max_parallel * 50],
+                predicates=plan.predicates,
                 properties=props,
             )
         )

@@ -66,6 +66,16 @@ def compare_tables(
     content-hash upgrade. Counts and hashes are single-scan aggregates;
     at scale both run as one job per side with partial aggregation."""
     if with_hash:
+        # align the destination to the SOURCE column order first:
+        # per-row xxhash64(*cols) is order-sensitive, so byte-identical
+        # content in a different physical column order reported a false
+        # content mismatch (r13 review finding). A genuinely different
+        # column SET still fails loudly below (AnalysisException names
+        # the missing column — a real schema mismatch IS an error).
+        if set(src.columns) == set(dst.columns) and (
+            src.columns != dst.columns
+        ):
+            dst = dst.select(*src.columns)
         # one pass per side: count + hash together
         s = src.agg(
             F.count("*").alias("n"), _hash_sum(src.columns).alias("h")

@@ -140,3 +140,37 @@ def test_trigger_sql_pg_two_statement_form():
         'create or replace trigger trg before insert on "t" '
         "for each row execute function trg_tgfn()"
     )
+
+
+def test_view_rewrite_empty_schema_keeps_dots():
+    """r13 review finding: with the (default) empty source schema the
+    prefix strip degenerated to removing EVERY dot — 'a.x' -> 'ax',
+    '1.5' -> '15' — corrupting any metadata-block view that omitted
+    sourceSchema."""
+    from gomysql2pg_spark.ddl import view_sql
+
+    out = view_sql("v1", "select a.x, 1.5 as y from tbl a")
+    assert "a.x" in out and "1.5" in out
+
+
+def test_trigger_pg_form_keeps_if_blocks_valid():
+    """r13 review finding: the line-terminator pass appended ';' to
+    EVERY unterminated line, turning 'IF ... THEN' into the plpgsql
+    syntax error 'IF ... THEN;'. Block-opening lines stay bare."""
+    from gomysql2pg_spark.ddl import TriggerMeta, trigger_sql_pg
+
+    trg = TriggerMeta(
+        name="trg_block",
+        table="orders",
+        timing="BEFORE",
+        event="UPDATE",
+        body=(
+            "IF NEW.qty > 0 THEN\n"
+            "  SET NEW.total = NEW.qty * 2;\n"
+            "END IF;"
+        ),
+    )
+    func_sql, _ = trigger_sql_pg(trg)
+    assert "if new.qty > 0 then\n" in func_sql.lower().replace("  ", "")
+    assert "then;" not in func_sql.lower()
+    assert "new.total := new.qty * 2;" in func_sql.lower()

@@ -133,3 +133,26 @@ def test_hashmod_bucket_sql_dialect_template():
         "(MOD(ABS(a*31+b), 2) = 0) OR (ABS(a*31+b)) IS NULL",
         "MOD(ABS(a*31+b), 2) = 1",
     ]
+
+
+def test_hashmod_negative_hash_still_complete(spark):
+    """The sign-normalized residue (r13 review finding): a
+    dialect-supplied hash_sql WITHOUT abs() can go negative, and SQL's
+    `%` follows the dividend's sign — the raw residue matched no
+    bucket, silently losing every negative-hash row. The wrapped
+    template must cover every row exactly once."""
+    from gomysql2pg_spark.plans.pagination import hashmod_predicates
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(-50, 50)], "a bigint"
+    )
+    df.createOrReplaceTempView("_neg_hash_t")
+    preds = hashmod_predicates(
+        ["a"], 4, hash_sql="CAST(a AS BIGINT) * 31"
+    )
+    total = 0
+    for p in preds:
+        total += spark.sql(
+            f"SELECT count(*) AS n FROM _neg_hash_t WHERE {p}"
+        ).first()["n"]
+    assert total == 100  # disjoint + complete, negatives included

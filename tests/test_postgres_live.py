@@ -644,3 +644,33 @@ def test_cli_migrate_artifacts_execute_on_live_pg(
     )
     assert dup.returncode != 0
     assert "duplicate key" in dup.stderr
+
+
+def test_trigger_block_body_compiles_on_live_pg(pg_sock):
+    """The r13 multi-line-body fix proven on the real engine: a
+    trigger body with an IF/END IF block compiles as a plpgsql
+    function on live PG 15 (the old per-line ';' pass emitted
+    'IF ... THEN;' — a syntax error) and fires with the conditional
+    applied."""
+    from gomysql2pg_spark.ddl import TriggerMeta, trigger_sql_pg
+
+    _psql(pg_sock, "CREATE TABLE blk_t (qty int, total int)")
+    trg = TriggerMeta(
+        name="trg_blk",
+        table="blk_t",
+        timing="BEFORE",
+        event="INSERT",
+        body=(
+            "IF NEW.qty > 0 THEN\n"
+            "  SET NEW.total = NEW.qty * 2;\n"
+            "END IF;"
+        ),
+    )
+    func_sql, trig_sql = trigger_sql_pg(trg)
+    _psql(pg_sock, func_sql)
+    _psql(pg_sock, trig_sql)
+    _psql(pg_sock, "INSERT INTO blk_t (qty) VALUES (3), (-1)")
+    rows = _psql(
+        pg_sock, "SELECT qty, COALESCE(total, -99) FROM blk_t ORDER BY qty"
+    ).splitlines()
+    assert rows == ["-1|-99", "3|6"]
