@@ -65,13 +65,7 @@ def timestamp_units(path: str) -> dict[str, str]:
     through round 3, TIMESTAMP(MICROS) from round 4) — the loader must be
     unit-agnostic, like the reference's byte-transparent row pump
     (`cmd/root.go:435-443`)."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pat
-
-    schema = pq.read_schema(_schema_probe_path(path))
-    return {
-        f.name: f.type.unit for f in schema if pat.is_timestamp(f.type)
-    }
+    return {name: unit for name, (unit, _tz) in timestamp_meta(path).items()}
 
 
 def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
@@ -92,6 +86,11 @@ def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
     }
 
 
+# SCOPE NOTE: load_table / the schema probes below are LOCAL-path-only
+# by design (os.path over the driver fixture trees); only the
+# driver-side cache keys (`fixture_stat`) are URI-capable, because
+# those also key object-store corpora. A URI-capable load path would
+# route the probes through pyarrow.fs the way fixture_stat does.
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; lowercase column names (reference `root.go:327-329`).
 
@@ -164,5 +163,8 @@ def fixture_stat(sf_dir: str, table: str):
                 if i.type == pafs.FileType.File
             )
         return (ident, tuple(entries))
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers pyarrow ArrowInvalid (e.g. an unrecognized
+        # URI scheme) — "unstatable" means CACHE MISS, never a crash
+        # (r13 review finding)
         return None

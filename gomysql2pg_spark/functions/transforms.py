@@ -56,10 +56,22 @@ def lowercase_columns(df: DataFrame) -> DataFrame:
     return df if lowered == df.columns else df.toDF(*lowered)
 
 
-def str_val(c: Column | str) -> Column:
+def str_val(c: Column | str, data_type=None) -> Column:
     """Any→string coercion (`cmd/app.go:131-184` StrVal): numerics and
-    plain values via cast, structured values via JSON."""
+    plain values via cast; STRUCTURED values (struct/map/array — the
+    MySQL JSON column shape) via to_json, because cast('string')
+    renders Spark's '{k -> v}' notation, which is not JSON and a PG
+    json/jsonb target would reject (r13 review finding). Pass the
+    column's DataType to get the JSON branch; without it the cast
+    fallback is unchanged for the primitive columns the row pump
+    feeds."""
+    from pyspark.sql import types as T
+
     c = F.col(c) if isinstance(c, str) else c
+    if data_type is not None and isinstance(
+        data_type, (T.StructType, T.MapType, T.ArrayType)
+    ):
+        return F.to_json(c)
     return c.cast("string")
 
 

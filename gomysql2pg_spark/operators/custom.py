@@ -80,11 +80,18 @@ def make_ema_worker(alpha: float = 0.5):
     list_reduce with the same expression."""
 
     def ema(pdf):
+        import math
+
         import pandas as pd
 
         pdf = pdf.sort_values(["us", "event_id"])
         acc = None
         for x in pdf["value"]:
+            # missing measurements (NULL upstream -> NaN here) are
+            # SKIPPED, not folded: one NaN would poison every later
+            # step, and the oracle's list_filter does the same skip
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                continue
             acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
         return pd.DataFrame(
             {
@@ -101,11 +108,18 @@ def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final EMA of `value` per user (time-ordered). Grouped-map
     applyInPandas: one Arrow batch per user group; shuffle on user_id
     only. State never leaves the group — scales with #users."""
+    # non-finite values sanitize to NULL on BOTH sides before the
+    # fold: pandas would carry NaN where DuckDB's list_reduce keeps
+    # NaN but Arrow's return path may surface it as NULL — pinning
+    # finite-or-NULL up front removes the ambiguity (r13 review
+    # finding; NaN fails BETWEEN, so one predicate covers NaN and ±Inf)
+    finite = F.col("value").between(-1.7976931348623157e308,
+                                    1.7976931348623157e308)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros("ts").alias("us"),
-        "value",
+        F.when(finite, F.col("value")).alias("value"),
     )
     return ev.groupBy("user_id").applyInPandas(
         make_ema_worker(), schema=EMA_SCHEMA
@@ -115,8 +129,15 @@ def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_EMA = """
 SELECT user_id,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  list_reduce(list(value ORDER BY epoch_us(ts), event_id),
-              (acc, x) -> 0.5 * acc + 0.5 * x) AS ema_value
+  CASE WHEN len(list_filter(list(CASE WHEN isfinite(value) THEN value END
+                                  ORDER BY epoch_us(ts), event_id),
+                             x -> x IS NOT NULL)) = 0
+       THEN NULL
+       ELSE list_reduce(
+         list_filter(list(CASE WHEN isfinite(value) THEN value END
+                          ORDER BY epoch_us(ts), event_id),
+                     x -> x IS NOT NULL),
+         (acc, x) -> 0.5 * acc + 0.5 * x) END AS ema_value
 FROM events
 GROUP BY user_id
 """

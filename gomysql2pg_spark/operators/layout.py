@@ -41,10 +41,6 @@ Z_BITS = 8
 #: z-buckets published in the envelope table: z >> Z_SHIFT ⇒ 256
 Z_SHIFT = 8
 
-#: the fixed time grid for the interval equi-join
-GRID = "quarter"
-
-
 def _interleave_expr(bx: str, by: str, div: str) -> str:
     """Bit-interleave via pure integer arithmetic — (x div 2^i) % 2
     picks bit i — so the SAME formula (modulo the integer-division

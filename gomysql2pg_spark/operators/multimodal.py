@@ -227,10 +227,20 @@ def make_decoder():
         if len(b) >= 2 and b[:2] == b"BM":
             if len(b) < 54:
                 raise ValueError("truncated BMP header")
+            # validate payload against header geometry: a BMP cut off
+            # after its header used to "decode" silently, violating the
+            # fail-loudly contract the WAV/PPM branches honor (r13
+            # review finding)
+            px_off = struct.unpack_from("<I", b, 10)[0]
             w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            stride = ((bpp * w + 31) // 32) * 4
+            if w <= 0 or h == 0 or len(b) < px_off + stride * abs(h):
+                raise ValueError("corrupt BMP: truncated pixel data")
             return len(b), w, h, 1, "bmp"
         if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-            pos, rate, bits, block_align, n_samples = 12, 0, 0, 2, 0
+            pos, rate, bits, block_align, n_samples = 12, 0, 0, 0, 0
+            saw_fmt = False
             while pos + 8 <= len(b):
                 cid, csize = struct.unpack_from("<4sI", b, pos)
                 # a chunk whose declared size exceeds the bytes present
@@ -239,14 +249,26 @@ def make_decoder():
                 if pos + 8 + csize > len(b):
                     raise ValueError("corrupt WAV: chunk overruns file")
                 if cid == b"fmt ":
+                    # r13 review finding: a short fmt chunk used to
+                    # unpack bytes past its declared size (garbage
+                    # rate/bits from the NEXT chunk)
+                    if csize < 16:
+                        raise ValueError("corrupt WAV: short fmt chunk")
                     _, _, rate, _, block_align, bits = struct.unpack_from(
                         "<HHIIHH", b, pos + 8
                     )
+                    saw_fmt = True
                 elif cid == b"data":
+                    # fmt must precede data or block_align is unknown
+                    # and the sample count would be silently wrong
+                    if not saw_fmt:
+                        raise ValueError("corrupt WAV: data before fmt")
                     n_samples = csize // max(block_align, 1)
                 pos += 8 + csize + (csize & 1)
             if pos < len(b):
                 raise ValueError("corrupt WAV: trailing bytes")
+            if not saw_fmt:
+                raise ValueError("corrupt WAV: missing fmt chunk")
             return len(b), rate, bits, n_samples, "pcm_s16le"
         if len(b) >= 2 and b[:2] == b"P6":
             pos, n_frames, w, h = 0, 0, 0, 0

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from ..functions.transforms import lowercase_columns
+
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 _CSV_COMMON = {
@@ -63,11 +65,6 @@ _CSV_READ_OPTS = {
 }
 
 
-def _lower(df: DataFrame) -> DataFrame:
-    lowered = [c.lower() for c in df.columns]
-    return df.toDF(*lowered) if lowered != df.columns else df
-
-
 def read_csv(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:
@@ -75,7 +72,7 @@ def read_csv(
     reader = reader.schema(schema) if schema is not None else reader.option(
         "inferSchema", "true"
     )
-    return _lower(reader.csv(path))
+    return lowercase_columns(reader.csv(path))
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -88,7 +85,7 @@ def read_json(
     reader = spark.read.option("timestampFormat", TS_FMT)
     if schema is not None:
         reader = reader.schema(schema)
-    return _lower(reader.json(path))
+    return lowercase_columns(reader.json(path))
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -96,7 +93,7 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    return _lower(spark.read.orc(path))
+    return lowercase_columns(spark.read.orc(path))
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -104,7 +101,7 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return _lower(spark.read.parquet(path))
+    return lowercase_columns(spark.read.parquet(path))
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:

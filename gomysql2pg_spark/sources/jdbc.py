@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.pagination import PagePlan
+from ..functions.transforms import lowercase_columns
 
 
 @dataclass
@@ -84,13 +85,6 @@ def partitioned_reader_options(
     }
 
 
-def _lowercase_columns(df: DataFrame) -> DataFrame:
-    """Lowercase column names at scan time, exactly as the reference
-    lowercases source columns before writing (`cmd/root.go:327-329`) —
-    keeps a MixedCase source table round-tripping to the same
-    lowercase target schema as `catalog.load_table`."""
-    lowered = [c.lower() for c in df.columns]
-    return df.toDF(*lowered) if lowered != df.columns else df
 
 
 def read(
@@ -120,7 +114,7 @@ def read(
             if k not in ("url", "dbtable", "query", "numPartitions",
                          "partitionColumn", "lowerBound", "upperBound")
         }
-        return _lowercase_columns(
+        return lowercase_columns(
             spark.read.jdbc(
                 cfg.url,
                 table or plan.table,
@@ -131,7 +125,7 @@ def read(
     reader = spark.read.format("jdbc")
     for k, v in reader_options(cfg, dbtable=table, query=query).items():
         reader = reader.option(k, v)
-    return _lowercase_columns(reader.load())
+    return lowercase_columns(reader.load())
 
 
 # catalog discovery (A1): the information_schema query the reference
