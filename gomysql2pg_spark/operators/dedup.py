@@ -480,6 +480,49 @@ BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate | j=0.5) ≈ 0.22, j=0.8 ≈ 0.9
 LSH_MAX_BUCKET = 1024
 
 
+def _bucket_pairs(
+    bands: DataFrame, payload: tuple[str, ...] = ()
+) -> DataFrame:
+    """All intra-bucket candidate pairs from a (doc_id, band, bkey
+    [, payload…]) frame in ONE shuffle, with the Σ bucket² bound
+    enforced inside the same aggregate that forms the buckets.
+
+    Plan: groupBy(band, bkey) → sort_array(collect_list(struct(doc_id,
+    payload…))) → size-gate [2, LSH_MAX_BUCKET] → two chained
+    generators (posexplode + slice-explode) emit the B·(B-1)/2 ordered
+    pairs per bucket map-side. Compared to the r13 form (a count
+    aggregate + broadcast anti-join + band self-join = the band frame
+    shuffled twice plus a join build), this shuffles the band frame
+    ONCE and the cap is a filter on the already-grouped frame — the
+    r13 VERDICT's prescribed fusion. Buckets above the cap (a template
+    stamped across ≫LSH_MAX_BUCKET docs — boilerplate that exact-norm
+    dedup and the repetition filter already handle upstream) are
+    dropped whole, exactly as before. Per-bucket memory is bounded by
+    the cap (≤1024 structs); the generator chain never materializes
+    the B² pair array. Output: (da, db[, <payload>_a…, <payload>_b…])
+    with da < db (sort_array on the struct orders by doc_id first),
+    distinct across bands."""
+    item = F.struct(F.col("doc_id"), *[F.col(c) for c in payload])
+    grouped = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .filter(
+            (F.size("items") >= 2) & (F.size("items") <= LSH_MAX_BUCKET)
+        )
+    )
+    ex = grouped.select(
+        "items", F.posexplode("items").alias("i", "x")
+    ).select(
+        "x",
+        F.explode(F.expr("slice(items, i + 2, size(items))")).alias("y"),
+    )
+    cols = [F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")]
+    for c in payload:
+        cols.append(F.col(f"x.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"y.{c}").alias(f"{c}_b"))
+    return ex.select(*cols).distinct()
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures.
 
@@ -510,29 +553,26 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
-    Pipeline: shingle → 16-perm minhash signature → 4 bands of 4 → band
-    bucket-join (only equal (band, 4-minhash-slice) collide) → exact
-    Jaccard verification of candidates. At 100 TB: the band join is the
-    only shuffle over candidates (Σ bucket² ≪ n²), and that bound is
-    ENFORCED, not assumed: bucket sizes are counted (one map-side-
-    combinable aggregate over the 4n-row band frame) and buckets above
-    ``LSH_MAX_BUCKET`` are dropped via a broadcast anti-join of the
-    (tiny) oversized-key list before the self-join — a
-    boilerplate-heavy corpus where d docs share a template would
-    otherwise put d² candidate pairs in one bucket (the docstring used
-    to CLAIM an upstream frequency cap that did not exist — r13 review
-    finding). Dropping a mega-bucket trades recall exactly like the
-    df-cap on the exact-Jaccard path: members that ALSO collide in a
-    healthy band still pair up. Output = confirmed pairs; rows-only
-    check (LSH recall < 1, so no SQL oracle claims completeness)."""
+    Pipeline: shingle → 16-perm minhash signature → 4 bands of 4 →
+    fused bucket-group pair generation (``_bucket_pairs``: ONE shuffle
+    of the 4n-row band frame; the Σ bucket² bound is ENFORCED as a
+    size gate on the grouped buckets themselves — r14 fuses what r13
+    did with a separate count aggregate + broadcast anti-join + band
+    self-join) → exact Jaccard verification of candidates. At 100 TB
+    the bucket groupBy is the only corpus-sized shuffle; candidate
+    volume is bounded by Σ bucket² with bucket ≤ ``LSH_MAX_BUCKET`` —
+    a boilerplate-heavy corpus where d docs share a template would
+    otherwise put d² candidate pairs in one bucket. Dropping a
+    mega-bucket trades recall exactly like the df-cap on the
+    exact-Jaccard path: members that ALSO collide in a healthy band
+    still pair up. Output = confirmed pairs; rows-only check (LSH
+    recall < 1, so no SQL oracle claims completeness)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist + materialize: the signature table is tiny (n_docs × 16
-    # longs) but its lineage (shingle explosion) is the expensive stage;
-    # a lazy persist still computes it once per self-join side because
-    # both sides race the cache — the count() forces one computation
-    # (measured 3.2× end-to-end at sf0.1)
-    sig = minhash_signatures(docs).persist()
-    sig.count()
+    # no persist: since the r14 fusion the signature frame feeds ONE
+    # consumer (the bucket groupBy) — the r13 persist+count barrier
+    # existed only because the band self-join raced the cache from
+    # both sides
+    sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -552,38 +592,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
-    # the enforced Σ bucket² bound: drop degenerate buckets before the
-    # self-join (B members → B² candidates). The oversized-key list is
-    # tiny by construction (≤ 4n / LSH_MAX_BUCKET keys), so it
-    # broadcasts; the count aggregate is partial-combinable.
-    oversized = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") > LSH_MAX_BUCKET)
-        .select("band", "bkey")
-    )
-    bands = bands.join(
-        F.broadcast(oversized), ["band", "bkey"], "left_anti"
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-        )
-        .distinct()
-        # persist + materialize: consumed by the semi-join pruning AND
-        # the final verification join; lazily each consumer would redo
-        # the band self-join (cheap per-row but its shuffle is the
-        # widest in the pipeline). The frame is tiny (confirmed pairs).
-        .persist()
-    )
+    # persist + materialize: consumed by the semi-join pruning AND
+    # the final verification join; lazily each consumer would redo
+    # the bucket groupBy (the widest shuffle in the pipeline). The
+    # frame is tiny (candidate pairs).
+    cand = _bucket_pairs(bands).persist()
     n_cand = cand.count()
     # verify candidates with exact jaccard on shingle sets — computed
     # ONLY for docs that appear in a candidate pair (semi-join pruning:
@@ -675,13 +688,17 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, banded candidate join
-    (Hamming ≤ 3 guarantees a matching 16-bit band), exact popcount
-    verification. Rows-only check (hash family is Spark-specific)."""
+    """SimHash near-dup pairs: 64-bit signature, banded candidate
+    generation (Hamming ≤ 3 guarantees a matching 16-bit band), exact
+    popcount verification. r14: candidates come from the same fused
+    single-shuffle ``_bucket_pairs`` kernel as MinHash-LSH, which also
+    gives SimHash the enforced ``LSH_MAX_BUCKET`` Σ bucket² bound the
+    self-join form never had (a degenerate corpus could mega-bucket a
+    16-bit band key just as easily). Rows-only check (hash family is
+    Spark-specific)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist + materialize before the self-join (see q_dedup_minhash_lsh)
-    sig = simhash_signatures(docs).persist()
-    sig.count()
+    # no persist: one consumer since the r14 _bucket_pairs fusion
+    sig = simhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         "sh",
@@ -699,26 +716,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sh", "bk.band", "bk.bkey")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cand = _bucket_pairs(bands, payload=("sh",))
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
         )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("a.sh").alias("ha"),
-            F.col("b.doc_id").alias("db"),
-            F.col("b.sh").alias("hb"),
-        )
-        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .select("da", "db", "hamming")
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    ).filter(F.col("hamming") <= 3).select("da", "db", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -1071,17 +1077,21 @@ def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, every doc exactly once, survivor maximizes
     (quality_score, n_chars, -doc_id).
 
-    Measured floor (r12, sf0.1 local[32], min over 5 warm reps):
-    ~1.8 s, decomposing as the full MinHash-LSH pipeline ~1.17 s (its
-    own standalone bench row — the survivor entry deliberately
-    re-executes it end-to-end so this row prices the COMPLETE corpus
-    plan) + ~0.6 s survivor increment (CC probe job + driver
-    union-find on the 256-edge graph + the quality join + ONE
+    Measured floor (r14, sf0.1 local[32], min over 5 warm reps):
+    ~1.9 s WITH the Σ bucket² enforcement priced in — the r13 count +
+    anti-join form cost 2.44 s; r14 fuses the cap into the bucket
+    groupBy itself (``_bucket_pairs``) and drops the now-single-
+    consumer signature persist barrier, recovering most of the
+    enforcement overhead (the r12 1.58 s number had NO cap at all).
+    Decomposition: the full MinHash-LSH pipeline ~1.85 s (its own
+    standalone bench row — the survivor entry deliberately re-executes
+    it end-to-end so this row prices the COMPLETE corpus plan) + a
+    ~0.1-0.2 s survivor increment (CC probe job + driver union-find
+    on the candidate-scale edge graph + the quality join + ONE
     cluster window). The increment is job-scheduling latency on
     candidate-scale frames, not data volume — it does not grow with
-    the corpus (the 10× smoke ratio tracks the LSH stage) — so the
-    r10 brief's 1.2 s target is unreachable without caching the pair
-    pipeline across calls, which would fake the headline (the bench
+    the corpus (the 10× smoke ratio tracks the LSH stage); caching
+    the pair pipeline across calls would fake the headline (the bench
     rep would measure a cache hit, not the migration-scale plan)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("da", "db")
     return q_dedup_survivors(spark, sf_dir, pairs=pairs)
