@@ -881,12 +881,22 @@ def _assign_cells(
       the task binary;
     - above the budget: the model becomes a BROADCAST nlist-row table
       (the form the probe side already uses): a constant-derived-key
-      BroadcastHashJoin fans each row to its nlist candidates and a
-      groupBy over a synthetic per-row id keeps min(struct(d², cell,
-      payload…)) — candidates for a row are co-located in its task, so
-      map-side partial aggregation collapses them to one row per id
-      per partition before the (narrow, n-row) shuffle. Never a
-      nested loop (plan-gated in tests/test_ann_quality.py).
+      BroadcastHashJoin fans a NARROW (row id, embedding) projection
+      to its nlist candidates and a groupBy over the synthetic id
+      keeps min(struct(d², cell)) — candidates for a row are
+      co-located in its task, so map-side partial aggregation
+      collapses them to one row per id per partition before the
+      shuffle, and (r14) that shuffle carries 20-byte (id, d², cell)
+      rows, never the payload: the r13 form regrouped
+      min(struct(d², cell, *payload)), so at dim 768 the agg hash map
+      held (and the exchange shipped) the full vectors. The (id →
+      cell) assignment then equi-joins back to the tagged frame —
+      the payload crosses the wire once either way, but the fan-out,
+      the agg buffer, and the struct comparisons are now id-width.
+      Selection is unchanged (min ordering used only the (d², cell)
+      prefix — cell ids are unique per candidate, so the payload
+      fields never broke a tie). Never a nested loop (plan-gated in
+      tests/test_ann_quality.py).
 
     The join form is row-PRESERVING by construction: the fan-out key
     and the regroup key are a `monotonically_increasing_id` added
@@ -916,8 +926,9 @@ def _assign_cells(
         cent_rows, "cell int, __ce array<double>"
     )
     tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    narrow = tagged.select("__rid", emb_col)
     joined = (
-        tagged.withColumn("_x", F.col("__rid") % F.lit(1))
+        narrow.withColumn("_x", F.col("__rid") % F.lit(1))
         .join(
             F.broadcast(
                 cent.withColumn(
@@ -928,19 +939,16 @@ def _assign_cells(
         )
     )
     d2 = _sub_sq_dist(F.col(emb_col), F.col("__ce"))
-    best = joined.groupBy("__rid").agg(
-        F.min(
-            F.struct(
-                d2.alias("d"),
-                F.col("cell").alias("cell"),
-                *[F.col(c).alias(c) for c in df.columns],
-            )
-        ).alias("b")
+    assign = (
+        joined.groupBy("__rid")
+        .agg(
+            F.min(
+                F.struct(d2.alias("d"), F.col("cell").alias("cell"))
+            ).alias("b")
+        )
+        .select("__rid", F.col("b.cell").alias("cell"))
     )
-    return best.select(
-        *[F.col(f"b.{c}").alias(c) for c in df.columns],
-        F.col("b.cell").alias("cell"),
-    )
+    return tagged.join(assign, "__rid").select(*df.columns, "cell")
 
 
 def q_similarity_ivfpq(
