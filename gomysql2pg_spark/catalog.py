@@ -35,27 +35,60 @@ def excluded(name: str, patterns: list[str] | None) -> bool:
     return any(fnmatch(name, p) for p in patterns or [])
 
 
+def _fs_path(path_or_uri: str):
+    """(pyarrow FileSystem, fs-internal path) for a local path OR a
+    URI (`file://`, `s3://`, …) — the same `pyarrow.fs` routing as
+    `fixture_stat`, extended to the load path itself (the r13
+    VERDICT's URI-corpus item): the engine PLANS (lists, probes
+    footers) through pyarrow.fs and READS through Spark at the same
+    URI string, so an object-store sf_dir works end-to-end wherever
+    the Spark cluster has the matching filesystem connector."""
+    from pyarrow import fs as pafs
+
+    if "://" in path_or_uri:
+        fs, p = pafs.FileSystem.from_uri(path_or_uri)
+        return fs, p
+    return pafs.LocalFileSystem(), path_or_uri
+
+
+def _join(base: str, name: str) -> str:
+    """Path join that preserves URI form."""
+    if "://" in base:
+        return base.rstrip("/") + "/" + name
+    return os.path.join(base, name)
+
+
 def list_tables(sf_dir: str, exclude: list[str] | None = None) -> list[str]:
-    names = [
-        f[: -len(".parquet")]
-        for f in sorted(os.listdir(sf_dir))
-        if f.endswith(".parquet")
-    ]
+    from pyarrow import fs as pafs
+
+    fs, root = _fs_path(sf_dir)
+    names = sorted(
+        i.base_name[: -len(".parquet")]
+        for i in fs.get_file_info(pafs.FileSelector(root))
+        if i.base_name.endswith(".parquet")
+    )
     return [n for n in names if not excluded(n, exclude)]
 
 
-def _schema_probe_path(path: str) -> str:
-    """Resolve a table path to a single parquet file for footer probes.
-    A table may be a single file OR a directory of part-files (the
-    multi-file layout the bench splitter produces and any real lake
-    uses) — pyarrow's read_schema needs a concrete file."""
-    if os.path.isdir(path):
+def _schema_probe_path(path: str):
+    """Resolve a table path to (filesystem, single parquet file) for
+    footer probes. A table may be a single file OR a directory of
+    part-files (the multi-file layout the bench splitter produces and
+    any real lake uses) — pyarrow's read_schema needs a concrete
+    file."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_path(path)
+    if fs.get_file_info(p).type == pafs.FileType.Directory:
         parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            i.path
+            for i in fs.get_file_info(pafs.FileSelector(p))
+            if i.type == pafs.FileType.File
+            and i.base_name.endswith(".parquet")
         )
         if parts:
-            return os.path.join(path, parts[0])
-    return path
+            return fs, parts[0]
+    return fs, p
 
 
 def timestamp_units(path: str) -> dict[str, str]:
@@ -78,7 +111,8 @@ def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(_schema_probe_path(path))
+    fs, probe = _schema_probe_path(path)
+    schema = pq.read_schema(probe, filesystem=fs)
     return {
         f.name: (f.type.unit, f.type.tz)
         for f in schema
@@ -86,11 +120,6 @@ def timestamp_meta(path: str) -> dict[str, tuple[str, str | None]]:
     }
 
 
-# SCOPE NOTE: load_table / the schema probes below are LOCAL-path-only
-# by design (os.path over the driver fixture trees); only the
-# driver-side cache keys (`fixture_stat`) are URI-capable, because
-# those also key object-store corpora. A URI-capable load path would
-# route the probes through pyarrow.fs the way fixture_stat does.
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; lowercase column names (reference `root.go:327-329`).
 
@@ -103,11 +132,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(MICROS/MILLIS) without UTC adjustment arrives as
       TIMESTAMP_NTZ; cast to TIMESTAMP under the pinned-UTC session
       timezone so `unix_micros` epoch math matches DuckDB's `epoch_us`
-      on the same naive values."""
+      on the same naive values.
+
+    `sf_dir` may be a local path or a URI (`file://`, `s3://`, …):
+    the footer probe routes through pyarrow.fs and the read hands the
+    URI to Spark unchanged (the cluster needs the matching Hadoop
+    filesystem connector for remote schemes — standard Spark
+    deployment surface, not engine code)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = _join(sf_dir, f"{name}.parquet")
     units = timestamp_units(path)
     ns_cols = [c for c, u in units.items() if u == "ns"]
     if ns_cols:
