@@ -17,53 +17,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The round driver evaluates the FIRST 50 registry entries each round.
-# This list front-loads (a) the queries whose oracles were fixed this
-# round (re-verify the fix) and (b) queries that have never had a driver
-# correctness row, rotating per round until every entry has a green row.
-# Cumulative driver-verified coverage is tracked in README.md.
+# From r14 this window is DERIVED, not hand-curated:
+# `scripts/registry_hashes.py --derive-window` orders entries by
+# (1) implementation changed in THIS build (function-level hash vs the
+# latest round snapshot — these lead so the newest code always gets a
+# driver row), then (2) stale entries oldest-green-row-first, then
+# (3) fresh entries with the oldest rows if slots remain. Rows-only
+# entries never take a slot (twin-gated). The function-level hash map
+# lives in REGISTRY_HASHES.json; tests/test_registry_hashes.py FAILS
+# when registry code changes without re-stamping it, closing the
+# hand-curation hole that caused the r08 missed rotation and the
+# r12 post-window gap.
 _PRIORITY = [
-    # --- r13 window (50 slots). NO no_oracle-by-design entries.
-    #
-    # (a) the post-window driver-row gap (r12 verdict item 1): the
-    # r12 snapshot commit (ca6f8a4) changed asof/events/linkage/
-    # sampling/timeseries/stream code AFTER the r12 window froze, so
-    # every oracled entry in those files whose latest driver row
-    # predates that commit gets a fresh row here — all verified green
-    # in this round's full local oracle sweep at sf0.01
-    "events_asof_purchase", "events_asof_next_purchase",
-    "events_asof_tolerance",
-    "events_anomaly", "events_cdc_merge", "events_funnel",
-    "events_json_props", "events_latest_per_user",
-    "events_sessionize", "events_window",
-    "er_blocking_pairs", "er_match_pairs",
-    "cohort_retention", "curation_pipeline", "domain_cap_sample",
-    "engagement_dau", "hapax_stats", "hash_mod_sample",
-    "key_skew_histogram", "ngram_novelty", "rfm_segments",
-    "ts_gapfill_ffill", "ts_ohlc", "scd2_intervals",
-    "stream_anomaly", "stream_dedup", "stream_dedup_then_window",
-    "stream_session_windows", "stream_sliding_windows",
-    "stream_stateful_totals", "stream_stream_join",
-    "stream_windowed_counts",
-    # (b) the 3 r08-stale rollovers budgeted for r13 by the r12 brief
-    "weighted_systematic_sample", "winsorized_stats", "zorder_layout",
-    # (c) entries whose code/oracles r13 itself changed: the TRY_CAST
-    # oracle sync (events/ts/sampling/linkage/stream/similarity/
-    # validation — entries above already covered; these are the
-    # r12-fresh ones the sync re-touched), the pyarrow.fs ANN index +
-    # broadcast-join cell-assignment fallback, and the fixed
-    # migration_e2e staging path
-    "er_resolved_rollup", "rfm_segments_scaled", "value_quantiles",
-    "similarity_pq", "similarity_ivfpq",
-    "migration_e2e", "validate_bucket_checksum",
-    "validate_content_hash", "snapshot_diff",
-    # (d) the 4 r13-NEW entries (never driver-checked): leakage-free
-    # cluster-atomic splits, the per-source dedup impact report, the
-    # distinct-n corpus diversity ratio, and DSIR importance selection
-    "split_by_cluster", "dedup_impact_report", "distinct_ngram_ratio",
-    "dsir_select",
-    # (e) staleness rotation: the oldest remaining r09 rows in the
-    # similarity file this round touched
-    "similarity_topk", "similarity_ivf",
+    # --- r14 window (50 slots), derived 2026-08-15.
+    # (1) changed this build: the fused single-shuffle LSH bucket-cap
+    # kernel (both verified twins) and the narrow-regroup cell
+    # assignment (IVFADC)
+    "dedup_minhash_lsh_verified", "dedup_simhash_verified",
+    "similarity_ivfpq",
+    # (2) stale, oldest green row first: the 23 remaining r09 rows
+    "bm25_components", "cube_agg", "derived_table", "filtered_aggs",
+    "grouping_sets", "having_large_orders", "join_multi",
+    "lateral_explode", "median_percentile", "page_fetch_composite",
+    "page_limit_offset", "q10_returned_items", "q5_local_supplier",
+    "q6_forecast_revenue", "range_join_bands",
+    "scalar_subquery_above_brand_avg", "skew_salted_join",
+    "stats_aggs", "topk_by_aggregation", "window_funcs",
+    "window_range_frame", "window_topk", "window_value_funcs",
+    # ...then 24 of the 27 stale r10 rows (the rest lead the r15
+    # queue together with the stale r11/r12 rows — see
+    # REGISTRY_HASHES.json "queued")
+    "array_funcs", "bigram_counts", "bigram_lm_logprob",
+    "corpus_pipeline", "dataset_split", "decontamination_check",
+    "dedup_substring_chunks", "embedding_quantize",
+    "incremental_dedup", "map_funcs", "math_funcs", "mm_decode",
+    "mm_features", "mm_frame_sample", "mm_metadata", "mm_resize",
+    "pandas_udaf_wavg", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_disjunctive",
+    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
 ]
 
 

@@ -1,0 +1,106 @@
+"""Gate: registry code may not change without a re-verify plan.
+
+`REGISTRY_HASHES.json` (written by `scripts/registry_hashes.py
+--update N`) records the function-level implementation hash every
+registry entry had when it was last scheduled for driver
+verification. This test recomputes the hashes from the live tree and
+FAILS when an entry's implementation (its function, the repo helpers
+it transitively calls, the constants it reads, or its oracle SQL)
+drifted from the recorded state — the mechanization the r13 VERDICT
+asked for after hand-curated `_PRIORITY` lists let the r08 rotation
+slip. The fix for a legitimate change is one command:
+
+    python scripts/registry_hashes.py --update <round>
+
+which re-stamps the hashes and re-derives the planned/queued split.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HASH_FILE = os.path.join(REPO, "REGISTRY_HASHES.json")
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "registry_hashes",
+        os.path.join(REPO, "scripts", "registry_hashes.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def state():
+    assert os.path.exists(HASH_FILE), (
+        "REGISTRY_HASHES.json missing — run "
+        "scripts/registry_hashes.py --update <round>"
+    )
+    stored = json.load(open(HASH_FILE))["entries"]
+    mod = _load_script()
+    current = mod.current_hashes()
+    import __spark_entry__ as entry
+
+    return stored, current, entry
+
+
+def test_every_registry_entry_is_tracked(state):
+    stored, current, _ = state
+    assert set(stored) == set(current), (
+        "registry/hash-file drift — re-run --update: "
+        f"missing={sorted(set(current) - set(stored))} "
+        f"orphaned={sorted(set(stored) - set(current))}"
+    )
+
+
+def test_no_entry_changed_without_a_reverify_plan(state):
+    stored, current, _ = state
+    drifted = [
+        n
+        for n, v in stored.items()
+        if v["hash"] != current.get(n)
+    ]
+    assert not drifted, (
+        "implementation changed since REGISTRY_HASHES.json was "
+        f"stamped, with no re-verify plan: {sorted(drifted)} — run "
+        "scripts/registry_hashes.py --update <round> and make sure "
+        "changed entries are in __spark_entry__._PRIORITY"
+    )
+
+
+def test_planned_set_matches_the_driver_window(state):
+    stored, _, entry = state
+    window = entry._PRIORITY[: _load_script().WINDOW]
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY), "dup names"
+    planned = {n for n, v in stored.items() if v["status"] == "planned"}
+    assert planned == set(window), (
+        f"_PRIORITY window and 'planned' statuses disagree: "
+        f"only-planned={sorted(planned - set(window))} "
+        f"only-window={sorted(set(window) - planned)}"
+    )
+
+
+def test_rows_only_entries_never_take_window_slots(state):
+    stored, _, entry = state
+    mod = _load_script()
+    rows_only = mod.rows_only_entries()
+    assert rows_only == {
+        n for n, v in stored.items() if v["status"] == "rows_only"
+    }
+    assert not rows_only & set(entry._PRIORITY), (
+        "rows-only entries are twin-gated and must not burn driver "
+        "window slots"
+    )
+
+
+def test_statuses_are_known(state):
+    stored, _, _ = state
+    allowed = {"fresh", "planned", "queued", "rows_only", "infra"}
+    bad = {n: v["status"] for n, v in stored.items()
+           if v["status"] not in allowed}
+    assert not bad, bad
