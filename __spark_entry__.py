@@ -31,10 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # --- r14 window (50 slots), derived 2026-08-15.
     # (1) changed this build: the fused single-shuffle LSH bucket-cap
-    # kernel (both verified twins) and the narrow-regroup cell
-    # assignment (IVFADC)
+    # kernel (both verified twins), the narrow-regroup cell assignment
+    # (IVFADC), and the r14 TRAINED PQ sub-codebooks (PQ + IVFADC)
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "similarity_ivfpq",
+    "similarity_ivfpq", "similarity_pq",
     # (2) stale, oldest green row first: the 23 remaining r09 rows
     "bm25_components", "cube_agg", "derived_table", "filtered_aggs",
     "grouping_sets", "having_large_orders", "join_multi",
@@ -44,7 +44,7 @@ _PRIORITY = [
     "scalar_subquery_above_brand_avg", "skew_salted_join",
     "stats_aggs", "topk_by_aggregation", "window_funcs",
     "window_range_frame", "window_topk", "window_value_funcs",
-    # ...then 24 of the 27 stale r10 rows (the rest lead the r15
+    # ...then 23 of the 27 stale r10 rows (the rest lead the r15
     # queue together with the stale r11/r12 rows — see
     # REGISTRY_HASHES.json "queued")
     "array_funcs", "bigram_counts", "bigram_lm_logprob",
@@ -54,7 +54,7 @@ _PRIORITY = [
     "mm_features", "mm_frame_sample", "mm_metadata", "mm_resize",
     "pandas_udaf_wavg", "q14_promo_revenue", "q15_top_supplier",
     "q17_small_qty_revenue", "q19_disjunctive",
-    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
+    "q22_dormant_customers", "q8_market_share",
 ]
 
 

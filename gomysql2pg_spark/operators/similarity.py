@@ -364,6 +364,16 @@ PQ_M = 4  # subspaces
 PQ_SUBDIM = 16  # dims per subspace (PQ_M × PQ_SUBDIM = 64)
 PQ_K = 8  # sub-centroids per subspace (seed: vec_id < PQ_K)
 PQ_TOP_K = 5
+# FIXED Lloyd iterations per sub-codebook (determinism by count, like
+# IVF_TRAIN_ITERS). 1, not more: the r14 smoke-scale probe
+# (scripts/pq_training_probe.py) measured recall@5 0.511 → 0.764 at
+# one iteration and ~0.69 at 2-5 (see _pq_codebook)
+PQ_TRAIN_ITERS = 1
+
+# driver-held trained sub-codebooks keyed by fixture identity +
+# hyperparams — the same offline index-build treatment as
+# _COARSE_CACHE below
+_PQ_CB_CACHE: dict = {}
 
 
 def _sub_sq_dist(a, b):
@@ -374,32 +384,122 @@ def _sub_sq_dist(a, b):
     return _sq_dist(a, b)
 
 
-def _pq_codebook(emb: DataFrame) -> DataFrame:
-    """(m, cid, ce): PQ_M × PQ_K sub-centroid slices from the seed
-    vectors (vec_id < PQ_K) — a 32-row broadcastable table. UNTRAINED
-    seeds by design: codebook training is exactly the clustering.py
-    E/M loop (run per subspace), and keeping the seeds fixed keeps
-    the oracle closed-form. Measured recall@5 vs exact cosine on the
-    weak-signal fixture is ~0.08 (picks average the top-28 % of the
-    exact ranking; random = 50 %) — the quality gate in
-    test_ann_quality.py pins better-than-random, not trained-PQ
-    recall. r12 measured the training option before rejecting it:
-    1-3 Lloyd iterations per sub-codebook move recall@5 vs exact
-    cosine 0.12 → 0.16 → 0.08 (numpy replay, sf0.01) — noise, because
-    8 sub-centroids over 16 near-isotropic dims carry no structure on
-    this fixture family. The COARSE quantizer was the lever that
-    mattered (trained in r12, recall@5 vs exhaustive ADC ×2), so the
-    sub-codebooks stay seeds and the oracle stays flat."""
-    cents = emb.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("e")
+def _pq_codebook(emb: DataFrame, cache_key=None) -> DataFrame:
+    """(m, cid, ce): PQ_M × PQ_K sub-centroid slices, trained with
+    ``PQ_TRAIN_ITERS`` deterministic Lloyd iterations per subspace
+    (iters=0 ⇒ the r12 seed form: the vec_id < PQ_K slices) — a
+    32-row broadcastable table either way.
+
+    Measurement history (scripts/pq_training_probe.py): r12 measured
+    training at fixture scale (sf0.01, 500 vectors) and rejected it —
+    recall@5 0.12 → 0.16 → 0.08 over 1-3 iterations, noise. The r13
+    brief asked for a re-measurement at smoke scale, and the verdict
+    REVERSES there: on the 10× replicated corpus (~20k vectors)
+    recall@5 vs exact cosine moves 0.511 (seeds) → 0.764 (ONE Lloyd
+    iteration), then declines to ~0.69 at 2-5 iterations (over-
+    fragmented cells re-introduce code-distance ties that break
+    against the id tie-order). So: PQ_TRAIN_ITERS = 1. Training is
+    the clustering.py E/M discipline run per subspace — exact
+    integer-micro sufficient statistics, empty cells keep their
+    centroid, (d, cid) tie-break — so the DuckDB oracle replays it
+    CTE-for-CTE exactly like the coarse quantizer's (r12 machinery).
+
+    At 100 TB training cost is PQ_M broadcast-join argmin passes per
+    iteration over the (sampled) training corpus — the same plan
+    shape as encoding itself; the model stays (PQ_M × PQ_K) × subdim
+    doubles on the driver."""
+    rows = _train_pq_model(emb, cache_key=cache_key)
+    return emb.sparkSession.createDataFrame(
+        rows, "m int, cid int, ce array<double>"
     )
-    return cents.select(
-        "cid",
-        "e",
-        F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias("m"),
-    ).withColumn(
-        "ce", F.expr(f"slice(e, 1 + {PQ_SUBDIM} * m, {PQ_SUBDIM})")
-    ).select("m", "cid", "ce")
+
+
+def _train_pq_model(emb: DataFrame, cache_key=None) -> list:
+    """[(m, cid, [subdim doubles])] — PQ_TRAIN_ITERS Lloyd iterations
+    per subspace from the vec_id < PQ_K seeds, held on the driver like
+    `_train_coarse` (per iteration: ONE broadcast-join argmin pass +
+    ONE (PQ_M × PQ_K)-row sufficient-statistics collect — the collect
+    moves model-sized rows, never data rows). Same engine-exact
+    discipline as the coarse quantizer, replayed by the oracle
+    (`_pq_train_sql`): bigint MICRO-unit sums (order-independent),
+    one (s / 1e6) / c division chain, (d, cid) assignment tie-break,
+    empty cells keep their previous sub-centroid."""
+    if cache_key is not None and cache_key in _PQ_CB_CACHE:
+        return _PQ_CB_CACHE[cache_key]
+    seeds = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .limit(PQ_K)
+        .collect()
+    )
+    model: dict = {}
+    for r in seeds:
+        e = [float(x) for x in r["e"]]
+        for m in range(PQ_M):
+            model[(m, r["cid"])] = e[
+                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
+            ]
+    if not model:  # empty corpus: no seeds, no model
+        return []
+    spark = emb.sparkSession
+    aggs = [F.count("*").alias("c")] + [
+        F.sum(
+            F.round(
+                F.element_at("se", p + 1).cast("double") * 1e6
+            ).try_cast("bigint")
+        ).alias(f"s{p}")
+        for p in range(PQ_SUBDIM)
+    ]
+    for _ in range(PQ_TRAIN_ITERS):
+        cb = spark.createDataFrame(
+            [(m, cid, ce) for (m, cid), ce in sorted(model.items())],
+            "m int, cid int, ce array<double>",
+        )
+        sub = emb.select(
+            "vec_id",
+            F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias(
+                "m"
+            ),
+            F.col("embedding").alias("e"),
+        ).withColumn(
+            "se", F.expr(f"slice(e, 1 + {PQ_SUBDIM} * m, {PQ_SUBDIM})")
+        )
+        scored = sub.join(F.broadcast(cb), "m").select(
+            "vec_id",
+            "m",
+            "cid",
+            "se",
+            _sub_sq_dist(F.col("se"), F.col("ce")).alias("d"),
+        )
+        # (d, cid) argmin per (vector, subspace); cid is unique per
+        # candidate so the carried se never breaks a tie
+        best = (
+            scored.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "cid", "se")).alias("b"))
+            .select(
+                "m",
+                F.col("b.cid").alias("cid"),
+                F.col("b.se").alias("se"),
+            )
+        )
+        stats = (
+            best.groupBy("m", "cid")
+            .agg(*aggs)
+            .limit(PQ_M * PQ_K)
+            .collect()
+        )
+        for r in stats:
+            model[(int(r["m"]), int(r["cid"]))] = [
+                ((r[f"s{p}"] or 0) / 1e6) / r["c"]
+                for p in range(PQ_SUBDIM)
+            ]
+    rows = [(m, cid, ce) for (m, cid), ce in sorted(model.items())]
+    if cache_key is not None:
+        _PQ_CB_CACHE[cache_key] = rows
+    return rows
 
 
 def _pq_codes(
@@ -502,7 +602,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups, and rank per query. Returns (qid, nid, adc_micro, rank)
     — micro-rounded ADC keeps the published value integer-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(emb)
+    cb = _pq_codebook(emb, cache_key=_fixture_key(sf_dir))
     codes = _pq_codes(emb, cb)
     q = _queries_df(emb)
     dt = _adc_distance_table(q, cb)
@@ -518,17 +618,70 @@ _PQ_FOLD = """list_reduce(
                        s -> (s[1] - s[2]) * (s[1] - s[2]))),
       (acc, x) -> acc + x)"""
 
-ORACLE_SIMILARITY_PQ = f"""
-WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
-cb AS (
-  SELECT m, vec_id AS cid,
-         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
-  FROM embeddings, ms WHERE vec_id < {PQ_K}
-),
-sub AS (
+def _pq_train_sql(iters: int = None) -> str:
+    """CTE chain replaying `_train_pq_model` exactly — the subspace
+    twin of `_coarse_train_sql`: pcb0 = seed sub-slices; per iteration
+    t, pa{t} = (d, cid)-argmin assignment per (vector, subspace) under
+    pcb{t-1}, ps{t} = bigint-micro sufficient statistics, pcb{t} =
+    means with empty cells keeping their previous sub-centroid.
+    Requires the `ms` CTE; emits `psub` and ends with
+    `cb AS (SELECT … FROM pcb{iters})` so consumers keep their shape."""
+    if iters is None:
+        iters = PQ_TRAIN_ITERS
+    ctes = [
+        f"""psub AS (
   SELECT vec_id, m,
          embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
   FROM embeddings, ms
+)""",
+        f"""pcb0 AS (
+  SELECT m, CAST(vec_id AS INT) AS cid,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
+  FROM embeddings, ms WHERE vec_id < {PQ_K}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"pcb{t - 1}"
+        ctes.append(
+            f"""pa{t} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_PQ_FOLD.format(a='s.se', b='c.ce')}, c.cid) AS rn
+    FROM psub s JOIN {prev} c USING (m))
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""ps{t} AS (
+  SELECT m, cid, i AS pos,
+         SUM(TRY_CAST(ROUND(s.se[i] * 1e6) AS BIGINT)) AS sm,
+         COUNT(*) AS c
+  FROM pa{t} JOIN psub s USING (vec_id, m)
+  CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i)
+  GROUP BY m, cid, i
+)"""
+        )
+        ctes.append(
+            f"""pcb{t} AS (
+  SELECT p.m, p.cid, COALESCE(x.ce, p.ce) AS ce
+  FROM {prev} p LEFT JOIN (
+    SELECT m, cid, LIST(CAST(COALESCE(sm, 0) AS DOUBLE) / 1e6 / c
+                        ORDER BY pos) AS ce
+    FROM ps{t} GROUP BY m, cid
+  ) x USING (m, cid)
+)"""
+        )
+    ctes.append(f"cb AS (SELECT m, cid, ce FROM pcb{iters})")
+    return ",\n".join(ctes)
+
+
+ORACLE_SIMILARITY_PQ = f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+{_pq_train_sql()},
+sub AS (
+  SELECT vec_id, m, se FROM psub
 ),
 enc AS (
   SELECT vec_id, m, cid,
@@ -676,14 +829,15 @@ def _fixture_key(sf_dir: str):
     """Identity of the embeddings fixture + the training hyperparams:
     `catalog.fixture_stat`'s (path, shallow (name, size, mtime_ns)
     listing) — the shared staleness-proof, URI-capable key every
-    driver-side fixture cache uses — extended with (nlist, iters) so
-    retuning the quantizer re-keys the model and index caches."""
+    driver-side fixture cache uses — extended with the coarse AND
+    sub-codebook hyperparams so retuning either quantizer re-keys the
+    model and index caches."""
     from ..catalog import fixture_stat
 
     stat = fixture_stat(sf_dir, "embeddings")
     if stat is None:
         return None
-    return (*stat, IVF_NLIST, IVF_TRAIN_ITERS)
+    return (*stat, IVF_NLIST, IVF_TRAIN_ITERS, PQ_K, PQ_TRAIN_ITERS)
 
 
 def _coarse_model(sf_dir: str, emb: DataFrame) -> list:
@@ -990,11 +1144,13 @@ def q_similarity_ivfpq(
     Same fixed-order left-associated ADC sum and
     (adc, nid) tie-break as the exhaustive form, so results are
     engine-exact. Measured recall@5 vs exhaustive ADC on the sf0.01
-    fixture: 0.36 (nprobe=1) → 0.56 (nprobe=2) → 0.72 (nprobe=3) —
-    up from 0.16/0.24/0.36 with the untrained stand-in; strict
-    monotone gate in tests/test_ann_quality.py."""
+    fixture: 0.48 (nprobe=1) → 0.60 (nprobe=2) → 0.76 (nprobe=3)
+    with the r14 TRAINED sub-codebooks — up from 0.36/0.56/0.72 with
+    seed sub-codebooks (r12-13) and 0.16/0.24/0.36 with the untrained
+    coarse stand-in (r11); strict monotone gate in
+    tests/test_ann_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebook(emb)
+    cb = _pq_codebook(emb, cache_key=_fixture_key(sf_dir))
     cent_rows, codes = _ivf_index(
         spark,
         sf_dir,
@@ -1110,6 +1266,7 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
 ORACLE_SIMILARITY_IVFPQ = f"""
 WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
 {_coarse_train_sql()},
+{_pq_train_sql()},
 cells AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
@@ -1120,15 +1277,9 @@ cells AS (
     FROM embeddings e, cent{IVF_TRAIN_ITERS} c)
   WHERE rn = 1
 ),
-cb AS (
-  SELECT m, vec_id AS cid,
-         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
-  FROM embeddings, ms WHERE vec_id < {PQ_K}
-),
 sub AS (
-  SELECT e.vec_id, cl.cell, m,
-         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
-  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id, ms
+  SELECT s.vec_id, cl.cell, s.m, s.se
+  FROM psub s JOIN cells cl ON cl.vec_id = s.vec_id
 ),
 enc AS (
   SELECT vec_id, cell, m, cid,

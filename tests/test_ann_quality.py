@@ -431,14 +431,43 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
     order = np.argsort(vid)
     vid, mat = vid[order], mat[order]
 
-    # codebook: sub-slices of the seed vectors (vec_id < PQ_K)
+    # bigint-micro units shared by both quantizer trainings
+    # (half-away-from-zero ROUND; np.rint banker's-rounds exact halves
+    # the other way)
+    micros = (np.trunc(np.abs(mat) * 1e6 + 0.5) * np.sign(mat)).astype(
+        np.int64
+    )
+    from gomysql2pg_spark.operators.similarity import PQ_TRAIN_ITERS
+
+    # trained sub-codebooks (r14): PQ_TRAIN_ITERS Lloyd iterations per
+    # subspace from the seed sub-slices (vec_id < PQ_K), same
+    # micro-sum discipline as the coarse replay below — (d, cid)
+    # argmin, empty cells keep their previous sub-centroid
     seeds = mat[vid < PQ_K]
     seed_ids = vid[vid < PQ_K]
+    subcb = {}
+    for m in range(PQ_M):
+        sub = mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        smic = micros[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        cb = {
+            int(s): seeds[k, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM].copy()
+            for k, s in enumerate(seed_ids)
+        }
+        for _ in range(PQ_TRAIN_ITERS):
+            C = np.stack([cb[int(s)] for s in seed_ids])
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)  # first min = smallest cid
+            for k, s in enumerate(seed_ids):
+                rows = smic[a == k]
+                if len(rows):
+                    cb[int(s)] = (
+                        rows.sum(axis=0).astype(np.float64) / 1e6
+                    ) / len(rows)
+        subcb[m] = np.stack([cb[int(s)] for s in seed_ids])
     codes = np.empty((len(vid), PQ_M), dtype=np.int64)
     for m in range(PQ_M):
         sub = mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-        csub = seeds[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-        d = ((sub[:, None, :] - csub[None, :, :]) ** 2).sum(axis=2)
+        d = ((sub[:, None, :] - subcb[m][None, :, :]) ** 2).sum(axis=2)
         # argmin with cid tie-break = first minimum in seed_id order
         codes[:, m] = seed_ids[
             np.lexsort((seed_ids[None, :].repeat(len(vid), 0), d), axis=1)[
@@ -447,12 +476,8 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
         ]
     # trained coarse quantizer replay: IVF_TRAIN_ITERS Lloyd
     # iterations the way both engines run them — (dist2, cell)-argmin
-    # assignment, per-component bigint-micro sums (half-away-from-zero
-    # ROUND; np.rint banker's-rounds exact halves the other way), one
-    # division at the end, empty cells keeping their previous centroid
-    micros = (np.trunc(np.abs(mat) * 1e6 + 0.5) * np.sign(mat)).astype(
-        np.int64
-    )
+    # assignment, per-component bigint-micro sums, one division at the
+    # end, empty cells keeping their previous centroid
     cell_ids = sorted(int(v) for v in vid[vid < IVF_NLIST])
     cent = {int(vid[i]): mat[i].copy() for i in np.flatnonzero(vid < IVF_NLIST)}
     for _ in range(IVF_TRAIN_ITERS):
@@ -483,7 +508,7 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
         adc = np.zeros(len(cand))
         for m in range(PQ_M):
             qs = qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-            cs = seeds[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            cs = subcb[m]
             # exact sequential fold matches double math closely enough
             # for micro-rounding (1e-6 * 1e6 = integer units)
             dtab = ((qs[None, :] - cs) ** 2).sum(axis=1)

@@ -380,15 +380,18 @@ def test_no_driver_side_row_collection_in_engine():
     # `.limit(runtime_n).collect()`, silently un-capping the probe
     bounded = re.compile(
         r"\.limit\(\s*(?:\d+|small_graph_edges(?:\s*//\s*\d+)?"
-        r"(?:\s*\+\s*\d+)?|IVF_NLIST)\s*\)\s*\.collect\(\)"
+        r"(?:\s*\+\s*\d+)?|IVF_NLIST|PQ_K|PQ_M \* PQ_K)\s*\)"
+        r"\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
-    from gomysql2pg_spark.operators.similarity import IVF_NLIST
+    from gomysql2pg_spark.operators.similarity import IVF_NLIST, PQ_K, PQ_M
 
-    # the second known capped name: the coarse-model collects are
-    # nlist-row model tables, never data rows
+    # the other known capped names: the coarse/sub-codebook model
+    # collects are nlist-/codebook-row model tables, never data rows
     assert isinstance(IVF_NLIST, int)
     assert IVF_NLIST <= 4_096
+    assert isinstance(PQ_K, int) and isinstance(PQ_M, int)
+    assert PQ_M * PQ_K <= 4_096
 
     assert isinstance(CC_SMALL_GRAPH_EDGES, int)
     assert CC_SMALL_GRAPH_EDGES <= 1_000_000  # driver-memory sane
