@@ -31,10 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # --- r14 window (50 slots), derived 2026-08-15.
     # (1) changed this build: the fused single-shuffle LSH bucket-cap
-    # kernel (both verified twins), the narrow-regroup cell assignment
-    # (IVFADC), and the r14 TRAINED PQ sub-codebooks (PQ + IVFADC)
+    # kernel (both verified twins), the fused inverted-index pair
+    # kernel (jaccard/containment + their CC/survivor/split/impact
+    # consumers), the narrow-regroup cell assignment, the TRAINED PQ
+    # sub-codebooks, and the LocalTableScan model tables (PQ + IVFADC)
+    "dedup_containment", "dedup_jaccard", "dedup_clusters",
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "similarity_ivfpq", "similarity_pq",
+    "dedup_survivors", "dedup_impact_report",
+    "similarity_ivfpq", "similarity_pq", "split_by_cluster",
     # (2) stale, oldest green row first: the 23 remaining r09 rows
     "bm25_components", "cube_agg", "derived_table", "filtered_aggs",
     "grouping_sets", "having_large_orders", "join_multi",
@@ -44,17 +48,15 @@ _PRIORITY = [
     "scalar_subquery_above_brand_avg", "skew_salted_join",
     "stats_aggs", "topk_by_aggregation", "window_funcs",
     "window_range_frame", "window_topk", "window_value_funcs",
-    # ...then 23 of the 27 stale r10 rows (the rest lead the r15
-    # queue together with the stale r11/r12 rows — see
-    # REGISTRY_HASHES.json "queued")
+    # ...then 17 of the stale r10 rows (the rest lead the r15 queue
+    # together with the stale r11/r12 rows — see REGISTRY_HASHES.json
+    # "queued")
     "array_funcs", "bigram_counts", "bigram_lm_logprob",
     "corpus_pipeline", "dataset_split", "decontamination_check",
     "dedup_substring_chunks", "embedding_quantize",
     "incremental_dedup", "map_funcs", "math_funcs", "mm_decode",
     "mm_features", "mm_frame_sample", "mm_metadata", "mm_resize",
-    "pandas_udaf_wavg", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_qty_revenue", "q19_disjunctive",
-    "q22_dormant_customers", "q8_market_share",
+    "pandas_udaf_wavg",
 ]
 
 

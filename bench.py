@@ -242,6 +242,19 @@ def _split_fixture_dir(
     return out
 
 
+def _steal_jiffies() -> int | None:
+    """Cumulative CPU-steal jiffies from /proc/stat (field 8 of the
+    aggregate cpu line), or None off-Linux. On a shared VM this is the
+    direct measurement of 'the host took our cycles' — loadavg can't
+    distinguish our own 32 busy workers from a noisy neighbor."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -307,6 +320,7 @@ def main() -> None:
     fast_cut = float(os.environ.get("SPARK_GRAFT_BENCH_FAST_CUT", "0.7"))
     fast_reps = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "7"))
     load_start = os.getloadavg()  # host-contention marker (1/5/15 min)
+    steal_start = _steal_jiffies()  # hypervisor CPU steal (shared box)
     times: dict[str, float | None] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -375,6 +389,12 @@ def main() -> None:
         "load_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "load_5m": [round(load_start[1], 2), round(os.getloadavg()[1], 2)],
     }
+    steal_end = _steal_jiffies()
+    if steal_start is not None and steal_end is not None:
+        # jiffies of CPU the hypervisor withheld during the timed loop
+        # — the r13 verdict's "unattributed 1.2× drift" class: if this
+        # is large, the round's deltas are the host's, not the code's
+        out["steal_jiffies"] = steal_end - steal_start
     if errors:
         out["errors"] = errors
     # the driver's BENCH_r{N}.json tail truncates to the last ~52

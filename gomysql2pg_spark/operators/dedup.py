@@ -156,8 +156,21 @@ MAX_SHINGLE_DF = 1000  # drop shingles appearing in more documents
 def _pair_intersections(docs: DataFrame) -> DataFrame:
     """(da, db, i, na, nb) — shingle-set intersection size and set
     sizes for every doc pair sharing ≥1 (df-capped) shingle. Shared by
-    the Jaccard and containment operators; the df cap bounds every
-    inverted-index bucket to MAX_SHINGLE_DF² pairs before the join."""
+    the Jaccard and containment operators.
+
+    Plan (r14 — the `_bucket_pairs` fusion applied to the inverted
+    index): the df cap stays a COUNT-first groupBy + semi-join (the
+    count is map-side combinable and guarantees every later bucket is
+    ≤ MAX_SHINGLE_DF members BEFORE anything collects — capping inside
+    the collect would leave the reducer-side list unbounded on a
+    boilerplate shingle), then ONE groupBy(s) collects each capped
+    bucket's sorted members and two chained generators emit the
+    Σ df(s)·(df(s)-1)/2 ordered co-occurrence rows map-side — the r13
+    band self-join probed the same Σ df² combinations through join
+    machinery and shipped the shingle string per row. Set sizes come
+    from exploding the compact grouped frame (persisted once for both
+    consumers), not a third pass over the corpus-scale exploded
+    shingles."""
     sh_all = _shingle_df(docs)
     # df cap: one groupBy on shingle, then a semi-join keeps rare ones.
     rare = (
@@ -166,18 +179,31 @@ def _pair_intersections(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("s")
     )
-    # the capped shingle table feeds three plan branches (sizes + both
-    # join sides) — persist + materialize so the explode runs once
-    sh = sh_all.join(rare, "s", "left_semi").persist()
-    sh.count()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("i"))
+    sh = sh_all.join(rare, "s", "left_semi")
+    # the capped bucket table feeds two plan branches (sizes + pairs)
+    # — persist + materialize so the explode/group runs once
+    grouped = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .persist()
     )
+    grouped.count()
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ex = (
+        grouped.filter(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("i", "x"))
+        .select(
+            "x",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("y"),
+        )
+    )
+    inter = ex.groupBy(
+        F.col("x").alias("da"), F.col("y").alias("db")
+    ).agg(F.count("*").alias("i"))
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     return inter.join(sa, "da").join(sb, "db")

@@ -376,6 +376,26 @@ PQ_TRAIN_ITERS = 1
 _PQ_CB_CACHE: dict = {}
 
 
+def _model_df(spark, rows, schema: str) -> DataFrame:
+    """Tiny driver-held model table as a LocalTableScan: the rows ride
+    through pandas + Arrow, so the JVM scans a driver-local batch
+    directly. `createDataFrame(<python list>)` instead compiles to
+    `applySchemaToPythonRDD` — a PYTHON worker task inside every
+    consuming query's broadcast build (~0.3 s each; measured as the
+    r14 PQ regression: the codebook feeds the encode, the distance
+    table, and PQ_M scoring joins, so the Python spin-up was paid
+    per stage per rep). Inlining literals instead would re-create the
+    M2 plan-size bomb at production model sizes (nlist 4096 × dim 768
+    ≈ 3M literals); the pandas batch stays O(model) bytes at any
+    size."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(list(rows), columns=names), schema
+    )
+
+
 def _sub_sq_dist(a, b):
     """Exact-order squared L2 on (already-sliced) sub-vectors — the
     strict left fold shared with the clustering operators."""
@@ -409,8 +429,8 @@ def _pq_codebook(emb: DataFrame, cache_key=None) -> DataFrame:
     shape as encoding itself; the model stays (PQ_M × PQ_K) × subdim
     doubles on the driver."""
     rows = _train_pq_model(emb, cache_key=cache_key)
-    return emb.sparkSession.createDataFrame(
-        rows, "m int, cid int, ce array<double>"
+    return _model_df(
+        emb.sparkSession, rows, "m int, cid int, ce array<double>"
     )
 
 
@@ -454,7 +474,8 @@ def _train_pq_model(emb: DataFrame, cache_key=None) -> list:
         for p in range(PQ_SUBDIM)
     ]
     for _ in range(PQ_TRAIN_ITERS):
-        cb = spark.createDataFrame(
+        cb = _model_df(
+            spark,
             [(m, cid, ce) for (m, cid), ce in sorted(model.items())],
             "m int, cid int, ce array<double>",
         )
@@ -1076,9 +1097,7 @@ def _assign_cells(
     if len(cent_rows) * dim <= budget:
         return df.withColumn("cell", _cell_expr(cent_rows, emb_col))
     spark = df.sparkSession
-    cent = spark.createDataFrame(
-        cent_rows, "cell int, __ce array<double>"
-    )
+    cent = _model_df(spark, cent_rows, "cell int, __ce array<double>")
     tagged = df.withColumn("__rid", F.monotonically_increasing_id())
     narrow = tagged.select("__rid", emb_col)
     joined = (
@@ -1167,7 +1186,7 @@ def q_similarity_ivfpq(
         return spark.createDataFrame(
             [], "qid bigint, nid bigint, adc_micro bigint, rank int"
         )
-    cent = spark.createDataFrame(cent_rows, "cell int, ce array<double>")
+    cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
     q = _queries_df(emb)
     dt = _adc_distance_table(q, cb)
     # coarse ranking: every query scores every trained centroid (tiny
