@@ -156,21 +156,20 @@ MAX_SHINGLE_DF = 1000  # drop shingles appearing in more documents
 def _pair_intersections(docs: DataFrame) -> DataFrame:
     """(da, db, i, na, nb) — shingle-set intersection size and set
     sizes for every doc pair sharing ≥1 (df-capped) shingle. Shared by
-    the Jaccard and containment operators.
+    the Jaccard and containment operators; the df cap bounds every
+    inverted-index bucket to MAX_SHINGLE_DF² pairs before the join.
 
-    Plan (r14 — the `_bucket_pairs` fusion applied to the inverted
-    index): the df cap stays a COUNT-first groupBy + semi-join (the
-    count is map-side combinable and guarantees every later bucket is
-    ≤ MAX_SHINGLE_DF members BEFORE anything collects — capping inside
-    the collect would leave the reducer-side list unbounded on a
-    boilerplate shingle), then ONE groupBy(s) collects each capped
-    bucket's sorted members and two chained generators emit the
-    Σ df(s)·(df(s)-1)/2 ordered co-occurrence rows map-side — the r13
-    band self-join probed the same Σ df² combinations through join
-    machinery and shipped the shingle string per row. Set sizes come
-    from exploding the compact grouped frame (persisted once for both
-    consumers), not a third pass over the corpus-scale exploded
-    shingles."""
+    Plan note (r14, measured and REJECTED): applying the
+    `_bucket_pairs` fusion here — groupBy(s) + sort_array(collect_list)
+    + posexplode/slice generators instead of the self-join — ran
+    1.5-1.8× SLOWER on this family (dedup_jaccard A/B at sf0.1:
+    self-join 1.3-1.7 s vs fused 2.3-2.4 s; dedup_survivors
+    1.75→2.56 s in the full bench). Cause: `slice(ids, i+2, …)`
+    materializes a fresh array per (bucket, position), an O(Σ df²)
+    element-copy term — negligible for LSH's tiny near-dup buckets
+    (where the fusion wins and stays, `_bucket_pairs`), dominant for
+    the inverted index's mid-df buckets (df up to MAX_SHINGLE_DF).
+    The join probes the same Σ df² combinations but copies nothing."""
     sh_all = _shingle_df(docs)
     # df cap: one groupBy on shingle, then a semi-join keeps rare ones.
     rare = (
@@ -179,31 +178,18 @@ def _pair_intersections(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("s")
     )
-    sh = sh_all.join(rare, "s", "left_semi")
-    # the capped bucket table feeds two plan branches (sizes + pairs)
-    # — persist + materialize so the explode/group runs once
-    grouped = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .persist()
+    # the capped shingle table feeds three plan branches (sizes + both
+    # join sides) — persist + materialize so the explode runs once
+    sh = sh_all.join(rare, "s", "left_semi").persist()
+    sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
     )
-    grouped.count()
-    sizes = (
-        grouped.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
-    ex = (
-        grouped.filter(F.size("ids") >= 2)
-        .select("ids", F.posexplode("ids").alias("i", "x"))
-        .select(
-            "x",
-            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("y"),
-        )
-    )
-    inter = ex.groupBy(
-        F.col("x").alias("da"), F.col("y").alias("db")
-    ).agg(F.count("*").alias("i"))
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     return inter.join(sa, "da").join(sb, "db")
