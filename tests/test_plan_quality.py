@@ -803,3 +803,44 @@ def test_dedup_impact_report_is_bounded_rollup(spark, sf_dir, queries):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert "partial" in plan.lower()
+
+
+def test_model_tables_are_local_table_scans_not_python_rdds(
+    spark, sf_dir, queries
+):
+    """Every driver-held model table (PQ codebook, trained IVF
+    centroids, the cell-assignment codebook) must reach the plan as a
+    LocalTableScan. `createDataFrame(<python list>)` compiles to
+    `Scan ExistingRDD ... applySchemaToPythonRDD`, which launches a
+    PYTHON worker task inside every consuming query's broadcast
+    build — measured ~0.3 s per stage per rep, and the PQ codebook
+    feeds the encode, the distance table, and all scoring joins
+    (the r14 `similarity_pq` 1.35 → 2.4 s regression). This pins the
+    `_model_df` pandas+Arrow path against that ever coming back."""
+    from gomysql2pg_spark.operators.similarity import _model_df
+
+    cb = _model_df(
+        spark, [(0, 1, [1.0, 2.0])], "m int, cid int, ce array<double>"
+    )
+    cb_plan = plan_of(cb)
+    assert "LocalTableScan" in cb_plan, cb_plan
+    assert "ExistingRDD" not in cb_plan, cb_plan
+    # and the HOT queries that consume model tables must carry no
+    # Python-RDD scan anywhere in their physical plans
+    for name in ("similarity_pq", "similarity_ivfpq"):
+        plan = plan_of(queries[name](spark, sf_dir))
+        assert "applySchemaToPythonRDD" not in plan, name
+        assert "ExistingRDD" not in plan, name
+
+
+def test_model_df_empty_rows_keeps_schema(spark):
+    """An empty model (empty corpus / pruned-away partition) must
+    yield an empty frame with the DECLARED schema — the same contract
+    the r13 review forced on `_cell_expr([])`."""
+    from gomysql2pg_spark.operators.similarity import _model_df
+
+    df = _model_df(spark, [], "m int, cid int, ce array<double>")
+    assert df.schema.simpleString() == (
+        "struct<m:int,cid:int,ce:array<double>>"
+    )
+    assert df.count() == 0
