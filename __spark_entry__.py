@@ -39,6 +39,9 @@ _PRIORITY = [
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
     "dedup_survivors", "dedup_impact_report",
     "similarity_ivfpq", "similarity_pq", "split_by_cluster",
+    # ...then the 3 r14-NEW entries (never driver-checked): CCNet
+    # perplexity terciles, the per-source datacard, epoch shards
+    "ccnet_perplexity_buckets", "corpus_datacard", "epoch_shuffle",
     # (2) stale, oldest green row first: the 23 remaining r09 rows
     "bm25_components", "cube_agg", "derived_table", "filtered_aggs",
     "grouping_sets", "having_large_orders", "join_multi",
@@ -48,15 +51,14 @@ _PRIORITY = [
     "scalar_subquery_above_brand_avg", "skew_salted_join",
     "stats_aggs", "topk_by_aggregation", "window_funcs",
     "window_range_frame", "window_topk", "window_value_funcs",
-    # ...then 17 of the stale r10 rows (the rest lead the r15 queue
+    # ...then 14 of the stale r10 rows (the rest lead the r15 queue
     # together with the stale r11/r12 rows — see REGISTRY_HASHES.json
     # "queued")
     "array_funcs", "bigram_counts", "bigram_lm_logprob",
     "corpus_pipeline", "dataset_split", "decontamination_check",
     "dedup_substring_chunks", "embedding_quantize",
     "incremental_dedup", "map_funcs", "math_funcs", "mm_decode",
-    "mm_features", "mm_frame_sample", "mm_metadata", "mm_resize",
-    "pandas_udaf_wavg",
+    "mm_features", "mm_frame_sample",
 ]
 
 

@@ -771,8 +771,75 @@ GROUP BY source
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card — the one-page corpus summary a dataset
+    release ships (datasheets-for-datasets shape): document count,
+    language count, total characters, median document length, and the
+    empty-document count, one row per source.
+
+    Determinism: the median is the value at the EXPLICIT integer rank
+    ⌈n/2⌉ of the per-source length ordering (value at a sorted
+    position is well-defined under tie permutation; `percentile_disc`
+    is avoided for the same k/n boundary disagreement the CCNet
+    buckets measured). All other columns are exact integer
+    aggregates.
+
+    Plan at 100 TB: one window partitioned by source (the median) +
+    one partial-applied hash aggregate; |sources|-row output. At
+    extreme per-source cardinality swap the ranked median for
+    approx_percentile and keep the integer columns exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "lang",
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias(
+            "n_chars"
+        ),
+        F.expr(
+            "CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 "
+            "END"
+        ).alias("is_empty"),
+    )
+    scored.createOrReplaceTempView("_datacard_scored")
+    return spark.sql(_DATACARD_SQL.format(scored="_datacard_scored"))
+
+
+# shared verbatim by engine and oracle (same policy as the CCNet
+# bucket algebra): the rollup cannot drift between them
+_DATACARD_SQL = """
+WITH ranked AS (
+  SELECT source, lang, n_chars, is_empty,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM {scored}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(SUM(is_empty) AS BIGINT) AS n_empty
+FROM ranked
+GROUP BY source
+"""
+
+
+ORACLE_CORPUS_DATACARD = f"""
+WITH scored AS (
+  SELECT source, lang,
+         CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END
+           AS is_empty
+  FROM documents
+)
+{_DATACARD_SQL.format(scored="scored").replace("WITH ranked", ", ranked", 1)}
+"""
+
+
 QUERIES = {
     "doc_chunking": q_doc_chunking,
+    "corpus_datacard": q_corpus_datacard,
     "char_entropy": q_char_entropy,
     "winsorized_stats": q_winsorized_stats,
     "mad_outliers": q_mad_outliers,
@@ -785,6 +852,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_chunking": ORACLE_DOC_CHUNKING,
+    "corpus_datacard": ORACLE_CORPUS_DATACARD,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "mad_outliers": ORACLE_MAD_OUTLIERS,

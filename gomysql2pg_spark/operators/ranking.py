@@ -633,6 +633,92 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score every document under the corpus unigram LM
+    (`q_unigram_logprob` — a real deployment swaps in a reference-
+    corpus KenLM table; the plan is identical), then split EACH
+    LANGUAGE into head/middle/tail terciles by per-token log-
+    likelihood. CCNet keeps 'head' (and often 'middle') as the
+    pretraining corpus; the per-(lang, bucket) rollup this returns is
+    the decision table for that cut.
+
+    Determinism across engines: the per-doc score is
+    floor(sum_logp_micro / n_tokens) computed via ONE double division
+    (exact-bigint micro sum, |sum| ≪ 2^53, so the double is the exact
+    integer and both engines floor the identical quotient); tercile
+    cutpoints are the values at EXPLICIT integer ranks ⌈n/3⌉ and
+    ⌈2n/3⌉ of the per-language sorted scores — NOT `percentile_disc`,
+    whose engines disagree exactly at k/n == fraction boundaries
+    (measured: Spark and DuckDB split a 75-doc language 24/26 vs
+    25/25 at 2/3). The value at sorted position k is well-defined
+    under any tie permutation, so ROW_NUMBER ordered by the value
+    alone is safe. Token-less docs land in an explicit 'empty' bucket
+    instead of poisoning the cuts.
+
+    Plan at 100 TB: the LM probe is the unigram_logprob plan
+    (broadcast scored vocabulary, one per-doc reduce), the cutpoint
+    frame is |langs|×2 values (broadcast), and the bucket label is a
+    stateless CASE — no corpus shuffle beyond the per-doc reduce."""
+    per = q_unigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(per, "doc_id").select(
+        "lang",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN CAST(FLOOR("
+            "CAST(sum_logp_micro AS DOUBLE) / n_tokens) AS BIGINT) END"
+        ).alias("avg_logp_micro"),
+    )
+    scored.createOrReplaceTempView("_ccnet_scored")
+    return spark.sql(_CCNET_BUCKET_SQL.format(scored="_ccnet_scored"))
+
+
+# shared verbatim by the engine (over the temp view) and the oracle
+# (over the scored CTE): the bucket algebra cannot drift between them
+_CCNET_BUCKET_SQL = """
+WITH ranked AS (
+  SELECT lang, avg_logp_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY avg_logp_micro) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM {scored} WHERE avg_logp_micro IS NOT NULL
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = CAST(FLOOR((n + 2) / 3.0) AS BIGINT)
+                  THEN avg_logp_micro END) AS c33,
+         MAX(CASE WHEN rn = CAST(FLOOR((2 * n + 2) / 3.0) AS BIGINT)
+                  THEN avg_logp_micro END) AS c67
+  FROM ranked GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.avg_logp_micro IS NULL THEN 'empty'
+            WHEN s.avg_logp_micro > c.c67 THEN 'head'
+            WHEN s.avg_logp_micro > c.c33 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(s.avg_logp_micro, 0)) AS BIGINT)
+         AS sum_avg_logp_micro
+FROM {scored} s LEFT JOIN cuts c USING (lang)
+GROUP BY 1, 2
+"""
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH per AS ({ORACLE_UNIGRAM_LOGPROB}),
+scored AS (
+  SELECT d.lang,
+         CASE WHEN per.n_tokens > 0 THEN CAST(FLOOR(
+           CAST(per.sum_logp_micro AS DOUBLE) / per.n_tokens) AS BIGINT)
+         END AS avg_logp_micro
+  FROM documents d JOIN per USING (doc_id)
+)
+{_CCNET_BUCKET_SQL.format(scored="scored").replace("WITH ranked", ", ranked", 1)}
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
@@ -641,6 +727,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_lm_logprob": q_bigram_lm_logprob,
     "dsir_select": q_dsir_select,
+    "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
 }
 
 ORACLES = {
@@ -651,4 +738,5 @@ ORACLES = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
     "dsir_select": ORACLE_DSIR_SELECT,
+    "ccnet_perplexity_buckets": ORACLE_CCNET_BUCKETS,
 }

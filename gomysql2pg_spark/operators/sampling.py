@@ -879,8 +879,87 @@ WHERE FLOOR(cum / step) > FLOOR((cum - w) / step)
 """
 
 
+EPOCHS = 2  # epochs materialized by the shuffle plan
+SHUFFLE_SHARDS = 64  # shard files per epoch
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the step that
+    turns a curated corpus into training shards: every document gets,
+    PER EPOCH, a pseudo-random shard and an in-shard position, both
+    pure functions of (epoch, doc_id) through md5, so the same corpus
+    shuffles identically on every engine/run and any shard can be
+    regenerated independently (the property checkpoint-resume needs).
+    Global training order for epoch e = read shards 0..N in order,
+    each shard already sorted by position.
+
+    Plan at 100 TB: NO global sort (the classic non-scalable shuffle
+    mistake — a single-partition ROW_NUMBER over the corpus): the
+    epoch fan-out is a stateless 2× generator, shard assignment is a
+    stateless md5 map, and the only shuffle is ONE window partitioned
+    by (epoch, shard) — exactly the `repartition(epoch, shard) +
+    sortWithinPartitions(sort_key)` a shard writer executes. Returns
+    (doc_id, epoch, shard, pos)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(EPOCHS)])
+        ).alias("epoch"),
+    )
+    h = (
+        "md5(concat('ep', CAST(epoch AS STRING), ':', "
+        "CAST(doc_id AS STRING)))"
+    )
+    shard = F.expr(
+        f"CAST(((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({h}, 2, 1)) - 1))"
+        f" % {SHUFFLE_SHARDS} AS INT)"
+    )
+    keyed = e.select(
+        "doc_id",
+        "epoch",
+        shard.alias("shard"),
+        F.expr(h).alias("skey"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH e AS (
+  SELECT doc_id, unnest(range(0, {EPOCHS})) AS epoch FROM documents
+),
+keyed AS (
+  SELECT doc_id, epoch,
+         CAST(((strpos('{_HEX}', substr(md5(concat('ep',
+                 CAST(epoch AS VARCHAR), ':',
+                 CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16
+               + (strpos('{_HEX}', substr(md5(concat('ep',
+                 CAST(epoch AS VARCHAR), ':',
+                 CAST(doc_id AS VARCHAR))), 2, 1)) - 1))
+              % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+         md5(concat('ep', CAST(epoch AS VARCHAR), ':',
+                    CAST(doc_id AS VARCHAR))) AS skey
+  FROM e
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch, shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, shard ORDER BY skey, doc_id) AS INT) AS pos
+FROM keyed
+"""
+
+
 QUERIES = {
     "curation_pipeline": q_curation_pipeline,
+    "epoch_shuffle": q_epoch_shuffle,
     "value_quantiles": q_value_quantiles,
     "key_skew_histogram": q_key_skew_histogram,
     "domain_cap_sample": q_domain_cap_sample,
@@ -898,6 +977,7 @@ QUERIES = {
 
 ORACLES = {
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "key_skew_histogram": ORACLE_KEY_SKEW_HISTOGRAM,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,

@@ -844,3 +844,32 @@ def test_model_df_empty_rows_keeps_schema(spark):
         "struct<m:int,cid:int,ce:array<double>>"
     )
     assert df.count() == 0
+
+
+def test_epoch_shuffle_never_globally_sorts(spark, sf_dir, queries):
+    """The epoch shuffle's ONLY shuffle is the (epoch, shard)-
+    partitioned window — a global ROW_NUMBER (SinglePartition
+    exchange) is the classic non-scalable training-shard writer and
+    must never appear."""
+    plan = plan_of(queries["epoch_shuffle"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_corpus_datacard_partial_agg_no_cartesian(spark, sf_dir, queries):
+    plan = plan_of(queries["corpus_datacard"](spark, sf_dir))
+    for bad in ("CartesianProduct",):
+        assert bad not in plan
+    assert "partial" in plan.lower()
+
+
+def test_ccnet_buckets_no_cartesian_beyond_scalar_total(
+    spark, sf_dir, queries
+):
+    """The bucket algebra adds only equi-joins on lang; the single
+    sanctioned one-row meet is the LM total's scalar-subquery idiom
+    inherited from unigram_logprob."""
+    plan = plan_of(queries["ccnet_perplexity_buckets"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
