@@ -164,6 +164,12 @@ HEADLINE = [
     # round-13: DSIR importance selection (two broadcast unigram LMs +
     # one per-doc reduce, stateless gate — no corpus sort)
     "dsir_select",
+    # round-14: CCNet perplexity terciles (broadcast LM + integer-rank
+    # cutpoints), deterministic per-epoch training shards (one
+    # (epoch, shard)-partitioned window), per-source datacard rollup
+    "ccnet_perplexity_buckets",
+    "epoch_shuffle",
+    "corpus_datacard",
 ]
 
 

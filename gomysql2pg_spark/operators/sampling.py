@@ -924,7 +924,13 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")
+    # null order pinned on both engines (the r13 audit discipline):
+    # a NULL doc_id yields NULL (shard, skey), and Spark's default
+    # NULLS FIRST vs DuckDB's NULLS LAST would order it differently
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("skey").asc_nulls_first(),
+        F.col("doc_id").asc_nulls_first(),
+    )
     return keyed.select(
         "doc_id",
         "epoch",
@@ -952,7 +958,8 @@ keyed AS (
 )
 SELECT doc_id, CAST(epoch AS INT) AS epoch, shard,
        CAST(ROW_NUMBER() OVER (
-         PARTITION BY epoch, shard ORDER BY skey, doc_id) AS INT) AS pos
+         PARTITION BY epoch, shard
+         ORDER BY skey NULLS FIRST, doc_id NULLS FIRST) AS INT) AS pos
 FROM keyed
 """
 

@@ -80,6 +80,12 @@ SCALE_CRITICAL = [
     "dedup_impact_report",
     "distinct_ngram_ratio",
     "dsir_select",
+    # r14: CCNet terciles (broadcast LM + per-lang rank window), epoch
+    # shards ((epoch, shard)-partitioned window over a 2× generator),
+    # per-source datacard (one window + one partial agg)
+    "ccnet_perplexity_buckets",
+    "epoch_shuffle",
+    "corpus_datacard",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",
