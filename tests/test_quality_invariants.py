@@ -264,3 +264,102 @@ def test_dsir_select_favors_target_language(spark, sf_dir, queries):
     assert stats[True]["rate"] > stats[False]["rate"] + 0.1
     assert stats[True]["mean_ratio"] > 0 > stats[False]["mean_ratio"]
     df.unpersist()
+
+
+def test_epoch_shuffle_invariants(spark, sf_dir, queries):
+    """Every document appears exactly once per epoch; positions are
+    dense 1..k within every (epoch, shard); the two epochs' orders are
+    actually DIFFERENT permutations (the point of reshuffling); and
+    the assignment is deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.operators.sampling import EPOCHS
+
+    df = queries["epoch_shuffle"](spark, sf_dir).persist()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in df.groupBy("epoch").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+        ).collect()
+    }
+    assert set(per_epoch) == set(range(EPOCHS))
+    assert all(v == n_docs for v in per_epoch.values())
+    # dense positions: per (epoch, shard), max(pos) == count and
+    # positions are distinct
+    bad = df.groupBy("epoch", "shard").agg(
+        F.max("pos").alias("mx"),
+        F.count("*").alias("n"),
+        F.countDistinct("pos").alias("dp"),
+    ).filter((F.col("mx") != F.col("n")) | (F.col("dp") != F.col("n")))
+    assert bad.count() == 0
+    # the epochs disagree somewhere (different permutation)
+    e0 = df.filter(F.col("epoch") == 0).select("doc_id", "shard", "pos")
+    e1 = df.filter(F.col("epoch") == 1).select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("shard").alias("s1"),
+        F.col("pos").alias("p1"),
+    )
+    moved = e0.join(e1, "doc_id").filter(
+        (F.col("shard") != F.col("s1")) | (F.col("pos") != F.col("p1"))
+    )
+    assert moved.count() > 0
+    again = {
+        (r["doc_id"], r["epoch"], r["shard"], r["pos"])
+        for r in queries["epoch_shuffle"](spark, sf_dir).collect()
+    }
+    assert {
+        (r["doc_id"], r["epoch"], r["shard"], r["pos"])
+        for r in df.collect()
+    } == again
+    df.unpersist()
+
+
+def test_ccnet_buckets_tercile_shape(spark, sf_dir, queries):
+    """Per language: head/middle/tail are each within ±2 of n/3 (the
+    explicit-rank cutpoints split value-ties deterministically but a
+    run of equal scores can shift a boundary), 'empty' matches the
+    token-less docs, and every doc lands in exactly one bucket."""
+    from pyspark.sql import functions as F
+
+    rows = queries["ccnet_perplexity_buckets"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    for lang, buckets in by_lang.items():
+        scored = sum(v for k, v in buckets.items() if k != "empty")
+        if scored < 9:  # tiny languages can't show tercile shape
+            continue
+        for b in ("head", "middle", "tail"):
+            assert abs(buckets.get(b, 0) - scored / 3) <= max(
+                2, scored * 0.34 - scored / 3 + 2
+            ), (lang, buckets)
+
+
+def test_corpus_datacard_reconciles(spark, sf_dir, queries):
+    """The datacard's integer columns reconcile exactly with direct
+    aggregation over the corpus."""
+    from pyspark.sql import functions as F
+
+    rows = {r["source"]: r for r in
+            queries["corpus_datacard"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        r["source"]: r
+        for r in docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("chars"),
+        ).collect()
+    }
+    assert set(rows) == set(direct)
+    for s, r in rows.items():
+        assert r["n_docs"] == direct[s]["n_docs"], s
+        assert r["n_langs"] == direct[s]["n_langs"], s
+        assert r["total_chars"] == direct[s]["chars"], s
+        assert 0 <= r["n_empty"] <= r["n_docs"], s
+        assert r["p50_chars"] is not None, s
