@@ -883,6 +883,27 @@ def test_assign_cells_join_form_equals_literal_form(spark, sf_dir):
     assert "BroadcastHashJoin" in join_plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in join_plan, join_plan
+    # r14 narrow-regroup pin: the fan-out/argmin aggregate is id-width
+    # — every aggregate node in the regroup OUTPUTS only (__rid,
+    # min/cell), never the payload columns (the r13 form regrouped the
+    # full row, so at dim 768 the agg hash map and its exchange
+    # shipped every vector). The distance EXPRESSION inside the struct
+    # references the embedding (it must — it computes d²); the output
+    # schema is what rides the exchange.
+    import re as _re
+
+    agg_lines = [
+        ln for ln in join_plan.splitlines() if "min(struct(d" in ln
+    ]
+    assert agg_lines, join_plan
+    for ln in agg_lines:
+        m = _re.search(r"output=\[([^\]]*)\]", ln)
+        assert m, ln
+        out_cols = m.group(1)
+        assert "label" not in out_cols and "embedding" not in out_cols, (
+            out_cols
+        )
+        assert "__rid" in out_cols, out_cols
     lit = {r["vec_id"]: r["cell"] for r in lit_df.select("vec_id", "cell").collect()}
     jn = {r["vec_id"]: r["cell"] for r in join_df.select("vec_id", "cell").collect()}
     assert lit == jn and len(lit) == emb.count()
