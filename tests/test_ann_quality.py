@@ -1299,3 +1299,19 @@ def test_minhash_lsh_mega_bucket_cap(spark, tmp_path, monkeypatch):
     }
     assert (30, 31) in pairs_full
     assert (0, 1) in pairs_full  # identical docs pair up under the real cap
+
+
+def test_bucket_pairs_drops_null_doc_ids(spark):
+    """NULL-keyed rows never reach the pair generator: the pre-r14
+    self-join's strict a.doc_id < b.doc_id predicate dropped them
+    implicitly; the fused kernel must drop them explicitly or SimHash
+    (which returns _bucket_pairs output directly after the Hamming
+    filter) would emit (NULL, x) pairs on a hostile fixture."""
+    from gomysql2pg_spark.operators.dedup import _bucket_pairs
+
+    bands = spark.createDataFrame(
+        [(None, 0, 7), (1, 0, 7), (2, 0, 7)],
+        "doc_id long, band int, bkey long",
+    )
+    pairs = {(r.da, r.db) for r in _bucket_pairs(bands).collect()}
+    assert pairs == {(1, 2)}
