@@ -907,8 +907,15 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(i) for i in range(EPOCHS)])
         ).alias("epoch"),
     )
+    # concat_ws, not concat: both engines SKIP NULL arguments under
+    # concat_ws, whereas Spark's concat returns NULL for a NULL
+    # doc_id and DuckDB's concat treats it as '' — the one idiom
+    # the two engines compute identically on hostile keys (the
+    # r14-ADVICE divergence; validation.py uses the same idiom).
+    # A NULL doc_id therefore keys as 'ep<e>:' and gets a REAL
+    # (shard, pos) on both engines.
     h = (
-        "md5(concat('ep', CAST(epoch AS STRING), ':', "
+        "md5(concat_ws('', 'ep', CAST(epoch AS STRING), ':', "
         "CAST(doc_id AS STRING)))"
     )
     shard = F.expr(
@@ -925,8 +932,9 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # null order pinned on both engines (the r13 audit discipline):
-    # a NULL doc_id yields NULL (shard, skey), and Spark's default
-    # NULLS FIRST vs DuckDB's NULLS LAST would order it differently
+    # skey is never NULL under concat_ws, but a NULL doc_id still
+    # needs its ORDER position pinned (Spark defaults NULLS FIRST,
+    # DuckDB NULLS LAST) for the pos tie-break
     w = Window.partitionBy("epoch", "shard").orderBy(
         F.col("skey").asc_nulls_first(),
         F.col("doc_id").asc_nulls_first(),
@@ -945,14 +953,14 @@ WITH e AS (
 ),
 keyed AS (
   SELECT doc_id, epoch,
-         CAST(((strpos('{_HEX}', substr(md5(concat('ep',
+         CAST(((strpos('{_HEX}', substr(md5(concat_ws('', 'ep',
                  CAST(epoch AS VARCHAR), ':',
                  CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 16
-               + (strpos('{_HEX}', substr(md5(concat('ep',
+               + (strpos('{_HEX}', substr(md5(concat_ws('', 'ep',
                  CAST(epoch AS VARCHAR), ':',
                  CAST(doc_id AS VARCHAR))), 2, 1)) - 1))
               % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
-         md5(concat('ep', CAST(epoch AS VARCHAR), ':',
+         md5(concat_ws('', 'ep', CAST(epoch AS VARCHAR), ':',
                     CAST(doc_id AS VARCHAR))) AS skey
   FROM e
 )

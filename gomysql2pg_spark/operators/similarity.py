@@ -389,8 +389,13 @@ def _model_df(spark, rows, schema: str) -> DataFrame:
     ≈ 3M literals); the pandas batch stays O(model) bytes at any
     size."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    # real DDL parse, not a comma split: a composite-typed model
+    # column (array<struct<...>>, map<k,v>, decimal(p,s)) carries
+    # commas inside its type and a naive split mis-derives the
+    # column list (r14 ADVICE — latent until the first such model)
+    names = StructType.fromDDL(schema).fieldNames()
     return spark.createDataFrame(
         pd.DataFrame(list(rows), columns=names), schema
     )
@@ -1079,7 +1084,18 @@ def _assign_cells(
     or duplicate natural keys — the hostile-fixture families — come
     out exactly once, just like the literal map (the first cut keyed
     on `vec_id` and silently dropped NULL-keyed rows and merged
-    duplicates).
+    duplicates). Because the id is assigned at COMPUTE time, the
+    tagged frame is persisted before it fans out: it has two plan
+    consumers (the narrow argmin aggregate and the final equi-join
+    back), and unpersisted each would recompute the ids from its own
+    scan — under a nondeterministic upstream (any shuffle, AQE
+    coalesce, a retried stage) the two branches could disagree and
+    the inner join would silently drop or mis-assign rows (r14
+    ADVICE). The cache makes one materialization the single source
+    of ids (BlockManager block locks serialize concurrent first
+    computation); storage is MEMORY_AND_DISK so a 100 TB tagged
+    frame degrades to disk, never to wrong rows. Plan-gated: both
+    consumers read InMemoryTableScan.
 
     The distance folds are the identical expression tree (`_sq_dist`'s
     strict left fold of (x-y)² over doubles vs `_cell_expr`'s SQL
@@ -1098,7 +1114,9 @@ def _assign_cells(
         return df.withColumn("cell", _cell_expr(cent_rows, emb_col))
     spark = df.sparkSession
     cent = _model_df(spark, cent_rows, "cell int, __ce array<double>")
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    tagged = df.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).persist()
     narrow = tagged.select("__rid", emb_col)
     joined = (
         narrow.withColumn("_x", F.col("__rid") % F.lit(1))

@@ -1315,3 +1315,26 @@ def test_bucket_pairs_drops_null_doc_ids(spark):
     )
     pairs = {(r.da, r.db) for r in _bucket_pairs(bands).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_assign_cells_join_form_caches_tagged_ids(spark):
+    """The join form's monotonically_increasing_id frame feeds TWO
+    plan branches (argmin aggregate + final equi-join). Unpersisted,
+    each branch would recompute the ids from its own scan and a
+    nondeterministic upstream could make them disagree — silent row
+    drops through the inner join (r14 ADVICE). Pin that both branches
+    read the cached materialization."""
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
+    out = SIM._assign_cells(emb, rows, budget=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # and the cache fixes ids: result still row-preserving and exact
+    got = {(r["vec_id"], r["cell"]) for r in out.collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)}
+    spark.catalog.clearCache()

@@ -239,3 +239,37 @@ def test_oracle_money_casts_are_try_cast():
         if hits:
             bad[name] = hits
     assert not bad, f"plain CAST on money cents in oracles: {bad}"
+
+
+def test_epoch_shuffle_hash_match_on_null_doc_id(
+    spark, sf_dir, tmp_path_factory
+):
+    """Cross-engine determinism of the shard key on a hostile NULL
+    doc_id: Spark's concat returns NULL where DuckDB's concat skips
+    the NULL argument, so the r14 form silently diverged (engine:
+    NULL shard; oracle: a real shard) — r14 ADVICE. concat_ws is
+    NULL-skipping in BOTH engines; pin hash-exactness on a fixture
+    that actually contains the NULL."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("sf_null_docid"))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    d = tbl.to_pydict()
+    d["doc_id"][0] = None
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        os.path.join(out, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet')"
+    )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    r = compare_query(
+        qs["epoch_shuffle"](spark, out), osql["epoch_shuffle"], con
+    )
+    con.close()
+    assert r["count_match"] and r["schema_match"] and r["value_match"], r

@@ -898,3 +898,21 @@ def test_bucket_pairs_gate_precedes_collect_single_shuffle(spark, sf_dir):
     i_gate = plan.find("__bn")
     assert 0 <= i_collect < i_gate, plan
     assert plan.count("Exchange hashpartitioning(band") == 1, plan
+
+
+def test_model_df_parses_composite_typed_ddl(spark):
+    """Column names come from a real DDL parse: a comma-bearing
+    composite type must not shift the column list (r14 ADVICE —
+    the old split-on-comma derived ['m', 'cells', 'decimal(4'])."""
+    from gomysql2pg_spark.operators.similarity import _model_df
+
+    from decimal import Decimal
+
+    df = _model_df(
+        spark,
+        [(1, [2, 3], Decimal("1.50"))],
+        "m int, cells array<int>, score decimal(4,2)",
+    )
+    assert df.columns == ["m", "cells", "score"]
+    row = df.collect()[0]
+    assert row["m"] == 1 and row["cells"] == [2, 3]
