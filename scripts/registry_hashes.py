@@ -272,13 +272,34 @@ def snapshot_hashes(rnd: int) -> dict[str, str] | None:
     return json.loads(r.stdout)
 
 
+def resolve_snapshot(
+    rnd: int, latest_rnd: int, cur: dict[str, str]
+) -> tuple[dict[str, str] | None, str]:
+    """The tree the round-``rnd`` driver verified, resolved in order:
+    (1) the driver's end-of-round snapshot commit; (2) for the LATEST
+    correctness round ONLY, the current working tree — in the window
+    between a driver run and its snapshot commit the working tree IS
+    the verified tree, so the just-verified entries must not report
+    "snapshot unavailable" (the r14 VERDICT's mid-round cosmetics
+    item; once the builder starts editing, those edits are exactly
+    the changes the report SHOULD surface); (3) None → conservatively
+    stale. Returns (hashes | None, source_label)."""
+    snap = snapshot_hashes(rnd)
+    if snap is not None:
+        return snap, f"r{rnd} snapshot commit"
+    if rnd == latest_rnd:
+        return dict(cur), f"working tree (r{rnd} snapshot not yet committed)"
+    return None, f"r{rnd} snapshot unavailable"
+
+
 def stale_report() -> dict[str, dict]:
     """entry -> {round, stale, reason} against each entry's own last
     driver-green snapshot."""
     cur = current_hashes()
     rounds = green_rounds()
+    latest_rnd = max(rounds.values(), default=0)
     rows_only = rows_only_entries()
-    snaps: dict[int, dict[str, str] | None] = {}
+    snaps: dict[int, tuple[dict[str, str] | None, str]] = {}
     report: dict[str, dict] = {}
     for name in sorted(cur):
         if name == "__infra__":
@@ -300,13 +321,13 @@ def stale_report() -> dict[str, dict]:
             }
             continue
         if rnd not in snaps:
-            snaps[rnd] = snapshot_hashes(rnd)
-        snap = snaps[rnd]
+            snaps[rnd] = resolve_snapshot(rnd, latest_rnd, cur)
+        snap, src = snaps[rnd]
         if snap is None:
             report[name] = {
                 "round": rnd,
                 "stale": True,
-                "reason": f"r{rnd} snapshot unavailable",
+                "reason": src,
             }
         elif name not in snap:
             report[name] = {
@@ -338,7 +359,7 @@ def derive_window(report: dict[str, dict]) -> list[str]:
     latest_round = max(
         (v["round"] for v in report.values() if v["round"]), default=0
     )
-    latest_snap = snapshot_hashes(latest_round) or {}
+    latest_snap = resolve_snapshot(latest_round, latest_round, cur)[0] or {}
     slotted = {
         n: v for n, v in report.items() if not v.get("rows_only")
     }

@@ -104,3 +104,31 @@ def test_statuses_are_known(state):
     bad = {n: v["status"] for n, v in stored.items()
            if v["status"] not in allowed}
     assert not bad, bad
+
+
+def test_snapshot_resolution_order():
+    """resolve_snapshot's documented order: (1) the round's snapshot
+    commit when it exists; (2) the WORKING TREE for the latest
+    correctness round only (mid-round, right after a driver run and
+    before the driver's snapshot commit — the r14 'snapshot
+    unavailable' noise); (3) None for an older round with no commit."""
+    mod = _load_script()
+    cur = {"some_entry": "abc123"}
+
+    # (1) a commit exists → the worktree dump wins regardless of round
+    real = mod.snapshot_hashes
+    try:
+        mod.snapshot_hashes = lambda rnd: {"some_entry": "fromsnap"}
+        snap, src = mod.resolve_snapshot(7, 9, cur)
+        assert snap == {"some_entry": "fromsnap"} and "commit" in src
+
+        # (2) no commit + latest round → current working tree
+        mod.snapshot_hashes = lambda rnd: None
+        snap, src = mod.resolve_snapshot(9, 9, cur)
+        assert snap == cur and "working tree" in src
+
+        # (3) no commit + older round → unavailable (conservative)
+        snap, src = mod.resolve_snapshot(7, 9, cur)
+        assert snap is None and "unavailable" in src
+    finally:
+        mod.snapshot_hashes = real
