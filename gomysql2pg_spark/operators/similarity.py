@@ -375,6 +375,52 @@ PQ_TRAIN_ITERS = 1
 # _COARSE_CACHE below
 _PQ_CB_CACHE: dict = {}
 
+# Quantizer training runs on a deterministic md5 HASH-SAMPLE of the
+# corpus, not the full corpus (r14 VERDICT item: at 100 TB a Lloyd
+# pass per iteration over all vectors is a full-corpus scan ×iters;
+# standard practice trains k-means quantizers on a fixed sample).
+# The sample is part of the MODEL SPEC — the same predicate appears
+# verbatim in the oracle's training CTEs, so hash-exact replay
+# survives: keep vectors whose 31st md5 hex digit of CAST(vec_id AS
+# STRING) is even (the hash_mod_sample idiom; md5-of-string is
+# byte-identical across Spark and DuckDB, and a NULL vec_id hashes
+# to NULL → excluded by BOTH engines). Recall measurement at the 10×
+# smoke corpus (scripts/pq_training_probe.py --sampled): full-train
+# recall@5 0.764 sits INSIDE the 0.69-0.84 spread of six equally-
+# valid half/quarter-samples, i.e. the half-sample model is
+# statistically indistinguishable from the full-train model while
+# the training scans halve. TRAIN_SAMPLE_MOD = 1 disables sampling
+# (behavioral tests that need every synthetic vector in the training
+# set monkeypatch this).
+TRAIN_SAMPLE_MOD = 2
+_TS_HEX = "0123456789abcdef"
+
+
+def _train_sample_pred() -> str:
+    """The training-sample predicate, shared engine/oracle (instr and
+    strpos are the respective 1-based position builtins; the string
+    form below parses in BOTH engines via instr on Spark — the oracle
+    builders substitute strpos)."""
+    return (
+        f"(instr('{_TS_HEX}', substring(md5(CAST(vec_id AS STRING)),"
+        f" 31, 1)) - 1) % {TRAIN_SAMPLE_MOD} = 0"
+    )
+
+
+def _train_sample_pred_sql() -> str:
+    return (
+        f"(strpos('{_TS_HEX}', substr(md5(CAST(vec_id AS VARCHAR)),"
+        f" 31, 1)) - 1) % {TRAIN_SAMPLE_MOD} = 0"
+    )
+
+
+def _train_sample(emb: DataFrame) -> DataFrame:
+    """The (sampled) training corpus: a stateless zero-shuffle filter,
+    so every Lloyd pass scans 1/TRAIN_SAMPLE_MOD of the vectors."""
+    if TRAIN_SAMPLE_MOD <= 1:
+        return emb
+    return emb.filter(F.expr(_train_sample_pred()))
+
 
 def _model_df(spark, rows, schema: str) -> DataFrame:
     """Tiny driver-held model table as a LocalTableScan: the rows ride
@@ -478,13 +524,14 @@ def _train_pq_model(emb: DataFrame, cache_key=None) -> list:
         ).alias(f"s{p}")
         for p in range(PQ_SUBDIM)
     ]
+    train = _train_sample(emb)
     for _ in range(PQ_TRAIN_ITERS):
         cb = _model_df(
             spark,
             [(m, cid, ce) for (m, cid), ce in sorted(model.items())],
             "m int, cid int, ce array<double>",
         )
-        sub = emb.select(
+        sub = train.select(
             "vec_id",
             F.explode(F.array(*[F.lit(m) for m in range(PQ_M)])).alias(
                 "m"
@@ -654,11 +701,25 @@ def _pq_train_sql(iters: int = None) -> str:
     `cb AS (SELECT … FROM pcb{iters})` so consumers keep their shape."""
     if iters is None:
         iters = PQ_TRAIN_ITERS
+    # ptr = the sub-slices of the (sampled) training corpus — the
+    # subspace twin of _coarse_train_sql's `tr` (identity sans
+    # predicate when sampling is disabled); psub stays full-corpus
+    # because consumers ENCODE every vector with the trained codebook
+    ptr_where = (
+        f" WHERE {_train_sample_pred_sql()}"
+        if TRAIN_SAMPLE_MOD > 1
+        else ""
+    )
     ctes = [
         f"""psub AS (
   SELECT vec_id, m,
          embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
   FROM embeddings, ms
+)""",
+        f"""ptr AS (
+  SELECT vec_id, m,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
+  FROM (SELECT vec_id, embedding FROM embeddings{ptr_where}), ms
 )""",
         f"""pcb0 AS (
   SELECT m, CAST(vec_id AS INT) AS cid,
@@ -675,7 +736,7 @@ def _pq_train_sql(iters: int = None) -> str:
            ROW_NUMBER() OVER (
              PARTITION BY s.vec_id, s.m
              ORDER BY {_PQ_FOLD.format(a='s.se', b='c.ce')}, c.cid) AS rn
-    FROM psub s JOIN {prev} c USING (m))
+    FROM ptr s JOIN {prev} c USING (m))
   WHERE rn = 1
 )"""
         )
@@ -684,7 +745,7 @@ def _pq_train_sql(iters: int = None) -> str:
   SELECT m, cid, i AS pos,
          SUM(TRY_CAST(ROUND(s.se[i] * 1e6) AS BIGINT)) AS sm,
          COUNT(*) AS c
-  FROM pa{t} JOIN psub s USING (vec_id, m)
+  FROM pa{t} JOIN ptr s USING (vec_id, m)
   CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i)
   GROUP BY m, cid, i
 )"""
@@ -778,10 +839,14 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     the r11 stand-in `label` cell left recall@5 at chance level).
     Returns [(cell, [centroid doubles])] — a k × dim model held on the
     DRIVER between iterations (the MLlib k-means shape: per iteration
-    ONE corpus map — assignment is the inlined-literal `_cell_expr`,
-    zero joins — + ONE narrow (nlist × dim)-row shuffle of sufficient
-    statistics; the collect moves nlist × dim numbers, never data
-    rows).
+    ONE map over the `_train_sample` hash-sample of the corpus —
+    assignment is the inlined-literal `_cell_expr`, zero joins — +
+    ONE narrow (nlist × dim)-row shuffle of sufficient statistics;
+    the collect moves nlist × dim numbers, never data rows). Seeds
+    come from the FULL corpus (vec_id < nlist — deterministic with or
+    without sampling); only the per-iteration Lloyd scans are
+    sampled, so training cost is corpus/TRAIN_SAMPLE_MOD per
+    iteration.
 
     Every step is engine-deterministic, so the DuckDB oracle replays
     training exactly: Σx accumulates bigint MICRO-units
@@ -823,9 +888,10 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
         ).alias(f"s{p}")
         for p in range(dim)
     ]
+    train = _train_sample(emb)
     for _ in range(IVF_TRAIN_ITERS):
         stats = (
-            _assign_cells(emb, sorted(cent.items()))
+            _assign_cells(train, sorted(cent.items()))
             .groupBy("cell")
             .agg(*aggs)
             .limit(IVF_NLIST)
@@ -863,7 +929,14 @@ def _fixture_key(sf_dir: str):
     stat = fixture_stat(sf_dir, "embeddings")
     if stat is None:
         return None
-    return (*stat, IVF_NLIST, IVF_TRAIN_ITERS, PQ_K, PQ_TRAIN_ITERS)
+    return (
+        *stat,
+        IVF_NLIST,
+        IVF_TRAIN_ITERS,
+        PQ_K,
+        PQ_TRAIN_ITERS,
+        TRAIN_SAMPLE_MOD,
+    )
 
 
 def _coarse_model(sf_dir: str, emb: DataFrame) -> list:
@@ -1253,11 +1326,23 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
     cent{t-1}, s{t} = bigint-micro sufficient statistics, cent{t} =
     means with empty cells keeping their previous centroid."""
     dim = PQ_M * PQ_SUBDIM
+    # tr = the (sampled) training corpus, the same md5 hash-sample
+    # predicate the engine's _train_sample applies (identity when
+    # sampling is disabled — the predicate is omitted entirely so a
+    # NULL vec_id stays in the training set on both engines)
+    tr_where = (
+        f"\n  WHERE {_train_sample_pred_sql()}"
+        if TRAIN_SAMPLE_MOD > 1
+        else ""
+    )
     ctes = [
         f"""cent0 AS (
   SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS ce
   FROM embeddings WHERE vec_id < {IVF_NLIST}
-)"""
+)""",
+        f"""tr AS (
+  SELECT vec_id, embedding FROM embeddings{tr_where}
+)""",
     ]
     for t in range(1, iters + 1):
         prev = f"cent{t - 1}"
@@ -1269,7 +1354,7 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
              PARTITION BY e.vec_id
              ORDER BY {_PQ_FOLD.format(a='e.embedding', b='c.ce')},
                       c.cell) AS rn
-    FROM embeddings e, {prev} c)
+    FROM tr e, {prev} c)
   WHERE rn = 1
 )"""
         )
@@ -1278,7 +1363,7 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
   SELECT cell, i AS pos,
          SUM(TRY_CAST(ROUND(e.embedding[i] * 1e6) AS BIGINT)) AS s,
          COUNT(*) AS c
-  FROM a{t} JOIN embeddings e USING (vec_id)
+  FROM a{t} JOIN tr e USING (vec_id)
   CROSS JOIN range(1, {dim + 1}) t(i)
   GROUP BY cell, i
 )"""

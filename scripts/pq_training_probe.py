@@ -38,6 +38,7 @@ from gomysql2pg_spark.operators.similarity import (  # noqa: E402
     PQ_SUBDIM,
     PQ_TOP_K,
     QUERY_MOD,
+    TRAIN_SAMPLE_MOD,
 )
 
 
@@ -92,6 +93,76 @@ def codebooks(X, iters: int):
     return cbs
 
 
+def sample_mask(ids, mod: int, pos: int = 30, residue: int = 0):
+    """The engine's _train_sample predicate (md5 hex digit `pos`,
+    0-indexed into the 32-char digest; 30 = SQL substring position
+    31) replicated in numpy, generalized over digit/residue so the
+    probe can measure the SPREAD across equally-valid samples."""
+    import hashlib
+
+    return np.asarray(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[pos], 16)
+            % mod
+            == residue
+            for i in ids
+        ]
+    )
+
+
+def codebooks_sampled(ids, X, iters: int, mask):
+    """codebooks() with the Lloyd stats restricted to mask — seeds
+    stay full-corpus, exactly like the engine."""
+    cbs = []
+    for m in range(PQ_M):
+        S = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        C = S[:PQ_K].copy()
+        T = S[mask]
+        for _ in range(iters):
+            d = ((T[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for k in range(PQ_K):
+                if (a == k).any():
+                    C[k] = T[a == k].mean(axis=0)
+        cbs.append(C)
+    return cbs
+
+
+def probe_sampled(label: str, sf_dir: str) -> None:
+    """r15 measurement for the sampled-training decision: recall@5 of
+    the PRODUCTION sample spec vs full training vs the spread across
+    six equally-valid digit/residue choices. Recorded result (10x
+    smoke): full 0.764; spread over half/quarter samples 0.69-0.84 —
+    full-train recall sits INSIDE the sampling noise band, so the
+    half-sample model is statistically indistinguishable while the
+    training scans halve."""
+    ids, X = load(sf_dir)
+    qid, Q, exact = exact_top5(ids, X)
+    full = adc_recall(ids, X, qid, Q, exact, codebooks(X, 1))
+    prod = adc_recall(
+        ids, X, qid, Q, exact,
+        codebooks_sampled(ids, X, 1, sample_mask(ids, TRAIN_SAMPLE_MOD)),
+    )
+    print(f"\n{label}: {len(ids)} vectors — full-train recall@5 "
+          f"{full:.3f}, production sample (mod {TRAIN_SAMPLE_MOD}) "
+          f"{prod:.3f}")
+    spread = []
+    for pos in (31, 30, 29):
+        for residue in (0, 1):
+            m = sample_mask(ids, 2, pos, residue)
+            spread.append(
+                round(
+                    adc_recall(
+                        ids, X, qid, Q, exact,
+                        codebooks_sampled(ids, X, 1, m),
+                    ),
+                    3,
+                )
+            )
+    print(f"  spread across 6 half-samples: {min(spread)}-{max(spread)}"
+          f" {spread}")
+
+
 def adc_recall(ids, X, qid, Q, exact, cbs) -> float:
     codes = np.stack(
         [
@@ -136,13 +207,16 @@ def probe(label: str, sf_dir: str) -> None:
 
 
 def main() -> int:
-    probe("sf0.1", "/root/testdata/sf0.1")
     reps = 10
     if "--replicate" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--replicate") + 1])
     from scripts.scale_smoke import build_replicated
 
     rep_dir = build_replicated("/root/testdata/sf0.1", reps)
+    if "--sampled" in sys.argv:
+        probe_sampled(f"{reps}x replicated (~sf1 smoke corpus)", rep_dir)
+        return 0
+    probe("sf0.1", "/root/testdata/sf0.1")
     probe(f"{reps}x replicated (~sf1 smoke corpus)", rep_dir)
     return 0
 

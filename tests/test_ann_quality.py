@@ -437,7 +437,28 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
     micros = (np.trunc(np.abs(mat) * 1e6 + 0.5) * np.sign(mat)).astype(
         np.int64
     )
-    from gomysql2pg_spark.operators.similarity import PQ_TRAIN_ITERS
+    from gomysql2pg_spark.operators.similarity import (
+        PQ_TRAIN_ITERS,
+        TRAIN_SAMPLE_MOD,
+    )
+
+    # r15: both quantizers train on the md5 hash-sample (seeds and
+    # encoding stay full-corpus) — replicate the engine's
+    # _train_sample mask independently
+    import hashlib as _hl
+
+    tmask = (
+        np.asarray(
+            [
+                int(_hl.md5(str(int(v)).encode()).hexdigest()[30], 16)
+                % TRAIN_SAMPLE_MOD
+                == 0
+                for v in vid
+            ]
+        )
+        if TRAIN_SAMPLE_MOD > 1
+        else np.ones(len(vid), dtype=bool)
+    )
 
     # trained sub-codebooks (r14): PQ_TRAIN_ITERS Lloyd iterations per
     # subspace from the seed sub-slices (vec_id < PQ_K), same
@@ -455,10 +476,10 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
         }
         for _ in range(PQ_TRAIN_ITERS):
             C = np.stack([cb[int(s)] for s in seed_ids])
-            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = ((sub[tmask][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d.argmin(axis=1)  # first min = smallest cid
             for k, s in enumerate(seed_ids):
-                rows = smic[a == k]
+                rows = smic[tmask][a == k]
                 if len(rows):
                     cb[int(s)] = (
                         rows.sum(axis=0).astype(np.float64) / 1e6
@@ -482,10 +503,10 @@ def test_ivfpq_equals_independent_numpy_ivfadc(spark, sf_dir, queries):
     cent = {int(vid[i]): mat[i].copy() for i in np.flatnonzero(vid < IVF_NLIST)}
     for _ in range(IVF_TRAIN_ITERS):
         C = np.stack([cent[c] for c in cell_ids])
-        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = ((mat[tmask][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)  # first min = smallest cell id
         for ci, c in enumerate(cell_ids):
-            rows = micros[assign == ci]
+            rows = micros[tmask][assign == ci]
             if len(rows):
                 cent[c] = (
                     rows.sum(axis=0).astype(np.float64) / 1e6
@@ -721,22 +742,31 @@ def test_ivf_code_table_partition_prunes_on_probe(spark, sf_dir, tmp_path):
     )
 
 
-def test_train_coarse_empty_cell_keeps_previous_centroid(spark):
+def test_train_coarse_empty_cell_keeps_previous_centroid(
+    spark, monkeypatch
+):
     """The one training branch the fixture never hits: a cell that
     loses every member keeps its previous centroid, in BOTH engines.
     Two identical seed vectors force it deterministically — every
     vector equidistant to cells 2 and 3 tie-breaks to the smaller
     cell, so cell 3 is empty from iteration 1. The Spark-side model
     must keep cell 3's seed centroid verbatim, and the oracle's
-    COALESCE CTE must produce the identical final centroids."""
+    COALESCE CTE must produce the identical final centroids.
+    Training-sample disabled (MOD=1): the hand-built membership
+    geometry needs every synthetic vector in the training set, and
+    the hash-sample is orthogonal to the empty-cell branch (its
+    engine/oracle parity has its own test)."""
     import duckdb
     import pandas as pd
 
+    from gomysql2pg_spark.operators import similarity as SIMM
     from gomysql2pg_spark.operators.similarity import (
         IVF_TRAIN_ITERS,
-        _coarse_train_sql,
         _train_coarse,
     )
+
+    monkeypatch.setattr(SIMM, "TRAIN_SAMPLE_MOD", 1)
+    _coarse_train_sql = SIMM._coarse_train_sql
 
     dim = 64
     # seeds = vec_id 0..7; seed 7 DUPLICATES seed 6, and members (ids
@@ -1338,3 +1368,76 @@ def test_assign_cells_join_form_caches_tagged_ids(spark):
     got = {(r["vec_id"], r["cell"]) for r in out.collect()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)}
     spark.catalog.clearCache()
+
+
+def test_sampled_training_matches_oracle_and_actually_samples(spark):
+    """The r15 training hash-sample is part of the model spec: the
+    engine's _train_sample predicate and the oracle's `tr` CTE must
+    pick the SAME subset (md5-of-string is byte-identical across
+    engines) and train to the bit-identical model — on a fixture
+    where the sample is a strict subset AND a NULL vec_id is present
+    (excluded from training by BOTH engines: the predicate hashes
+    NULL to NULL)."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from gomysql2pg_spark.operators import similarity as SIMM
+
+    dim = SIMM.PQ_M * SIMM.PQ_SUBDIM
+    rows = [(i, [float(i + 1)] * dim) for i in range(SIMM.IVF_NLIST)]
+    # member 100 is EXCLUDED by the sample (md5 digit 31 of "100" is
+    # odd) and is an outlier that would drag cell 7's mean to ~29 if
+    # it trained; members 103/105 are kept. So sampled != full-train
+    # is guaranteed, not fixture luck.
+    rows += [
+        (100, [50.0] * dim),
+        (103, [1.35] * dim),
+        (105, [1.65] * dim),
+    ]
+    rows.append((None, [2.5] * dim))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # the sample must bite: some non-seed member excluded
+    member_ids = [r[0] for r in rows if r[0] is not None]
+    kept = [
+        i
+        for i in member_ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[30], 16)
+        % SIMM.TRAIN_SAMPLE_MOD
+        == 0
+    ]
+    assert 0 < len(kept) < len(member_ids)
+
+    model = dict(SIMM._train_coarse(emb))
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": pd.array(
+                    [r[0] for r in rows], dtype="Int64"
+                ),
+                "embedding": [r[1] for r in rows],
+            }
+        ),
+    )
+    got = con.execute(
+        f"WITH {SIMM._coarse_train_sql()} SELECT cell, ce "
+        f"FROM cent{SIMM.IVF_TRAIN_ITERS} ORDER BY cell"
+    ).fetchall()
+    con.close()
+    assert {c: list(ce) for c, ce in got} == model
+    # and the model differs from an UNSAMPLED training run — proof
+    # the engine-side filter engaged (not vacuously equal)
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(SIMM, "TRAIN_SAMPLE_MOD", 1)
+    try:
+        full = dict(SIMM._train_coarse(emb))
+    finally:
+        mp.undo()
+    assert model != full
