@@ -7,7 +7,16 @@ close to linearly in rows, so a time ratio far above the row ratio
 flags a quadratic term (unbounded candidate generation, a global
 window, a driver-side collect) that small fixtures can't surface.
 
-    python scripts/scale_smoke.py [replication] [--sparse] [name_filter...]
+    python scripts/scale_smoke.py [replication] [--sparse|--skewed] [name_filter...]
+
+`--skewed` builds the dup-DENSE adversarial twin (r14 VERDICT item 5):
+every third document's text is replaced by ONE shared boilerplate
+template, so after replication a single LSH bucket holds ~reps×n/3
+members — orders of magnitude over LSH_MAX_BUCKET, in EVERY band
+(identical docs collide everywhere). This is the mega-bucket the
+bucket cap exists for; the smoke records that the LSH family survives
+it with bounded time (the window gate drops the bucket BEFORE the
+collect materializes it). Defaults the filter to the LSH family.
 
 `--sparse` switches the documents replication to the duplication-SPARSE
 variant (replicas are NOT near-dups — see `build_replicated`), defaults
@@ -115,7 +124,16 @@ SCALE_CRITICAL = [
 ]
 
 
-def build_replicated(base: str, reps: int, sparse: bool = False) -> str:
+SKEW_TEMPLATE = (
+    "this is the shared boilerplate template footer stamped verbatim "
+    "across a third of the corpus navigation about contact terms "
+    "privacy copyright all rights reserved subscribe newsletter "
+) * 3
+
+
+def build_replicated(
+    base: str, reps: int, sparse: bool = False, skewed: bool = False
+) -> str:
     """`sparse=True` builds the duplication-SPARSE variant: every word
     gets a per-replica suffix (`the` → `ther3`), so each replica's
     shingle universe is disjoint from every other's while its INTERNAL
@@ -144,9 +162,9 @@ def build_replicated(base: str, reps: int, sparse: bool = False) -> str:
     # The key must cover the CONSTRUCTION RECIPE too (sparse flag +
     # template shape), or editing the recipe silently reuses a stale
     # tree built by the old one.
-    recipe = (stamp, sparse, "v3-word-suffix")
+    recipe = (stamp, sparse, skewed, "v3-word-suffix")
     key = hashlib.md5(repr(recipe).encode()).hexdigest()[:12]
-    tag = "sparse_" if sparse else ""
+    tag = "sparse_" if sparse else ("skewed_" if skewed else "")
     out = os.path.join("/tmp", f"spark_graft_scale_{tag}{reps}x_{key}")
     manifest = os.path.join(out, "_MANIFEST.json")
     if os.path.isfile(manifest):
@@ -202,7 +220,23 @@ def build_replicated(base: str, reps: int, sparse: bool = False) -> str:
                     c,
                     pc.add(t[c], i * step),
                 )
-            if f == "documents.parquet" and sparse:
+            if f == "documents.parquet" and skewed:
+                # dup-DENSE adversarial twin: one template stamped on
+                # every third doc of every replica — one mega-bucket
+                # per band, ~reps*n/3 members, far over LSH_MAX_BUCKET
+                import pyarrow as pa
+
+                idx = t.schema.get_field_index("text")
+                ids = t["doc_id"].to_pylist()
+                txt = t["text"].to_pylist()
+                txt = [
+                    SKEW_TEMPLATE if (d is not None and d % 3 == 0) else x
+                    for d, x in zip(ids, txt)
+                ]
+                t = t.set_column(
+                    idx, "text", pa.array(txt, type=t.schema.field(idx).type)
+                )
+            elif f == "documents.parquet" and sparse:
                 idx = t.schema.get_field_index("text")
                 # per-replica word suffix: replica shingle universes
                 # are disjoint (no cross-replica near-dups) with the
@@ -236,21 +270,34 @@ def build_replicated(base: str, reps: int, sparse: bool = False) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--sparse", "--skewed")
+    ]
     sparse = "--sparse" in sys.argv[1:]
+    skewed = "--skewed" in sys.argv[1:]
     reps = int(args[0]) if args else 10
     name_filter = args[1:]
     if sparse and not name_filter:
         # the sparse corpus exists to show the prefix-vs-full-index
         # crossover; default to the pair (plus their shared downstream)
         name_filter = ["dedup_jaccard"]
+    if skewed and not name_filter:
+        # the skewed corpus exists to prove the LSH family survives a
+        # mega-bucket; exact-norm dedup rides along as the operator
+        # that HANDLES the template class upstream in production
+        name_filter = [
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "dedup_survivors_lsh",
+            "dedup_exact_norm",
+        ]
     names = [
         n
         for n in SCALE_CRITICAL
         if not name_filter or any(f in n for f in name_filter)
     ]
 
-    big = build_replicated(BASE, reps, sparse=sparse)
+    big = build_replicated(BASE, reps, sparse=sparse, skewed=skewed)
     print(f"# replicated fixtures: {big}", file=sys.stderr)
 
     import __spark_entry__ as entry
