@@ -170,6 +170,13 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "epoch_shuffle",
     "corpus_datacard",
+    # round-15: contrastive hard negatives (broadcast queries, one
+    # corpus scan), margin-based bitext mining (two pair-frame
+    # windows on integer micro-cosines), per-shard manifest (one agg
+    # riding the epoch-shuffle window's partitioning)
+    "hard_negative_mining",
+    "bitext_margin_pairs",
+    "shard_manifest",
 ]
 
 

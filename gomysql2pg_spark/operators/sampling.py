@@ -972,9 +972,70 @@ FROM keyed
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) manifest for the training-shard writer —
+    the artifact checkpoint-resume reads to verify a shard before
+    trusting it: document count, max in-shard position (== n_docs
+    when positions are dense 1..n, the writer invariant), and an
+    order-insensitive XOR content digest over (doc_id, pos) — the
+    `validate_bucket_checksum` idiom, so two independently produced
+    copies of a shard compare by 24 bytes instead of a row diff.
+
+    Plan: `q_epoch_shuffle`'s (epoch, shard)-partitioned window feeds
+    ONE map-side-combinable aggregate on the same keys. Statically
+    the aggregate rides the window's hash partitioning (no second
+    exchange in the initial plan); at runtime AQE's coalesced
+    shuffle read can downgrade the reported partitioning and re-add
+    an exchange — but by then the PARTIAL aggregate has already
+    collapsed each partition to ≤ EPOCHS × SHUFFLE_SHARDS rows, so
+    that exchange moves manifest-sized rows, never corpus rows (the
+    property the plan gate pins). Output is EPOCHS × SHUFFLE_SHARDS
+    rows at any corpus size. concat_ws skips a NULL doc_id
+    identically on both engines (the epoch_shuffle key
+    discipline)."""
+    sh = q_epoch_shuffle(spark, sf_dir)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        sh.select("epoch", "shard", "pos", digest.alias("d"))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("pos").alias("max_pos"),
+            F.expr("bit_xor(d)").alias("checksum"),
+        )
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH es AS ({ORACLE_EPOCH_SHUFFLE})
+SELECT epoch, shard,
+       COUNT(*) AS n_docs,
+       MAX(pos) AS max_pos,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws('|',
+         CAST(doc_id AS VARCHAR), CAST(pos AS VARCHAR)
+       )), 1, 15)) AS BIGINT)) AS checksum
+FROM es GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "epoch_shuffle": q_epoch_shuffle,
+    "shard_manifest": q_shard_manifest,
     "value_quantiles": q_value_quantiles,
     "key_skew_histogram": q_key_skew_histogram,
     "domain_cap_sample": q_domain_cap_sample,
@@ -993,6 +1054,7 @@ QUERIES = {
 ORACLES = {
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "key_skew_histogram": ORACLE_KEY_SKEW_HISTOGRAM,
     "domain_cap_sample": ORACLE_DOMAIN_CAP_SAMPLE,

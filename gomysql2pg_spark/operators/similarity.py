@@ -1458,8 +1458,216 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# r15: contrastive-training data mining over the embedding table
+# ---------------------------------------------------------------------------
+
+HN_K = 5  # hard negatives mined per query
+BITEXT_QUERY_MOD = 50  # side-A query set = vec_id % 50 == 0
+MARGIN_K = 4  # neighborhood size of the margin normalizer
+BITEXT_TOP = 3  # mined pairs kept per query
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the
+    HN_K nearest corpus vectors by cosine whose `label` DIFFERS from
+    the query's — the near-miss pairs a contrastive/embedding trainer
+    wants as negatives (closest wrong-class examples carry the
+    gradient signal; same-class neighbors are excluded because they
+    are potential positives).
+
+    Plan: queries broadcast; the corpus is scanned ONCE and the label
+    inequality (`IS DISTINCT FROM` — a NULL label counts as a
+    different class on both engines) is a row-local predicate fused
+    into the broadcast join, so candidates never shuffle; per-query
+    rank via a window partitioned by qid. Same scale shape as
+    `q_similarity_topk` (the exact baseline): at 100 TB the mining
+    working set is |Q| × corpus — production replaces the brute-force
+    candidate set with the IVF cell probe (the `similarity_ivfpq`
+    index) while the mining semantics (label-inequality filter +
+    (cos DESC, nid) order) stay exactly these."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("qid"))
+        & (~F.col("label").eqNullSafe(F.col("qlabel"))),
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= HN_K
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+SELECT * FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS nid,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM embeddings q JOIN embeddings e
+    ON e.vec_id <> q.vec_id AND e.label IS DISTINCT FROM q.label
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= {HN_K}
+"""
+
+
+def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019
+    — the CCMatrix/LASER recipe): score a candidate pair not by raw
+    cosine but by the MARGIN — cosine normalized by the average
+    similarity of each side's MARGIN_K-nearest neighborhood — so a
+    'hubby' vector that is close to everything stops winning every
+    match. Sides come from label parity (side A mines against side
+    B); the query set is the A-side hash subset.
+
+        margin(a, b) = 2·cos(a,b) / (avgₖ cos(a, ·∈B) + avgₖ cos(·∈A_q, b))
+
+    Determinism discipline: cosines are micro-rounded to BIGINT
+    first, neighborhood sums aggregate integers (order-independent
+    under any partitioning), and the margin is ONE double division of
+    integer-derived values — both engines compute it bit-identically.
+    Pairs with a non-positive normalizer (degenerate all-negative
+    neighborhoods) are excluded by an integer predicate on both
+    engines.
+
+    Plan: A-queries broadcast against one scan of the B side (the
+    pair frame never shuffles to form); then exactly two exchanges of
+    the |Q|×|B| pair frame — one per window key (qid for the forward
+    neighborhood + final rank, nid for the backward one); the
+    neighborhood sums ride the SAME sorted window pass as their rank
+    (no self-joins). At 100 TB the |Q|×|B| working set is the
+    textbook regime for ANN pre-pruning: swap the brute-force pair
+    source for the IVF probe and keep every step downstream."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    side_a = emb.filter(F.col("label") % 2 == 0)
+    side_b = emb.filter(F.col("label") % 2 == 1)
+    q = side_a.filter(F.col("vec_id") % BITEXT_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = dot_double(F.col("qe"), F.col("embedding")) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    scored = side_b.join(F.broadcast(q), F.lit(True)).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cos * 1e6).try_cast("bigint").alias("cos_micro"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(
+        F.col("cos_micro").desc(), F.col("nid")
+    )
+    w_b = Window.partitionBy("nid").orderBy(
+        F.col("cos_micro").desc(), F.col("qid")
+    )
+    x = (
+        scored.withColumn("rn_f", F.row_number().over(w_f))
+        .withColumn(
+            "fwd_sum",
+            F.sum(
+                F.when(F.col("rn_f") <= MARGIN_K, F.col("cos_micro"))
+            ).over(Window.partitionBy("qid")),
+        )
+        .withColumn("rn_b", F.row_number().over(w_b))
+        .withColumn(
+            "bwd_sum",
+            F.sum(
+                F.when(F.col("rn_b") <= MARGIN_K, F.col("cos_micro"))
+            ).over(Window.partitionBy("nid")),
+        )
+        .withColumn("denom", F.col("fwd_sum") + F.col("bwd_sum"))
+        .filter(F.col("denom") > 0)
+        .withColumn(
+            "margin_micro",
+            F.round(
+                F.lit(2.0 * MARGIN_K * 1e6)
+                * F.col("cos_micro")
+                / F.col("denom")
+            ).try_cast("bigint"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("margin_micro").desc(), F.col("nid")
+    )
+    return (
+        x.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= BITEXT_TOP)
+        .select("qid", "nid", "cos_micro", "margin_micro", "rank")
+    )
+
+
+ORACLE_BITEXT_MARGIN_PAIRS = f"""
+WITH qset AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE label % 2 = 0 AND vec_id % {BITEXT_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         TRY_CAST(ROUND(list_cosine_similarity(
+           q.qe::DOUBLE[], e.embedding::DOUBLE[]) * 1e6) AS BIGINT)
+           AS cos_micro
+  FROM qset q JOIN embeddings e ON e.label % 2 = 1
+),
+x AS (
+  SELECT qid, nid, cos_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_micro DESC, nid) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY nid
+                            ORDER BY cos_micro DESC, qid) AS rn_b
+  FROM scored
+),
+y AS (
+  SELECT qid, nid, cos_micro,
+         SUM(CASE WHEN rn_f <= {MARGIN_K} THEN cos_micro END)
+           OVER (PARTITION BY qid)
+         + SUM(CASE WHEN rn_b <= {MARGIN_K} THEN cos_micro END)
+           OVER (PARTITION BY nid) AS denom
+  FROM x
+),
+z AS (
+  SELECT qid, nid, cos_micro,
+         TRY_CAST(ROUND(2.0 * {MARGIN_K} * 1e6 * cos_micro / denom)
+                  AS BIGINT) AS margin_micro
+  FROM y WHERE denom > 0
+)
+SELECT qid, nid, cos_micro, margin_micro,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT z.*, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY margin_micro DESC, nid) AS rank
+  FROM z
+) WHERE rank <= {BITEXT_TOP}
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "hard_negative_mining": q_hard_negative_mining,
+    "bitext_margin_pairs": q_bitext_margin_pairs,
     "similarity_pq": q_similarity_pq,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivfpq": q_similarity_ivfpq,
@@ -1470,6 +1678,8 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
+    "bitext_margin_pairs": ORACLE_BITEXT_MARGIN_PAIRS,
     "similarity_pq": ORACLE_SIMILARITY_PQ,
     "similarity_ivf": ORACLE_SIMILARITY_IVF,
     "similarity_ivfpq": ORACLE_SIMILARITY_IVFPQ,

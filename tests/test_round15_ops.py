@@ -1,0 +1,148 @@
+"""Invariants + plan gates for the round-15 operators (SURVEY §2.O):
+hard_negative_mining, bitext_margin_pairs, shard_manifest. Oracle
+hash-exactness is the driver's job; these pin the SEMANTIC invariants
+a hash can't articulate and the plan shapes the 100 TB story depends
+on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_hard_negatives_are_cross_label_and_dense_ranked(
+    spark, sf_dir, queries
+):
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.similarity import HN_K, QUERY_MOD
+
+    out = queries["hard_negative_mining"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = (
+        out.join(
+            emb.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "qid",
+        )
+        .join(
+            emb.withColumnRenamed("vec_id", "nid").withColumnRenamed(
+                "label", "nlabel"
+            ),
+            "nid",
+        )
+        .collect()
+    )
+    assert labeled
+    per_q: dict = {}
+    for r in labeled:
+        # a negative NEVER shares the query's label, and never IS it
+        assert r["nlabel"] != r["qlabel"] and r["nid"] != r["qid"]
+        assert r["qid"] % QUERY_MOD == 0
+        per_q.setdefault(r["qid"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        # dense 1..k ranking, no gaps (a dropped candidate would gap)
+        assert sorted(ranks) == list(range(1, min(HN_K, len(ranks)) + 1))
+
+
+def test_hard_negatives_corpus_never_shuffles_before_scoring(
+    spark, sf_dir, queries
+):
+    """Broadcast-queries shape: the only exchange is the per-query
+    rank window (hashpartitioning on qid); the corpus side reaches
+    the join unshuffled."""
+    plan = plan_of(queries["hard_negative_mining"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_margin_demotes_hub_vectors(spark, tmp_path, queries):
+    """The point of the margin: a hub vector equally close to every
+    query must lose to a mutually-exclusive match. Construct side B
+    with a hub (high cosine to BOTH queries) and two dedicated
+    matches (higher cosine to exactly one query each): raw cosine
+    would rank the hub over the weak dedicated match, margin must
+    rank every query's dedicated match first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    dim = SIM.PQ_M * SIM.PQ_SUBDIM
+
+    def vec(x, y):
+        v = [0.0] * dim
+        v[0], v[1] = x, y
+        return v
+
+    rows = [
+        # side A queries (label 0, vec_id % BITEXT_QUERY_MOD == 0)
+        (0, vec(1.0, 0.0), 0),
+        (SIM.BITEXT_QUERY_MOD, vec(0.0, 1.0), 0),
+        # side B: hub at 45° (cos ~0.71 to both), dedicated matches
+        (1, vec(0.9, 0.9), 1),          # hub
+        (3, vec(1.0, 0.25), 1),         # match for q0 (cos ~0.97)
+        (5, vec(0.25, 1.0), 1),         # match for q50 (cos ~0.97)
+        # filler so neighborhoods have mass
+        (7, vec(-1.0, 0.5), 1),
+        (9, vec(0.5, -1.0), 1),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": pa.array(
+                [r[1] for r in rows], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = {
+        (r["qid"], r["rank"]): r["nid"]
+        for r in queries["bitext_margin_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[(0, 1)] == 3
+    assert out[(SIM.BITEXT_QUERY_MOD, 1)] == 5
+
+
+def test_shard_manifest_dense_positions_and_plan(spark, sf_dir, queries):
+    """Writer invariant: positions are dense 1..n per (epoch, shard)
+    (max_pos == n_docs) and the manifest covers every shard exactly
+    once. Plan gates: a PARTIAL aggregate collapses each partition to
+    manifest-sized rows before any post-window exchange (AQE's
+    coalesced read may re-add one at runtime, but it only ever moves
+    combined rows), the STATIC plan has exactly the window's own
+    exchange, and nothing is single-partitioned."""
+    out = queries["shard_manifest"](spark, sf_dir)
+    # static plan (pre-execution): the aggregate rides the window's
+    # partitioning — exactly one exchange, keyed (epoch, shard)
+    static = plan_of(out, "simple")
+    assert static.count("Exchange hashpartitioning") == 1, static
+    assert "partial_count" in static and "partial_bit_xor" in static
+    assert "SinglePartition" not in static
+    rows = out.collect()
+    seen = set()
+    for r in rows:
+        assert r["max_pos"] == r["n_docs"], r
+        key = (r["epoch"], r["shard"])
+        assert key not in seen
+        seen.add(key)
