@@ -29,36 +29,39 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r14 window (50 slots), derived 2026-08-15.
-    # (1) changed this build: the fused single-shuffle LSH bucket-cap
-    # kernel (both verified twins), the fused inverted-index pair
-    # kernel (jaccard/containment + their CC/survivor/split/impact
-    # consumers), the narrow-regroup cell assignment, the TRAINED PQ
-    # sub-codebooks, and the LocalTableScan model tables (PQ + IVFADC)
-    "dedup_containment", "dedup_jaccard", "dedup_clusters",
+    # --- r15 window (50 slots), derived 2026-08-15 by
+    # `scripts/registry_hashes.py --derive-window`.
+    # (1) changed this build: the window-gated memory-bounded LSH
+    # kernel (both verified twins), the concat_ws shard key (epoch
+    # shards), sampled quantizer training + the persisted-id cell
+    # assignment + the DDL-parsed model tables (PQ/IVFADC), and the
+    # 3 r15-NEW entries (hard negatives, bitext margins, shard
+    # manifest — never driver-checked)
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "dedup_survivors", "dedup_impact_report",
-    "similarity_ivfpq", "similarity_pq", "split_by_cluster",
-    # ...then the 3 r14-NEW entries (never driver-checked): CCNet
-    # perplexity terciles, the per-source datacard, epoch shards
-    "ccnet_perplexity_buckets", "corpus_datacard", "epoch_shuffle",
-    # (2) stale, oldest green row first: the 23 remaining r09 rows
-    "bm25_components", "cube_agg", "derived_table", "filtered_aggs",
-    "grouping_sets", "having_large_orders", "join_multi",
-    "lateral_explode", "median_percentile", "page_fetch_composite",
-    "page_limit_offset", "q10_returned_items", "q5_local_supplier",
-    "q6_forecast_revenue", "range_join_bands",
-    "scalar_subquery_above_brand_avg", "skew_salted_join",
-    "stats_aggs", "topk_by_aggregation", "window_funcs",
-    "window_range_frame", "window_topk", "window_value_funcs",
-    # ...then 14 of the stale r10 rows (the rest lead the r15 queue
-    # together with the stale r11/r12 rows — see REGISTRY_HASHES.json
-    # "queued")
-    "array_funcs", "bigram_counts", "bigram_lm_logprob",
-    "corpus_pipeline", "dataset_split", "decontamination_check",
-    "dedup_substring_chunks", "embedding_quantize",
-    "incremental_dedup", "map_funcs", "math_funcs", "mm_decode",
-    "mm_features", "mm_frame_sample",
+    "epoch_shuffle", "similarity_ivfpq", "similarity_pq",
+    "bitext_margin_pairs", "hard_negative_mining", "shard_manifest",
+    # (2) the ENTIRE 34-entry stale queue (r14 verdict item 2),
+    # oldest green row first: the r10 rows…
+    "mm_metadata", "mm_resize", "pandas_udaf_wavg",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q19_disjunctive", "q22_dormant_customers", "q8_market_share",
+    "ratio_to_report", "repetition_filter", "seq_packing",
+    "unpivot_metrics",
+    # …the r11 rows…
+    "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
+    "kmeans_assign", "kmeans_update", "q18_large_volume",
+    "q3_shipping_priority", "q7_volume_shipping", "skew_salted_agg",
+    # …the r12 rows…
+    "bloom_prefilter_join", "coreset_margin_select",
+    "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
+    "events_top_paths", "events_transition_matrix",
+    "group_reservoir_sample", "mixture_allocation",
+    "pagerank_bipartite", "similarity_lsh_verified",
+    # (3) slots remain after the full burn-down: fresh entries with
+    # the oldest green rows (r09)
+    "catalog_tables", "cross_join_small", "datetime_funcs",
+    "exists_pending_orders", "full_outer_join", "lang_id",
+    "null_safe_join", "pii_scrub",
 ]
 
 
