@@ -39,7 +39,8 @@ _PRIORITY = [
     # manifest — never driver-checked)
     "dedup_minhash_lsh_verified", "dedup_simhash_verified",
     "epoch_shuffle", "similarity_ivfpq", "similarity_pq",
-    "bitext_margin_pairs", "hard_negative_mining", "shard_manifest",
+    "bitext_margin_pairs", "hard_negative_mining",
+    "hard_negative_mining_ivf", "shard_manifest",
     # (2) the ENTIRE 34-entry stale queue (r14 verdict item 2),
     # oldest green row first: the r10 rows…
     "mm_metadata", "mm_resize", "pandas_udaf_wavg",
@@ -61,7 +62,7 @@ _PRIORITY = [
     # the oldest green rows (r09)
     "catalog_tables", "cross_join_small", "datetime_funcs",
     "exists_pending_orders", "full_outer_join", "lang_id",
-    "null_safe_join", "pii_scrub",
+    "null_safe_join",
 ]
 
 

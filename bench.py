@@ -175,6 +175,7 @@ HEADLINE = [
     # windows on integer micro-cosines), per-shard manifest (one agg
     # riding the epoch-shuffle window's partitioning)
     "hard_negative_mining",
+    "hard_negative_mining_ivf",
     "bitext_margin_pairs",
     "shard_manifest",
 ]

@@ -1533,6 +1533,132 @@ SELECT * FROM (
 """
 
 
+def q_hard_negative_mining_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """`q_hard_negative_mining`'s documented scale path, executed:
+    candidates come from the query's `nprobe` nearest TRAINED coarse
+    cells (the `similarity_ivfpq` probe machinery — multi-probe cell
+    ranking by exact centroid distance with the (d², cell) tie-break)
+    instead of the whole corpus, then the label-inequality filter and
+    exact-cosine rerank run unchanged on the pruned candidate set. At
+    100 TB the candidate scan is |Q| × nprobe × n/nlist rows against
+    the cell-partitioned index table (partition-pruned, as ivfpq's
+    plan gate proves) instead of |Q| × n — the mining semantics
+    (IS DISTINCT FROM labels, (cos DESC, nid) order) are byte-for-byte
+    `q_hard_negative_mining`'s, so recall loss is exactly the probe's
+    cell-miss rate and nothing else. The oracle replays coarse
+    training, assignment, probe ranking, and rerank CTE-for-CTE."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    cent_rows = _coarse_model(sf_dir, emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "qid bigint, nid bigint, cos_sim double, rank int"
+        )
+    assigned = _assign_cells(emb, cent_rows)
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
+    # multi-probe: rank every trained centroid per query (tiny × tiny,
+    # constant-derived-key BroadcastHashJoin — the ivfpq idiom)
+    qc = (
+        q.withColumn("_x", F.col("qid") % F.lit(1))
+        .join(
+            F.broadcast(
+                cent.withColumn(
+                    "_x", F.col("cell").cast("bigint") % F.lit(1)
+                )
+            ),
+            "_x",
+        )
+        .select(
+            "qid",
+            "cell",
+            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", F.col("cell").alias("qcell"))
+    )
+    pq_ = probes.join(q, "qid")
+    cand = assigned.join(
+        F.broadcast(pq_),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("qid"))
+        & (~F.col("label").eqNullSafe(F.col("qlabel"))),
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (
+            dot_double(F.col("qe"), F.col("embedding"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= HN_K
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING_IVF = f"""
+WITH {_coarse_train_sql()},
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_PQ_FOLD.format(a='e.embedding', b='c.ce')},
+                      c.cell) AS rn
+    FROM embeddings e, cent{IVF_TRAIN_ITERS} c)
+  WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+),
+qcell AS (
+  SELECT q.qid, cen.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_PQ_FOLD.format(a='qe', b='cen.ce')}, cen.cell
+         ) AS crank
+  FROM q, cent{IVF_TRAIN_ITERS} cen
+),
+probes AS (SELECT qid, cell FROM qcell WHERE crank <= {IVF_NPROBE}),
+cand AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe::DOUBLE[],
+                                e.embedding::DOUBLE[]) AS cos_sim
+  FROM cells cl
+  JOIN probes p ON cl.cell = p.cell
+  JOIN q ON q.qid = p.qid AND cl.vec_id <> q.qid
+  JOIN embeddings e
+    ON e.vec_id = cl.vec_id AND e.label IS DISTINCT FROM q.qlabel
+)
+SELECT qid, nid, cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+  FROM cand
+) WHERE rank <= {HN_K}
+"""
+
+
 def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019
     — the CCMatrix/LASER recipe): score a candidate pair not by raw
@@ -1667,6 +1793,7 @@ FROM (
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "hard_negative_mining": q_hard_negative_mining,
+    "hard_negative_mining_ivf": q_hard_negative_mining_ivf,
     "bitext_margin_pairs": q_bitext_margin_pairs,
     "similarity_pq": q_similarity_pq,
     "similarity_ivf": q_similarity_ivf,
@@ -1679,6 +1806,7 @@ QUERIES = {
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
+    "hard_negative_mining_ivf": ORACLE_HARD_NEGATIVE_MINING_IVF,
     "bitext_margin_pairs": ORACLE_BITEXT_MARGIN_PAIRS,
     "similarity_pq": ORACLE_SIMILARITY_PQ,
     "similarity_ivf": ORACLE_SIMILARITY_IVF,

@@ -146,3 +146,37 @@ def test_shard_manifest_dense_positions_and_plan(spark, sf_dir, queries):
         key = (r["epoch"], r["shard"])
         assert key not in seen
         seen.add(key)
+
+
+def test_ivf_hard_negatives_equal_brute_force_when_probing_all_cells(
+    spark, sf_dir, queries
+):
+    """The IVF variant differs from brute force ONLY by the probe's
+    cell pruning: with nprobe = IVF_NLIST (probe every cell) the
+    candidate universe is the whole corpus and the output must equal
+    `hard_negative_mining` row-for-row. At the default nprobe the
+    overlap is the probe's cell-hit rate — floor it well below the
+    measured 0.36 (near-isotropic fixture embeddings, same regime as
+    the ivfpq recall gates)."""
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    brute = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in queries["hard_negative_mining"](spark, sf_dir).collect()
+    }
+    assert brute
+    full_probe = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in SIM.q_hard_negative_mining_ivf(
+            spark, sf_dir, nprobe=SIM.IVF_NLIST
+        ).collect()
+    }
+    assert full_probe == brute
+    pruned = {
+        (r["qid"], r["nid"])
+        for r in queries["hard_negative_mining_ivf"](
+            spark, sf_dir
+        ).collect()
+    }
+    br = {(q, n) for q, n, _ in brute}
+    assert len(pruned & br) / len(br) >= 0.15
