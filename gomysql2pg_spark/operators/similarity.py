@@ -890,13 +890,16 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     ]
     train = _train_sample(emb)
     for _ in range(IVF_TRAIN_ITERS):
+        assigned = _assign_cells(train, sorted(cent.items()))
         stats = (
-            _assign_cells(train, sorted(cent.items()))
-            .groupBy("cell")
-            .agg(*aggs)
-            .limit(IVF_NLIST)
-            .collect()
+            assigned.groupBy("cell").agg(*aggs).limit(IVF_NLIST).collect()
         )
+        # the per-iteration assignment is fully drained by the collect
+        # above — release the join-form id cache instead of pinning a
+        # corpus-scale frame per iteration for the session lifetime
+        cache = getattr(assigned, "_id_cache", None)
+        if cache is not None:
+            cache.unpersist()
         for r in stats:
             # a component sum can be NULL if every member's value was
             # non-finite (poisoned vectors) — contribute 0, not a crash
@@ -1212,7 +1215,14 @@ def _assign_cells(
         )
         .select("__rid", F.col("b.cell").alias("cell"))
     )
-    return tagged.join(assign, "__rid").select(*df.columns, "cell")
+    out = tagged.join(assign, "__rid").select(*df.columns, "cell")
+    # expose the cache handle so EAGER consumers (training loops that
+    # fully drain the assignment per iteration) can release the
+    # corpus-scale cache instead of pinning it for the session —
+    # lazy/query-shaped consumers leave it pinned for the plan's
+    # lifetime, which is the price of id determinism
+    out._id_cache = tagged
+    return out
 
 
 def q_similarity_ivfpq(
@@ -1541,14 +1551,21 @@ def q_hard_negative_mining_ivf(
     cells (the `similarity_ivfpq` probe machinery — multi-probe cell
     ranking by exact centroid distance with the (d², cell) tie-break)
     instead of the whole corpus, then the label-inequality filter and
-    exact-cosine rerank run unchanged on the pruned candidate set. At
-    100 TB the candidate scan is |Q| × nprobe × n/nlist rows against
-    the cell-partitioned index table (partition-pruned, as ivfpq's
-    plan gate proves) instead of |Q| × n — the mining semantics
-    (IS DISTINCT FROM labels, (cos DESC, nid) order) are byte-for-byte
-    `q_hard_negative_mining`'s, so recall loss is exactly the probe's
-    cell-miss rate and nothing else. The oracle replays coarse
-    training, assignment, probe ranking, and rerank CTE-for-CTE."""
+    exact-cosine rerank run unchanged on the pruned candidate set.
+    What THIS plan prunes is the RERANK set (|Q| × nprobe × n/nlist
+    cosine evaluations instead of |Q| × n): cell assignment here is
+    recomputed inline over one corpus scan — the honest fixture form.
+    The full scan-pruning story additionally stores the assigned
+    corpus cell-partitioned on disk and probes it with dynamic
+    partition pruning, which is `_ivf_index`'s plan (proven for
+    `q_similarity_ivfpq`); swapping this operator's `assigned` frame
+    for that table is a storage decision, not a semantics change. The
+    mining semantics (IS DISTINCT FROM labels, (cos DESC, nid) order)
+    are byte-for-byte `q_hard_negative_mining`'s, so recall loss is
+    exactly the probe's cell-miss rate and nothing else (equivalence
+    gate: nprobe = nlist reproduces brute force row-for-row). The
+    oracle replays coarse training, assignment, probe ranking, and
+    rerank CTE-for-CTE."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "nrm", _l2(F.col("embedding"))
     )
@@ -1680,14 +1697,22 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: A-queries broadcast against one scan of the B side (the
     pair frame never shuffles to form); then exactly two exchanges of
-    the |Q|×|B| pair frame — one per window key (qid for the forward
-    neighborhood + final rank, nid for the backward one); the
-    neighborhood sums ride the SAME sorted window pass as their rank
-    (no self-joins). At 100 TB the |Q|×|B| working set is the
-    textbook regime for ANN pre-pruning: swap the brute-force pair
-    source for the IVF probe and keep every step downstream."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _l2(F.col("embedding"))
+    the |Q|×|B| pair frame — the BACKWARD (nid) window pass first,
+    then ONE qid exchange under which the forward rank, the forward
+    neighborhood sum, the margin, and the final rank all ride (the
+    rank windows re-sort within the same partitioning, they don't
+    re-shuffle; plan-gated). The neighborhood sums ride the SAME
+    sorted window pass as their rank (no self-joins). NULL-keyed rows
+    are dropped up front on both engines — Spark orders NULL ids
+    first where DuckDB orders them last, so a NULL inside any
+    (cos, id) tie-break would silently diverge the rank chain (the
+    `_bucket_pairs` discipline). At 100 TB the |Q|×|B| working set is
+    the textbook regime for ANN pre-pruning: swap the brute-force
+    pair source for the IVF probe and keep every step downstream."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .withColumn("nrm", _l2(F.col("embedding")))
     )
     side_a = emb.filter(F.col("label") % 2 == 0)
     side_b = emb.filter(F.col("label") % 2 == 1)
@@ -1710,20 +1735,23 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_b = Window.partitionBy("nid").orderBy(
         F.col("cos_micro").desc(), F.col("qid")
     )
+    # backward (nid) pass FIRST, then everything qid-keyed under one
+    # exchange — the fwd-first order shuffled the pair frame a third
+    # time to come back to qid for the final rank
     x = (
-        scored.withColumn("rn_f", F.row_number().over(w_f))
-        .withColumn(
-            "fwd_sum",
-            F.sum(
-                F.when(F.col("rn_f") <= MARGIN_K, F.col("cos_micro"))
-            ).over(Window.partitionBy("qid")),
-        )
-        .withColumn("rn_b", F.row_number().over(w_b))
+        scored.withColumn("rn_b", F.row_number().over(w_b))
         .withColumn(
             "bwd_sum",
             F.sum(
                 F.when(F.col("rn_b") <= MARGIN_K, F.col("cos_micro"))
             ).over(Window.partitionBy("nid")),
+        )
+        .withColumn("rn_f", F.row_number().over(w_f))
+        .withColumn(
+            "fwd_sum",
+            F.sum(
+                F.when(F.col("rn_f") <= MARGIN_K, F.col("cos_micro"))
+            ).over(Window.partitionBy("qid")),
         )
         .withColumn("denom", F.col("fwd_sum") + F.col("bwd_sum"))
         .filter(F.col("denom") > 0)
@@ -1756,7 +1784,8 @@ scored AS (
          TRY_CAST(ROUND(list_cosine_similarity(
            q.qe::DOUBLE[], e.embedding::DOUBLE[]) * 1e6) AS BIGINT)
            AS cos_micro
-  FROM qset q JOIN embeddings e ON e.label % 2 = 1
+  FROM qset q
+  JOIN embeddings e ON e.label % 2 = 1 AND e.vec_id IS NOT NULL
 ),
 x AS (
   SELECT qid, nid, cos_micro,

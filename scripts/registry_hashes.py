@@ -238,16 +238,34 @@ def round_commit(rnd: int) -> str | None:
         sha, _, subject = line.partition(" ")
         if subject.startswith(f"round {rnd}: verdict"):
             return sha
-    return None
+    # equivalent evidence when the driver commit uses another subject:
+    # the commit that ADDED the round's correctness record carries the
+    # verified tree
+    out = subprocess.run(
+        [
+            "git",
+            "log",
+            "--diff-filter=A",
+            "--format=%H",
+            "--all",
+            "--",
+            f"CORRECTNESS_r{rnd:02d}.json",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    return out.splitlines()[-1] if out else None
 
 
-def snapshot_hashes(rnd: int) -> dict[str, str] | None:
+def snapshot_hashes(rnd: int, ref: str | None = None) -> dict[str, str] | None:
     """Hashes of the tree the round-`rnd` driver verified, via a
-    detached worktree + a subprocess running THIS script's --dump."""
-    sha = round_commit(rnd)
+    detached worktree + a subprocess running THIS script's --dump.
+    `ref` overrides the commit lookup (the HEAD fallback below)."""
+    sha = ref or round_commit(rnd)
     if sha is None:
         return None
-    wt = f"/tmp/registry_snap_r{rnd}"
+    wt = f"/tmp/registry_snap_{sha[:12]}"
     if not os.path.isdir(wt):
         r = subprocess.run(
             ["git", "worktree", "add", "--detach", wt, sha],
@@ -276,19 +294,33 @@ def resolve_snapshot(
     rnd: int, latest_rnd: int, cur: dict[str, str]
 ) -> tuple[dict[str, str] | None, str]:
     """The tree the round-``rnd`` driver verified, resolved in order:
-    (1) the driver's end-of-round snapshot commit; (2) for the LATEST
-    correctness round ONLY, the current working tree — in the window
-    between a driver run and its snapshot commit the working tree IS
-    the verified tree, so the just-verified entries must not report
-    "snapshot unavailable" (the r14 VERDICT's mid-round cosmetics
-    item; once the builder starts editing, those edits are exactly
-    the changes the report SHOULD surface); (3) None → conservatively
-    stale. Returns (hashes | None, source_label)."""
+    (1) the commit that carries the round's results (the driver's
+    'round N: verdict' snapshot commit, or failing that the commit
+    that ADDED CORRECTNESS_r{N}.json); (2) for the LATEST correctness
+    round ONLY, the HEAD tree — the driver verifies a committed tree,
+    so between its run and its snapshot commit HEAD is the verified
+    state, and builder edits made since (the working tree's diff from
+    HEAD) are correctly reported STALE rather than compared against
+    themselves (a raw working-tree fallback would make every
+    post-verify edit invisible — the r12 post-window-gap failure
+    mode); (3) None → conservatively stale. Returns
+    (hashes | None, source_label)."""
     snap = snapshot_hashes(rnd)
     if snap is not None:
         return snap, f"r{rnd} snapshot commit"
     if rnd == latest_rnd:
-        return dict(cur), f"working tree (r{rnd} snapshot not yet committed)"
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if head:
+            snap = snapshot_hashes(rnd, ref=head)
+            if snap is not None:
+                return snap, (
+                    f"HEAD tree (r{rnd} snapshot not yet committed)"
+                )
     return None, f"r{rnd} snapshot unavailable"
 
 

@@ -108,26 +108,43 @@ def test_statuses_are_known(state):
 
 def test_snapshot_resolution_order():
     """resolve_snapshot's documented order: (1) the round's snapshot
-    commit when it exists; (2) the WORKING TREE for the latest
+    commit when it exists; (2) the HEAD TREE for the latest
     correctness round only (mid-round, right after a driver run and
     before the driver's snapshot commit — the r14 'snapshot
-    unavailable' noise); (3) None for an older round with no commit."""
+    unavailable' noise; HEAD, not the working tree, so post-verify
+    edits are still reported stale instead of compared against
+    themselves); (3) None for an older round with no commit."""
     mod = _load_script()
     cur = {"some_entry": "abc123"}
 
-    # (1) a commit exists → the worktree dump wins regardless of round
     real = mod.snapshot_hashes
     try:
-        mod.snapshot_hashes = lambda rnd: {"some_entry": "fromsnap"}
+        # (1) a commit exists → the worktree dump wins regardless of
+        # round; no ref is passed
+        def snap_commit(rnd, ref=None):
+            assert ref is None
+            return {"some_entry": "fromsnap"}
+
+        mod.snapshot_hashes = snap_commit
         snap, src = mod.resolve_snapshot(7, 9, cur)
         assert snap == {"some_entry": "fromsnap"} and "commit" in src
 
-        # (2) no commit + latest round → current working tree
-        mod.snapshot_hashes = lambda rnd: None
+        # (2) no commit + latest round → the HEAD tree via an explicit
+        # ref (NEVER the raw current hashes — self-comparison would
+        # hide every post-verify edit)
+        calls = []
+
+        def snap_head(rnd, ref=None):
+            calls.append(ref)
+            return None if ref is None else {"some_entry": "fromhead"}
+
+        mod.snapshot_hashes = snap_head
         snap, src = mod.resolve_snapshot(9, 9, cur)
-        assert snap == cur and "working tree" in src
+        assert snap == {"some_entry": "fromhead"} and "HEAD" in src
+        assert snap != cur and any(r for r in calls if r)
 
         # (3) no commit + older round → unavailable (conservative)
+        mod.snapshot_hashes = lambda rnd, ref=None: None
         snap, src = mod.resolve_snapshot(7, 9, cur)
         assert snap is None and "unavailable" in src
     finally:

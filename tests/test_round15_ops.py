@@ -180,3 +180,49 @@ def test_ivf_hard_negatives_equal_brute_force_when_probing_all_cells(
     }
     br = {(q, n) for q, n, _ in brute}
     assert len(pruned & br) / len(br) >= 0.15
+
+
+def test_bitext_two_exchanges_and_null_id_parity(spark, sf_dir, tmp_path):
+    """Review findings made permanent: (a) the pair frame crosses the
+    wire exactly twice — backward (nid) pass first, then ONE qid
+    exchange under which forward rank, forward sum, margin, and final
+    rank all ride; (b) a NULL vec_id on side B (Spark sorts NULL ids
+    first, DuckDB last — a silent rank divergence inside any cosine
+    tie) is dropped up front on BOTH engines, pinned on a fixture
+    with an exact cos tie against a real row."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    df = qs["bitext_margin_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = tbl.to_pydict()
+    d["vec_id"].append(None)
+    d["embedding"].append(d["embedding"][3])  # exact cosine tie
+    d["label"].append(1)  # side B
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        tmp_path / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    from tests.oracle_utils import compare_query
+
+    r = compare_query(
+        qs["bitext_margin_pairs"](spark, str(tmp_path)),
+        osql["bitext_margin_pairs"],
+        con,
+    )
+    con.close()
+    assert r["count_match"] and r["schema_match"] and r["value_match"], r
