@@ -95,6 +95,15 @@ SCALE_CRITICAL = [
     "ccnet_perplexity_buckets",
     "epoch_shuffle",
     "corpus_datacard",
+    # r15: brute-force negative mining (|Q|x|corpus| by definition —
+    # the deliberate quadratic contrast, like similarity_topk), its
+    # IVF-probed bounded twin, margin-based bitext mining (|Q|x|B|
+    # pair frame through two window exchanges), per-shard manifest
+    # (one combinable agg over the epoch window)
+    "hard_negative_mining",
+    "hard_negative_mining_ivf",
+    "bitext_margin_pairs",
+    "shard_manifest",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",
