@@ -31,38 +31,33 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # --- r15 window (50 slots), derived 2026-08-15 by
     # `scripts/registry_hashes.py --derive-window`.
-    # (1) changed this build: the window-gated memory-bounded LSH
-    # kernel (both verified twins), the concat_ws shard key (epoch
-    # shards), sampled quantizer training + the persisted-id cell
-    # assignment + the DDL-parsed model tables (PQ/IVFADC), and the
-    # 3 r15-NEW entries (hard negatives, bitext margins, shard
-    # manifest — never driver-checked)
-    "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "epoch_shuffle", "similarity_ivfpq", "similarity_pq",
-    "bitext_margin_pairs", "hard_negative_mining",
-    "hard_negative_mining_ivf", "shard_manifest",
+    # (1) changed/new this build: the re-scanned classifier frame
+    # (classifier_score + its two new diagnostics), the window-gated
+    # LSH twins, concat_ws epoch shards, sampled-training ANN
+    # entries, and the 5 r15-NEW operators
+    "classifier_score", "dedup_minhash_lsh_verified",
+    "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
+    "similarity_pq", "bitext_margin_pairs", "classifier_calibration",
+    "hard_negative_mining", "hard_negative_mining_ivf",
+    "quality_signal_correlation", "shard_manifest",
     # (2) the ENTIRE 34-entry stale queue (r14 verdict item 2),
-    # oldest green row first: the r10 rows…
-    "mm_metadata", "mm_resize", "pandas_udaf_wavg",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q19_disjunctive", "q22_dormant_customers", "q8_market_share",
-    "ratio_to_report", "repetition_filter", "seq_packing",
-    "unpivot_metrics",
-    # …the r11 rows…
+    # oldest green row first (r10, then r11, then r12 rows)
+    "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
+    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
+    "repetition_filter", "seq_packing", "unpivot_metrics",
     "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
     "kmeans_assign", "kmeans_update", "q18_large_volume",
     "q3_shipping_priority", "q7_volume_shipping", "skew_salted_agg",
-    # …the r12 rows…
     "bloom_prefilter_join", "coreset_margin_select",
     "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
     "events_top_paths", "events_transition_matrix",
-    "group_reservoir_sample", "mixture_allocation",
-    "pagerank_bipartite", "similarity_lsh_verified",
-    # (3) slots remain after the full burn-down: fresh entries with
-    # the oldest green rows (r09)
+    "group_reservoir_sample", "mixture_allocation", "pagerank_bipartite",
+    "similarity_lsh_verified",
+    # (3) remaining slots: fresh entries with the oldest green
+    # rows (r09)
     "catalog_tables", "cross_join_small", "datetime_funcs",
-    "exists_pending_orders", "full_outer_join", "lang_id",
-    "null_safe_join",
+    "exists_pending_orders",
 ]
 
 

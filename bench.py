@@ -178,6 +178,11 @@ HEADLINE = [
     "hard_negative_mining_ivf",
     "bitext_margin_pairs",
     "shard_manifest",
+    # round-15 batch 2: calibration bins (single scan + 10-key
+    # combinable agg) and the per-lang Pearson signal agreement
+    # (six integer sufficient statistics, no rank window)
+    "classifier_calibration",
+    "quality_signal_correlation",
 ]
 
 

@@ -529,16 +529,20 @@ CLS_W_TOKENS = 0.6
 CLS_W_PUNCT = -2.5
 
 
-def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic quality score per document over (log-length,
-    log-token-count, punctuation share) with fixed weights; returns
-    the integer features, micro-rounded logit/probability, and the
-    boundary-safe keep flag."""
+def _classifier_frame(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, lang[, carry…], n_chars_t, n_tokens, n_punct, logit)
+    — the single-scan feature+logit projection shared by the
+    classifier score, its calibration bins, and the signal-agreement
+    correlation (stateless; lang rides along for downstream labels,
+    `carry` for extra source columns a consumer derives from)."""
     from .text import TOKEN_PATTERN
 
-    docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
+        "lang",
+        *carry,
         F.length("text").cast("long").alias("n_chars_t"),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
@@ -563,7 +567,16 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1.0) + F.col("n_tokens"))
         )
     )
-    return d.withColumn("logit", logit).select(
+    return d.withColumn("logit", logit)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score per document over (log-length,
+    log-token-count, punctuation share) with fixed weights; returns
+    the integer features, micro-rounded logit/probability, and the
+    boundary-safe keep flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _classifier_frame(docs).select(
         "doc_id",
         "n_tokens",
         "n_punct",
@@ -600,6 +613,198 @@ SELECT doc_id, n_tokens, n_punct,
        CAST(ROUND(1e6 / (1.0 + exp(-logit))) AS BIGINT) AS prob_micro,
        logit >= 0 AS kept
 FROM s
+"""
+
+
+# ------------------------------------------ classifier calibration bins
+
+CAL_BINS = 10  # reliability-diagram bins over [0, 1e6] micro-probs
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the quality classifier — the
+    diagnostic a curation run reads before trusting a score threshold
+    (Guo et al., ICML 2017 calibration methodology): documents bucket
+    into CAL_BINS equal-width probability bins; per bin the predicted
+    confidence (mean prob) is set against the observed positive rate
+    for the deterministic proxy label `lang = 'en'` (NULL lang = not
+    in-domain on both engines). |gap| per bin is the calibration
+    error ECE weights by n/N downstream.
+
+    Exactness discipline: everything after the logit is INTEGER —
+    micro-prob sums, truncating integer division for both means
+    (values non-negative, so Spark's `div` and DuckDB's `//` agree) —
+    so the bins hash-match at any parallelism. Plan: the shared
+    single-scan classifier frame feeding ONE map-side-combinable
+    aggregate on a 10-value key; nothing else. Scale: the aggregate
+    state is CAL_BINS rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = _classifier_frame(docs)
+    prob = F.round(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    ).cast("bigint")
+    b = f.select(
+        prob.alias("p"),
+        F.coalesce(
+            (F.col("lang") == "en").cast("int"), F.lit(0)
+        ).alias("y"),
+    ).select(
+        F.least(
+            F.lit(CAL_BINS - 1).cast("long"), F.expr("p div 100000")
+        ).alias("bin"),
+        "p",
+        "y",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(p) div count(*)").alias("mean_prob_micro"),
+            F.expr("(sum(y) * 1000000) div count(*)").alias(
+                "pos_rate_micro"
+            ),
+        )
+        .withColumn(
+            "gap_micro",
+            F.abs(F.col("mean_prob_micro") - F.col("pos_rate_micro")),
+        )
+    )
+
+
+ORACLE_CLASSIFIER_CALIBRATION = rf"""
+WITH d AS (
+  SELECT lang,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      AS n_punct
+  FROM documents
+),
+p AS (
+  SELECT CAST(ROUND(1e6 / (1.0 + exp(-(
+           {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
+                    + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
+                    + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
+                                       / (1.0 + n_tokens)))))) AS BIGINT)
+           AS p,
+         CAST(COALESCE(lang = 'en', FALSE) AS INT) AS y
+  FROM d
+)
+SELECT LEAST(9, p // 100000) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p) AS BIGINT) // COUNT(*) AS mean_prob_micro,
+       (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_micro,
+       ABS(CAST(SUM(p) AS BIGINT) // COUNT(*)
+           - (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*)) AS gap_micro
+FROM p GROUP BY 1
+"""
+
+
+# --------------------------------------- quality-signal agreement (r)
+
+def q_quality_signal_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language Pearson r between the two quality signals the
+    pipeline computes independently — the logistic classifier logit
+    and the heuristic rule score (`quality_score`'s 0-3) — the
+    agreement check a curation run reads before stacking filters
+    (high agreement ⇒ the second filter is redundant; low ⇒ they
+    prune different documents).
+
+    Pearson, NOT Spearman, by design: r is computable from six
+    integer sufficient statistics in ONE map-side-combinable
+    aggregate — no corpus-wide rank window (a global ROW_NUMBER is
+    the classic non-scalable shape Spearman would need). Exactness:
+    x = the logit in MILLI units via FLOOR(micro / 1000.0) — floor of
+    an identical double division on both engines (Spark's `div`
+    truncates toward zero, DuckDB's `//` floors, so they disagree on
+    negative logits; FLOOR(double) is the one idiom that matches) —
+    y = the 0-3 rule score; the six sums are bigints (|x| ≲ 2·10⁴ ⇒
+    Σx² overflows only past ~10¹⁰ docs per language, documented
+    bound), and r is ONE double expression of integer-derived values,
+    bit-identical across engines. Groups with zero variance in either
+    signal are excluded by an integer predicate (r undefined)."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = _classifier_frame(docs, carry=("text",))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    y = (
+        ((F.col("n_chars_t") >= 20) & (F.col("n_chars_t") <= 10000))
+        .cast("int")
+        + (F.col("n_punct") * 100 < F.col("n_chars_t") * 20).cast("int")
+        + (n_stop > 0).cast("int")
+    ).cast("bigint")
+    logit_micro = F.round(F.col("logit") * 1e6).cast("bigint")
+    x = F.floor(logit_micro.cast("double") / F.lit(1000.0)).cast(
+        "bigint"
+    )
+    g = f.select("lang", x.alias("x"), y.alias("y"))
+    a = g.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_micro = F.round(
+        F.lit(1e6)
+        * num.cast("double")
+        / F.sqrt(denx.cast("double") * deny.cast("double"))
+    ).cast("bigint")
+    return (
+        a.filter((denx > 0) & (deny > 0))
+        .select("lang", F.col("n").alias("n_docs"), r_micro.alias("r_micro"))
+    )
+
+
+ORACLE_QUALITY_SIGNAL_CORRELATION = rf"""
+WITH d AS (
+  SELECT lang,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      AS n_punct,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        w -> w IN ('the','a','and','of','to'))) AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT lang,
+    CAST(FLOOR(CAST(CAST(ROUND((
+      {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
+               + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
+               + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
+                                  / (1.0 + n_tokens))) * 1e6) AS BIGINT)
+      AS DOUBLE) / 1000.0) AS BIGINT) AS x,
+    CAST(CAST(n_chars_t BETWEEN 20 AND 10000 AS INT)
+         + CAST(n_punct * 100 < n_chars_t * 20 AS INT)
+         + CAST(n_stop > 0 AS INT) AS BIGINT) AS y
+  FROM d
+),
+a AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM s GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         AS r_micro
+FROM a
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """
 
 
@@ -847,6 +1052,8 @@ QUERIES = {
     "quality_calibration": q_quality_calibration,
     "pagerank_bipartite": q_pagerank_bipartite,
     "classifier_score": q_classifier_score,
+    "classifier_calibration": q_classifier_calibration,
+    "quality_signal_correlation": q_quality_signal_correlation,
     "mixture_allocation": q_mixture_allocation,
 }
 
@@ -860,5 +1067,7 @@ ORACLES = {
     "quality_calibration": ORACLE_QUALITY_CALIBRATION,
     "pagerank_bipartite": ORACLE_PAGERANK_BIPARTITE,
     "classifier_score": ORACLE_CLASSIFIER_SCORE,
+    "classifier_calibration": ORACLE_CLASSIFIER_CALIBRATION,
+    "quality_signal_correlation": ORACLE_QUALITY_SIGNAL_CORRELATION,
     "mixture_allocation": ORACLE_MIXTURE_ALLOCATION,
 }

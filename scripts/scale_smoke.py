@@ -104,6 +104,8 @@ SCALE_CRITICAL = [
     "hard_negative_mining_ivf",
     "bitext_margin_pairs",
     "shard_manifest",
+    "classifier_calibration",
+    "quality_signal_correlation",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

@@ -226,3 +226,58 @@ def test_bitext_two_exchanges_and_null_id_parity(spark, sf_dir, tmp_path):
     )
     con.close()
     assert r["count_match"] and r["schema_match"] and r["value_match"], r
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir, queries):
+    """Bins are a partition: n_docs sums to the corpus, each bin id
+    is in [0, CAL_BINS), means are valid micro-probs, and the gap is
+    |mean - rate| (the ECE ingredient)."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.quality import CAL_BINS
+
+    rows = queries["classifier_calibration"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["bin"] < CAL_BINS
+        assert 0 <= r["mean_prob_micro"] <= 1_000_000
+        assert 0 <= r["pos_rate_micro"] <= 1_000_000
+        assert r["gap_micro"] == abs(
+            r["mean_prob_micro"] - r["pos_rate_micro"]
+        )
+
+
+def test_quality_signal_correlation_bounds_and_negative_logits(
+    spark, sf_dir, queries
+):
+    """r_micro is a valid correlation (|r| ≤ 1e6 + rounding), and the
+    operator's FLOOR-division milli-logit agrees with pure-python
+    floor on NEGATIVE logits — the exact case where Spark's `div`
+    (truncate) and DuckDB's `//` (floor) disagree and the shared
+    FLOOR(double) idiom is load-bearing."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.quality import _classifier_frame
+
+    rows = queries["quality_signal_correlation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r["r_micro"] <= 1_000_000
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = _classifier_frame(docs)
+    lm = F.round(F.col("logit") * 1e6).cast("bigint")
+    got = f.select(
+        lm.alias("lm"),
+        F.floor(lm.cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("x"),
+    ).collect()
+    neg = 0
+    for r in got:
+        assert r["x"] == math.floor(r["lm"] / 1000.0), r
+        neg += r["lm"] < 0
+    assert neg > 0  # the fixture exercises the negative branch
