@@ -177,6 +177,7 @@ HEADLINE = [
     "hard_negative_mining",
     "hard_negative_mining_ivf",
     "bitext_margin_pairs",
+    "bitext_margin_pairs_ivf",
     "shard_manifest",
     # round-15 batch 2: calibration bins (single scan + 10-key
     # combinable agg) and the per-lang Pearson signal agreement

@@ -1729,15 +1729,23 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nid"),
         F.round(cos * 1e6).try_cast("bigint").alias("cos_micro"),
     )
+    return _margin_rank(scored)
+
+
+def _margin_rank(scored: DataFrame) -> DataFrame:
+    """The margin-normalize-and-rank chain shared by the brute-force
+    and IVF-probed miners: given (qid, nid, cos_micro) pairs, compute
+    per-side MARGIN_K-neighborhood sums (backward/nid pass FIRST,
+    then everything qid-keyed under ONE exchange — the fwd-first
+    order shuffled the pair frame a third time to come back to qid
+    for the final rank), the integer-derived margin, and the
+    per-query top-BITEXT_TOP ranking."""
     w_f = Window.partitionBy("qid").orderBy(
         F.col("cos_micro").desc(), F.col("nid")
     )
     w_b = Window.partitionBy("nid").orderBy(
         F.col("cos_micro").desc(), F.col("qid")
     )
-    # backward (nid) pass FIRST, then everything qid-keyed under one
-    # exchange — the fwd-first order shuffled the pair frame a third
-    # time to come back to qid for the final rank
     x = (
         scored.withColumn("rn_b", F.row_number().over(w_b))
         .withColumn(
@@ -1774,20 +1782,94 @@ def q_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BITEXT_MARGIN_PAIRS = f"""
-WITH qset AS (
-  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE label % 2 = 0 AND vec_id % {BITEXT_QUERY_MOD} = 0
-),
-scored AS (
-  SELECT q.qid, e.vec_id AS nid,
-         TRY_CAST(ROUND(list_cosine_similarity(
-           q.qe::DOUBLE[], e.embedding::DOUBLE[]) * 1e6) AS BIGINT)
-           AS cos_micro
-  FROM qset q
-  JOIN embeddings e ON e.label % 2 = 1 AND e.vec_id IS NOT NULL
-),
-x AS (
+def q_bitext_margin_pairs_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """`q_bitext_margin_pairs`' documented scale path, executed (the
+    CCMatrix production form: margins are computed over ANN k-NN
+    lists, not exhaustive pair matrices): side-B candidates come from
+    each query's `nprobe` nearest TRAINED coarse cells, then the
+    SHARED `_margin_rank` chain runs unchanged on the pruned pair
+    frame. The margin semantics change exactly as they do in
+    production — each side's MARGIN_K neighborhood is taken over the
+    PROBED pairs (a query's neighborhood over its probed candidates;
+    a candidate's backward neighborhood over the queries that probed
+    into its cell) — so scores are not comparable number-for-number
+    with the brute-force miner, but the hub-demotion property and the
+    determinism discipline (integer micro-cosines, one double
+    division) are identical, and probing ALL cells reproduces the
+    brute-force output row-for-row (equivalence gate in tests). The
+    oracle replays coarse training, B-side assignment, probe ranking,
+    and the margin chain CTE-for-CTE."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .withColumn("nrm", _l2(F.col("embedding")))
+    )
+    cent_rows = _coarse_model(sf_dir, emb)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [],
+            "qid bigint, nid bigint, cos_micro bigint,"
+            " margin_micro bigint, rank int",
+        )
+    side_b = emb.filter(F.col("label") % 2 == 1)
+    q = (
+        emb.filter(
+            (F.col("label") % 2 == 0)
+            & (F.col("vec_id") % BITEXT_QUERY_MOD == 0)
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    b_assigned = _assign_cells(side_b, cent_rows)
+    cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
+    qc = (
+        q.withColumn("_x", F.col("qid") % F.lit(1))
+        .join(
+            F.broadcast(
+                cent.withColumn(
+                    "_x", F.col("cell").cast("bigint") % F.lit(1)
+                )
+            ),
+            "_x",
+        )
+        .select(
+            "qid",
+            "cell",
+            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", F.col("cell").alias("qcell"))
+    )
+    pq_ = probes.join(q, "qid")
+    cos = dot_double(F.col("qe"), F.col("embedding")) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    scored = b_assigned.join(
+        F.broadcast(pq_), F.col("cell") == F.col("qcell")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cos * 1e6).try_cast("bigint").alias("cos_micro"),
+    )
+    return _margin_rank(scored)
+
+
+def _margin_tail_sql() -> str:
+    """The margin-normalize-and-rank CTE chain shared by both bitext
+    oracles — expects a `scored (qid, nid, cos_micro)` CTE upstream;
+    the SQL twin of `_margin_rank`."""
+    return f"""x AS (
   SELECT qid, nid, cos_micro,
          ROW_NUMBER() OVER (PARTITION BY qid
                             ORDER BY cos_micro DESC, nid) AS rn_f,
@@ -1815,7 +1897,62 @@ FROM (
   SELECT z.*, ROW_NUMBER() OVER (
     PARTITION BY qid ORDER BY margin_micro DESC, nid) AS rank
   FROM z
-) WHERE rank <= {BITEXT_TOP}
+) WHERE rank <= {BITEXT_TOP}"""
+
+
+ORACLE_BITEXT_MARGIN_PAIRS = f"""
+WITH qset AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE label % 2 = 0 AND vec_id % {BITEXT_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         TRY_CAST(ROUND(list_cosine_similarity(
+           q.qe::DOUBLE[], e.embedding::DOUBLE[]) * 1e6) AS BIGINT)
+           AS cos_micro
+  FROM qset q
+  JOIN embeddings e ON e.label % 2 = 1 AND e.vec_id IS NOT NULL
+),
+{_margin_tail_sql()}
+"""
+
+ORACLE_BITEXT_MARGIN_PAIRS_IVF = f"""
+WITH {_coarse_train_sql()},
+qset AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE label % 2 = 0 AND vec_id % {BITEXT_QUERY_MOD} = 0
+),
+cellsb AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_PQ_FOLD.format(a='e.embedding', b='c.ce')},
+                      c.cell) AS rn
+    FROM embeddings e, cent{IVF_TRAIN_ITERS} c
+    WHERE e.label % 2 = 1 AND e.vec_id IS NOT NULL)
+  WHERE rn = 1
+),
+qcell AS (
+  SELECT q.qid, cen.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY {_PQ_FOLD.format(a='qe', b='cen.ce')}, cen.cell
+         ) AS crank
+  FROM qset q, cent{IVF_TRAIN_ITERS} cen
+),
+probes AS (SELECT qid, cell FROM qcell WHERE crank <= {IVF_NPROBE}),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         TRY_CAST(ROUND(list_cosine_similarity(
+           q.qe::DOUBLE[], e.embedding::DOUBLE[]) * 1e6) AS BIGINT)
+           AS cos_micro
+  FROM cellsb cl
+  JOIN probes p ON cl.cell = p.cell
+  JOIN qset q ON q.qid = p.qid
+  JOIN embeddings e ON e.vec_id = cl.vec_id
+),
+{_margin_tail_sql()}
 """
 
 
@@ -1824,6 +1961,7 @@ QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "hard_negative_mining_ivf": q_hard_negative_mining_ivf,
     "bitext_margin_pairs": q_bitext_margin_pairs,
+    "bitext_margin_pairs_ivf": q_bitext_margin_pairs_ivf,
     "similarity_pq": q_similarity_pq,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivfpq": q_similarity_ivfpq,
@@ -1837,6 +1975,7 @@ ORACLES = {
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "hard_negative_mining_ivf": ORACLE_HARD_NEGATIVE_MINING_IVF,
     "bitext_margin_pairs": ORACLE_BITEXT_MARGIN_PAIRS,
+    "bitext_margin_pairs_ivf": ORACLE_BITEXT_MARGIN_PAIRS_IVF,
     "similarity_pq": ORACLE_SIMILARITY_PQ,
     "similarity_ivf": ORACLE_SIMILARITY_IVF,
     "similarity_ivfpq": ORACLE_SIMILARITY_IVFPQ,

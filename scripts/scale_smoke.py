@@ -103,6 +103,7 @@ SCALE_CRITICAL = [
     "hard_negative_mining",
     "hard_negative_mining_ivf",
     "bitext_margin_pairs",
+    "bitext_margin_pairs_ivf",
     "shard_manifest",
     "classifier_calibration",
     "quality_signal_correlation",

@@ -281,3 +281,70 @@ def test_quality_signal_correlation_bounds_and_negative_logits(
         assert r["x"] == math.floor(r["lm"] / 1000.0), r
         neg += r["lm"] < 0
     assert neg > 0  # the fixture exercises the negative branch
+
+
+def test_hard_negatives_null_label_parity(spark, sf_dir, tmp_path):
+    """IS DISTINCT FROM is the load-bearing label predicate: a NULL
+    label must count as a DIFFERENT class on both engines (engine:
+    ~eqNullSafe; oracle: IS DISTINCT FROM) — a plain != would drop
+    NULL-labeled candidates on the engine side only. Pin hash
+    parity on a fixture with a NULL-labeled corpus vector."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+    from tests.oracle_utils import compare_query
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = tbl.to_pydict()
+    # a NULL-labeled vector near the query set: must be minable as a
+    # negative by BOTH engines
+    d["vec_id"].append(max(v for v in d["vec_id"] if v is not None) + 1)
+    d["embedding"].append(d["embedding"][0])
+    d["label"].append(None)
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        tmp_path / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    df = qs["hard_negative_mining"](spark, str(tmp_path))
+    r = compare_query(df, osql["hard_negative_mining"], con)
+    con.close()
+    assert r["count_match"] and r["schema_match"] and r["value_match"], r
+    # and the NULL-labeled twin of query 0's embedding IS mined
+    nid = max(v for v in d["vec_id"] if v is not None)
+    got = {(x["qid"], x["nid"]) for x in df.collect()}
+    assert (0, nid) in got
+
+
+def test_ivf_bitext_equals_brute_force_when_probing_all_cells(
+    spark, sf_dir, queries
+):
+    """Same contract as the negative miner's gate: with nprobe =
+    IVF_NLIST the probed candidate universe is all of side B, the
+    per-side neighborhoods coincide with the exhaustive ones, and the
+    output must equal `bitext_margin_pairs` row-for-row — so at any
+    smaller nprobe the difference is exactly the probe's cell-miss,
+    never the margin math."""
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    brute = {
+        tuple(r)
+        for r in queries["bitext_margin_pairs"](spark, sf_dir).collect()
+    }
+    assert brute
+    full = {
+        tuple(r)
+        for r in SIM.q_bitext_margin_pairs_ivf(
+            spark, sf_dir, nprobe=SIM.IVF_NLIST
+        ).collect()
+    }
+    assert full == brute
