@@ -348,3 +348,59 @@ def test_ivf_bitext_equals_brute_force_when_probing_all_cells(
         ).collect()
     }
     assert full == brute
+
+
+def test_bucket_pairs_matches_reference_model_property(spark, monkeypatch):
+    """Property test for the r15 kernel: for ANY (doc_id, band, bkey)
+    frame — NULL ids, singleton buckets, over-cap buckets, shared ids
+    across bands — the fused single-shuffle kernel emits exactly the
+    set a brute-force per-bucket model emits: all i<j pairs of the
+    sorted non-NULL member list, for buckets with 2..cap members,
+    distinct across bands. Few examples, one Spark job each (the
+    kernel is a distributed op; hypothesis explores the input shape,
+    not the partitioning)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomysql2pg_spark.operators import dedup as DD
+
+    monkeypatch.setattr(DD, "LSH_MAX_BUCKET", 4)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 12)),
+                st.integers(0, 2),
+                st.integers(0, 2),
+            ),
+            min_size=0,
+            max_size=30,
+            unique=True,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        bands = spark.createDataFrame(
+            rows, "doc_id long, band int, bkey long"
+        ) if rows else spark.createDataFrame(
+            [], "doc_id long, band int, bkey long"
+        )
+        got = {(r["da"], r["db"]) for r in DD._bucket_pairs(bands).collect()}
+        buckets: dict = {}
+        for d, b, k in rows:
+            if d is not None:
+                buckets.setdefault((b, k), []).append(d)
+        want = set()
+        for members in buckets.values():
+            members = sorted(set(members))  # unique=True makes set a no-op
+            if 2 <= len(members) <= DD.LSH_MAX_BUCKET:
+                for i in range(len(members)):
+                    for j in range(i + 1, len(members)):
+                        want.add((members[i], members[j]))
+        assert got == want, (sorted(got), sorted(want))
+
+    check()
