@@ -37,10 +37,10 @@ _PRIORITY = [
     # entries, and the 5 r15-NEW operators
     "classifier_score", "dedup_minhash_lsh_verified",
     "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
-    "similarity_pq", "bitext_margin_pairs", "bitext_margin_pairs_ivf",
-    "classifier_calibration", "hard_negative_mining",
-    "hard_negative_mining_ivf", "quality_signal_correlation",
-    "shard_manifest",
+    "similarity_pq", "ann_recall_report", "bitext_margin_pairs",
+    "bitext_margin_pairs_ivf", "classifier_calibration",
+    "hard_negative_mining", "hard_negative_mining_ivf",
+    "quality_signal_correlation", "shard_manifest", "token_fertility",
     # (2) the ENTIRE 34-entry stale queue (r14 verdict item 2),
     # oldest green row first (r10, then r11, then r12 rows)
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
@@ -55,9 +55,8 @@ _PRIORITY = [
     "events_top_paths", "events_transition_matrix",
     "group_reservoir_sample", "mixture_allocation", "pagerank_bipartite",
     "similarity_lsh_verified",
-    # (3) remaining slots: fresh entries with the oldest green
-    # rows (r09)
-    "catalog_tables", "cross_join_small", "datetime_funcs",
+    # (3) remaining slot: the fresh entry with the oldest green row
+    "catalog_tables",
 ]
 
 

@@ -184,6 +184,11 @@ HEADLINE = [
     # (six integer sufficient statistics, no rank window)
     "classifier_calibration",
     "quality_signal_correlation",
+    # round-15 batch 3: tokenizer fertility (one lang-key combinable
+    # agg) and the composed ANN index audit (re-runs exact + IVFADC
+    # end-to-end — composition-priced like dedup_impact_report)
+    "token_fertility",
+    "ann_recall_report",
 ]
 
 

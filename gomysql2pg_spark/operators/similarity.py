@@ -1956,8 +1956,72 @@ scored AS (
 """
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index-quality audit — the nightly job an ANN
+    deployment runs before trusting its index: recall@PQ_TOP_K of the
+    IVFADC index (`q_similarity_ivfpq`) against the exact brute-force
+    ranking (`q_similarity_topk`) on the SAME query set, reported as
+    one row (n_queries, total_hits, recall_milli). Composition-priced
+    like `dedup_impact_report`: it re-runs both pipelines end-to-end,
+    because auditing a cached result would fake the audit. Hit
+    counting is an equi-join of the two result sets; queries the
+    index misses entirely still count via the left join; the mean is
+    a truncating integer division of non-negative sums (Spark `div`
+    ≡ DuckDB `//`). An empty query set yields an EMPTY report (the
+    divide-by-zero guard is a HAVING-count predicate on both
+    engines), not a NULL row."""
+    exact = (
+        q_similarity_topk(spark, sf_dir)
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("qid", "nid")
+    )
+    approx = q_similarity_ivfpq(spark, sf_dir).select(
+        F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+        "left",
+    )
+    per_q = hits.groupBy("qid").agg(
+        F.count("anid").alias("hits")
+    )
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .filter(F.col("n_queries") > 0)
+        .select(
+            "n_queries",
+            "total_hits",
+            F.expr(
+                f"(total_hits * 1000) div (n_queries * {PQ_TOP_K})"
+            ).alias("recall_milli"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+WITH ex AS ({ORACLE_SIMILARITY_TOPK}),
+ap AS ({ORACLE_SIMILARITY_IVFPQ}),
+e5 AS (SELECT qid, nid FROM ex WHERE rank <= {PQ_TOP_K}),
+h AS (
+  SELECT e5.qid, COUNT(ap.nid) AS hits
+  FROM e5 LEFT JOIN ap ON ap.qid = e5.qid AND ap.nid = e5.nid
+  GROUP BY e5.qid
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       (CAST(SUM(hits) AS BIGINT) * 1000)
+         // (COUNT(*) * {PQ_TOP_K}) AS recall_milli
+FROM h HAVING COUNT(*) > 0
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "ann_recall_report": q_ann_recall_report,
     "hard_negative_mining": q_hard_negative_mining,
     "hard_negative_mining_ivf": q_hard_negative_mining_ivf,
     "bitext_margin_pairs": q_bitext_margin_pairs,
@@ -1972,6 +2036,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "hard_negative_mining_ivf": ORACLE_HARD_NEGATIVE_MINING_IVF,
     "bitext_margin_pairs": ORACLE_BITEXT_MARGIN_PAIRS,

@@ -71,6 +71,75 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the chars-per-token and
+    tokens-per-word ratios a tokenizer team tracks per language when
+    sizing a vocabulary (high fertility = the tokenizer fragments the
+    language; the canonical multilingual-tokenizer health metric).
+    Corpus-level ratios (summed numerators over summed denominators,
+    NOT mean-of-ratios — short docs would dominate a per-doc mean) in
+    integer milli via truncating division on non-negative sums (Spark
+    `div` ≡ DuckDB `//`). Languages whose corpus has zero tokens or
+    zero words are excluded by an integer predicate on both engines;
+    a NULL lang is its own group. One scan + one map-side-combinable
+    aggregate on the lang key."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    trimmed = F.trim(F.col("text"))
+    n_words = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    g = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("c"),
+        F.size(pieces).cast("long").alias("t"),
+        n_words.alias("w"),
+    )
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("sc"),
+            F.sum("t").alias("st"),
+            F.sum("w").alias("sw"),
+        )
+        .filter((F.col("st") > 0) & (F.col("sw") > 0))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("(sc * 1000) div st").alias("chars_per_token_milli"),
+            F.expr("(st * 1000) div sw").alias("tokens_per_word_milli"),
+        )
+    )
+
+
+ORACLE_TOKEN_FERTILITY = r"""
+WITH d AS (
+  SELECT lang,
+    CAST(LENGTH(text) AS BIGINT) AS c,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END
+         AS BIGINT) AS w
+  FROM documents
+),
+a AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(w) AS BIGINT) AS sw
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs,
+       (sc * 1000) // st AS chars_per_token_milli,
+       (st * 1000) // sw AS tokens_per_word_milli
+FROM a WHERE st > 0 AND sw > 0
+"""
+
+
 ORACLE_TOKEN_COUNT = r"""
 SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
@@ -685,6 +754,7 @@ QUERIES = {
     "distinct_ngram_ratio": q_distinct_ngram_ratio,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
+    "token_fertility": q_token_fertility,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
@@ -699,6 +769,7 @@ ORACLES = {
     "distinct_ngram_ratio": ORACLE_DISTINCT_NGRAM_RATIO,
     "text_stats": ORACLE_TEXT_STATS,
     "token_count": ORACLE_TOKEN_COUNT,
+    "token_fertility": ORACLE_TOKEN_FERTILITY,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

@@ -107,6 +107,8 @@ SCALE_CRITICAL = [
     "shard_manifest",
     "classifier_calibration",
     "quality_signal_correlation",
+    "token_fertility",
+    "ann_recall_report",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

