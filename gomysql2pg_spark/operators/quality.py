@@ -619,6 +619,7 @@ FROM s
 # ------------------------------------------ classifier calibration bins
 
 CAL_BINS = 10  # reliability-diagram bins over [0, 1e6] micro-probs
+_CAL_WIDTH = 1_000_000 // CAL_BINS  # equal-width bin size in micro-probs
 
 
 def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +651,8 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     ).select(
         F.least(
-            F.lit(CAL_BINS - 1).cast("long"), F.expr("p div 100000")
+            F.lit(CAL_BINS - 1).cast("long"),
+            F.expr(f"p div {_CAL_WIDTH}"),
         ).alias("bin"),
         "p",
         "y",
@@ -691,7 +693,7 @@ p AS (
          CAST(COALESCE(lang = 'en', FALSE) AS INT) AS y
   FROM d
 )
-SELECT LEAST(9, p // 100000) AS bin,
+SELECT LEAST({CAL_BINS - 1}, p // {_CAL_WIDTH}) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(p) AS BIGINT) // COUNT(*) AS mean_prob_micro,
        (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS pos_rate_micro,
@@ -721,9 +723,12 @@ def q_quality_signal_correlation(
     an identical double division on both engines (Spark's `div`
     truncates toward zero, DuckDB's `//` floors, so they disagree on
     negative logits; FLOOR(double) is the one idiom that matches) —
-    y = the 0-3 rule score; the six sums are bigints (|x| ≲ 2·10⁴ ⇒
-    Σx² overflows only past ~10¹⁰ docs per language, documented
-    bound), and r is ONE double expression of integer-derived values,
+    y = the 0-3 rule score; the six SUMS are bigints (|x| ≲ 2·10⁴ ⇒
+    Σx² overflows only past ~10¹⁰ docs per language) while the
+    cross-products (n·Σx² − (Σx)² and friends — an extra factor of n
+    that would overflow BIGINT around 10⁵-10⁶ docs per language) are
+    computed in DOUBLE on both engines; double products of exact
+    integer-valued operands are correctly rounded, so r stays
     bit-identical across engines. Groups with zero variance in either
     signal are excluded by an integer predicate (r undefined)."""
     from .text import STOPWORDS
@@ -751,19 +756,30 @@ def q_quality_signal_correlation(
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # cross-products in DOUBLE from the first multiply: n*sxx squares
+    # the group size against the sufficient statistic and overflows
+    # BIGINT around 10^5-10^6 docs per language (Spark would silently
+    # wrap, DuckDB would raise — r15 review finding); double products
+    # of exact integer-valued operands are correctly rounded, so the
+    # identical expression stays bit-identical across engines
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
     r_micro = F.round(
-        F.lit(1e6)
-        * num.cast("double")
-        / F.sqrt(denx.cast("double") * deny.cast("double"))
+        F.lit(1e6) * num / F.sqrt(denx * deny)
     ).cast("bigint")
     return (
         a.filter((denx > 0) & (deny > 0))
         .select("lang", F.col("n").alias("n_docs"), r_micro.alias("r_micro"))
     )
 
+
+from .text import _SQL_STOP as _STOP_SQL  # noqa: E402  (shared
+# stopword SQL — a third hand-inlined copy would drift exactly like
+# the six money-cast copies did before r13)
 
 ORACLE_QUALITY_SIGNAL_CORRELATION = rf"""
 WITH d AS (
@@ -773,8 +789,7 @@ WITH d AS (
          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
     CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
       AS n_punct,
-    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        w -> w IN ('the','a','and','of','to'))) AS n_stop
+    {_STOP_SQL} AS n_stop
   FROM documents
 ),
 s AS (
@@ -799,12 +814,18 @@ a AS (
   FROM s GROUP BY lang
 )
 SELECT lang, n AS n_docs,
-       CAST(ROUND(1e6 * CAST(n * sxy - sx * sy AS DOUBLE)
-            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                   * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
-         AS r_micro
+       CAST(ROUND(1e6 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         AS BIGINT) AS r_micro
 FROM a
-WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
 """
 
 

@@ -416,7 +416,17 @@ def _train_sample_pred_sql() -> str:
 
 def _train_sample(emb: DataFrame) -> DataFrame:
     """The (sampled) training corpus: a stateless zero-shuffle filter,
-    so every Lloyd pass scans 1/TRAIN_SAMPLE_MOD of the vectors."""
+    so every Lloyd pass scans 1/TRAIN_SAMPLE_MOD of the vectors.
+    NULL vec_ids are excluded UNCONDITIONALLY (not just as a side
+    effect of the md5 predicate at MOD>1): the oracle training CTEs
+    key assignments by vec_id, and a training-set member without a
+    key is engine-divergent by construction. This also makes the
+    trained model independent of which CALLER trains first — every
+    consumer of the fixture-keyed _COARSE_CACHE now trains on the
+    identical frame whether or not it pre-filters NULL ids itself
+    (r15 review finding: a NULL-filtering caller could poison the
+    shared cache for an unfiltered one at MOD=1)."""
+    emb = emb.filter(F.col("vec_id").isNotNull())
     if TRAIN_SAMPLE_MOD <= 1:
         return emb
     return emb.filter(F.expr(_train_sample_pred()))
@@ -705,8 +715,8 @@ def _pq_train_sql(iters: int = None) -> str:
     # subspace twin of _coarse_train_sql's `tr` (identity sans
     # predicate when sampling is disabled); psub stays full-corpus
     # because consumers ENCODE every vector with the trained codebook
-    ptr_where = (
-        f" WHERE {_train_sample_pred_sql()}"
+    ptr_where = " WHERE vec_id IS NOT NULL" + (
+        f" AND {_train_sample_pred_sql()}"
         if TRAIN_SAMPLE_MOD > 1
         else ""
     )
@@ -1340,8 +1350,8 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
     # predicate the engine's _train_sample applies (identity when
     # sampling is disabled — the predicate is omitted entirely so a
     # NULL vec_id stays in the training set on both engines)
-    tr_where = (
-        f"\n  WHERE {_train_sample_pred_sql()}"
+    tr_where = "\n  WHERE vec_id IS NOT NULL" + (
+        f" AND {_train_sample_pred_sql()}"
         if TRAIN_SAMPLE_MOD > 1
         else ""
     )

@@ -158,6 +158,13 @@ HOSTILE_TEXT_ENTRIES = [
     "repetition_filter",
     "mm_features",
     "doc_chunking",
+    # r15: the classifier family + fertility are pure functions of
+    # documents.text/lang (review finding: they were missing from
+    # exactly the sweep whose comment claims that coverage)
+    "classifier_score",
+    "classifier_calibration",
+    "quality_signal_correlation",
+    "token_fertility",
 ]
 
 

@@ -420,20 +420,34 @@ def test_token_fertility_consistency(spark, sf_dir, queries):
         for r in queries["token_fertility"](spark, sf_dir).collect()
     }
     assert rows
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    tok = queries["token_count"](spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("len_chars")
+    )
+    tok = queries["token_count"](spark, sf_dir).select(
+        "doc_id", "n_bpe_tokens"
+    )
     chk = (
         docs.join(tok, "doc_id")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
+            F.sum("len_chars").alias("sc"),
             F.sum("n_bpe_tokens").alias("st"),
         )
         .collect()
     )
+    matched = 0
     for r in chk:
         if r["st"] and r["st"] > 0 and r["lang"] in rows:
-            assert rows[r["lang"]]["n_docs"] == r["n"]
+            got = rows[r["lang"]]
+            assert got["n_docs"] == r["n"]
+            # the advertised reconciliation: corpus-level ratio from
+            # independent inputs equals the operator's row exactly
+            assert (
+                got["chars_per_token_milli"] == (r["sc"] * 1000) // r["st"]
+            ), (r["lang"], got, r)
+            matched += 1
+    assert matched == len(rows)
     for r in rows.values():
         assert r["chars_per_token_milli"] > 0
         assert r["tokens_per_word_milli"] > 0
