@@ -29,20 +29,30 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r15 window (50 slots), derived 2026-08-15 by
+    # --- r15 window (50 slots), re-derived 2026-08-15 (batch 4) by
     # `scripts/registry_hashes.py --derive-window`.
     # (1) changed/new this build: the re-scanned classifier frame
-    # (classifier_score + its two new diagnostics), the window-gated
+    # (classifier_score + its three diagnostics), the window-gated
     # LSH twins, concat_ws epoch shards, sampled-training ANN
-    # entries, and the 5 r15-NEW operators
+    # entries, the 9 earlier r15-NEW operators, and the 5 batch-4
+    # operators (boilerplate_strip, lsh_recall_report,
+    # decontamination_semantic, packing_efficiency,
+    # label_agreement_kappa)
     "classifier_score", "dedup_minhash_lsh_verified",
     "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
     "similarity_pq", "ann_recall_report", "bitext_margin_pairs",
-    "bitext_margin_pairs_ivf", "classifier_calibration",
+    "bitext_margin_pairs_ivf", "boilerplate_strip",
+    "classifier_calibration", "decontamination_semantic",
     "hard_negative_mining", "hard_negative_mining_ivf",
-    "quality_signal_correlation", "shard_manifest", "token_fertility",
-    # (2) the ENTIRE 34-entry stale queue (r14 verdict item 2),
-    # oldest green row first (r10, then r11, then r12 rows)
+    "label_agreement_kappa", "lsh_recall_report",
+    "packing_efficiency", "quality_signal_correlation",
+    "shard_manifest", "token_fertility",
+    # (2) the r14 stale queue (r14 verdict item 2), oldest green row
+    # first (r10, then r11, then r12 rows). The batch-4 additions
+    # push the 4 youngest r12 rows (group_reservoir_sample,
+    # mixture_allocation, pagerank_bipartite, similarity_lsh_verified)
+    # + the catalog_tables filler past the 50-slot cut — all 4 are
+    # green in the local sf0.1 sweep and head the r16 queue.
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
     "q22_dormant_customers", "q8_market_share", "ratio_to_report",
@@ -53,10 +63,6 @@ _PRIORITY = [
     "bloom_prefilter_join", "coreset_margin_select",
     "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
     "events_top_paths", "events_transition_matrix",
-    "group_reservoir_sample", "mixture_allocation", "pagerank_bipartite",
-    "similarity_lsh_verified",
-    # (3) remaining slot: the fresh entry with the oldest green row
-    "catalog_tables",
 ]
 
 

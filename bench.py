@@ -189,6 +189,18 @@ HEADLINE = [
     # end-to-end — composition-priced like dedup_impact_report)
     "token_fertility",
     "ann_recall_report",
+    # round-15 batch 4: chunk-granular boilerplate strip (two
+    # Σ-bounded groupBys + doc-sized collects), the md5-banded LSH
+    # recall audit (composition-priced: exact verifier + banded
+    # candidates), embedding decontamination (broadcast eval set +
+    # narrow argmax agg), packing telemetry (source-keyed rollup of
+    # the packing window), per-lang Cohen's kappa (four integer
+    # sufficient statistics, one combinable agg)
+    "boilerplate_strip",
+    "lsh_recall_report",
+    "decontamination_semantic",
+    "packing_efficiency",
+    "label_agreement_kappa",
 ]
 
 

@@ -1575,6 +1575,132 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# repeated-passage strip (boilerplate removal with reconstruction)
+# ---------------------------------------------------------------------------
+
+#: strip a chunk when it appears in MORE than this many distinct
+#: documents (df > cap ⇒ boilerplate; df ≤ cap ⇒ legitimately shared
+#: or unique content). 2 keeps quote-of-one-other-doc pairs intact
+#: while stripping template passages stamped across the corpus.
+BOILERPLATE_MAX_DF = 2
+
+#: non-overlapping chunk width in tokens. Narrower than the 20-token
+#: detection windows of `q_dedup_substring_chunks` because a STRIP
+#: must localize the boilerplate span it removes; non-overlapping so
+#: every token belongs to exactly one chunk and reconstruction is a
+#: plain ordered concat (overlapping windows would double-emit text).
+STRIP_CHUNK_TOKENS = 8
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage removal WITH document reconstruction — the
+    curation pass that keeps a document but deletes the template
+    passages stamped across the corpus (C4/MassiveText drop whole
+    lines; this is the chunk-granular form that works on unstructured
+    single-line text too). `q_dedup_substring_chunks` only DETECTS
+    shared substrings (overlapping windows, analysis output); this op
+    edits: tokenize → non-overlapping STRIP_CHUNK_TOKENS-word chunks →
+    document frequency per chunk hash (distinct docs) → occurrences
+    with df > BOILERPLATE_MAX_DF are stripped → surviving chunks are
+    reassembled in original order. Output is the normalized
+    (lowercased, whitespace-collapsed) reconstruction — the form every
+    hash-dedup pass downstream consumes anyway.
+
+    Plan: explode chunks with position → one groupBy(h) for df over
+    the DISTINCT (doc, h) pairs → equi-join back → one groupBy(doc)
+    whose collect_list is DOCUMENT-sized (bounded by document length
+    at any corpus scale, like the per-doc rank windows of the AllPairs
+    prefix filter — never corpus-sized; the array_sort on (ci, …) is
+    deterministic because chunk index is unique per doc). Two
+    shuffles (h, doc_id), no all-pairs product; chunk hashes are
+    near-unique so no df cap is needed on the join (a boilerplate
+    chunk's df is exactly the signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n_chunks = F.ceil(
+        F.size(toks) / F.lit(STRIP_CHUNK_TOKENS)
+    ).cast("int")
+    # guard the empty case: sequence(0, -1) yields [0, -1], never
+    # empty (same hazard as shingles_from_tokens) — emit no indices
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda k: F.concat_ws(
+            " ",
+            F.slice(toks, k * STRIP_CHUNK_TOKENS + 1, STRIP_CHUNK_TOKENS),
+        ),
+    )
+    occ = pre.select(
+        "doc_id", F.posexplode(chunks).alias("ci", "chunk")
+    ).withColumn("h", F.md5(F.col("chunk")))
+    dfc = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    per = (
+        occ.join(dfc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("df") > BOILERPLATE_MAX_DF).cast("long")
+            ).alias("n_stripped"),
+            F.array_sort(
+                F.collect_list(F.struct("ci", "df", "chunk"))
+            ).alias("cs"),
+        )
+    )
+    kept = F.filter(
+        F.col("cs"), lambda x: x["df"] <= F.lit(BOILERPLATE_MAX_DF)
+    )
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_stripped",
+        F.array_join(
+            F.transform(kept, lambda x: x["chunk"]), " "
+        ).alias("kept_text"),
+    )
+
+
+ORACLE_BOILERPLATE_STRIP = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i - 1 AS ci,
+         array_to_string(
+           l[(i-1)*{STRIP_CHUNK_TOKENS}+1 : i*{STRIP_CHUNK_TOKENS}],
+           ' ') AS chunk
+  FROM toks,
+       unnest(range(1,
+         CAST(ceil(len(l) / {STRIP_CHUNK_TOKENS}.0) AS BIGINT) + 1
+       )) AS t(i)
+),
+d AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM occ),
+dfc AS (SELECT h, COUNT(*) AS df FROM d GROUP BY h),
+j AS (
+  SELECT occ.doc_id, occ.ci, occ.chunk, dfc.df
+  FROM occ JOIN dfc ON md5(occ.chunk) = dfc.h
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN df > {BOILERPLATE_MAX_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stripped,
+       coalesce(string_agg(
+         CASE WHEN df <= {BOILERPLATE_MAX_DF} THEN chunk END,
+         ' ' ORDER BY ci), '') AS kept_text
+FROM j GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # C2f: semantic dedup (SemDeDup-style, within-cluster cosine)
 # ---------------------------------------------------------------------------
 
@@ -1841,6 +1967,182 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# LSH recall audit (the dedup twin of q_ann_recall_report)
+# ---------------------------------------------------------------------------
+
+
+def _md5_minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) banded MinHash frame built from an
+    ORACLE-REPLAYABLE hash family: permutation i of shingle s is the
+    top 60 bits of md5(i ‖ ':' ‖ s) (15 hex digits → non-negative
+    BIGINT via base-16 conv — the `dataset_split` idiom, identical in
+    DuckDB as ('0x' ‖ hex)::BIGINT), band keys are md5 over the
+    band's '|'-joined minima. The PRODUCTION pipeline hashes with
+    xxhash64 (JVM-side, ~10× cheaper) which DuckDB cannot replay —
+    this family exists so the recall AUDIT itself can be value-hash
+    exact end-to-end; the banding geometry (N_HASHES=16, 4 bands of
+    BAND_SIZE=4) is the production geometry, so the measured recall
+    audits the production design point. Same plan shape as
+    `minhash_signatures`: one explode → groupBy(doc_id) with 16 MIN
+    aggregates (map-side partial mins), band explode after."""
+    sh = _shingle_df(docs)
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    per = sh.groupBy("doc_id").agg(*mins)
+    return per.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(
+                                        f"m{b * BAND_SIZE + r}"
+                                    ).cast("string")
+                                    for r in range(BAND_SIZE)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly LSH-dedup index audit — the dedup-family twin of
+    `q_ann_recall_report`: recall of the banded-MinHash candidate
+    generator against the EXACT Jaccard ≥ 0.5 truth set
+    (`q_dedup_jaccard`, df-capped universe), as one
+    (n_true_pairs, n_candidate_pairs, n_hits, recall_milli) row.
+    The production answer to "how many true near-dup pairs does the
+    LSH pass miss?" — the number that decides whether the banding
+    geometry needs another band before a 100 TB dedup run trusts it.
+
+    Composition-priced by design: re-runs the exact verifier AND the
+    LSH candidate pipeline (auditing cached results would fake the
+    audit). The candidate side uses the oracle-replayable md5 hash
+    family (`_md5_minhash_bands`) at the production banding geometry
+    and the production `_bucket_pairs` kernel (same [2, LSH_MAX_BUCKET]
+    gate, same single-shuffle window-gated plan), so the whole report
+    is value-hash exact — unlike the production xxhash pipeline whose
+    pair set no SQL oracle can state (rows-only twins gate that one).
+    Empty truth set ⇒ empty report (recall undefined), via the same
+    HAVING-count guard shape as the ANN audit. At 100 TB: truth side
+    is the Σ df²-bounded inverted index, candidate side one banded
+    shuffle; the join of the two pair frames is pair-keyed and
+    semi-shaped — no new scale hazard beyond its two components."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persist both pair frames: each feeds its own count AND the hit
+    # join — lazily the full upstream pipeline would run twice
+    truth = q_dedup_jaccard(spark, sf_dir).select("da", "db").persist()
+    truth.count()
+    cand = _bucket_pairs(_md5_minhash_bands(docs)).persist()
+    cand.count()
+    hits = truth.join(cand, ["da", "db"], "left_semi")
+    n_t = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+    n_c = cand.agg(
+        F.count("*").cast("long").alias("n_candidate_pairs")
+    )
+    n_h = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    return (
+        n_t.crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_h))
+        .filter(F.col("n_true_pairs") > 0)
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.expr("(n_hits * 1000) div n_true_pairs").alias(
+                "recall_milli"
+            ),
+        )
+    )
+
+
+def _oracle_lsh_recall_report() -> str:
+    """The audit oracle replays the md5-MinHash banding CTE-for-CTE
+    (16 per-shingle permutation hashes → per-doc minima → 4 band keys
+    → window-gated buckets → intra-bucket pairs) and embeds the
+    Jaccard truth query verbatim, so the truth definition can never
+    drift from `q_dedup_jaccard`'s oracle."""
+    perm = ", ".join(
+        "MIN(CAST(('0x' || substring(md5('{i}:' || s), 1, 15)) AS "
+        "BIGINT)) AS m{i}".format(i=i)
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM mh".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * BAND_SIZE + r} AS VARCHAR)"
+                for r in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return rf"""
+WITH truth AS (SELECT da, db FROM ({ORACLE_DEDUP_JACCARD})),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l)-2, 0) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+  FROM toks
+),
+mh AS (SELECT doc_id, {perm} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+sized AS (
+  SELECT doc_id, band, bkey,
+         COUNT(*) OVER (PARTITION BY band, bkey) AS bn
+  FROM bands
+),
+gated AS (
+  SELECT doc_id, band, bkey FROM sized
+  WHERE bn >= 2 AND bn <= {LSH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM gated a
+  JOIN gated b ON a.band = b.band AND a.bkey = b.bkey
+              AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT t.da, t.db FROM truth t
+  JOIN cand c ON t.da = c.da AND t.db = c.db
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+       COUNT(*) AS n_hits,
+       (COUNT(*) * 1000) // (SELECT COUNT(*) FROM truth)
+         AS recall_milli
+FROM hits
+HAVING (SELECT COUNT(*) FROM truth) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross-source contamination matrix (round 7)
 # ---------------------------------------------------------------------------
 
@@ -1889,6 +2191,8 @@ QUERIES = {
     "cross_source_overlap": q_cross_source_overlap,
     "dedup_semantic": q_dedup_semantic,
     "dedup_lines": q_dedup_lines,
+    "boilerplate_strip": q_boilerplate_strip,
+    "lsh_recall_report": q_lsh_recall_report,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "decontamination_check": q_decontamination_check,
     "dedup_exact_norm": q_dedup_exact_norm,
@@ -1914,6 +2218,8 @@ ORACLES = {
     "cross_source_overlap": ORACLE_CROSS_SOURCE_OVERLAP,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_lines": ORACLE_DEDUP_LINES,
+    "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
+    "lsh_recall_report": _oracle_lsh_recall_report(),
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
     "decontamination_check": ORACLE_DECONTAMINATION,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,

@@ -458,8 +458,67 @@ FROM c, b WHERE cum_tokens <= budget
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency telemetry over `q_seq_packing`'s assignment
+    — the shard-health row a training job reads before launch: per
+    source shard, how many fixed-budget packs the documents fill, the
+    fill rate (trailing pack is partial), and how many documents
+    straddle a pack boundary (each straddler is a split-or-pad
+    decision, i.e. either a truncation loss or padding waste).
+    Composition-priced: re-runs the packing it audits (auditing a
+    cached assignment would fake the audit — `q_ann_recall_report`'s
+    policy). Plan: the packing window's per-source partitions collapse
+    into a source-keyed partial aggregate — the post-window exchange
+    carries |sources| rows. Zero-token sources are excluded by an
+    integer predicate (fill undefined); n_packs = ceil(total/budget)
+    is exact integer arithmetic ((t + B - 1) div B, non-negative) on
+    both engines."""
+    s = q_seq_packing(spark, sf_dir)
+    agg = s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("straddles").cast("long")).alias("n_straddlers"),
+    )
+    n_packs = F.expr(
+        f"(total_tokens + {PACK_TOKENS} - 1) div {PACK_TOKENS}"
+    )
+    return (
+        agg.filter(F.col("total_tokens") > 0)
+        .withColumn("n_packs", n_packs)
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_straddlers",
+            "n_packs",
+            F.expr(
+                f"(total_tokens * 1000) div (n_packs * {PACK_TOKENS})"
+            ).alias("fill_milli"),
+        )
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = f"""
+WITH packed AS ({ORACLE_SEQ_PACKING}),
+a AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddlers
+  FROM packed GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_straddlers,
+       (total_tokens + {PACK_TOKENS} - 1) // {PACK_TOKENS} AS n_packs,
+       (total_tokens * 1000)
+         // (((total_tokens + {PACK_TOKENS} - 1) // {PACK_TOKENS})
+             * {PACK_TOKENS}) AS fill_milli
+FROM a WHERE total_tokens > 0
+"""
+
+
 QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
+    "packing_efficiency": q_packing_efficiency,
     "token_budget_select": q_token_budget_select,
     "incremental_dedup": q_incremental_dedup,
     "skew_salted_join": q_skew_salted_join,
@@ -470,6 +529,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_pipeline": ORACLE_CORPUS_PIPELINE,
+    "packing_efficiency": ORACLE_PACKING_EFFICIENCY,
     "token_budget_select": ORACLE_TOKEN_BUDGET,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "skew_salted_join": ORACLE_SKEW_SALTED_JOIN,

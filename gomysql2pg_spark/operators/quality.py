@@ -829,6 +829,131 @@ WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
 """
 
 
+def q_label_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language Cohen's kappa (Cohen 1960 — the chance-corrected
+    agreement statistic; Guo et al.'s calibration bins say whether the
+    classifier's CONFIDENCE is honest, kappa says whether its
+    DECISIONS agree with the independent rule gate beyond chance) —
+    between the two binary keep-labels the pipeline derives
+    independently: classifier keep = logit > 0 (micro-rounded, the
+    `classifier_score` boundary) and rule keep = heuristic score ≥ 2
+    (the `quality_signal_correlation` 0-3 score). High kappa ⇒ the
+    second filter is redundant; ~0 ⇒ they prune independently (stack
+    them); negative ⇒ they disagree systematically (investigate
+    before either ships).
+
+    Everything is four integer sufficient statistics (n, Σa, Σb, Σab)
+    in ONE map-side-combinable lang-keyed aggregate — one scan, no
+    window. kappa = (n·(n₁₁+n₀₀) − (Σa·Σb + (n−Σa)(n−Σb))) /
+    (n² − (Σa·Σb + (n−Σa)(n−Σb))); the cross-products carry an extra
+    factor of n, so they are computed in DOUBLE on both engines (the
+    `quality_signal_correlation` overflow discipline — exact-integer
+    operands keep double products correctly rounded and bit-identical
+    across engines). Degenerate groups (either label constant ⇒
+    chance agreement = 1, kappa undefined) are excluded by a
+    double-predicate on the shared denominator. The full 2×2 table
+    rides along as integer telemetry."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = _classifier_frame(docs, carry=("text",))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    rule = (
+        ((F.col("n_chars_t") >= 20) & (F.col("n_chars_t") <= 10000))
+        .cast("int")
+        + (F.col("n_punct") * 100 < F.col("n_chars_t") * 20).cast("int")
+        + (n_stop > 0).cast("int")
+    )
+    a_lbl = (
+        F.round(F.col("logit") * 1e6).cast("bigint") > 0
+    ).cast("bigint")
+    b_lbl = (rule >= 2).cast("bigint")
+    agg = (
+        f.select("lang", a_lbl.alias("a"), b_lbl.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sad = F.col("sa").cast("double")
+    sbd = F.col("sb").cast("double")
+    sabd = F.col("sab").cast("double")
+    pe_num = sad * sbd + (nd - sad) * (nd - sbd)
+    num = nd * (nd - sad - sbd + 2 * sabd) - pe_num
+    den = nd * nd - pe_num
+    kappa_micro = F.round(F.lit(1e6) * num / den).cast("bigint")
+    return agg.filter(den > 0).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.col("sab").alias("n11"),
+        (F.col("sa") - F.col("sab")).alias("n10"),
+        (F.col("sb") - F.col("sab")).alias("n01"),
+        (F.col("n") - F.col("sa") - F.col("sb") + F.col("sab")).alias(
+            "n00"
+        ),
+        kappa_micro.alias("kappa_micro"),
+    )
+
+
+ORACLE_LABEL_AGREEMENT_KAPPA = rf"""
+WITH d AS (
+  SELECT lang,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
+    CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+      AS n_punct,
+    {_STOP_SQL} AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT lang,
+    CAST(CAST(ROUND((
+      {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
+               + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
+               + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
+                                  / (1.0 + n_tokens))) * 1e6) AS BIGINT)
+         > 0 AS BIGINT) AS a,
+    CAST((CAST(n_chars_t BETWEEN 20 AND 10000 AS INT)
+         + CAST(n_punct * 100 < n_chars_t * 20 AS INT)
+         + CAST(n_stop > 0 AS INT)) >= 2 AS BIGINT) AS b
+  FROM d
+),
+g AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(a * b) AS BIGINT) AS sab
+  FROM s GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       sab AS n11, sa - sab AS n10, sb - sab AS n01,
+       n - sa - sb + sab AS n00,
+       CAST(ROUND(1e6 *
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(sa AS DOUBLE)
+            - CAST(sb AS DOUBLE) + 2 * CAST(sab AS DOUBLE))
+          - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+             + (CAST(n AS DOUBLE) - CAST(sa AS DOUBLE))
+               * (CAST(n AS DOUBLE) - CAST(sb AS DOUBLE))))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+               + (CAST(n AS DOUBLE) - CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - CAST(sb AS DOUBLE)))))
+         AS BIGINT) AS kappa_micro
+FROM g
+WHERE (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+          + (CAST(n AS DOUBLE) - CAST(sa AS DOUBLE))
+            * (CAST(n AS DOUBLE) - CAST(sb AS DOUBLE)))) > 0
+"""
+
+
 # --------------------------------------------- mixture token allocation
 #
 # Round-7 batch 3: the composition of reweighting and budgeting — turn
@@ -1075,6 +1200,7 @@ QUERIES = {
     "classifier_score": q_classifier_score,
     "classifier_calibration": q_classifier_calibration,
     "quality_signal_correlation": q_quality_signal_correlation,
+    "label_agreement_kappa": q_label_agreement_kappa,
     "mixture_allocation": q_mixture_allocation,
 }
 
@@ -1090,5 +1216,6 @@ ORACLES = {
     "classifier_score": ORACLE_CLASSIFIER_SCORE,
     "classifier_calibration": ORACLE_CLASSIFIER_CALIBRATION,
     "quality_signal_correlation": ORACLE_QUALITY_SIGNAL_CORRELATION,
+    "label_agreement_kappa": ORACLE_LABEL_AGREEMENT_KAPPA,
     "mixture_allocation": ORACLE_MIXTURE_ALLOCATION,
 }

@@ -2029,8 +2029,113 @@ FROM h HAVING COUNT(*) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space eval-set leakage scan)
+# ---------------------------------------------------------------------------
+
+#: held-out eval-set proxy: vec_id % DECON_MOD == 0 (deterministic,
+#: disjoint id universes by construction; distinct from QUERY_MOD so
+#: the decontamination eval set is NOT the ANN benchmark query set)
+DECON_MOD = 20
+#: hard-removal threshold (cosine micro) — an embedding this close to
+#: an eval item is a paraphrase-or-copy; drop it from training
+DECON_HARD_MICRO = 900_000
+#: review-band threshold — fixture-calibrated like SEMDEDUP_THRESHOLD
+#: (max eval↔train cosine ≈ 0.49 at sf0.01, so the review band is
+#: non-empty while the hard band is empty — both flag branches are
+#: exercised; a production run tunes both against labeled leaks)
+DECON_REVIEW_MICRO = 450_000
+
+
+def q_decontamination_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic
+    complement of the n-gram `decontamination_check`: an eval item
+    paraphrased into the training set shares no 8-gram but sits at
+    cosine ≈ 1 in embedding space. Per TRAINING vector: its nearest
+    eval-set vector (micro-rounded cosine, ties to the smaller eval
+    id), the hard `contaminated` flag (≥ DECON_HARD_MICRO — drop) and
+    the `review` flag (≥ DECON_REVIEW_MICRO — human queue). Output is
+    corpus-sized: exactly the filter column a curation run joins on.
+
+    Plan: eval set is benchmark-sized (|corpus| / DECON_MOD here; real
+    eval suites are thousands of items) → broadcast against ONE corpus
+    scan, same shape as `q_similarity_topk`; the per-vector argmax is
+    a narrow map-side-combinable min(struct(-cos, eid)) aggregate —
+    no corpus×eval-sized window/shuffle: the exchange after the
+    partial aggregate carries one row per training vector. NULL
+    embeddings are excluded on both sides on both engines (cosine
+    undefined); a NULL vec_id fails both mod predicates on both
+    engines and joins neither side."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    ev = emb.filter(F.col("vec_id") % DECON_MOD == 0).select(
+        F.col("vec_id").alias("eid"),
+        F.col("embedding").alias("ee"),
+        _l2(F.col("embedding")).alias("enrm"),
+    )
+    tr = emb.filter(F.col("vec_id") % DECON_MOD != 0).withColumn(
+        "nrm", _l2(F.col("embedding"))
+    )
+    pairs = tr.join(F.broadcast(ev), F.col("vec_id") != F.col("eid"))
+    cm = F.round(
+        dot_double(F.col("embedding"), F.col("ee"))
+        / (F.col("nrm") * F.col("enrm"))
+        * 1e6
+    ).cast("bigint")
+    best = (
+        pairs.select(
+            "vec_id",
+            F.struct((-cm).alias("neg"), F.col("eid").alias("eid")).alias(
+                "cand"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("mn"))
+    )
+    cmx = -F.col("mn.neg")
+    return best.select(
+        "vec_id",
+        F.col("mn.eid").alias("nearest_eval_id"),
+        cmx.alias("max_cos_micro"),
+        (cmx >= DECON_HARD_MICRO).alias("contaminated"),
+        (cmx >= DECON_REVIEW_MICRO).alias("review"),
+    )
+
+
+ORACLE_DECONTAMINATION_SEMANTIC = f"""
+WITH ev AS (
+  SELECT vec_id AS eid, embedding::DOUBLE[] AS ee FROM embeddings
+  WHERE vec_id % {DECON_MOD} = 0 AND embedding IS NOT NULL
+),
+tr AS (
+  SELECT vec_id, embedding::DOUBLE[] AS te FROM embeddings
+  WHERE vec_id % {DECON_MOD} <> 0 AND embedding IS NOT NULL
+),
+p AS (
+  SELECT vec_id, eid,
+         CAST(ROUND(list_cosine_similarity(te, ee) * 1e6) AS BIGINT)
+           AS cm
+  FROM tr, ev
+),
+r AS (
+  SELECT vec_id, eid, cm,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY cm DESC, eid) AS rn
+  FROM p
+)
+SELECT vec_id, eid AS nearest_eval_id, cm AS max_cos_micro,
+       cm >= {DECON_HARD_MICRO} AS contaminated,
+       cm >= {DECON_REVIEW_MICRO} AS review
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
+    "decontamination_semantic": q_decontamination_semantic,
     "ann_recall_report": q_ann_recall_report,
     "hard_negative_mining": q_hard_negative_mining,
     "hard_negative_mining_ivf": q_hard_negative_mining_ivf,
@@ -2046,6 +2151,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "decontamination_semantic": ORACLE_DECONTAMINATION_SEMANTIC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "hard_negative_mining_ivf": ORACLE_HARD_NEGATIVE_MINING_IVF,

@@ -1,0 +1,281 @@
+"""Invariants + plan gates for the round-15 batch-4 operators:
+boilerplate_strip, lsh_recall_report, decontamination_semantic,
+packing_efficiency, label_agreement_kappa. Oracle hash-exactness is
+the driver's job; these pin the SEMANTIC invariants a hash can't
+articulate and the plan shapes the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_boilerplate_strip_removes_template_preserves_order(
+    spark, tmp_path, queries
+):
+    """Three docs stamped with the same 8-token template (df=3 > cap 2)
+    in different positions; one clean doc. The template chunk must be
+    stripped from all three, the surrounding unique content must
+    survive IN ORDER, and the clean doc must be untouched."""
+    from gomysql2pg_spark.operators.dedup import STRIP_CHUNK_TOKENS
+
+    assert STRIP_CHUNK_TOKENS == 8
+    template = "cookie banner accept terms privacy policy click here"
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(8))
+    rows = [
+        # template leads (chunk 0), unique tail
+        (1, f"{template} {u('a')}", "en", "web"),
+        # unique head, template is chunk 1, unique tail
+        (2, f"{u('b')} {template} {u('c')}", "en", "web"),
+        # template trails
+        (3, f"{u('d')} {template}", "en", "web"),
+        # clean doc, no template
+        (4, f"{u('e')} {u('f')}", "en", "web"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in queries["boilerplate_strip"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1]["n_stripped"] == 1 and out[1]["kept_text"] == u("a")
+    assert out[2]["n_stripped"] == 1
+    # order preserved: head before tail, template gone
+    assert out[2]["kept_text"] == f"{u('b')} {u('c')}"
+    assert out[3]["kept_text"] == u("d")
+    assert out[4]["n_stripped"] == 0
+    assert out[4]["kept_text"] == f"{u('e')} {u('f')}"
+    for r in out.values():
+        assert r["n_chunks"] >= 1 and r["n_stripped"] <= r["n_chunks"]
+
+
+def test_boilerplate_strip_chunk_count_and_no_allpairs(
+    spark, sf_dir, queries
+):
+    """n_chunks = ceil(tokens/8) per doc, and the plan is the
+    Σ-bounded two-groupBy shape — no join of the docs table with
+    itself (the all-pairs product the df-join design avoids)."""
+    from gomysql2pg_spark.operators.dedup import STRIP_CHUNK_TOKENS
+
+    df = queries["boilerplate_strip"](spark, sf_dir)
+    got = {r["doc_id"]: r["n_chunks"] for r in df.collect()}
+    from gomysql2pg_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert got
+    for d in docs:
+        toks = d["text"].strip().lower().split()
+        # split(r"\s+") of a nonempty string yields len(toks) pieces
+        want = max(1, math.ceil(len(toks) / STRIP_CHUNK_TOKENS))
+        assert got[d["doc_id"]] == want
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_recall_report_reconciles_with_components(
+    spark, sf_dir, queries
+):
+    """The audit row must equal a recomputation from the two pipelines
+    it composes: truth = dedup_jaccard's pair set, candidates = the
+    md5-banded bucket pairs, hits = their intersection."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import (
+        _bucket_pairs,
+        _md5_minhash_bands,
+    )
+
+    rows = queries["lsh_recall_report"](spark, sf_dir).collect()
+    truth = {
+        (r["da"], r["db"])
+        for r in queries["dedup_jaccard"](spark, sf_dir)
+        .select("da", "db")
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["da"], r["db"])
+        for r in _bucket_pairs(_md5_minhash_bands(docs)).collect()
+    }
+    if not truth:
+        assert rows == []
+        return
+    (row,) = rows
+    hits = truth & cand
+    assert row["n_true_pairs"] == len(truth)
+    assert row["n_candidate_pairs"] == len(cand)
+    assert row["n_hits"] == len(hits)
+    assert row["recall_milli"] == (len(hits) * 1000) // len(truth)
+    assert 0 <= row["recall_milli"] <= 1000
+
+
+def test_decontamination_semantic_flags_planted_copy(
+    spark, tmp_path, queries
+):
+    """A training vector IDENTICAL to an eval vector must come back
+    contaminated (cos 1.0); an orthogonal one must be clean; ties on
+    the micro-rounded cosine resolve to the smaller eval id; output
+    has exactly one row per training vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators.similarity import (
+        DECON_HARD_MICRO,
+        DECON_MOD,
+    )
+
+    def vec(x, y):
+        return [x, y, 0.0, 0.0]
+
+    rows = [
+        # eval set (ids ≡ 0 mod DECON_MOD)
+        (0, vec(1.0, 0.0), 0),
+        (DECON_MOD, vec(0.0, 1.0), 0),
+        # train: exact copy of eval 0 → contaminated
+        (1, vec(1.0, 0.0), 1),
+        # train: orthogonal to both evals equally (tie) → eval 0 wins
+        (3, vec(1.0, 1.0), 1),
+        # train: anti-aligned → clean, review False
+        (5, vec(-1.0, 0.0), 1),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in queries["decontamination_semantic"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5}
+    assert out[1]["contaminated"] and out[1]["nearest_eval_id"] == 0
+    assert out[1]["max_cos_micro"] >= DECON_HARD_MICRO
+    # tie at cos≈0.7071 to both evals → smaller eval id
+    assert out[3]["nearest_eval_id"] == 0 and not out[3]["contaminated"]
+    assert not out[5]["contaminated"] and not out[5]["review"]
+
+
+def test_decontamination_plan_is_broadcast_no_window(
+    spark, sf_dir, queries
+):
+    """The 100 TB story: eval side broadcast, argmax as a partial
+    aggregate — the plan must contain a broadcast join and NO window
+    over the corpus×eval pair frame."""
+    df = queries["decontamination_semantic"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Broadcast" in plan
+    assert "Window" not in plan
+    # one row per train vector with non-null embedding
+    from gomysql2pg_spark.operators.similarity import DECON_MOD
+    from gomysql2pg_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_train = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.col("vec_id") % DECON_MOD != 0)
+    ).count()
+    assert df.count() == n_train
+
+
+def test_packing_efficiency_reconciles_with_seq_packing(
+    spark, sf_dir, queries
+):
+    """Every telemetry column must recompute from the packing it
+    audits; fill is in (0, 1000]; n_packs is the exact ceiling."""
+    from gomysql2pg_spark.operators.pipeline import PACK_TOKENS
+
+    eff = {
+        r["source"]: r
+        for r in queries["packing_efficiency"](spark, sf_dir).collect()
+    }
+    packed = queries["seq_packing"](spark, sf_dir).collect()
+    per: dict = {}
+    for r in packed:
+        s = per.setdefault(
+            r["source"], {"n": 0, "tok": 0, "straddle": 0}
+        )
+        s["n"] += 1
+        s["tok"] += r["n_tokens"]
+        s["straddle"] += int(r["straddles"])
+    assert eff
+    for src, s in per.items():
+        if s["tok"] == 0:
+            assert src not in eff
+            continue
+        row = eff[src]
+        assert row["n_docs"] == s["n"]
+        assert row["total_tokens"] == s["tok"]
+        assert row["n_straddlers"] == s["straddle"]
+        want_packs = -(-s["tok"] // PACK_TOKENS)
+        assert row["n_packs"] == want_packs
+        assert row["fill_milli"] == (s["tok"] * 1000) // (
+            want_packs * PACK_TOKENS
+        )
+        assert 0 < row["fill_milli"] <= 1000
+
+
+def test_label_agreement_kappa_algebra_and_bounds(
+    spark, sf_dir, queries
+):
+    """The 2×2 table must partition each language's corpus, and
+    kappa_micro must equal the textbook statistic recomputed from the
+    table; kappa is bounded by [-1, 1]."""
+    rows = queries["label_agreement_kappa"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r["n_docs"]
+        n11, n10, n01, n00 = r["n11"], r["n10"], r["n01"], r["n00"]
+        assert n11 + n10 + n01 + n00 == n
+        assert min(n11, n10, n01, n00) >= 0
+        sa, sb = n11 + n10, n11 + n01
+        pe_num = sa * sb + (n - sa) * (n - sb)
+        num = n * (n11 + n00) - pe_num
+        den = n * n - pe_num
+        assert den > 0  # degenerate groups are excluded
+        want = round(1e6 * num / den)
+        assert r["kappa_micro"] == want
+        assert -1_000_000 <= r["kappa_micro"] <= 1_000_000
