@@ -2111,7 +2111,14 @@ sh AS (
                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
   FROM toks
 ),
-mh AS (SELECT doc_id, {perm} FROM sh GROUP BY doc_id),
+mh AS (
+  -- doc_id IS NOT NULL mirrors _bucket_pairs' up-front NULL drop:
+  -- the kernel excludes NULL-keyed rows BEFORE its window count, so
+  -- a NULL doc in a bucket at exactly LSH_MAX_BUCKET must not tip
+  -- the oracle's size gate either
+  SELECT doc_id, {perm} FROM sh
+  WHERE doc_id IS NOT NULL GROUP BY doc_id
+),
 bands AS ({band_rows}),
 sized AS (
   SELECT doc_id, band, bkey,

@@ -258,6 +258,48 @@ def test_packing_efficiency_reconciles_with_seq_packing(
         assert 0 < row["fill_milli"] <= 1000
 
 
+def test_lsh_recall_and_strip_hash_match_on_null_doc_id(
+    spark, sf_dir, tmp_path_factory
+):
+    """Hostile NULL doc_id parity for the two new document-keyed ops:
+    `_bucket_pairs` drops NULL-keyed rows BEFORE its window count, so
+    the lsh_recall_report oracle must exclude them before ITS bucket
+    size gate too (not merely rely on `a.doc_id < b.doc_id` dropping
+    the pairs later — a NULL doc sitting in a bucket at exactly the
+    cap would otherwise tip the oracle's gate but not the engine's);
+    boilerplate_strip groups the NULL key identically on both
+    engines. Pin hash-exactness on a fixture that actually contains
+    the NULL."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare_query
+
+    out = str(tmp_path_factory.mktemp("sf_null_docid_b4"))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    d = tbl.to_pydict()
+    d["doc_id"][0] = None
+    pq.write_table(
+        pa.Table.from_pydict(d, schema=tbl.schema),
+        os.path.join(out, "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{out}/documents.parquet')"
+    )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in ("lsh_recall_report", "boilerplate_strip"):
+        r = compare_query(qs[name](spark, out), osql[name], con)
+        assert (
+            r["count_match"] and r["schema_match"] and r["value_match"]
+        ), (name, r)
+    con.close()
+
+
 def test_label_agreement_kappa_algebra_and_bounds(
     spark, sf_dir, queries
 ):
