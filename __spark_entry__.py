@@ -45,13 +45,15 @@ _PRIORITY = [
     "classifier_calibration", "decontamination_semantic",
     "hard_negative_mining", "hard_negative_mining_ivf",
     "label_agreement_kappa", "lsh_recall_report",
-    "packing_efficiency", "quality_signal_correlation",
+    "packing_efficiency", "q21_waiting_suppliers",
+    "q9_product_profit", "quality_signal_correlation",
     "shard_manifest", "token_fertility",
     # (2) the r14 stale queue (r14 verdict item 2), oldest green row
-    # first (r10, then r11, then r12 rows). The batch-4 additions
-    # push the 4 youngest r12 rows (group_reservoir_sample,
+    # first (r10, then r11, then r12 rows). The batch-4/5 additions
+    # push the 6 youngest r12 rows (events_top_paths,
+    # events_transition_matrix, group_reservoir_sample,
     # mixture_allocation, pagerank_bipartite, similarity_lsh_verified)
-    # + the catalog_tables filler past the 50-slot cut — all 4 are
+    # + the catalog_tables filler past the 50-slot cut — all 6 are
     # green in the local sf0.1 sweep and head the r16 queue.
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
@@ -62,7 +64,6 @@ _PRIORITY = [
     "q3_shipping_priority", "q7_volume_shipping", "skew_salted_agg",
     "bloom_prefilter_join", "coreset_margin_select",
     "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
-    "events_top_paths", "events_transition_matrix",
 ]
 
 

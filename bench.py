@@ -201,6 +201,12 @@ HEADLINE = [
     "decontamination_semantic",
     "packing_efficiency",
     "label_agreement_kappa",
+    # round-15 batch 5: the two structurally new TPC-H shapes — Q9's
+    # five-table join fan (LIKE pushed to the part scan, all dims
+    # broadcast, one fact scan) and Q21's same-order different-supplier
+    # semi/anti pair
+    "q9_product_profit",
+    "q21_waiting_suppliers",
 ]
 
 

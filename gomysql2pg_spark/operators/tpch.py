@@ -770,8 +770,188 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9 / Q21 shapes (round 15 — the two structurally new shapes the
+# suite still lacked: the widest join fan, and the same-order
+# different-supplier EXISTS / NOT-EXISTS pair)
+# ---------------------------------------------------------------------------
+
+Q9_NAME_FRAG = "red"  # 257 of 2k parts at sf0.01 — real selectivity
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    widest join fan in the suite — lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ orders — with a LIKE-filtered part dimension and a
+    (nation, year) rollup. The fixture schema has no partsupp table,
+    so unit cost substitutes `p_retailprice` for `ps_supplycost`
+    (documented; the join/agg shape is unchanged): profit_c4 =
+    extprice·(100−disc) − retailprice·qty·100, all in exact bigint
+    c4 units (functions.numeric — order-independent, AQE-immune).
+    Plan: part is LIKE-pruned BEFORE the fact join (predicate reaches
+    the scan) and, with supplier and nation, broadcast; lineitem is
+    scanned once; the only corpus-sized exchange is the final
+    (nation, year) partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{Q9_NAME_FRAG}%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount_c4 = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    ) - cents("p_retailprice") * whole("l_quantity") * F.lit(100)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount_c4).alias("sum_profit_c4"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({sql_cents('l_extendedprice')}
+                  * (100 - {sql_cents('l_discount')})
+                - {sql_cents('p_retailprice')}
+                  * {sql_whole('l_quantity')} * 100) AS BIGINT)
+         AS sum_profit_c4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAG}%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+Q21_LATE_DAYS = 60
+Q21_NATION = "NATION_3"
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for a
+    fixed nation, count finished ('F') orders where THIS supplier's
+    line was late but EVERY other supplier's line on the same order
+    was on time — the same-order different-supplier EXISTS +
+    NOT-EXISTS pair, the one correlated shape the suite still lacked.
+    The fixture has no l_commitdate/l_receiptdate, so "late"
+    substitutes l_shipdate > o_orderdate + Q21_LATE_DAYS (documented;
+    the semi/anti self-join structure is unchanged), and the failed
+    relation is collapsed to DISTINCT (orderkey, suppkey) because the
+    synthetic lineitem composite key is not unique (TESTDATA caveat —
+    duplicate lines must not double-count a wait).
+
+    Plan: EXISTS → left-semi, NOT EXISTS → left-anti, both equi-keyed
+    on orderkey with the supplier inequality as a residual condition —
+    no cartesian anywhere; supplier and nation broadcast; the final
+    top-100 sorts |suppliers-of-one-nation| count rows with a
+    deterministic (numwait DESC, s_name) tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    with_ord = lines.join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = (
+        with_ord.filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = (
+        with_ord.select("l_orderkey", "l_suppkey").distinct()
+    )
+    o = all_pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    l2 = late.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    # EXISTS another supplier on the order; NOT EXISTS another LATE one
+    waiting = late.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_ok"))
+        & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    ).join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_ok"))
+        & (F.col("l_suppkey") != F.col("x_sk")),
+        "left_anti",
+    )
+    named = waiting.join(
+        F.broadcast(
+            sup.join(
+                F.broadcast(nat.filter(F.col("n_name") == Q21_NATION)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_semi",
+            )
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    return (
+        named.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_Q21 = f"""
+WITH f AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+),
+w AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.l_orderkey = l1.l_orderkey
+                  AND p.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM w JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name = '{Q21_NATION}')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q9_product_profit": q9_product_profit,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -788,6 +968,8 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": ORACLE_Q4,
+    "q9_product_profit": ORACLE_Q9,
+    "q21_waiting_suppliers": ORACLE_Q21,
     "q6_forecast_revenue": ORACLE_Q6,
     "q7_volume_shipping": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,

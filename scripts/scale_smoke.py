@@ -105,6 +105,14 @@ SCALE_CRITICAL = [
     "bitext_margin_pairs",
     "bitext_margin_pairs_ivf",
     "shard_manifest",
+    # r15 batch 4: chunk-df boilerplate strip (chunk explosion + df
+    # join + doc-sized collects), the composed LSH recall audit
+    # (exact verifier + md5-banded candidates end-to-end — the
+    # worst-case composition row), embedding decontamination
+    # (|eval|x|corpus| broadcast scan with a narrow argmax)
+    "boilerplate_strip",
+    "lsh_recall_report",
+    "decontamination_semantic",
     "classifier_calibration",
     "quality_signal_correlation",
     "token_fertility",

@@ -300,6 +300,114 @@ def test_lsh_recall_and_strip_hash_match_on_null_doc_id(
     con.close()
 
 
+def test_q9_plan_pushes_like_and_broadcasts_dims(
+    spark, sf_dir, queries
+):
+    """The Q9 shape's 100 TB story: the LIKE predicate must reach the
+    part scan (pruned BEFORE the fact join), every dimension join must
+    broadcast, and nothing may cartesian."""
+    plan = plan_of(queries["q9_product_profit"](spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_exists_notexists_semantics(spark, tmp_path, queries):
+    """Constructed four-order corpus pinning each branch of the Q21
+    correlated pair: a lone late supplier among on-time co-suppliers
+    WAITS; two late suppliers on one order kill each other (NOT
+    EXISTS); a non-'F' order never counts; a late supplier alone on
+    its order has no co-supplier (EXISTS) and never counts."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators.tpch import (
+        Q21_LATE_DAYS,
+        Q21_NATION,
+    )
+
+    d0 = dt.datetime(1995, 1, 1)
+    late = d0 + dt.timedelta(days=Q21_LATE_DAYS + 1)
+    ontime = d0 + dt.timedelta(days=1)
+    ts = pa.timestamp("us")
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0], type=pa.int64()),
+                "n_name": [Q21_NATION],
+                "n_regionkey": pa.array([0], type=pa.int64()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], type=pa.int64()),
+                "s_name": ["s1", "s2", "s3"],
+                "s_nationkey": pa.array([0, 0, 0], type=pa.int64()),
+                "s_acctbal": [0.0, 0.0, 0.0],
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 20, 30, 40], type=pa.int64()),
+                "o_custkey": pa.array([1] * 4, type=pa.int64()),
+                "o_orderstatus": ["F", "F", "O", "F"],
+                "o_totalprice": [1.0] * 4,
+                "o_orderdate": pa.array([d0] * 4, type=ts),
+                "o_orderpriority": ["1-URGENT"] * 4,
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    lines = [
+        # (orderkey, suppkey, shipdate)
+        (10, 1, late),    # s1 waits: co-supplier s2 on time
+        (10, 2, ontime),
+        (20, 1, late),    # both late → neither waits
+        (20, 2, late),
+        (30, 1, late),    # order not 'F'
+        (30, 2, ontime),
+        (40, 1, late),    # no co-supplier
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(
+                    [l[0] for l in lines], type=pa.int64()
+                ),
+                "l_partkey": pa.array([1] * len(lines), type=pa.int64()),
+                "l_suppkey": pa.array(
+                    [l[1] for l in lines], type=pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    list(range(1, len(lines) + 1)), type=pa.int64()
+                ),
+                "l_quantity": [1.0] * len(lines),
+                "l_extendedprice": [1.0] * len(lines),
+                "l_discount": [0.0] * len(lines),
+                "l_tax": [0.0] * len(lines),
+                "l_returnflag": ["N"] * len(lines),
+                "l_linestatus": ["O"] * len(lines),
+                "l_shipdate": pa.array([l[2] for l in lines], type=ts),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = queries["q21_waiting_suppliers"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("s1", 1)]
+
+
 def test_label_agreement_kappa_algebra_and_bounds(
     spark, sf_dir, queries
 ):
