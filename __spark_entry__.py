@@ -45,16 +45,20 @@ _PRIORITY = [
     "classifier_calibration", "decontamination_semantic",
     "hard_negative_mining", "hard_negative_mining_ivf",
     "label_agreement_kappa", "lsh_recall_report",
-    "packing_efficiency", "q21_waiting_suppliers",
+    "packing_efficiency", "q11_important_stock",
+    "q16_parts_supplier_cnt", "q20_potential_promotion",
+    "q21_waiting_suppliers", "q2_min_cost_supplier",
     "q9_product_profit", "quality_signal_correlation",
     "shard_manifest", "token_fertility",
     # (2) the r14 stale queue (r14 verdict item 2), oldest green row
-    # first (r10, then r11, then r12 rows). The batch-4/5 additions
-    # push the 6 youngest r12 rows (events_top_paths,
-    # events_transition_matrix, group_reservoir_sample,
-    # mixture_allocation, pagerank_bipartite, similarity_lsh_verified)
-    # + the catalog_tables filler past the 50-slot cut — all 6 are
-    # green in the local sf0.1 sweep and head the r16 queue.
+    # first (r10, then r11, then r12 rows). The batch-4/5/6 additions
+    # push the 10 youngest r12 rows (coreset_margin_select,
+    # cross_source_overlap, domain_cap_sample_scaled, er_clusters,
+    # events_top_paths, events_transition_matrix,
+    # group_reservoir_sample, mixture_allocation, pagerank_bipartite,
+    # similarity_lsh_verified) + the catalog_tables filler past the
+    # 50-slot cut — all are green in the local sf0.1 sweep and head
+    # the r16 queue.
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
     "q22_dormant_customers", "q8_market_share", "ratio_to_report",
@@ -62,8 +66,7 @@ _PRIORITY = [
     "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
     "kmeans_assign", "kmeans_update", "q18_large_volume",
     "q3_shipping_priority", "q7_volume_shipping", "skew_salted_agg",
-    "bloom_prefilter_join", "coreset_margin_select",
-    "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
+    "bloom_prefilter_join",
 ]
 
 

@@ -207,6 +207,14 @@ HEADLINE = [
     # semi/anti pair
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # round-15 batch 6: the four remaining TPC-H shapes over the
+    # derived partsupp relation — correlated min (Q2), group-vs-global
+    # threshold (Q11), NOT-IN distinct count (Q16), nested-IN
+    # half-sum (Q20)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_cnt",
+    "q20_potential_promotion",
 ]
 
 

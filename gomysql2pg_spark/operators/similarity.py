@@ -2080,11 +2080,15 @@ def q_decontamination_semantic(
         "nrm", _l2(F.col("embedding"))
     )
     pairs = tr.join(F.broadcast(ev), F.col("vec_id") != F.col("eid"))
+    # try_cast, not cast: a zero-norm (poisoned) vector yields NaN
+    # cosine, which must become NULL-missing, not an ANSI CAST error
+    # that kills the corpus job (the r12 poisoned-numerics discipline,
+    # same as adc_micro)
     cm = F.round(
         dot_double(F.col("embedding"), F.col("ee"))
         / (F.col("nrm") * F.col("enrm"))
         * 1e6
-    ).cast("bigint")
+    ).try_cast("bigint")
     best = (
         pairs.select(
             "vec_id",

@@ -948,9 +948,360 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 shapes over a DERIVED partsupp relation
+# (round 15 — completes all 22 TPC-H shapes). The fixture schema has
+# no partsupp table, so the four queries that depend on it
+# structurally share ONE documented substitution: partsupp_derived =
+# lineitem grouped by (partkey, suppkey) with
+#   ps_supplycost_c = MIN(unit sale price in cents)   (integer div —
+#     both engines truncate identically on non-negative operands)
+#   ps_availqty     = SUM(quantity)
+# The substitution changes the numbers, never the SHAPE: correlated
+# min (Q2), group-vs-global-total threshold (Q11), distinct-count
+# with NOT-IN supplier exclusion (Q16), nested-IN half-sum promotion
+# (Q20) are all exercised exactly as written in the spec.
+# ---------------------------------------------------------------------------
+
+
+def derived_partsupp(li: DataFrame) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_supplycost_c, ps_availqty) — the
+    derived supply relation (see block comment). One corpus-sized
+    exchange on the composite key; map-side combinable."""
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            # NULLIF guards a zero quantity: ANSI `div` by zero would
+            # kill the corpus job; NULL-missing is the poisoned-row
+            # discipline (functions.numeric), and DuckDB's `//` gets
+            # the same NULLIF in SQL_PARTSUPP_DERIVED
+            F.min(
+                F.expr(
+                    "TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    " div NULLIF(TRY_CAST(ROUND(l_quantity) AS BIGINT)"
+                    ", 0)"
+                )
+            ).alias("ps_supplycost_c"),
+            F.sum(whole("l_quantity")).alias("ps_availqty"),
+        )
+    )
+
+
+SQL_PARTSUPP_DERIVED = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN({sql_cents('l_extendedprice')}
+             // NULLIF({sql_whole('l_quantity')}, 0))
+           AS ps_supplycost_c,
+         CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every size-15 part,
+    the region's suppliers whose (derived) supply cost EQUALS the
+    part's regional minimum — the correlated-MIN-subquery shape,
+    decorrelated the standard way: one per-part MIN aggregate over the
+    region-filtered supply, equi-joined back on (partkey, cost). Ties
+    at the minimum return every tied supplier, as in the spec.
+
+    Plan: supplier ⋈ nation ⋈ region is dimension-sized and broadcast
+    into the supply scan; the per-part MIN and the join back are both
+    keyed on ps_partkey (one exchange each side); part is size-pruned
+    before its broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == Q2_SIZE
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    eur_sup = sup.join(
+        F.broadcast(
+            nat.join(
+                F.broadcast(reg),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    supply = derived_partsupp(li).join(
+        F.broadcast(eur_sup),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    # rename the aggregate's key: `mins` descends from `supply`, so an
+    # un-renamed ps_partkey would be ambiguous in the self-join below
+    mins = (
+        supply.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_c").alias("min_cost_c"))
+        .withColumnRenamed("ps_partkey", "min_partkey")
+    )
+    return (
+        supply.join(
+            mins,
+            (F.col("ps_partkey") == F.col("min_partkey"))
+            & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
+        )
+        .join(
+            F.broadcast(part),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "ps_supplycost_c",
+            cents("s_acctbal").alias("s_acctbal_cents"),
+        )
+    )
+
+
+ORACLE_Q2 = f"""
+WITH ps AS ({SQL_PARTSUPP_DERIVED}),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+),
+supply AS (
+  SELECT ps.*, eur.s_name, eur.s_acctbal, eur.n_name
+  FROM ps JOIN eur ON ps_suppkey = s_suppkey
+)
+SELECT p_partkey, p_name, s_name, n_name, ps_supplycost_c,
+       {sql_cents('s_acctbal')} AS s_acctbal_cents
+FROM supply
+JOIN part ON ps_partkey = p_partkey
+WHERE p_size = {Q2_SIZE}
+  AND ps_supplycost_c = (
+    SELECT MIN(s2.ps_supplycost_c) FROM supply s2
+    WHERE s2.ps_partkey = supply.ps_partkey)
+"""
+
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION_DEN = 1000  # keep parts worth > 1/1000 of the total
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    stock value (Σ supplycost·availqty over one nation's suppliers),
+    keeping parts whose value exceeds a FRACTION of the nation's
+    total — the group-aggregate-vs-global-scalar-threshold shape. The
+    threshold compare is integer cross-multiplied (value·DEN >
+    total), so the keep set is engine-exact. Plan: one supply
+    aggregate keyed on partkey; the global total is a ONE-ROW
+    broadcast cross join (the scalar-subquery pattern). The per-part
+    frame feeds BOTH the total and the output rows, so it is
+    persisted + materialized (partkey-sized) — lazily each branch
+    would re-run the corpus-sized supply aggregate (verified: the
+    un-persisted plan shows no ReusedExchange, two full passes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    supply = derived_partsupp(li).join(
+        F.broadcast(nat_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    per_part = (
+        supply.groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_c") * F.col("ps_availqty")
+            ).alias("value_c")
+        )
+        .persist()
+    )
+    per_part.count()
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_c") * Q11_FRACTION_DEN > F.col("total_c")
+        )
+        .select("ps_partkey", "value_c")
+    )
+
+
+ORACLE_Q11 = f"""
+WITH ps AS ({SQL_PARTSUPP_DERIVED}),
+supply AS (
+  SELECT ps.* FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+),
+per_part AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+  FROM supply GROUP BY ps_partkey
+)
+SELECT ps_partkey, value_c FROM per_part
+WHERE value_c * {Q11_FRACTION_DEN} >
+      (SELECT SUM(value_c) FROM per_part)
+"""
+
+
+Q16_BRAND_EXCL = "Brand#1"
+Q16_TYPE_EXCL = "PROMO"
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT
+    supplier count per (brand, type, size) over the derived supply,
+    excluding one brand, one type, non-listed sizes, and — the NOT-IN
+    subquery the shape exists for — every supplier with a negative
+    account balance (the fixture's analog of the spec's
+    customer-complaints comment filter; 6 such suppliers exist at
+    sf0.01, so the exclusion is non-trivial). Spark expresses NOT IN
+    as a left-anti join, exactly equivalent here because supplier
+    keys are non-null (the NOT-IN NULL trap is documented where the
+    oracle keeps the literal NOT IN to pin the spec shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_BRAND_EXCL)
+        & (F.col("p_type") != Q16_TYPE_EXCL)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = derived_partsupp(li)
+    kept = ps.join(
+        F.broadcast(bad_sup),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    ).join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+    return kept.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("ps_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_Q16 = f"""
+WITH ps AS ({SQL_PARTSUPP_DERIVED})
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND_EXCL}'
+  AND p_type <> '{Q16_TYPE_EXCL}'
+  AND p_size IN {Q16_SIZES}
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+Q20_NATION = "NATION_2"
+Q20_NAME_PREFIX = "red"
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+
+
+def q20_potential_promotion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested-IN
+    chain — supplier IN (supply of parts IN a name-prefix list, with
+    a CORRELATED half-sum threshold against a date-window quantity
+    aggregate). Because the derived supply relation comes from the
+    same lineitem rows (shipped ⊆ holdings), the spec's literal
+    direction (availqty > ½·window-qty) is VACUOUS here, so the
+    threshold is inverted to keep it biting: a (part, supplier)
+    holding qualifies when the 1996 window moved MORE than half its
+    total quantity (2·qty_1996 > availqty — fast-moving stock, the
+    promotion signal; 983 of 6688 red-part pairs qualify at sf0.01,
+    so the correlated compare does real work). Integer compare;
+    pairs with no window shipments COALESCE to 0 and never qualify.
+    Plan: the name-filtered part list and the nation's suppliers
+    broadcast; the window aggregate and the supply relation share
+    the (partkey, suppkey) key — one exchange each, one equi-join;
+    final output is a DISTINCT supplier list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"{Q20_NAME_PREFIX}%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q20_NATION
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    qty_window = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(whole("l_quantity")).alias("qty_1996"))
+    )
+    ps = derived_partsupp(li).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    qualified = (
+        ps.join(
+            qty_window,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("qty_1996"), F.lit(0)) * 2
+            > F.col("ps_availqty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    # the inner equi-join both restricts to the nation's suppliers and
+    # carries the name; `qualified` is already distinct on the key
+    return qualified.join(
+        F.broadcast(nat_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
+ORACLE_Q20 = f"""
+WITH ps AS ({SQL_PARTSUPP_DERIVED}),
+qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS qty_1996
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_LO} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q20_HI} 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name = '{Q20_NATION}')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    LEFT JOIN qty ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+      AND COALESCE(qty_1996, 0) * 2 > ps_availqty)
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_parts_supplier_cnt": q16_parts_supplier_cnt,
+    "q20_potential_promotion": q20_potential_promotion,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
@@ -968,7 +1319,11 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": ORACLE_Q4,
+    "q2_min_cost_supplier": ORACLE_Q2,
     "q9_product_profit": ORACLE_Q9,
+    "q11_important_stock": ORACLE_Q11,
+    "q16_parts_supplier_cnt": ORACLE_Q16,
+    "q20_potential_promotion": ORACLE_Q20,
     "q21_waiting_suppliers": ORACLE_Q21,
     "q6_forecast_revenue": ORACLE_Q6,
     "q7_volume_shipping": ORACLE_Q7,

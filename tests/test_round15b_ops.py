@@ -408,6 +408,216 @@ def test_q21_exists_notexists_semantics(spark, tmp_path, queries):
     assert [(r["s_name"], r["numwait"]) for r in out] == [("s1", 1)]
 
 
+def _write_tpch_minimal(tmp_path, parts, suppliers, lines, orders=None):
+    """Tiny constructed TPC-H fixture: parts = (key, name, brand,
+    type, size), suppliers = (key, name, nationkey, acctbal), lines =
+    (orderkey, partkey, suppkey, qty, extprice, shipdate)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pa.timestamp("us")
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], type=pa.int64()),
+                "n_name": ["NATION_2", "NATION_9"],
+                "n_regionkey": pa.array([0, 0], type=pa.int64()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0], type=pa.int64()),
+                "r_name": ["EUROPE"],
+            }
+        ),
+        tmp_path / "region.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([p[0] for p in parts], type=pa.int64()),
+                "p_name": [p[1] for p in parts],
+                "p_brand": [p[2] for p in parts],
+                "p_type": [p[3] for p in parts],
+                "p_size": pa.array([p[4] for p in parts], type=pa.int64()),
+                "p_retailprice": [1.0] * len(parts),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([s[0] for s in suppliers], type=pa.int64()),
+                "s_name": [s[1] for s in suppliers],
+                "s_nationkey": pa.array([s[2] for s in suppliers], type=pa.int64()),
+                "s_acctbal": [float(s[3]) for s in suppliers],
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    default_date = dt.datetime(1995, 6, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], type=pa.int64()),
+                "l_partkey": pa.array([l[1] for l in lines], type=pa.int64()),
+                "l_suppkey": pa.array([l[2] for l in lines], type=pa.int64()),
+                "l_linenumber": pa.array(
+                    list(range(1, len(lines) + 1)), type=pa.int64()
+                ),
+                "l_quantity": [float(l[3]) for l in lines],
+                "l_extendedprice": [float(l[4]) for l in lines],
+                "l_discount": [0.0] * len(lines),
+                "l_tax": [0.0] * len(lines),
+                "l_returnflag": ["N"] * len(lines),
+                "l_linestatus": ["O"] * len(lines),
+                "l_shipdate": pa.array(
+                    [l[5] if len(l) > 5 else default_date for l in lines],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+
+def test_q2_returns_only_regional_min_cost_rows(spark, sf_dir, queries):
+    """Every returned supplier carries ITS part's minimum regional
+    cost (one distinct cost per part in the output) and only size-15
+    parts appear."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.tpch import Q2_SIZE
+
+    rows = queries["q2_min_cost_supplier"](spark, sf_dir).collect()
+    assert rows
+    sizes = {
+        r["p_partkey"]: r["p_size"]
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    per_part: dict = {}
+    for r in rows:
+        assert sizes[r["p_partkey"]] == Q2_SIZE
+        per_part.setdefault(r["p_partkey"], set()).add(
+            r["ps_supplycost_c"]
+        )
+    assert all(len(costs) == 1 for costs in per_part.values())
+
+
+def test_q11_threshold_reconciles_with_derived_supply(spark, queries):
+    """The keep set must equal an independent recomputation of the
+    per-part values and the global total from the derived supply
+    relation restricted to the nation's suppliers. Pinned to sf0.01
+    (the driver gate scale): the sf0.001 fixture has no NATION_7
+    suppliers at all, which would vacuously pass."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.tpch import (
+        Q11_FRACTION_DEN,
+        Q11_NATION,
+        derived_partsupp,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    out = {
+        r["ps_partkey"]: r["value_c"]
+        for r in queries["q11_important_stock"](spark, sf_dir).collect()
+    }
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    keys = {
+        r["s_suppkey"]
+        for r in sup.join(
+            nat, F.col("s_nationkey") == F.col("n_nationkey")
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    vals: dict = {}
+    for r in derived_partsupp(li).collect():
+        if r["ps_suppkey"] in keys:
+            vals[r["ps_partkey"]] = vals.get(r["ps_partkey"], 0) + (
+                r["ps_supplycost_c"] * r["ps_availqty"]
+            )
+    total = sum(vals.values())
+    want = {
+        pk: v for pk, v in vals.items() if v * Q11_FRACTION_DEN > total
+    }
+    assert out == want and out  # non-empty and exact
+
+
+def test_q16_not_in_excludes_negative_balance_supplier(
+    spark, tmp_path, queries
+):
+    """Constructed: one listed-size part supplied by one clean and one
+    negative-balance supplier — the count must be 1; a second part
+    outside the size list must not appear."""
+    _write_tpch_minimal(
+        tmp_path,
+        parts=[
+            (1, "blue bolt", "Brand#2", "SMALL", 4),
+            (2, "red gear", "Brand#2", "SMALL", 5),  # size not listed
+        ],
+        suppliers=[(1, "good", 0, 10.0), (2, "bad", 0, -5.0)],
+        lines=[
+            (10, 1, 1, 5, 5.0),
+            (11, 1, 2, 5, 5.0),
+            (12, 2, 1, 5, 5.0),
+        ],
+    )
+    rows = queries["q16_parts_supplier_cnt"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [
+        (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+        for r in rows
+    ] == [("Brand#2", "SMALL", 4, 1)]
+
+
+def test_q20_half_sum_threshold_branches(spark, tmp_path, queries):
+    """Constructed: a fast-moving red-part holding (window moved >½ of
+    total) qualifies; a slow mover doesn't; a non-matching part name
+    never does; a supplier of the other nation never does."""
+    import datetime as dt
+
+    in96 = dt.datetime(1996, 6, 1)
+    out96 = dt.datetime(1995, 6, 1)
+    _write_tpch_minimal(
+        tmp_path,
+        parts=[
+            (1, "red gear", "Brand#2", "SMALL", 4),
+            (2, "hot gear", "Brand#2", "SMALL", 4),
+        ],
+        suppliers=[
+            (1, "fast", 0, 1.0),
+            (2, "slow", 0, 1.0),
+            (3, "othernation", 1, 1.0),
+        ],
+        lines=[
+            # s1: 8 of 10 units in 1996 → 16 > 10 qualifies
+            (10, 1, 1, 8, 8.0, in96),
+            (11, 1, 1, 2, 2.0, out96),
+            # s2: 2 of 10 in 1996 → 4 > 10 false
+            (12, 1, 2, 2, 2.0, in96),
+            (13, 1, 2, 8, 8.0, out96),
+            # s3: fast mover but wrong nation
+            (14, 1, 3, 8, 8.0, in96),
+            # s2 fast mover on a NON-red part — must not qualify it
+            (15, 2, 2, 8, 8.0, in96),
+        ],
+    )
+    rows = queries["q20_potential_promotion"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["s_suppkey"], r["s_name"]) for r in rows] == [(1, "fast")]
+
+
 def test_label_agreement_kappa_algebra_and_bounds(
     spark, sf_dir, queries
 ):
