@@ -841,6 +841,12 @@ IVF_TRAIN_ITERS = 2  # FIXED Lloyd iterations — determinism by count,
 # re-running Lloyd per query
 _COARSE_CACHE: dict = {}
 
+#: (semanticHash, columns, emb_col) → the persisted id-tagged frame of
+#: `_assign_cells`' join form; keyed reuse bounds cache growth to one
+#: frame per distinct input plan instead of one per call (see the
+#: comment in _assign_cells and `release_id_cache`)
+_ID_FRAME_CACHE: dict = {}
+
 
 def _train_coarse(emb: DataFrame, cache_key=None) -> list:
     """Train the IVF coarse quantizer: IVF_TRAIN_ITERS Lloyd
@@ -905,11 +911,9 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
             assigned.groupBy("cell").agg(*aggs).limit(IVF_NLIST).collect()
         )
         # the per-iteration assignment is fully drained by the collect
-        # above — release the join-form id cache instead of pinning a
-        # corpus-scale frame per iteration for the session lifetime
-        cache = getattr(assigned, "_id_cache", None)
-        if cache is not None:
-            cache.unpersist()
+        # above — release the join-form id cache (and its keyed slot)
+        # instead of pinning a corpus-scale frame per iteration
+        release_id_cache(assigned)
         for r in stats:
             # a component sum can be NULL if every member's value was
             # non-finite (poisoned vectors) — contribute 0, not a crash
@@ -1200,9 +1204,23 @@ def _assign_cells(
         return df.withColumn("cell", _cell_expr(cent_rows, emb_col))
     spark = df.sparkSession
     cent = _model_df(spark, cent_rows, "cell int, __ce array<double>")
-    tagged = df.withColumn(
-        "__rid", F.monotonically_increasing_id()
-    ).persist()
+    # ONE persisted id frame per semantically-distinct input plan, not
+    # per CALL: the frame depends only on (df, emb_col) — never on the
+    # centroid model — so repeated invocations (bench reps, training
+    # iterations, both IVF miners in one session) reuse the same
+    # corpus-scale cache instead of pinning a fresh copy each time
+    # (r15 review finding: unbounded per-call accumulation). Eager
+    # consumers release through `release_id_cache`, which also evicts
+    # the dict slot so a later call re-materializes rather than
+    # silently recomputing an unpersisted frame per plan branch (the
+    # id-determinism hazard the cache exists to prevent).
+    key = (df.semanticHash(), tuple(df.columns), emb_col)
+    tagged = _ID_FRAME_CACHE.get(key)
+    if tagged is None:
+        tagged = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).persist()
+        _ID_FRAME_CACHE[key] = tagged
     narrow = tagged.select("__rid", emb_col)
     joined = (
         narrow.withColumn("_x", F.col("__rid") % F.lit(1))
@@ -1226,13 +1244,27 @@ def _assign_cells(
         .select("__rid", F.col("b.cell").alias("cell"))
     )
     out = tagged.join(assign, "__rid").select(*df.columns, "cell")
-    # expose the cache handle so EAGER consumers (training loops that
-    # fully drain the assignment per iteration) can release the
-    # corpus-scale cache instead of pinning it for the session —
-    # lazy/query-shaped consumers leave it pinned for the plan's
-    # lifetime, which is the price of id determinism
+    # expose the cache handle + key so EAGER consumers (training loops
+    # that fully drain the assignment per iteration) can release the
+    # corpus-scale cache via `release_id_cache` instead of pinning it
+    # for the session — lazy/query-shaped consumers leave it pinned
+    # (and keyed-shared), which is the price of id determinism
     out._id_cache = tagged
+    out._id_cache_key = key
     return out
+
+
+def release_id_cache(assigned: DataFrame) -> None:
+    """Unpersist an `_assign_cells` join-form id frame AND evict its
+    keyed slot, so the next call re-materializes instead of reusing an
+    unpersisted frame (which would recompute per plan branch — exactly
+    the nondeterministic-id hazard the cache exists to prevent). Only
+    safe for consumers that have fully drained the assignment."""
+    cache = getattr(assigned, "_id_cache", None)
+    if cache is None:
+        return
+    cache.unpersist()
+    _ID_FRAME_CACHE.pop(getattr(assigned, "_id_cache_key", None), None)
 
 
 def q_similarity_ivfpq(
@@ -1347,9 +1379,10 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
     means with empty cells keeping their previous centroid."""
     dim = PQ_M * PQ_SUBDIM
     # tr = the (sampled) training corpus, the same md5 hash-sample
-    # predicate the engine's _train_sample applies (identity when
-    # sampling is disabled — the predicate is omitted entirely so a
-    # NULL vec_id stays in the training set on both engines)
+    # predicate the engine's _train_sample applies. NULL vec_ids are
+    # excluded UNCONDITIONALLY (the IS NOT NULL below is emitted even
+    # when sampling is disabled), mirroring _train_sample's documented
+    # invariant — a NULL id hashes out of training on BOTH engines.
     tr_where = "\n  WHERE vec_id IS NOT NULL" + (
         f" AND {_train_sample_pred_sql()}"
         if TRAIN_SAMPLE_MOD > 1
@@ -2083,7 +2116,12 @@ def q_decontamination_semantic(
     # try_cast, not cast: a zero-norm (poisoned) vector yields NaN
     # cosine, which must become NULL-missing, not an ANSI CAST error
     # that kills the corpus job (the r12 poisoned-numerics discipline,
-    # same as adc_micro)
+    # same as adc_micro). The NULL is then FILTERED before the argmax:
+    # min(struct) ranks a NULL field FIRST, so an unfiltered poisoned
+    # EVAL vector would win nearest_eval_id for every training row and
+    # null out both flags corpus-wide (r15 review finding); the oracle
+    # applies the same TRY_CAST + IS NOT NULL, so the engines also
+    # agree on ordering (DuckDB would otherwise rank the NULL last)
     cm = F.round(
         dot_double(F.col("embedding"), F.col("ee"))
         / (F.col("nrm") * F.col("enrm"))
@@ -2092,9 +2130,15 @@ def q_decontamination_semantic(
     best = (
         pairs.select(
             "vec_id",
-            F.struct((-cm).alias("neg"), F.col("eid").alias("eid")).alias(
-                "cand"
-            ),
+            cm.alias("cm"),
+            F.col("eid"),
+        )
+        .filter(F.col("cm").isNotNull())
+        .select(
+            "vec_id",
+            F.struct(
+                (-F.col("cm")).alias("neg"), F.col("eid").alias("eid")
+            ).alias("cand"),
         )
         .groupBy("vec_id")
         .agg(F.min("cand").alias("mn"))
@@ -2120,9 +2164,11 @@ tr AS (
 ),
 p AS (
   SELECT vec_id, eid,
-         CAST(ROUND(list_cosine_similarity(te, ee) * 1e6) AS BIGINT)
+         TRY_CAST(ROUND(list_cosine_similarity(te, ee) * 1e6) AS BIGINT)
            AS cm
   FROM tr, ev
+  WHERE TRY_CAST(ROUND(list_cosine_similarity(te, ee) * 1e6) AS BIGINT)
+        IS NOT NULL
 ),
 r AS (
   SELECT vec_id, eid, cm,

@@ -967,9 +967,20 @@ LIMIT 100
 def derived_partsupp(li: DataFrame) -> DataFrame:
     """(ps_partkey, ps_suppkey, ps_supplycost_c, ps_availqty) — the
     derived supply relation (see block comment). One corpus-sized
-    exchange on the composite key; map-side combinable."""
+    exchange on the composite key; map-side combinable.
+
+    NULL part/supplier keys are dropped up front: every downstream
+    equi-join would drop them anyway, EXCEPT Q16's anti-join, where a
+    NULL-keyed group diverges from the oracle's literal NOT IN (the
+    NOT IN evaluates to NULL against a non-empty exclusion list and
+    drops the row; a left-anti KEEPS a NULL probe key — r15 review
+    finding). One filter here keeps every consumer engine-exact."""
     return (
-        li.groupBy(
+        li.filter(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
         )
@@ -996,7 +1007,9 @@ SQL_PARTSUPP_DERIVED = f"""
              // NULLIF({sql_whole('l_quantity')}, 0))
            AS ps_supplycost_c,
          CAST(SUM({sql_whole('l_quantity')}) AS BIGINT) AS ps_availqty
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  GROUP BY l_partkey, l_suppkey
 """
 
 Q2_REGION = "EUROPE"

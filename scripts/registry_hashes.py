@@ -291,7 +291,7 @@ def snapshot_hashes(rnd: int, ref: str | None = None) -> dict[str, str] | None:
 
 
 def resolve_snapshot(
-    rnd: int, latest_rnd: int, cur: dict[str, str]
+    rnd: int, latest_rnd: int
 ) -> tuple[dict[str, str] | None, str]:
     """The tree the round-``rnd`` driver verified, resolved in order:
     (1) the commit that carries the round's results (the driver's
@@ -353,7 +353,7 @@ def stale_report() -> dict[str, dict]:
             }
             continue
         if rnd not in snaps:
-            snaps[rnd] = resolve_snapshot(rnd, latest_rnd, cur)
+            snaps[rnd] = resolve_snapshot(rnd, latest_rnd)
         snap, src = snaps[rnd]
         if snap is None:
             report[name] = {
@@ -391,7 +391,7 @@ def derive_window(report: dict[str, dict]) -> list[str]:
     latest_round = max(
         (v["round"] for v in report.values() if v["round"]), default=0
     )
-    latest_snap = resolve_snapshot(latest_round, latest_round, cur)[0] or {}
+    latest_snap = resolve_snapshot(latest_round, latest_round)[0] or {}
     slotted = {
         n: v for n, v in report.items() if not v.get("rows_only")
     }

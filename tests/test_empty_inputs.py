@@ -55,6 +55,11 @@ REPRESENTATIVES = [
     "stream_stateful_totals",
     "stream_anomaly",
     "similarity_lsh",
+    # r15 batch 4-6: the NaN-cosine argmax path, the chunk pipeline,
+    # and the derived-supply integer division
+    "decontamination_semantic",
+    "boilerplate_strip",
+    "q2_min_cost_supplier",
     "cube_agg",
     "grouping_sets",
     "topk_by_aggregation",

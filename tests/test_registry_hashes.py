@@ -126,7 +126,7 @@ def test_snapshot_resolution_order():
             return {"some_entry": "fromsnap"}
 
         mod.snapshot_hashes = snap_commit
-        snap, src = mod.resolve_snapshot(7, 9, cur)
+        snap, src = mod.resolve_snapshot(7, 9)
         assert snap == {"some_entry": "fromsnap"} and "commit" in src
 
         # (2) no commit + latest round → the HEAD tree via an explicit
@@ -139,13 +139,13 @@ def test_snapshot_resolution_order():
             return None if ref is None else {"some_entry": "fromhead"}
 
         mod.snapshot_hashes = snap_head
-        snap, src = mod.resolve_snapshot(9, 9, cur)
+        snap, src = mod.resolve_snapshot(9, 9)
         assert snap == {"some_entry": "fromhead"} and "HEAD" in src
         assert snap != cur and any(r for r in calls if r)
 
         # (3) no commit + older round → unavailable (conservative)
         mod.snapshot_hashes = lambda rnd, ref=None: None
-        snap, src = mod.resolve_snapshot(7, 9, cur)
+        snap, src = mod.resolve_snapshot(7, 9)
         assert snap is None and "unavailable" in src
     finally:
         mod.snapshot_hashes = real

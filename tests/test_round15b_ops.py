@@ -199,6 +199,51 @@ def test_decontamination_semantic_flags_planted_copy(
     assert not out[5]["contaminated"] and not out[5]["review"]
 
 
+def test_decontamination_poisoned_eval_vector_does_not_hijack_argmax(
+    spark, tmp_path, queries
+):
+    """An all-NaN eval vector yields NULL micro-cosine against every
+    training row; min(struct) ranks a NULL field FIRST, so without the
+    pre-argmax filter the poisoned eval id would win nearest_eval_id
+    for EVERY training vector and null both flags corpus-wide (r15
+    review finding). The planted copy must still match its REAL eval
+    twin, and no row may carry a NULL cosine or the poisoned id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gomysql2pg_spark.operators.similarity import DECON_MOD
+
+    nan = float("nan")
+    rows = [
+        (0, [nan, nan, nan, nan], 0),          # poisoned eval
+        (DECON_MOD, [1.0, 0.0, 0.0, 0.0], 0),  # real eval
+        (1, [1.0, 0.0, 0.0, 0.0], 1),          # train: copy of real
+        (3, [0.0, 1.0, 0.0, 0.0], 1),          # train: orthogonal
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in queries["decontamination_semantic"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    for r in out.values():
+        assert r["max_cos_micro"] is not None
+        assert r["nearest_eval_id"] != 0
+    assert out[1]["nearest_eval_id"] == DECON_MOD
+    assert out[1]["contaminated"]
+
+
 def test_decontamination_plan_is_broadcast_no_window(
     spark, sf_dir, queries
 ):
