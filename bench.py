@@ -317,6 +317,7 @@ def main() -> None:
             print(f"# fixture split failed, using source: {exc}",
                   file=sys.stderr)
 
+    from gomysql2pg_spark.functions.consume import force_count
     from gomysql2pg_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -342,7 +343,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
-                qs[name](spark, warm_dir).count()
+                force_count(qs[name](spark, warm_dir))
             except Exception as exc:  # warmup must never fail the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     # drop caches persisted by warmed queries (codegen cache survives)
@@ -392,7 +393,14 @@ def main() -> None:
             try:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
-                n = df.count()
+                # force_count, NOT count(): a bare count lets column
+                # pruning delete every output expression a row count
+                # doesn't need, so projection-/aggregate-shaped
+                # queries used to bench as near-no-op scans (r15
+                # finding: 0.31 s recorded for 18.6 s of real cosine
+                # work). All r01-r15 records before this fix
+                # under-measure exactly those entries.
+                n = force_count(df)
                 samples.append(time.perf_counter() - t0)
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -433,6 +441,11 @@ def main() -> None:
         "spread": spread,
         "n_queries": len(HEADLINE),
         "n_ok": len(ok),
+        # marker: results are drained through force_count (every
+        # output column hashed), NOT a prunable count() — r01-r15
+        # records without this field under-measure projection-shaped
+        # entries and are not row-comparable for those
+        "consumption": "hash-forced",
         "sf": float(sf) if sf else sf_label_dir,
         "cpus": int(cpus),
         # loadavg before/after the timed loop: lets a reader attribute

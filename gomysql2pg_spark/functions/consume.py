@@ -1,0 +1,55 @@
+"""Benchmark-side result consumption that cannot be pruned away.
+
+``df.count()`` is the natural way to drain a query, but Catalyst's
+column pruning makes it a LIE for timing: counting rows never needs
+the output columns, so a projection-only query (per-doc scores,
+transforms) degenerates to a parquet row count and an aggregate-only
+query drops every aggregate expression whose value is not needed to
+enumerate groups. Measured on this repo (r15): the semantic
+decontamination scan — 19M broadcast pairs, a 64-element cosine fold
+per pair — timed 0.31 s under ``count()`` and 18.6 s once ANY
+downstream consumer actually read the aggregate's value; the plans
+are identical except for a 19k-row top filter, the difference is
+purely which expressions pruning deletes.
+
+``force_count`` returns the same row count while hashing EVERY output
+column into a throwaway aggregate, so the timed number includes the
+work a real consumer (a writer, an oracle compare, a downstream join)
+would pay. xxhash64 covers atomic, array, struct, and binary columns;
+map-typed columns are viewed through ``map_entries`` (hash-able);
+anything still unsupported falls back to a plain count rather than
+failing the harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def force_count(df: DataFrame) -> int:
+    """Row count that forces full evaluation of every output column."""
+    try:
+        cols = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            if "map<" in f.dataType.simpleString():
+                c = F.map_entries(c)
+            cols.append(c)
+        if not cols:
+            return df.count()
+        forced = df.select(F.xxhash64(*cols).alias("__h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("x"),  # overflow-free sink
+        )
+        forced.schema  # trigger ANALYSIS inside the guard
+    except Exception:
+        # ANALYSIS-time failure only (unsupported type composition,
+        # e.g. a map nested in an array, which xxhash64 rejects) — an
+        # honest-but-degraded fallback beats a dead harness. Execution
+        # errors must PROPAGATE: swallowing them would re-open the
+        # pruning lie this helper exists to close (a query whose
+        # expressions fail when actually evaluated would silently
+        # fall back to the pruned count and bench as healthy).
+        return df.count()
+    return int(forced.collect()[0]["n"])

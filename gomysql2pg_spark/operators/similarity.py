@@ -2116,32 +2116,37 @@ def q_decontamination_semantic(
     # try_cast, not cast: a zero-norm (poisoned) vector yields NaN
     # cosine, which must become NULL-missing, not an ANSI CAST error
     # that kills the corpus job (the r12 poisoned-numerics discipline,
-    # same as adc_micro). The NULL is then FILTERED before the argmax:
-    # min(struct) ranks a NULL field FIRST, so an unfiltered poisoned
+    # same as adc_micro). The NULL must then NEVER win the argmax:
+    # min(struct) ranks a NULL field FIRST, so an unguarded poisoned
     # EVAL vector would win nearest_eval_id for every training row and
-    # null out both flags corpus-wide (r15 review finding); the oracle
-    # applies the same TRY_CAST + IS NOT NULL, so the engines also
-    # agree on ordering (DuckDB would otherwise rank the NULL last)
+    # null out both flags corpus-wide (r15 review finding). The guard
+    # is a COALESCE to an above-any-real-value sentinel, NOT a
+    # pre-aggregate filter on a projected cm column: predicate
+    # pushdown substitutes the projected expression into the filter,
+    # duplicating the 64-element cosine fold per pair and (measured)
+    # falling out of codegen — 0.8 s → 19 s at the 10× smoke. The
+    # coalesce form references the fold exactly ONCE; a NULL cosine
+    # becomes the sentinel, loses to any real candidate, and a vector
+    # whose EVERY cosine is NULL (poisoned train row) is dropped by
+    # the group-sized post-aggregate sentinel filter — semantically
+    # identical to the oracle's TRY_CAST + IS NOT NULL pre-filter.
     cm = F.round(
         dot_double(F.col("embedding"), F.col("ee"))
         / (F.col("nrm") * F.col("enrm"))
         * 1e6
     ).try_cast("bigint")
+    sentinel = 1 << 62  # any real neg-cosine is within ±1e6
     best = (
         pairs.select(
             "vec_id",
-            cm.alias("cm"),
-            F.col("eid"),
-        )
-        .filter(F.col("cm").isNotNull())
-        .select(
-            "vec_id",
             F.struct(
-                (-F.col("cm")).alias("neg"), F.col("eid").alias("eid")
+                F.coalesce(-cm, F.lit(sentinel)).alias("neg"),
+                F.col("eid").alias("eid"),
             ).alias("cand"),
         )
         .groupBy("vec_id")
         .agg(F.min("cand").alias("mn"))
+        .filter(F.col("mn.neg") != sentinel)
     )
     cmx = -F.col("mn.neg")
     return best.select(

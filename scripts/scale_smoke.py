@@ -323,6 +323,7 @@ def main() -> int:
     print(f"# replicated fixtures: {big}", file=sys.stderr)
 
     import __spark_entry__ as entry
+    from gomysql2pg_spark.functions.consume import force_count
     from gomysql2pg_spark.session import get_spark
 
     spark = get_spark(app_name="scale-smoke")
@@ -383,12 +384,19 @@ def main() -> int:
     for name in names:
         fn = qs[name]
         try:
+            # force_count, not count(): a bare count lets column
+            # pruning delete the output expressions, so projection-
+            # and aggregate-shaped operators smoke-tested as parquet
+            # row counts (r15 finding — see functions/consume.py).
+            # SMOKE tables recorded before this fix under-measure
+            # exactly those rows (ratios were still valid: pruning is
+            # plan-level, identical at both scales).
             t0 = time.perf_counter()
-            n_big = fn(spark, big).count()
+            n_big = force_count(fn(spark, big))
             t_big = time.perf_counter() - t0
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, BASE).count()
+            force_count(fn(spark, BASE))
             t_small = time.perf_counter() - t0
             spark.catalog.clearCache()
             ratio = t_big / t_small if t_small > 0 else float("inf")
