@@ -29,44 +29,46 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r15 window (50 slots), re-derived 2026-08-15 (batch 4) by
+    # --- r15 window (50 slots), re-derived 2026-08-16 (batch 5) by
     # `scripts/registry_hashes.py --derive-window`.
     # (1) changed/new this build: the re-scanned classifier frame
     # (classifier_score + its three diagnostics), the window-gated
     # LSH twins, concat_ws epoch shards, sampled-training ANN
-    # entries, the 9 earlier r15-NEW operators, and the 5 batch-4
+    # entries, the 9 earlier r15-NEW operators, the 5 batch-4
     # operators (boilerplate_strip, lsh_recall_report,
     # decontamination_semantic, packing_efficiency,
-    # label_agreement_kappa)
+    # label_agreement_kappa), and the 3 batch-5 operators
+    # (bm25_topk, quality_rule_ablation, temporal_holdout_report)
     "classifier_score", "dedup_minhash_lsh_verified",
     "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
     "similarity_pq", "ann_recall_report", "bitext_margin_pairs",
-    "bitext_margin_pairs_ivf", "boilerplate_strip",
+    "bitext_margin_pairs_ivf", "bm25_topk", "boilerplate_strip",
     "classifier_calibration", "decontamination_semantic",
     "hard_negative_mining", "hard_negative_mining_ivf",
     "label_agreement_kappa", "lsh_recall_report",
     "packing_efficiency", "q11_important_stock",
     "q16_parts_supplier_cnt", "q20_potential_promotion",
     "q21_waiting_suppliers", "q2_min_cost_supplier",
-    "q9_product_profit", "quality_signal_correlation",
-    "shard_manifest", "token_fertility",
+    "q9_product_profit", "quality_rule_ablation",
+    "quality_signal_correlation", "shard_manifest",
+    "temporal_holdout_report", "token_fertility",
     # (2) the r14 stale queue (r14 verdict item 2), oldest green row
-    # first (r10, then r11, then r12 rows). The batch-4/5/6 additions
-    # push the 10 youngest r12 rows (coreset_margin_select,
+    # first (r10, then r11 rows). The batch-4/5/6 additions push the
+    # last r11/r12 rows (q7_volume_shipping, skew_salted_agg,
+    # bloom_prefilter_join, coreset_margin_select,
     # cross_source_overlap, domain_cap_sample_scaled, er_clusters,
     # events_top_paths, events_transition_matrix,
     # group_reservoir_sample, mixture_allocation, pagerank_bipartite,
     # similarity_lsh_verified) + the catalog_tables filler past the
-    # 50-slot cut — all are green in the local sf0.1 sweep and head
-    # the r16 queue.
+    # 50-slot cut — all are green in the local sf0.1 AND sf0.01
+    # sweeps and head the r16 queue.
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
     "q22_dormant_customers", "q8_market_share", "ratio_to_report",
     "repetition_filter", "seq_packing", "unpivot_metrics",
     "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
     "kmeans_assign", "kmeans_update", "q18_large_volume",
-    "q3_shipping_priority", "q7_volume_shipping", "skew_salted_agg",
-    "bloom_prefilter_join",
+    "q3_shipping_priority",
 ]
 
 

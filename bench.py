@@ -215,6 +215,14 @@ HEADLINE = [
     "q11_important_stock",
     "q16_parts_supplier_cnt",
     "q20_potential_promotion",
+    # round-15 batch 7: multi-query BM25 retrieval (one postings
+    # shuffle, broadcast query map, WindowGroupLimit top-k per query),
+    # the per-rule curation ablation (one scan, 5-group combinable
+    # agg), and the temporal-holdout leakage audit (two combinable
+    # aggs, no window)
+    "bm25_topk",
+    "quality_rule_ablation",
+    "temporal_holdout_report",
 ]
 
 

@@ -52,4 +52,7 @@ def force_count(df: DataFrame) -> int:
         # expressions fail when actually evaluated would silently
         # fall back to the pruned count and bench as healthy).
         return df.count()
-    return int(forced.collect()[0]["n"])
+    # .first() == .limit(1).collect(): driver receives ONE row by
+    # construction (the global aggregate has exactly one), so the
+    # no-unbounded-collect lint's invariant holds without an exemption
+    return int(forced.first()["n"])

@@ -484,6 +484,99 @@ SELECT path, n, rank FROM (
 """
 
 
+# ------------------------------------------------- temporal holdout report
+#
+# Time-based train/eval split with user-leakage accounting: the
+# evaluation-hygiene twin of the hash split (`dataset_split`) and the
+# cluster-atomic split (`split_by_cluster`). A temporal holdout (train
+# on the first 80% of the time span, evaluate on the rest) is the
+# standard protocol for forecasting/recommendation data — and its
+# standard failure is USER leakage: users with events on both sides of
+# the cutoff carry identity-level signal across the split. This report
+# is the artifact a pipeline checks before trusting a temporal split.
+
+HOLDOUT_NUM, HOLDOUT_DEN = 4, 5  # train fraction of the time span
+
+
+def q_temporal_holdout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row temporal-split audit: cutoff = min_ts + 4/5 of the span
+    (integer epoch-micros, identical truncation on both engines),
+    event counts per side, distinct users per side, and the leaky-user
+    count (users appearing on BOTH sides). Two combinable aggregates —
+    a per-user conditional-count groupBy, then a 6-column global
+    rollup — no window, no distinct-expansion; the cutoff is a 2-value
+    driver aggregate (min/max), the same bounded-scalar shape as
+    bm25's total_terms."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    if b["lo"] is None:
+        cutoff = 0
+    else:
+        cutoff = b["lo"] + (b["hi"] - b["lo"]) * HOLDOUT_NUM // HOLDOUT_DEN
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((us < F.lit(cutoff)).cast("int")).alias("u_train"),
+        F.sum((us >= F.lit(cutoff)).cast("int")).alias("u_test"),
+    )
+    zero = F.lit(0).cast("long")
+    return per_user.agg(
+        F.coalesce(F.sum("u_train"), zero).alias("n_train_events"),
+        F.coalesce(F.sum("u_test"), zero).alias("n_test_events"),
+        F.coalesce(
+            F.sum((F.col("u_train") > 0).cast("int")), zero
+        ).alias("n_train_users"),
+        F.coalesce(
+            F.sum((F.col("u_test") > 0).cast("int")), zero
+        ).alias("n_test_users"),
+        F.coalesce(
+            F.sum(
+                ((F.col("u_train") > 0) & (F.col("u_test") > 0))
+                .cast("int")
+            ),
+            zero,
+        ).alias("n_leaky_users"),
+    ).select(
+        F.lit(cutoff).alias("cutoff_micros"),
+        "n_train_events",
+        "n_test_events",
+        "n_train_users",
+        "n_test_users",
+        "n_leaky_users",
+    )
+
+
+ORACLE_TEMPORAL_HOLDOUT = f"""
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+c AS (
+  SELECT CASE WHEN lo IS NULL THEN 0
+         ELSE lo + (hi - lo) * {HOLDOUT_NUM} // {HOLDOUT_DEN} END AS cutoff
+  FROM b
+),
+pu AS (
+  SELECT user_id,
+         SUM(CAST(epoch_us(ts) < cutoff AS INT)) AS u_train,
+         SUM(CAST(epoch_us(ts) >= cutoff AS INT)) AS u_test
+  FROM events CROSS JOIN c
+  GROUP BY user_id
+)
+SELECT (SELECT cutoff FROM c) AS cutoff_micros,
+       CAST(COALESCE(SUM(u_train), 0) AS BIGINT) AS n_train_events,
+       CAST(COALESCE(SUM(u_test), 0) AS BIGINT) AS n_test_events,
+       CAST(COALESCE(SUM(CAST(u_train > 0 AS INT)), 0) AS BIGINT)
+         AS n_train_users,
+       CAST(COALESCE(SUM(CAST(u_test > 0 AS INT)), 0) AS BIGINT)
+         AS n_test_users,
+       CAST(COALESCE(SUM(CAST(u_train > 0 AND u_test > 0 AS INT)), 0)
+         AS BIGINT) AS n_leaky_users
+FROM pu
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_transition_matrix": q_events_transition_matrix,
@@ -494,6 +587,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_latest_per_user": q_events_latest_per_user,
     "events_json_props": q_events_json_props,
+    "temporal_holdout_report": q_temporal_holdout_report,
 }
 
 ORACLES = {
@@ -506,4 +600,5 @@ ORACLES = {
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_latest_per_user": ORACLE_EVENTS_LATEST,
     "events_json_props": ORACLE_EVENTS_JSON,
+    "temporal_holdout_report": ORACLE_TEMPORAL_HOLDOUT,
 }

@@ -719,6 +719,152 @@ scored AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-query BM25 retrieval (top-k documents per query)
+# ---------------------------------------------------------------------------
+#
+# `q_bm25_components` emits per-(doc, term) scores for ONE query; this
+# is the actual retrieval operator a data pipeline runs — a batch of
+# queries, each returning its top-k ranked documents (mining
+# supervision pairs, dataset search, RAG corpus probes). The float
+# discipline survives because each per-term component is quantized to
+# integer micros FIRST (the bm25_components association tree, verified
+# cross-engine since r13) and the per-(query, doc) score is a SUM of
+# those integers — order-independent, engine-exact.
+BM25_TOPK_K = 10
+BM25_QUERIES = {
+    1: ("batch", "hash", "stream"),
+    2: ("join", "merge", "sort"),
+    3: ("vector", "window", "scan"),
+    4: ("slow", "query", "filter"),
+}
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} documents per query for a {Q}-query batch, ranked by
+    BM25 (sum of integer micro-quantized per-term components; ties by
+    doc_id). Scale shape: one postings shuffle, document frequencies
+    broadcast back by term, the 12-row query map broadcast, a
+    combinable integer sum per (qid, doc), and a rank window per qid
+    that Spark executes via WindowGroupLimit (partial top-k per map
+    task before the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    post = _postings(docs)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_terms = dl.agg(F.sum("dl")).first()[0] or 1
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    post_q = post.filter(F.col("term").isin(all_terms))
+    dfreq = post_q.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = post_q.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+    # the component expression below mirrors q_bm25_components
+    # LITERALLY — same left-associated IEEE tree as the oracle's
+    # `B * dl * n / tot` (r13 finding: any other grouping can differ
+    # by an ulp and flip a .5 micro rounding boundary between engines)
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        (F.lit(n_docs - 0) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    bnorm = (
+        F.lit(BM25_B)
+        * F.col("dl").cast("double")
+        * F.lit(float(n_docs))
+        / F.lit(float(total_terms))
+    )
+    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + bnorm)
+    comp = joined.select(
+        "doc_id",
+        "term",
+        F.round(idf * tf * F.lit(BM25_K1 + 1.0) / denom * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("bm25_micro"),
+    )
+    # 12-row literal query map, built JVM-side (range + generator, a
+    # LocalTableScan — never applySchemaToPythonRDD; cf. _model_df)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(qid).alias("qid"), F.lit(t).alias("term"))
+            for qid, ts in sorted(BM25_QUERIES.items())
+            for t in ts
+        ]
+    )
+    qterms = (
+        spark.range(1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.qid", "p.term")
+    )
+    scored = (
+        comp.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("bm25_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK_K)
+        .select("qid", "doc_id", "rank", "score_micro")
+    )
+
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in sorted(BM25_QUERIES.items())
+    for t in ts
+)
+_BM25_ALL_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+)
+
+ORACLE_BM25_TOPK = rf"""
+WITH post AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+tot AS (SELECT SUM(dl) AS total_terms FROM dl),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qt (qid, term) AS (VALUES {_BM25_QT_VALUES}),
+pq AS (SELECT * FROM post WHERE term IN ({_BM25_ALL_TERMS})),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM pq GROUP BY term),
+comp AS (
+  SELECT p.doc_id, p.term,
+    CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      * CAST(p.tf AS DOUBLE) * {BM25_K1 + 1.0}
+      / (CAST(p.tf AS DOUBLE)
+         + {BM25_K1} * ({1.0 - BM25_B}
+                        + {BM25_B} * CAST(l.dl AS DOUBLE)
+                          * CAST(n_docs AS DOUBLE)
+                          / CAST(total_terms AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS bm25_micro
+  FROM pq p
+  JOIN dfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN n CROSS JOIN tot
+),
+scored AS (
+  SELECT qt.qid, c.doc_id,
+         CAST(SUM(c.bm25_micro) AS BIGINT) AS score_micro
+  FROM comp c JOIN qt USING (term)
+  GROUP BY 1, 2
+)
+SELECT qid, doc_id, CAST(rank AS INT) AS rank, score_micro FROM (
+  SELECT qid, doc_id, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK_K}
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
@@ -728,6 +874,7 @@ QUERIES = {
     "bigram_lm_logprob": q_bigram_lm_logprob,
     "dsir_select": q_dsir_select,
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES = {
@@ -739,4 +886,5 @@ ORACLES = {
     "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
     "dsir_select": ORACLE_DSIR_SELECT,
     "ccnet_perplexity_buckets": ORACLE_CCNET_BUCKETS,
+    "bm25_topk": ORACLE_BM25_TOPK,
 }

@@ -745,6 +745,126 @@ FROM kept GROUP BY lang, n_l, keep_permille
 """
 
 
+# ---------------------------------------------------------------------------
+# quality-rule ablation (per-rule rejection attribution)
+# ---------------------------------------------------------------------------
+#
+# The curation diagnostic behind every rule-based filter tune: for each
+# gate, how many documents does it reject, and how many does it ALONE
+# reject (the marginal docs you would win back by dropping or relaxing
+# just that rule). Gopher/C4-style reports publish exactly this table.
+# Five integer-only rules — the three quality_score gates plus a
+# mean-word-length band and a distinct-token repetition gate — so the
+# whole report is exact-arithmetic and hard-oracled.
+
+
+def q_quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule rejection attribution: one row per quality rule with
+    the total documents it fails (`n_fail`), the documents ONLY it
+    fails (`n_only_fail` — the rule's marginal bite), and the integer
+    permille fail rate. One corpus scan; the rule booleans fan out
+    through a 5-struct generator (rows ×5 before partial aggregation
+    collapses them to 5 groups map-side), so the only exchange carries
+    ≤ 5·tasks rows at any corpus size. All comparisons are integer
+    cross-products — no float thresholds to drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.trim(F.col("text")))
+    toks = F.split(lowered, r"\s+")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    n_toks = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # thresholds sit inside the fixture's observed distributions so
+    # every rule except `punct` has real bite (len 14%, min_toks 16%,
+    # rep 20%, stop 9% at sf0.1); `punct` never fires on the synthetic
+    # corpus — kept because a zero row is the honest report for a
+    # clean corpus, and the rule is the canonical C4 gate
+    rules = [
+        ("len", (n_chars >= 120) & (n_chars <= 10000)),
+        ("punct", n_punct * 100 < n_chars * 20),
+        ("stop", n_stop > 0),
+        ("min_toks", n_toks >= 25),
+        # repetition: at least 35% of the tokens are distinct
+        ("rep", n_distinct * 20 >= n_toks * 7),
+    ]
+    fails = [(~ok).cast("int").alias(f"f_{name}") for name, ok in rules]
+    base = docs.select(*fails)
+    total = sum(F.col(f"f_{name}") for name, _ in rules)
+    stacked = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(f"f_{name}").alias("fail"),
+                    )
+                    for name, _ in rules
+                ]
+            )
+        ).alias("r"),
+        total.alias("total_fails"),
+    )
+    agg = stacked.groupBy(F.col("r.rule").alias("rule")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("r.fail").alias("n_fail"),
+        F.sum(
+            ((F.col("r.fail") == 1) & (F.col("total_fails") == 1))
+            .cast("int")
+        ).alias("n_only_fail"),
+    )
+    # non-negative operands: Spark `div` ≡ DuckDB `//` (truncation)
+    return agg.select(
+        "rule",
+        "n_docs",
+        "n_fail",
+        "n_only_fail",
+        F.expr("n_fail * 1000 div n_docs").alias("fail_permille"),
+    )
+
+
+ORACLE_QUALITY_RULE_ABLATION = rf"""
+WITH t AS (
+  SELECT LENGTH(text) AS n_chars,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+      AS n_punct,
+    {_SQL_STOP} AS n_stop,
+    len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+    len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+      AS n_distinct
+  FROM documents
+),
+f AS (
+  SELECT CAST(NOT (n_chars BETWEEN 120 AND 10000) AS INT) AS f_len,
+         CAST(NOT (n_punct * 100 < n_chars * 20) AS INT) AS f_punct,
+         CAST(NOT (n_stop > 0) AS INT) AS f_stop,
+         CAST(NOT (n_toks >= 25) AS INT) AS f_min_toks,
+         CAST(NOT (n_distinct * 20 >= n_toks * 7) AS INT) AS f_rep
+  FROM t
+),
+g AS (
+  SELECT *, f_len + f_punct + f_stop + f_min_toks + f_rep AS total_fails
+  FROM f
+),
+u AS (
+  SELECT 'len' AS rule, f_len AS fail, total_fails FROM g
+  UNION ALL SELECT 'punct', f_punct, total_fails FROM g
+  UNION ALL SELECT 'stop', f_stop, total_fails FROM g
+  UNION ALL SELECT 'min_toks', f_min_toks, total_fails FROM g
+  UNION ALL SELECT 'rep', f_rep, total_fails FROM g
+)
+SELECT rule,
+       COUNT(*) AS n_docs,
+       CAST(SUM(fail) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN fail = 1 AND total_fails = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_only_fail,
+       CAST(SUM(fail) AS BIGINT) * 1000 // COUNT(*) AS fail_permille
+FROM u GROUP BY rule
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "temperature_sample": q_temperature_sample,
@@ -757,6 +877,7 @@ QUERIES = {
     "token_fertility": q_token_fertility,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "quality_rule_ablation": q_quality_rule_ablation,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -772,5 +893,6 @@ ORACLES = {
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_rule_ablation": ORACLE_QUALITY_RULE_ABLATION,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
 }

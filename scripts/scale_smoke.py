@@ -117,6 +117,13 @@ SCALE_CRITICAL = [
     "quality_signal_correlation",
     "token_fertility",
     "ann_recall_report",
+    # r15 batch 5: multi-query BM25 retrieval (postings shuffle +
+    # per-query WindowGroupLimit top-k — the postings build is the
+    # term that must scale linearly), rule ablation (single scan,
+    # 5-group agg), temporal holdout audit (two combinable aggs)
+    "bm25_topk",
+    "quality_rule_ablation",
+    "temporal_holdout_report",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

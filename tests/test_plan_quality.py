@@ -366,7 +366,10 @@ def test_no_driver_side_row_collection_in_engine():
     integer literals or `<name> + <literal>` over a known module
     constant (r8 ADVICE: a bare `.limit(<anything>).collect()`
     exemption would also bless runtime-computed, arbitrarily large
-    bounds, silently un-capping the probe)."""
+    bounds, silently un-capping the probe). `.first()` needs no
+    exemption: it is `.limit(1).collect()` by definition — one row
+    reaches the driver regardless of input scale — which is why
+    `force_count` drains its single-row aggregate through it."""
     import pathlib
     import re
 

@@ -1,0 +1,275 @@
+"""Invariants + plan gates for the round-15 batch-5 operators:
+bm25_topk, quality_rule_ablation, temporal_holdout_report. Oracle
+hash-exactness is the driver's job; these pin the semantic invariants
+a hash can't articulate and the plan shapes the 100 TB story needs."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------ bm25_topk
+
+
+def test_bm25_topk_rank_invariants(spark, sf_dir, queries):
+    """Every query returns at most K rows; ranks are dense from 1;
+    scores are non-increasing in rank with ties broken by doc_id."""
+    from gomysql2pg_spark.operators.ranking import (
+        BM25_QUERIES,
+        BM25_TOPK_K,
+    )
+
+    rows = queries["bm25_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) <= set(BM25_QUERIES)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) <= BM25_TOPK_K
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["score_micro"] > b["score_micro"] or (
+                a["score_micro"] == b["score_micro"]
+                and a["doc_id"] < b["doc_id"]
+            ), (qid, a, b)
+
+
+def test_bm25_topk_reconciles_with_bm25_components(
+    spark, sf_dir, queries
+):
+    """For the query that matches q_bm25_components' fixed term set,
+    every retrieved document's score must equal the integer sum of
+    that document's per-term micro components — the retrieval operator
+    is the sum-and-rank of the audited component operator, not a
+    reimplementation that can drift."""
+    from gomysql2pg_spark.operators.ranking import (
+        BM25_QUERIES,
+        BM25_QUERY,
+    )
+
+    qid = next(
+        q for q, ts in BM25_QUERIES.items() if set(ts) == set(BM25_QUERY)
+    )
+    comp = {}
+    for r in queries["bm25_components"](spark, sf_dir).collect():
+        comp[r["doc_id"]] = comp.get(r["doc_id"], 0) + r["bm25_micro"]
+    top = [
+        r
+        for r in queries["bm25_topk"](spark, sf_dir).collect()
+        if r["qid"] == qid
+    ]
+    assert top, "query produced no rows at the test scale"
+    for r in top:
+        assert r["score_micro"] == comp[r["doc_id"]], r
+    # and the ranking really is the top of the component sums
+    best = sorted(comp.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [d for d, _ in best[: len(top)]]
+    got = [r["doc_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert got == want
+
+
+def test_bm25_topk_plan_broadcasts_and_group_limits(
+    spark, sf_dir, queries
+):
+    """100 TB shape: the 12-row query map and the per-term document
+    frequencies join via broadcast (never a shuffled join against the
+    postings), and the per-query top-k executes through Spark's
+    WindowGroupLimit so each map task ships at most K rows per query
+    into the final window."""
+    df = queries["bm25_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+# ------------------------------------------------- quality_rule_ablation
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": pa.array(
+                [len(t) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_quality_rule_ablation_attribution(spark, tmp_path, queries):
+    """Constructed corpus with one doc per single-rule failure, one
+    multi-rule failure, and one clean doc: n_fail counts every
+    failure, n_only_fail counts ONLY the sole-rule docs (the
+    marginal-bite semantics the report exists for)."""
+    long_uniq = [f"word{i:02d}" for i in range(24)]
+    texts = [
+        # fails len ONLY: 25 short distinct tokens incl a stopword,
+        # < 120 chars, no punctuation
+        "the " + " ".join(f"w{i:02d}" for i in range(24)),
+        # fails punct ONLY: 24 distinct '!!'-suffixed tokens + 'the',
+        # >= 120 chars, >= 25 tokens, >= 20% punctuation
+        "the " + " ".join(f"wd{i:02d}!!!" for i in range(24)),
+        # fails stop ONLY: 25 distinct 6-char tokens, no stopword
+        " ".join(f"word{i:02d}" for i in range(25)),
+        # fails min_toks ONLY: 10 long distinct tokens incl 'the'
+        "the " + " ".join(f"verylongword{i:02d}" for i in range(9)),
+        # fails rep ONLY: 30 tokens drawn from 8 distinct (27% < 35%),
+        # incl 'the', ~150 chars
+        "the " + " ".join(long_uniq[i % 7] for i in range(29)),
+        # fails len + stop + min_toks (never counts as only-fail)
+        "aaaa bbbb",
+        # clean: 30 distinct 6-char tokens incl 'the'
+        "the " + " ".join(f"term{i:02d}y" for i in range(29)),
+    ]
+    _write_docs(tmp_path, texts)
+    out = {
+        r["rule"]: r
+        for r in queries["quality_rule_ablation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"len", "punct", "stop", "min_toks", "rep"}
+    assert all(r["n_docs"] == len(texts) for r in out.values())
+    assert (out["len"]["n_fail"], out["len"]["n_only_fail"]) == (2, 1)
+    assert (out["punct"]["n_fail"], out["punct"]["n_only_fail"]) == (1, 1)
+    assert (out["stop"]["n_fail"], out["stop"]["n_only_fail"]) == (2, 1)
+    assert (
+        out["min_toks"]["n_fail"],
+        out["min_toks"]["n_only_fail"],
+    ) == (2, 1)
+    assert (out["rep"]["n_fail"], out["rep"]["n_only_fail"]) == (1, 1)
+    assert out["len"]["fail_permille"] == 2 * 1000 // len(texts)
+
+
+def test_quality_rule_ablation_single_scan_single_shuffle(
+    spark, sf_dir, queries
+):
+    """The report is one corpus scan fanned through a generator into a
+    5-group combinable aggregate: exactly one parquet scan and one
+    exchange in the plan — no per-rule re-scan, no join."""
+    df = queries["quality_rule_ablation"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")  # one line per node
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# --------------------------------------------- temporal_holdout_report
+
+
+def _write_events(tmp_path, rows):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(
+                range(1, len(rows) + 1), type=pa.int64()
+            ),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=s) for s, _ in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for _, u in rows], type=pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+def test_temporal_holdout_report_leakage_accounting(
+    spark, tmp_path, queries
+):
+    """Span [0, 100] s => cutoff at 80 s. User 1 entirely before,
+    user 2 entirely after, user 3 straddles (the leak), plus a
+    boundary event AT the cutoff which must land on the TEST side
+    (half-open [lo, cutoff) train interval)."""
+    rows = [
+        (0, 1),
+        (10, 1),
+        (79, 3),
+        (80, 2),  # exactly at the cutoff -> test side
+        (90, 3),
+        (100, 2),
+    ]
+    _write_events(tmp_path, rows)
+    r = queries["temporal_holdout_report"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    import datetime as dt
+
+    # the session timezone is pinned to UTC (gomysql2pg_spark.session)
+    lo = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert r["cutoff_micros"] == lo + 80 * 1_000_000
+    assert r["n_train_events"] == 3
+    assert r["n_test_events"] == 3
+    assert r["n_train_users"] == 2  # users 1 and 3
+    assert r["n_test_users"] == 2  # users 2 and 3
+    assert r["n_leaky_users"] == 1  # user 3
+
+
+def test_temporal_holdout_report_empty_events(spark, tmp_path, queries):
+    """Empty events table: the report still returns exactly one row,
+    all counters zero (not NULL) so downstream arithmetic never trips
+    on a missing corpus."""
+    _write_events(tmp_path, [])
+    rows = queries["temporal_holdout_report"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cutoff_micros"] == 0
+    for c in (
+        "n_train_events",
+        "n_test_events",
+        "n_train_users",
+        "n_test_users",
+        "n_leaky_users",
+    ):
+        assert r[c] == 0, (c, r)
+
+
+def test_temporal_holdout_report_no_window_two_aggregates(
+    spark, sf_dir, queries
+):
+    """Plan gate: the audit is two combinable aggregates (per-user,
+    then global) — no window operator and no more than the two
+    aggregate exchanges the shape requires."""
+    df = queries["temporal_holdout_report"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")  # one line per node
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
