@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r15 window (50 slots), re-derived 2026-08-16 (batch 5) by
+    # --- r15 window (50 slots), re-derived 2026-08-16 (batch 6) by
     # `scripts/registry_hashes.py --derive-window`.
     # (1) changed/new this build: the re-scanned classifier frame
     # (classifier_score + its three diagnostics), the window-gated
@@ -37,13 +37,16 @@ _PRIORITY = [
     # entries, the 9 earlier r15-NEW operators, the 5 batch-4
     # operators (boilerplate_strip, lsh_recall_report,
     # decontamination_semantic, packing_efficiency,
-    # label_agreement_kappa), and the 3 batch-5 operators
-    # (bm25_topk, quality_rule_ablation, temporal_holdout_report)
+    # label_agreement_kappa), the 3 batch-5 operators (bm25_topk,
+    # quality_rule_ablation, temporal_holdout_report), and the 2
+    # batch-6 dedup-tuning tables (dedup_threshold_sweep,
+    # dedup_cluster_sizes)
     "classifier_score", "dedup_minhash_lsh_verified",
     "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
     "similarity_pq", "ann_recall_report", "bitext_margin_pairs",
     "bitext_margin_pairs_ivf", "bm25_topk", "boilerplate_strip",
     "classifier_calibration", "decontamination_semantic",
+    "dedup_cluster_sizes", "dedup_threshold_sweep",
     "hard_negative_mining", "hard_negative_mining_ivf",
     "label_agreement_kappa", "lsh_recall_report",
     "packing_efficiency", "q11_important_stock",
@@ -54,21 +57,20 @@ _PRIORITY = [
     "temporal_holdout_report", "token_fertility",
     # (2) the r14 stale queue (r14 verdict item 2), oldest green row
     # first (r10, then r11 rows). The batch-4/5/6 additions push the
-    # last r11/r12 rows (q7_volume_shipping, skew_salted_agg,
-    # bloom_prefilter_join, coreset_margin_select,
-    # cross_source_overlap, domain_cap_sample_scaled, er_clusters,
-    # events_top_paths, events_transition_matrix,
-    # group_reservoir_sample, mixture_allocation, pagerank_bipartite,
-    # similarity_lsh_verified) + the catalog_tables filler past the
-    # 50-slot cut — all are green in the local sf0.1 AND sf0.01
-    # sweeps and head the r16 queue.
+    # last r11/r12 rows (q18_large_volume, q3_shipping_priority,
+    # q7_volume_shipping, skew_salted_agg, bloom_prefilter_join,
+    # coreset_margin_select, cross_source_overlap,
+    # domain_cap_sample_scaled, er_clusters, events_top_paths,
+    # events_transition_matrix, group_reservoir_sample,
+    # mixture_allocation, pagerank_bipartite, similarity_lsh_verified)
+    # + the catalog_tables filler past the 50-slot cut — all are green
+    # in the local sf0.1 AND sf0.01 sweeps and head the r16 queue.
     "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
     "q22_dormant_customers", "q8_market_share", "ratio_to_report",
     "repetition_filter", "seq_packing", "unpivot_metrics",
     "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
-    "kmeans_assign", "kmeans_update", "q18_large_volume",
-    "q3_shipping_priority",
+    "kmeans_assign", "kmeans_update",
 ]
 
 

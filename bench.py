@@ -223,6 +223,12 @@ HEADLINE = [
     "bm25_topk",
     "quality_rule_ablation",
     "temporal_holdout_report",
+    # round-15 batch 8: dedup tuning telemetry — the threshold sweep
+    # (one capped pair frame, 7-value fan-out, two combinable aggs)
+    # and the cluster-size histogram (composition-priced: Jaccard
+    # pairs + CC, then two tiny aggs)
+    "dedup_threshold_sweep",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -2193,6 +2193,166 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup tuning telemetry: threshold sweep + cluster-size histogram
+# ---------------------------------------------------------------------------
+#
+# The two tables a curation team reads before PICKING a dedup config:
+# how much of the corpus dies at each Jaccard cutoff (the
+# aggressiveness knob), and how duplicate mass distributes across
+# cluster sizes (a few mega-clusters vs many pairs — different
+# root causes, different fixes). Both ride the existing Σ-bounded
+# capped inverted index; neither adds a new quadratic term.
+
+# grid positioned around the fixture's observed knee (pair Jaccards
+# cluster at 0.8-1.0; below that only incidental one-shared-shingle
+# pairs exist) so the curve actually moves across the sweep
+SWEEP_MILLI = [500, 700, 800, 850, 900, 950, 1000]
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup volume vs Jaccard cutoff: for each threshold in
+    {SWEEP_MILLI}, the number of qualifying pairs and the number of
+    distinct documents touched by at least one such pair; thresholds
+    with zero pairs still report a zero row (left join from the
+    literal threshold frame). Scale: pair volume is Σ-bounded by the
+    df cap, the fan-out is ×7×2 (each qualifying pair explodes into
+    its two endpoints), and BOTH statistics come from ONE aggregate
+    over one pass of the pair frame — n_pairs = count/2 (exact, the
+    endpoint count is even by construction) and n_dup_docs = the
+    distinct-endpoint count — so the expensive inverted-index join is
+    never consumed twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pair_intersections(docs)
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in SWEEP_MILLI])
+    ).alias("thr_milli")
+    hits = pairs.select("da", "db", "i", "na", "nb", thr).filter(
+        F.col("i") * 1000
+        >= F.col("thr_milli") * (F.col("na") + F.col("nb") - F.col("i"))
+    )
+    per_thr = (
+        hits.select(
+            "thr_milli",
+            F.explode(F.array(F.col("da"), F.col("db"))).alias("doc"),
+        )
+        .groupBy("thr_milli")
+        .agg(
+            F.expr("count(*) div 2").alias("n_pairs"),
+            F.countDistinct("doc").alias("n_dup_docs"),
+        )
+    )
+    frame = spark.range(1).select(thr).join(per_thr, "thr_milli", "left")
+    zero = F.lit(0).cast("long")
+    return frame.select(
+        "thr_milli",
+        F.coalesce(F.col("n_pairs"), zero).alias("n_pairs"),
+        F.coalesce(F.col("n_dup_docs"), zero).alias("n_dup_docs"),
+    )
+
+
+_SWEEP_VALUES = ", ".join(f"({t})" for t in SWEEP_MILLI)
+
+# the un-thresholded pair frame: ORACLE_DEDUP_JACCARD's CTE chain
+# minus its final WHERE (kept in lockstep by the shared constants)
+_ORACLE_PAIRS_ALL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(l)-2, 0) + 1),
+                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+  FROM toks
+),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT da, db, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+)
+"""
+
+ORACLE_DEDUP_THRESHOLD_SWEEP = rf"""
+{_ORACLE_PAIRS_ALL},
+thr (thr_milli) AS (VALUES {_SWEEP_VALUES}),
+hits AS (
+  SELECT t.thr_milli, p.da, p.db
+  FROM pairs p JOIN thr t
+    ON p.i * 1000 >= t.thr_milli * (p.na + p.nb - p.i)
+),
+ends AS (
+  SELECT thr_milli, da AS doc FROM hits
+  UNION ALL SELECT thr_milli, db FROM hits
+),
+agg AS (
+  SELECT thr_milli, COUNT(*) // 2 AS n_pairs,
+         COUNT(DISTINCT doc) AS n_dup_docs
+  FROM ends GROUP BY 1
+)
+SELECT t.thr_milli,
+       CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(a.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+FROM thr t
+LEFT JOIN agg a ON a.thr_milli = t.thr_milli
+"""
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: one row per observed cluster
+    size with the number of clusters and documents at that size — the
+    table that distinguishes a corpus of pairwise near-dups from one
+    dominated by a few template mega-clusters (different root causes,
+    different fixes). Composes the production cluster assignment
+    (`q_dedup_clusters`: capped Jaccard pairs → pointer-jumping CC) —
+    composition-priced like dedup_impact_report — then two tiny
+    combinable aggregates; the exchange after the cluster groupBy
+    carries one row per cluster."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+ORACLE_DEDUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT da, db FROM ({ORACLE_DEDUP_JACCARD}) j
+),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION
+  SELECT db AS a, da AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+cs AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM cs GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "cross_source_overlap": q_cross_source_overlap,
@@ -2212,6 +2372,8 @@ QUERIES = {
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_survivors": q_dedup_survivors,
     "split_by_cluster": q_split_by_cluster,
     "dedup_impact_report": q_dedup_impact_report,
@@ -2241,6 +2403,8 @@ ORACLES = {
     "dedup_simhash_verified": ORACLE_DEDUP_SIMHASH_VERIFIED,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
+    "dedup_cluster_sizes": ORACLE_DEDUP_CLUSTER_SIZES,
     "dedup_survivors": _oracle_dedup_survivors(),
     "split_by_cluster": ORACLE_SPLIT_BY_CLUSTER,
     "dedup_impact_report": _oracle_dedup_impact_report(),

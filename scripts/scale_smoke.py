@@ -124,6 +124,12 @@ SCALE_CRITICAL = [
     "bm25_topk",
     "quality_rule_ablation",
     "temporal_holdout_report",
+    # r15 batch 6: the threshold sweep rides the SAME capped inverted
+    # index as dedup_jaccard (un-thresholded, so its pair frame is the
+    # full Σ df² bound — the family's worst honest case), the size
+    # histogram composes jaccard+CC like split_by_cluster
+    "dedup_threshold_sweep",
+    "dedup_cluster_sizes",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

@@ -273,3 +273,52 @@ def test_temporal_holdout_report_no_window_two_aggregates(
     plan = plan_of(df, mode="simple")  # one line per node
     assert "Window" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+# ---------------------------------------- dedup tuning telemetry (batch 6)
+
+
+def test_dedup_threshold_sweep_monotone_and_reconciles(
+    spark, sf_dir, queries
+):
+    """Raising the cutoff can only shrink the dup set: n_pairs and
+    n_dup_docs must be non-increasing across the sweep, every grid
+    value must emit a row (zero rows included), and the row at the
+    production threshold must equal q_dedup_jaccard's pair count —
+    the sweep is the production verifier evaluated at 7 cutoffs, not
+    a reimplementation."""
+    from gomysql2pg_spark.operators.dedup import (
+        JACCARD_MILLI,
+        SWEEP_MILLI,
+    )
+
+    rows = {
+        r["thr_milli"]: r
+        for r in queries["dedup_threshold_sweep"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(SWEEP_MILLI)
+    for lo, hi in zip(sorted(SWEEP_MILLI), sorted(SWEEP_MILLI)[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"], (lo, hi)
+        assert rows[lo]["n_dup_docs"] >= rows[hi]["n_dup_docs"], (lo, hi)
+    assert JACCARD_MILLI in rows
+    n_prod = queries["dedup_jaccard"](spark, sf_dir).count()
+    assert rows[JACCARD_MILLI]["n_pairs"] == n_prod
+
+
+def test_dedup_cluster_sizes_reconciles_with_clusters(
+    spark, sf_dir, queries
+):
+    """The histogram must be exactly the size distribution of the
+    production cluster assignment: Σ n_docs equals the clustered-doc
+    count, Σ n_clusters equals the distinct-cluster count, per-size
+    bookkeeping holds (n_docs = size × n_clusters), and every cluster
+    has at least 2 members (singletons never enter the pair graph)."""
+    hist = queries["dedup_cluster_sizes"](spark, sf_dir).collect()
+    clusters = queries["dedup_clusters"](spark, sf_dir)
+    n_docs = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    assert sum(r["n_clusters"] for r in hist) == n_clusters
+    for r in hist:
+        assert r["cluster_size"] >= 2, r
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"], r
