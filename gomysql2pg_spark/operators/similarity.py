@@ -1215,12 +1215,37 @@ def _assign_cells(
     # silently recomputing an unpersisted frame per plan branch (the
     # id-determinism hazard the cache exists to prevent).
     key = (df.semanticHash(), tuple(df.columns), emb_col)
-    tagged = _ID_FRAME_CACHE.get(key)
+    hit = _ID_FRAME_CACHE.get(key)
+    tagged = None
+    slot_key = key
+    if hit is not None:
+        src, cached = hit
+        lvl = cached.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            # NOTE: is_cached stays True after an external clearCache
+            # (stale flag); storageLevel is the live signal — its
+            # memory/disk bits drop to NONE on eviction.
+            # storage was evicted EXTERNALLY (spark.catalog.clearCache()
+            # — bench reps, smoke measurements, tests all do this):
+            # reusing the frame would recompute monotonically_increasing_id
+            # per plan branch, the exact hazard the cache prevents.
+            # Drop the slot and re-materialize (r15 review finding).
+            _ID_FRAME_CACHE.pop(key, None)
+        elif not src.sameSemantics(df):
+            # 32-bit semanticHash collision: the slot holds a DIFFERENT
+            # query's corpus. Leave the slot for its rightful owner and
+            # build an un-slotted frame for this caller (r15 review
+            # finding; sameSemantics is an exact plan comparison, so
+            # this branch only costs a driver-side check per call).
+            slot_key = None
+        else:
+            tagged = cached
     if tagged is None:
         tagged = df.withColumn(
             "__rid", F.monotonically_increasing_id()
         ).persist()
-        _ID_FRAME_CACHE[key] = tagged
+        if slot_key is not None:
+            _ID_FRAME_CACHE[slot_key] = (df, tagged)
     narrow = tagged.select("__rid", emb_col)
     joined = (
         narrow.withColumn("_x", F.col("__rid") % F.lit(1))
@@ -1250,7 +1275,7 @@ def _assign_cells(
     # for the session — lazy/query-shaped consumers leave it pinned
     # (and keyed-shared), which is the price of id determinism
     out._id_cache = tagged
-    out._id_cache_key = key
+    out._id_cache_key = slot_key
     return out
 
 
@@ -1264,7 +1289,12 @@ def release_id_cache(assigned: DataFrame) -> None:
     if cache is None:
         return
     cache.unpersist()
-    _ID_FRAME_CACHE.pop(getattr(assigned, "_id_cache_key", None), None)
+    key = getattr(assigned, "_id_cache_key", None)
+    # pop only if the slot still holds THIS frame — an evicted-and-
+    # re-materialized slot belongs to a newer consumer (r15 review)
+    slot = _ID_FRAME_CACHE.get(key)
+    if slot is not None and slot[1] is cache:
+        _ID_FRAME_CACHE.pop(key, None)
 
 
 def q_similarity_ivfpq(

@@ -309,8 +309,33 @@ def resolve_snapshot(
     if snap is not None:
         return snap, f"r{rnd} snapshot commit"
     if rnd == latest_rnd:
+        # anchor to the last commit at or before the driver wrote the
+        # round's correctness record, NOT bare HEAD: the driver
+        # verified the tree as of its run, and builder commits made
+        # AFTER the run would otherwise be self-compared and reported
+        # fresh without a driver row (r15 review finding — the
+        # committed-edit variant of the r12 post-window gap). mtimes
+        # reset on clone/checkout, where the anchor degrades to HEAD
+        # (every commit predates the clone) — today's behavior.
+        ref = "HEAD"
+        cpath = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if os.path.exists(cpath):
+            anchored = subprocess.run(
+                [
+                    "git",
+                    "rev-list",
+                    "-1",
+                    f"--before=@{int(os.stat(cpath).st_mtime)}",
+                    "HEAD",
+                ],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+            if anchored:
+                ref = anchored
         head = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
+            ["git", "rev-parse", ref],
             cwd=REPO,
             capture_output=True,
             text=True,
@@ -319,7 +344,8 @@ def resolve_snapshot(
             snap = snapshot_hashes(rnd, ref=head)
             if snap is not None:
                 return snap, (
-                    f"HEAD tree (r{rnd} snapshot not yet committed)"
+                    f"HEAD-lineage tree at the r{rnd} correctness-record "
+                    f"time (r{rnd} snapshot not yet committed)"
                 )
     return None, f"r{rnd} snapshot unavailable"
 

@@ -344,12 +344,16 @@ def main() -> int:
     qs = entry.queries()
 
     # codegen/JVM warmup at sf0.001 so the first timed operator doesn't
-    # absorb session startup (same discipline as bench.py)
+    # absorb session startup — force_count, not count(): the timed loop
+    # drains through force_count, whose xxhash64-wrapped plan is a
+    # DIFFERENT codegen unit than the column-pruned count plan, so a
+    # count() warmup would leave the first (big-corpus) timed run to
+    # pay the one-time codegen and inflate the ratio (r15 review)
     warm = "/root/testdata/sf0.001"
     if os.path.isdir(warm):
         for name in names:
             try:
-                qs[name](spark, warm).count()
+                force_count(qs[name](spark, warm))
             except Exception:
                 pass
         spark.catalog.clearCache()
@@ -359,7 +363,7 @@ def main() -> int:
         # measure the SCAN ratio, not a one-off encode
         for d in (big, BASE):
             try:
-                qs["copytext_roundtrip"](spark, d).count()
+                force_count(qs["copytext_roundtrip"](spark, d))
             except Exception:
                 pass
         spark.catalog.clearCache()
@@ -373,7 +377,7 @@ def main() -> int:
         for d in (big, BASE):
             try:
                 t0 = time.perf_counter()
-                qs["similarity_ivfpq"](spark, d).count()
+                force_count(qs["similarity_ivfpq"](spark, d))
                 print(
                     f"# ivfpq offline index build ({d}): "
                     f"{time.perf_counter() - t0:.2f}s",

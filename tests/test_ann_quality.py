@@ -1370,6 +1370,67 @@ def test_assign_cells_join_form_caches_tagged_ids(spark):
     spark.catalog.clearCache()
 
 
+def test_assign_cells_cache_survives_external_clearcache(spark):
+    """spark.catalog.clearCache() (bench reps, smoke runs, tests) can
+    evict the keyed id frame's storage while the dict slot survives.
+    A hit on an UNPERSISTED frame would recompute the ids per plan
+    branch — the hazard the cache exists to prevent — so the hit path
+    must detect the eviction and re-materialize (r15 review)."""
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
+    out1 = SIM._assign_cells(emb, rows, budget=0)
+    out1.collect()
+    spark.catalog.clearCache()  # external eviction, dict slot survives
+    out2 = SIM._assign_cells(emb, rows, budget=0)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    got = {(r["vec_id"], r["cell"]) for r in out2.collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)}
+    spark.catalog.clearCache()
+    SIM._ID_FRAME_CACHE.clear()
+
+
+def test_assign_cells_cache_rejects_semantic_hash_collision(spark):
+    """The cache key leads with the 32-bit semanticHash; on a
+    collision the slot holds a DIFFERENT query's corpus and must NOT
+    be reused (sameSemantics is the exact check). Simulated by
+    planting a wrong-source entry under the victim's key (r15
+    review)."""
+    from gomysql2pg_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    other = spark.createDataFrame(
+        [(99, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 0.0])]
+    key = (emb.semanticHash(), tuple(emb.columns), "embedding")
+    planted = other.withColumn(
+        "__rid", __import__("pyspark").sql.functions
+        .monotonically_increasing_id()
+    ).persist()
+    planted.count()
+    SIM._ID_FRAME_CACHE[key] = (other, planted)
+    try:
+        out = SIM._assign_cells(emb, rows, budget=0)
+        got = {(r["vec_id"], r["cell"]) for r in out.collect()}
+        # correct corpus, not the planted one
+        assert got == {(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)}
+        # the rightful owner's slot was left alone
+        assert SIM._ID_FRAME_CACHE[key][1] is planted
+    finally:
+        planted.unpersist()
+        SIM._ID_FRAME_CACHE.clear()
+        spark.catalog.clearCache()
+
+
 def test_sampled_training_matches_oracle_and_actually_samples(spark):
     """The r15 training hash-sample is part of the model spec: the
     engine's _train_sample predicate and the oracle's `tr` CTE must

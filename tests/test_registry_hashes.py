@@ -108,12 +108,14 @@ def test_statuses_are_known(state):
 
 def test_snapshot_resolution_order():
     """resolve_snapshot's documented order: (1) the round's snapshot
-    commit when it exists; (2) the HEAD TREE for the latest
-    correctness round only (mid-round, right after a driver run and
-    before the driver's snapshot commit — the r14 'snapshot
-    unavailable' noise; HEAD, not the working tree, so post-verify
-    edits are still reported stale instead of compared against
-    themselves); (3) None for an older round with no commit."""
+    commit when it exists; (2) for the latest correctness round only
+    (mid-round, right after a driver run and before the driver's
+    snapshot commit — the r14 'snapshot unavailable' noise), the
+    HEAD-LINEAGE commit anchored at the correctness record's mtime —
+    not the working tree, and not bare HEAD, so post-verify edits are
+    reported stale whether uncommitted OR committed (r15 review)
+    instead of compared against themselves; (3) None for an older
+    round with no commit."""
     mod = _load_script()
     cur = {"some_entry": "abc123"}
 
