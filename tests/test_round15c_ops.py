@@ -322,3 +322,380 @@ def test_dedup_cluster_sizes_reconciles_with_clusters(
     for r in hist:
         assert r["cluster_size"] >= 2, r
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"], r
+
+
+# ------------------------------------------------ property tests (hypothesis)
+#
+# Exact pure-Python models over arbitrary small corpora — the fixture
+# tests pin chosen cases, these pin the SEMANTICS for all inputs the
+# generators can reach. Few examples each (every example is a full
+# Spark round-trip); the generated alphabet is ASCII with single-space
+# joins so the Python tokenizer model (strip + \s+ split) is exactly
+# Spark's trim + split.
+
+import itertools as _it
+import re as _re
+
+_CASE_COUNTER = _it.count()
+
+
+def _py_toks(text):
+    return _re.split(r"\s+", text.strip().lower())
+
+
+def test_quality_rule_ablation_matches_python_model_property(
+    spark, tmp_path, queries
+):
+    """For ANY doc list over the generated alphabet the ablation table
+    must equal the brute-force per-doc rule evaluation: n_fail,
+    n_only_fail and the permille all recomputed in plain Python."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomysql2pg_spark.operators.text import STOPWORDS
+
+    pool = [
+        "the", "a!", "bb", "cc", "dd", "worddddddd",
+        "x" * 15, "yy!!", "zz..", "qq",
+    ]
+
+    def model(text):
+        toks = _py_toks(text)
+        n_chars = len(text)
+        n_punct = n_chars - len(
+            _re.sub(r"[^A-Za-z0-9\s]", "", text)
+        )
+        n_stop = sum(t in STOPWORDS for t in toks)
+        n_toks = len(toks)
+        n_distinct = len(set(toks))
+        return {
+            "len": 120 <= n_chars <= 10000,
+            "punct": n_punct * 100 < n_chars * 20,
+            "stop": n_stop > 0,
+            "min_toks": n_toks >= 25,
+            "rep": n_distinct * 20 >= n_toks * 7,
+        }
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(pool), min_size=0, max_size=40)
+            .map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs):
+        d = tmp_path / f"abl{next(_CASE_COUNTER)}"
+        d.mkdir()
+        _write_docs(d, docs)
+        got = {
+            r["rule"]: r
+            for r in queries["quality_rule_ablation"](
+                spark, str(d)
+            ).collect()
+        }
+        per_doc = [model(t) for t in docs]
+        for rule in ("len", "punct", "stop", "min_toks", "rep"):
+            fails = [not m[rule] for m in per_doc]
+            only = [
+                (not m[rule]) and sum(not v for v in m.values()) == 1
+                for m in per_doc
+            ]
+            r = got[rule]
+            assert r["n_docs"] == len(docs)
+            assert r["n_fail"] == sum(fails), (rule, docs)
+            assert r["n_only_fail"] == sum(only), (rule, docs)
+            assert (
+                r["fail_permille"] == sum(fails) * 1000 // len(docs)
+            )
+
+    check()
+
+
+def test_bm25_topk_invariants_and_qid1_reconciliation_property(
+    spark, tmp_path, queries
+):
+    """For ANY corpus over a pool containing the query vocabulary:
+    each query returns exactly min(K, |docs containing >=1 query
+    term|) rows, only matching docs, positive integer scores, dense
+    doc_id-tie-broken ranks — and query 1's scores reconcile exactly
+    against q_bm25_components' integer sums (engine-internal, so no
+    cross-runtime float involved)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomysql2pg_spark.operators.ranking import (
+        BM25_QUERIES,
+        BM25_QUERY,
+        BM25_TOPK_K,
+    )
+
+    pool = sorted(
+        {t for ts in BM25_QUERIES.values() for t in ts}
+    ) + ["filler", "pad", "noise"]
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=12)
+            .map(" ".join),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs):
+        d = tmp_path / f"bm{next(_CASE_COUNTER)}"
+        d.mkdir()
+        _write_docs(d, docs)
+        rows = queries["bm25_topk"](spark, str(d)).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        tok_sets = {
+            i + 1: set(_py_toks(t)) for i, t in enumerate(docs)
+        }
+        for qid, terms in BM25_QUERIES.items():
+            matching = {
+                doc for doc, ts in tok_sets.items()
+                if ts & set(terms)
+            }
+            rs = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            assert len(rs) == min(BM25_TOPK_K, len(matching)), (
+                qid, docs,
+            )
+            assert {r["doc_id"] for r in rs} <= matching
+            assert [r["rank"] for r in rs] == list(
+                range(1, len(rs) + 1)
+            )
+            for r in rs:
+                assert r["score_micro"] > 0
+            for a, b in zip(rs, rs[1:]):
+                assert a["score_micro"] > b["score_micro"] or (
+                    a["score_micro"] == b["score_micro"]
+                    and a["doc_id"] < b["doc_id"]
+                )
+        # engine-internal exact reconciliation for the component query
+        qid1 = next(
+            q for q, ts in BM25_QUERIES.items()
+            if set(ts) == set(BM25_QUERY)
+        )
+        comp = {}
+        for r in queries["bm25_components"](spark, str(d)).collect():
+            comp[r["doc_id"]] = (
+                comp.get(r["doc_id"], 0) + r["bm25_micro"]
+            )
+        for r in by_q.get(qid1, []):
+            assert r["score_micro"] == comp[r["doc_id"]]
+
+    check()
+
+
+def test_temporal_holdout_matches_python_model_property(
+    spark, tmp_path, queries
+):
+    """For ANY event list (including NULL timestamps and single-event
+    spans) the report must equal the integer Python model: cutoff at
+    min + 4/5 span, half-open train side, NULL-ts events on neither
+    side, leaky users = users with events on both."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base_us = int(base.timestamp() * 1_000_000)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 1000)),
+                st.integers(1, 5),
+            ),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        d = tmp_path / f"th{next(_CASE_COUNTER)}"
+        d.mkdir()
+        naive = dt.datetime(2024, 1, 1)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(
+                    range(1, len(rows) + 1), type=pa.int64()
+                ),
+                "ts": pa.array(
+                    [
+                        None if s is None
+                        else naive + dt.timedelta(seconds=s)
+                        for s, _ in rows
+                    ],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    [u for _, u in rows], type=pa.int64()
+                ),
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        r = queries["temporal_holdout_report"](
+            spark, str(d)
+        ).collect()[0]
+        stamps = [
+            base_us + s * 1_000_000 for s, _ in rows if s is not None
+        ]
+        if not stamps:
+            cutoff = 0
+        else:
+            lo, hi = min(stamps), max(stamps)
+            cutoff = lo + (hi - lo) * 4 // 5
+        train_u, test_u = set(), set()
+        n_train = n_test = 0
+        for s, u in rows:
+            if s is None:
+                continue
+            us = base_us + s * 1_000_000
+            if us < cutoff:
+                n_train += 1
+                train_u.add(u)
+            else:
+                n_test += 1
+                test_u.add(u)
+        assert r["cutoff_micros"] == cutoff, rows
+        assert r["n_train_events"] == n_train
+        assert r["n_test_events"] == n_test
+        assert r["n_train_users"] == len(train_u)
+        assert r["n_test_users"] == len(test_u)
+        assert r["n_leaky_users"] == len(train_u & test_u)
+
+    check()
+
+
+def test_dedup_telemetry_matches_python_model_property(
+    spark, tmp_path, queries, monkeypatch
+):
+    """Brute-force model of the WHOLE exact-dedup telemetry chain on
+    arbitrary corpora with a tiny df cap (so the cap bites): distinct
+    3-gram shingles per doc, shingles with df > cap dropped, pairwise
+    intersections, the threshold sweep counts, and the union-find
+    cluster-size histogram at the production threshold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gomysql2pg_spark.operators import dedup as DD
+
+    monkeypatch.setattr(DD, "MAX_SHINGLE_DF", 3)
+    pool = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+    def shingle_sets(docs):
+        out = {}
+        for i, text in enumerate(docs):
+            toks = _py_toks(text)
+            out[i + 1] = {
+                " ".join(toks[j : j + 3])
+                for j in range(max(len(toks) - 2, 0))
+            }
+        df: dict = {}
+        for ss in out.values():
+            for s in ss:
+                df[s] = df.get(s, 0) + 1
+        return {
+            doc: {s for s in ss if df[s] <= 3}
+            for doc, ss in out.items()
+        }
+
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(pool), min_size=0, max_size=8)
+            .map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(docs):
+        d = tmp_path / f"sw{next(_CASE_COUNTER)}"
+        d.mkdir()
+        _write_docs(d, docs)
+        capped = shingle_sets(docs)
+        pairs = {}
+        for a, b in _it.combinations(sorted(capped), 2):
+            i = len(capped[a] & capped[b])
+            if i:
+                pairs[(a, b)] = (i, len(capped[a]), len(capped[b]))
+        # threshold sweep
+        got = {
+            r["thr_milli"]: r
+            for r in queries["dedup_threshold_sweep"](
+                spark, str(d)
+            ).collect()
+        }
+        assert set(got) == set(DD.SWEEP_MILLI)
+        for t in DD.SWEEP_MILLI:
+            hit = {
+                p
+                for p, (i, na, nb) in pairs.items()
+                if i * 1000 >= t * (na + nb - i)
+            }
+            assert got[t]["n_pairs"] == len(hit), (t, docs)
+            assert got[t]["n_dup_docs"] == len(
+                {x for p in hit for x in p}
+            )
+        # cluster-size histogram at the production threshold
+        edges = [
+            p
+            for p, (i, na, nb) in pairs.items()
+            if i * 1000 >= DD.JACCARD_MILLI * (na + nb - i)
+        ]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        sizes: dict = {}
+        for node in {x for e in edges for x in e}:
+            r = find(node)
+            sizes[r] = sizes.get(r, 0) + 1
+        want_hist: dict = {}
+        for sz in sizes.values():
+            want_hist[sz] = want_hist.get(sz, 0) + 1
+        got_hist = {
+            r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+            for r in queries["dedup_cluster_sizes"](
+                spark, str(d)
+            ).collect()
+        }
+        assert got_hist == {
+            sz: (n, sz * n) for sz, n in want_hist.items()
+        }, (docs, edges)
+
+    check()
