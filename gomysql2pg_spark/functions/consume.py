@@ -23,6 +23,8 @@ failing the harness.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,7 +34,10 @@ def force_count(df: DataFrame) -> int:
     try:
         cols = []
         for f in df.schema.fields:
-            c = F.col(f.name)
+            # backtick-quote: a dotted output name would otherwise
+            # resolve as a nested-field reference and trip the
+            # fallback for a perfectly hashable column (r15 review)
+            c = F.col(f"`{f.name}`")
             if "map<" in f.dataType.simpleString():
                 c = F.map_entries(c)
             cols.append(c)
@@ -43,7 +48,7 @@ def force_count(df: DataFrame) -> int:
             F.expr("bit_xor(__h)").alias("x"),  # overflow-free sink
         )
         forced.schema  # trigger ANALYSIS inside the guard
-    except Exception:
+    except Exception as exc:
         # ANALYSIS-time failure only (unsupported type composition,
         # e.g. a map nested in an array, which xxhash64 rejects) — an
         # honest-but-degraded fallback beats a dead harness. Execution
@@ -51,6 +56,14 @@ def force_count(df: DataFrame) -> int:
         # pruning lie this helper exists to close (a query whose
         # expressions fail when actually evaluated would silently
         # fall back to the pruned count and bench as healthy).
+        # LOUD, never silent: the bench records claim "hash-forced";
+        # an entry that quietly degraded to the prunable count would
+        # make that claim a lie for that entry (r15 review finding)
+        print(
+            "# force_count: analysis fallback to plain count() "
+            f"({type(exc).__name__}) — this entry is NOT hash-forced",
+            file=sys.stderr,
+        )
         return df.count()
     # .first() == .limit(1).collect(): driver receives ONE row by
     # construction (the global aggregate has exactly one), so the

@@ -1695,7 +1695,7 @@ SELECT doc_id,
             AS BIGINT) AS n_stripped,
        coalesce(string_agg(
          CASE WHEN df <= {BOILERPLATE_MAX_DF} THEN chunk END,
-         ' ' ORDER BY ci), '') AS kept_text
+         ' ' ORDER BY ci, df, chunk), '') AS kept_text
 FROM j GROUP BY doc_id
 """
 
@@ -2052,30 +2052,32 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-shaped — no new scale hazard beyond its two components."""
     docs = load_table(spark, sf_dir, "documents")
     # persist both pair frames: each feeds its own count AND the hit
-    # join — lazily the full upstream pipeline would run twice
+    # join — lazily the full upstream pipeline would run twice. The
+    # report is FOUR bounded scalars, so they are drained eagerly
+    # (counts — the sanctioned driver shape) and both corpus-scale
+    # caches are RELEASED before returning, instead of staying pinned
+    # for the session (r15 review finding); the returned frame is a
+    # one-row local literal, which the driver/bench consume like any
+    # other result.
     truth = q_dedup_jaccard(spark, sf_dir).select("da", "db").persist()
-    truth.count()
+    n_t = truth.count()
     cand = _bucket_pairs(_md5_minhash_bands(docs)).persist()
-    cand.count()
-    hits = truth.join(cand, ["da", "db"], "left_semi")
-    n_t = truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
-    n_c = cand.agg(
-        F.count("*").cast("long").alias("n_candidate_pairs")
+    n_c = cand.count()
+    n_h = truth.join(cand, ["da", "db"], "left_semi").count()
+    truth.unpersist()
+    cand.unpersist()
+    lit = lambda v: F.lit(int(v)).cast("long")  # noqa: E731
+    report = spark.range(1).select(
+        lit(n_t).alias("n_true_pairs"),
+        lit(n_c).alias("n_candidate_pairs"),
+        lit(n_h).alias("n_hits"),
+        # integer milli-recall: non-negative operands, so python //
+        # ≡ Spark div ≡ DuckDB // (the repo-wide truncation discipline)
+        lit((n_h * 1000) // n_t if n_t else 0).alias("recall_milli"),
     )
-    n_h = hits.agg(F.count("*").cast("long").alias("n_hits"))
-    return (
-        n_t.crossJoin(F.broadcast(n_c))
-        .crossJoin(F.broadcast(n_h))
-        .filter(F.col("n_true_pairs") > 0)
-        .select(
-            "n_true_pairs",
-            "n_candidate_pairs",
-            "n_hits",
-            F.expr("(n_hits * 1000) div n_true_pairs").alias(
-                "recall_milli"
-            ),
-        )
-    )
+    # empty truth set ⇒ empty report (recall undefined), matching the
+    # oracle's HAVING-count guard
+    return report.where(F.lit(n_t > 0))
 
 
 def _oracle_lsh_recall_report() -> str:

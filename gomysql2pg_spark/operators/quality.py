@@ -705,6 +705,26 @@ FROM p GROUP BY 1
 
 # --------------------------------------- quality-signal agreement (r)
 
+def _heuristic_rule_score():
+    """The 3-gate heuristic rule score (0-3: length band, punct
+    ratio, stopword presence — `quality_score`'s gates) over a
+    `_classifier_frame(carry=("text",))` row. ONE definition: the
+    Pearson-agreement and Cohen's-kappa diagnostics each carried a
+    verbatim copy (plus two SQL copies, shared below as
+    `_RULE_SCORE_SQL`) — the drift class this module already warns
+    about for `_SQL_STOP` (r15 review finding)."""
+    from .text import STOPWORDS
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return (
+        ((F.col("n_chars_t") >= 20) & (F.col("n_chars_t") <= 10000))
+        .cast("int")
+        + (F.col("n_punct") * 100 < F.col("n_chars_t") * 20).cast("int")
+        + (n_stop > 0).cast("int")
+    )
+
+
 def q_quality_signal_correlation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -731,18 +751,9 @@ def q_quality_signal_correlation(
     integer-valued operands are correctly rounded, so r stays
     bit-identical across engines. Groups with zero variance in either
     signal are excluded by an integer predicate (r undefined)."""
-    from .text import STOPWORDS
-
     docs = load_table(spark, sf_dir, "documents")
     f = _classifier_frame(docs, carry=("text",))
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
-    y = (
-        ((F.col("n_chars_t") >= 20) & (F.col("n_chars_t") <= 10000))
-        .cast("int")
-        + (F.col("n_punct") * 100 < F.col("n_chars_t") * 20).cast("int")
-        + (n_stop > 0).cast("int")
-    ).cast("bigint")
+    y = _heuristic_rule_score().cast("bigint")
     logit_micro = F.round(F.col("logit") * 1e6).cast("bigint")
     x = F.floor(logit_micro.cast("double") / F.lit(1000.0)).cast(
         "bigint"
@@ -781,8 +792,11 @@ from .text import _SQL_STOP as _STOP_SQL  # noqa: E402  (shared
 # stopword SQL — a third hand-inlined copy would drift exactly like
 # the six money-cast copies did before r13)
 
-ORACLE_QUALITY_SIGNAL_CORRELATION = rf"""
-WITH d AS (
+# shared oracle fragments (r15 review: the correlation and kappa
+# oracles each hand-inlined the same per-doc frame, rule score, and
+# micro-logit — the SQL twins of `_classifier_frame`,
+# `_heuristic_rule_score`, and the logit quantization)
+_RULE_FRAME_SQL = rf"""d AS (
   SELECT lang,
     CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
     CAST(len(regexp_extract_all(text,
@@ -791,18 +805,25 @@ WITH d AS (
       AS n_punct,
     {_STOP_SQL} AS n_stop
   FROM documents
-),
-s AS (
-  SELECT lang,
-    CAST(FLOOR(CAST(CAST(ROUND((
+)"""
+
+_RULE_SCORE_SQL = """CAST(n_chars_t BETWEEN 20 AND 10000 AS INT)
+         + CAST(n_punct * 100 < n_chars_t * 20 AS INT)
+         + CAST(n_stop > 0 AS INT)"""
+
+_LOGIT_MICRO_SQL = rf"""CAST(ROUND((
       {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
                + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
                + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
-                                  / (1.0 + n_tokens))) * 1e6) AS BIGINT)
+                                  / (1.0 + n_tokens))) * 1e6) AS BIGINT)"""
+
+ORACLE_QUALITY_SIGNAL_CORRELATION = rf"""
+WITH {_RULE_FRAME_SQL},
+s AS (
+  SELECT lang,
+    CAST(FLOOR(CAST({_LOGIT_MICRO_SQL}
       AS DOUBLE) / 1000.0) AS BIGINT) AS x,
-    CAST(CAST(n_chars_t BETWEEN 20 AND 10000 AS INT)
-         + CAST(n_punct * 100 < n_chars_t * 20 AS INT)
-         + CAST(n_stop > 0 AS INT) AS BIGINT) AS y
+    CAST({_RULE_SCORE_SQL} AS BIGINT) AS y
   FROM d
 ),
 a AS (
@@ -855,18 +876,9 @@ def q_label_agreement_kappa(
     chance agreement = 1, kappa undefined) are excluded by a
     double-predicate on the shared denominator. The full 2×2 table
     rides along as integer telemetry."""
-    from .text import STOPWORDS
-
     docs = load_table(spark, sf_dir, "documents")
     f = _classifier_frame(docs, carry=("text",))
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
-    rule = (
-        ((F.col("n_chars_t") >= 20) & (F.col("n_chars_t") <= 10000))
-        .cast("int")
-        + (F.col("n_punct") * 100 < F.col("n_chars_t") * 20).cast("int")
-        + (n_stop > 0).cast("int")
-    )
+    rule = _heuristic_rule_score()
     a_lbl = (
         F.round(F.col("logit") * 1e6).cast("bigint") > 0
     ).cast("bigint")
@@ -903,27 +915,12 @@ def q_label_agreement_kappa(
 
 
 ORACLE_LABEL_AGREEMENT_KAPPA = rf"""
-WITH d AS (
-  SELECT lang,
-    CAST(LENGTH(text) AS BIGINT) AS n_chars_t,
-    CAST(len(regexp_extract_all(text,
-         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
-    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
-      AS n_punct,
-    {_STOP_SQL} AS n_stop
-  FROM documents
-),
+WITH {_RULE_FRAME_SQL},
 s AS (
   SELECT lang,
-    CAST(CAST(ROUND((
-      {CLS_W0} + {CLS_W_CHARS} * ln(1.0 + n_chars_t)
-               + {CLS_W_TOKENS} * ln(1.0 + n_tokens)
-               + {CLS_W_PUNCT} * (CAST(n_punct AS DOUBLE)
-                                  / (1.0 + n_tokens))) * 1e6) AS BIGINT)
+    CAST({_LOGIT_MICRO_SQL}
          > 0 AS BIGINT) AS a,
-    CAST((CAST(n_chars_t BETWEEN 20 AND 10000 AS INT)
-         + CAST(n_punct * 100 < n_chars_t * 20 AS INT)
-         + CAST(n_stop > 0 AS INT)) >= 2 AS BIGINT) AS b
+    CAST(({_RULE_SCORE_SQL}) >= 2 AS BIGINT) AS b
   FROM d
 ),
 g AS (

@@ -750,7 +750,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     task before the exchange)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    post = _postings(docs)
+    # the postings feed THREE plan branches (dl, dfreq, the scored
+    # join) plus the eager total_terms scalar — persist + materialize
+    # so the corpus tokenization runs once, the same discipline as
+    # _pair_intersections' shingle table (r15 review finding)
+    post = _postings(docs).persist()
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     total_terms = dl.agg(F.sum("dl")).first()[0] or 1
     all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
@@ -802,8 +806,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.sum("bm25_micro").alias("score_micro"))
     )
+    # asc_nulls_last pins the tie-break for a NULL doc_id (Spark's ASC
+    # default is NULLS FIRST, DuckDB's is NULLS LAST — the exact
+    # cross-engine divergence class the repo pins on every ranked
+    # window; r15 review finding, hostile fixture in
+    # tests/test_round15c_ops.py)
     w = Window.partitionBy("qid").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
+        F.col("score_micro").desc(), F.col("doc_id").asc_nulls_last()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

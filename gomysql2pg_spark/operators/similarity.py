@@ -623,6 +623,45 @@ def _pq_codes(
     )
 
 
+def _probe_cells(q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Multi-probe coarse ranking shared by the whole IVF family
+    (q_similarity_ivfpq, q_hard_negative_mining_ivf,
+    q_bitext_margin_pairs_ivf): every query scores every trained
+    centroid — tiny × tiny, and the all-pairs meet is keyed on a
+    column-derived constant (x % 1, always 0 but not foldable) so it
+    compiles to a BroadcastHashJoin of the nlist-row model table,
+    never a nested loop — in deterministic (cd, cell) order, keeping
+    the top `nprobe` as (qid, qcell). `q` needs (qid, qe) columns;
+    extras pass through untouched. ONE definition: before r15 three
+    operators carried byte-identical copies of this block, the drift
+    class the module warns about for the money casts (review
+    finding)."""
+    qc = (
+        q.withColumn("_x", F.col("qid") % F.lit(1))
+        .join(
+            F.broadcast(
+                cent.withColumn(
+                    "_x", F.col("cell").cast("bigint") % F.lit(1)
+                )
+            ),
+            "_x",
+        )
+        .select(
+            "qid",
+            "cell",
+            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("cd").asc(), F.col("cell").asc()
+    )
+    return (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", F.col("cell").alias("qcell"))
+    )
+
+
 def _adc_distance_table(q: DataFrame, cb: DataFrame) -> DataFrame:
     """Per-query PQ distance table (qid, m, cid, d): slice each query
     into its PQ_M sub-vectors and meet the broadcast codebook — the
@@ -1362,36 +1401,7 @@ def q_similarity_ivfpq(
     cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
     q = _queries_df(emb)
     dt = _adc_distance_table(q, cb)
-    # coarse ranking: every query scores every trained centroid (tiny
-    # both sides), deterministic (cd, cell) order, keep the top
-    # nprobe. The all-pairs meet is keyed on a column-derived constant
-    # (x % 1, always 0 but not foldable) so it compiles to a
-    # BroadcastHashJoin of the nlist-row model table — never a nested
-    # loop.
-    qc = (
-        q.withColumn("_x", F.col("qid") % F.lit(1))
-        .join(
-            F.broadcast(
-                cent.withColumn(
-                    "_x", F.col("cell").cast("bigint") % F.lit(1)
-                )
-            ),
-            "_x",
-        )
-        .select(
-            "qid",
-            "cell",
-            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
-        )
-    )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("cd").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qc.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("qid", F.col("cell").alias("qcell"))
-    )
+    probes = _probe_cells(q, cent, nprobe)
     # the IVF probe: each query meets only its probed cells' codes (a
     # vector lives in exactly one cell, so no (qid, vec) duplicates)
     probed = codes.join(
@@ -1655,32 +1665,7 @@ def q_hard_negative_mining_ivf(
         F.col("nrm").alias("qnrm"),
     )
     cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
-    # multi-probe: rank every trained centroid per query (tiny × tiny,
-    # constant-derived-key BroadcastHashJoin — the ivfpq idiom)
-    qc = (
-        q.withColumn("_x", F.col("qid") % F.lit(1))
-        .join(
-            F.broadcast(
-                cent.withColumn(
-                    "_x", F.col("cell").cast("bigint") % F.lit(1)
-                )
-            ),
-            "_x",
-        )
-        .select(
-            "qid",
-            "cell",
-            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
-        )
-    )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("cd").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qc.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("qid", F.col("cell").alias("qcell"))
-    )
+    probes = _probe_cells(q, cent, nprobe)
     pq_ = probes.join(q, "qid")
     cand = assigned.join(
         F.broadcast(pq_),
@@ -1900,30 +1885,7 @@ def q_bitext_margin_pairs_ivf(
     )
     b_assigned = _assign_cells(side_b, cent_rows)
     cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
-    qc = (
-        q.withColumn("_x", F.col("qid") % F.lit(1))
-        .join(
-            F.broadcast(
-                cent.withColumn(
-                    "_x", F.col("cell").cast("bigint") % F.lit(1)
-                )
-            ),
-            "_x",
-        )
-        .select(
-            "qid",
-            "cell",
-            _sub_sq_dist(F.col("qe"), F.col("ce")).alias("cd"),
-        )
-    )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("cd").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qc.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("qid", F.col("cell").alias("qcell"))
-    )
+    probes = _probe_cells(q, cent, nprobe)
     pq_ = probes.join(q, "qid")
     cos = dot_double(F.col("qe"), F.col("embedding")) / (
         F.col("qnrm") * F.col("nrm")

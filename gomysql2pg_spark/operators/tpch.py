@@ -989,11 +989,14 @@ def derived_partsupp(li: DataFrame) -> DataFrame:
             # kill the corpus job; NULL-missing is the poisoned-row
             # discipline (functions.numeric), and DuckDB's `//` gets
             # the same NULLIF in SQL_PARTSUPP_DERIVED
+            # composed from the ONE money-cast definition
+            # (functions.numeric.sql_cents/sql_whole — Spark parses
+            # the same TRY_CAST/ROUND text): a hand-inlined copy here
+            # was the r13 drift class all over again (r15 review)
             F.min(
                 F.expr(
-                    "TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
-                    " div NULLIF(TRY_CAST(ROUND(l_quantity) AS BIGINT)"
-                    ", 0)"
+                    f"{sql_cents('l_extendedprice')}"
+                    f" div NULLIF({sql_whole('l_quantity')}, 0)"
                 )
             ).alias("ps_supplycost_c"),
             F.sum(whole("l_quantity")).alias("ps_availqty"),
@@ -1113,12 +1116,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — the group-aggregate-vs-global-scalar-threshold shape. The
     threshold compare is integer cross-multiplied (value·DEN >
     total), so the keep set is engine-exact. Plan: one supply
-    aggregate keyed on partkey; the global total is a ONE-ROW
-    broadcast cross join (the scalar-subquery pattern). The per-part
-    frame feeds BOTH the total and the output rows, so it is
-    persisted + materialized (partkey-sized) — lazily each branch
-    would re-run the corpus-sized supply aggregate (verified: the
-    un-persisted plan shows no ReusedExchange, two full passes)."""
+    aggregate keyed on partkey; the global total is a bounded
+    single-row driver aggregate (`.first()`, the sanctioned scalar
+    shape) embedded as a LITERAL, so the per-part frame is consumed
+    exactly once — no persist to pin (and later leak) across a
+    long-lived session, no second corpus pass (r15 review; the
+    previous form persisted per_part for a crossJoin against the
+    lazily-derived total)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(
@@ -1130,24 +1134,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = derived_partsupp(li).join(
         F.broadcast(nat_sup), F.col("ps_suppkey") == F.col("s_suppkey")
     )
-    per_part = (
-        supply.groupBy("ps_partkey")
-        .agg(
-            F.sum(
-                F.col("ps_supplycost_c") * F.col("ps_availqty")
-            ).alias("value_c")
-        )
-        .persist()
+    per_part = supply.groupBy("ps_partkey").agg(
+        F.sum(
+            F.col("ps_supplycost_c") * F.col("ps_availqty")
+        ).alias("value_c")
     )
-    per_part.count()
-    total = per_part.agg(F.sum("value_c").alias("total_c"))
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("value_c") * Q11_FRACTION_DEN > F.col("total_c")
-        )
-        .select("ps_partkey", "value_c")
-    )
+    total_c = per_part.agg(F.sum("value_c")).first()[0] or 0
+    return per_part.filter(
+        F.col("value_c") * Q11_FRACTION_DEN > F.lit(total_c)
+    ).select("ps_partkey", "value_c")
 
 
 ORACLE_Q11 = f"""

@@ -699,3 +699,86 @@ def test_dedup_telemetry_matches_python_model_property(
         }, (docs, edges)
 
     check()
+
+
+# -------------------------- hostile-fixture cross-engine parity (r15 review)
+
+
+def _parity(spark, duck_dir, name, sf_dir, queries):
+    import duckdb
+    import __spark_entry__ as e
+    from tests.oracle_utils import compare_query
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{duck_dir}/documents.parquet')"
+    )
+    r = compare_query(
+        queries[name](spark, sf_dir), e.oracle_sql()[name], con
+    )
+    con.close()
+    return r
+
+
+def test_bm25_topk_null_doc_id_tie_hash_match(
+    spark, tmp_path, queries
+):
+    """Hostile fixture: a NULL doc_id document with the same text as
+    two real docs — identical BM25 scores, so the tie straddles the
+    NULL. Spark's ASC default is NULLS FIRST, DuckDB's NULLS LAST;
+    the asc_nulls_last pin is what keeps the rank assignment (and the
+    driver's value hash) identical (r15 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "batch hash stream filler"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None], type=pa.int64()),
+            "text": [text, text, text],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": pa.array([len(text)] * 3, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    r = _parity(
+        spark, str(tmp_path), "bm25_topk", str(tmp_path), queries
+    )
+    assert r["count_match"] and r["schema_match"] and r["value_match"], r
+
+
+def test_boilerplate_strip_duplicate_doc_id_hash_match(
+    spark, tmp_path, queries
+):
+    """Hostile fixture: two documents SHARING a doc_id (duplicate
+    natural key), whose chunks merge into one group with duplicate
+    chunk indices — the oracle's string_agg must order ties by the
+    full (ci, df, chunk) key like Spark's struct sort, or kept_text
+    diverges (r15 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = " ".join(f"aw{i}" for i in range(8))
+    b = " ".join(f"bw{i}" for i in range(8))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 8], type=pa.int64()),
+            "text": [a, b, a + " " + b],
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": pa.array(
+                [len(a), len(b), len(a) + 1 + len(b)], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    r = _parity(
+        spark,
+        str(tmp_path),
+        "boilerplate_strip",
+        str(tmp_path),
+        queries,
+    )
+    assert r["count_match"] and r["schema_match"] and r["value_match"], r
