@@ -301,10 +301,23 @@ def _split_fixture_dir(
             if part.num_rows == 0:
                 break
             pq.write_table(part, os.path.join(tdir, f"part-{i:03d}.parquet"))
+        if tbl.num_rows == 0:
+            # a 0-row table must still carry its SCHEMA: an empty
+            # part dir makes Spark fail schema inference for every
+            # query touching the table, and the manifest would cache
+            # the breakage (r15 review)
+            pq.write_table(tbl, os.path.join(tdir, "part-000.parquet"))
         counts[f] = tbl.num_rows
     with open(manifest, "w") as fh:
         json.dump({"source": sf_dir, "rows": counts}, fh)
     return out
+
+
+def _float_or(s: str, fallback):
+    try:
+        return float(s)
+    except ValueError:
+        return fallback
 
 
 def _steal_jiffies() -> int | None:
@@ -460,7 +473,10 @@ def main() -> None:
         # records without this field under-measure projection-shaped
         # entries and are not row-comparable for those
         "consumption": "hash-forced",
-        "sf": float(sf) if sf else sf_label_dir,
+        # a non-'sf<number>' dir basename must not raise AFTER the
+        # whole timed loop ran (it would destroy the record; r15
+        # review) — fall back to the label
+        "sf": _float_or(sf, sf_label_dir) if sf else sf_label_dir,
         "cpus": int(cpus),
         # loadavg before/after the timed loop: lets a reader attribute
         # round-over-round deltas to host contention vs real changes

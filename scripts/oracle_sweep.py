@@ -28,24 +28,31 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
+    from gomysql2pg_spark.catalog import TABLES
+    from gomysql2pg_spark.functions.consume import force_count
     from oracle_utils import compare_query
 
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
+        # deliberately vanilla otherwise (the driver's verify does not
+        # use the tuned get_spark), but the UTC pin is part of the
+        # ENGINE's cross-engine contract: without it, a non-UTC host
+        # collects different datetimes than the naive-UTC DuckDB
+        # oracle for every timestamp-bucketing entry (r15 review)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf}/{t}.parquet')"
-        )
+    for t in TABLES:  # ONE fixture list (catalog.TABLES), not a copy
+        path = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{path}')"
+            )
     qs, osql = entry.queries(), entry.oracle_sql()
     fails: list[str] = []
     for name in sorted(qs):
@@ -53,7 +60,10 @@ def main() -> int:
             continue
         try:
             if name not in osql:
-                n = qs[name](spark, sf).count()
+                # force_count, not count(): pruning would delete the
+                # output expressions, and execution is the ONLY sweep
+                # coverage a rows-only entry gets (r15 review)
+                n = force_count(qs[name](spark, sf))
                 print(f"{name}: rows-only ({n} rows)")
                 continue
             r = compare_query(qs[name](spark, sf), osql[name], con)

@@ -127,6 +127,19 @@ def _collect(fn, parts: dict[str, str]) -> None:
                 _collect(obj, parts)
         elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
             parts.setdefault(f"const:{owner_mod}.{name}", repr(obj))
+        elif isinstance(obj, (list, dict, set)):
+            # mutable module constants (STOPWORDS, SWEEP_MILLI,
+            # BM25_QUERIES, ...) were silently dropped from the hash —
+            # an entry could change answers via one of these without
+            # ever going stale (r15 review finding). list/dict repr is
+            # deterministic (insertion order == source order); sets
+            # are serialized sorted so the hash is iteration-order
+            # independent.
+            if isinstance(obj, set):
+                ser = "{" + ", ".join(sorted(map(repr, obj))) + "}"
+            else:
+                ser = repr(obj)
+            parts.setdefault(f"const:{owner_mod}.{name}", ser)
 
     names = sorted(
         {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
@@ -163,7 +176,17 @@ def _collect(fn, parts: dict[str, str]) -> None:
                 _take(alias.name, getattr(m, alias.name, None), modname)
 
 
+_CURRENT_HASHES_CACHE: dict[str, str] | None = None
+
+
 def current_hashes() -> dict[str, str]:
+    # pure function of the on-disk tree, which does not change within
+    # one invocation — memoized because --derive-window/--update used
+    # to recompute it (plus the snapshot worktree dumps below) two to
+    # three times per run (r15 review)
+    global _CURRENT_HASHES_CACHE
+    if _CURRENT_HASHES_CACHE is not None:
+        return dict(_CURRENT_HASHES_CACHE)
     sys.path.insert(0, os.environ.get("REGISTRY_ROOT", REPO))
     import __spark_entry__ as entry
 
@@ -189,6 +212,7 @@ def current_hashes() -> dict[str, str]:
     out["__infra__"] = hashlib.sha256(
         "\n".join(infra_src).encode()
     ).hexdigest()[:16]
+    _CURRENT_HASHES_CACHE = dict(out)
     return out
 
 
@@ -258,13 +282,21 @@ def round_commit(rnd: int) -> str | None:
     return out.splitlines()[-1] if out else None
 
 
+_SNAPSHOT_DUMP_CACHE: dict[str, dict[str, str] | None] = {}
+
+
 def snapshot_hashes(rnd: int, ref: str | None = None) -> dict[str, str] | None:
     """Hashes of the tree the round-`rnd` driver verified, via a
     detached worktree + a subprocess running THIS script's --dump.
-    `ref` overrides the commit lookup (the HEAD fallback below)."""
+    `ref` overrides the commit lookup (the HEAD fallback below).
+    Dumps are memoized by commit sha: the dump is a pure function of
+    the commit, and --derive-window/--update resolved the same round
+    twice per run (r15 review)."""
     sha = ref or round_commit(rnd)
     if sha is None:
         return None
+    if sha in _SNAPSHOT_DUMP_CACHE:
+        return _SNAPSHOT_DUMP_CACHE[sha]
     wt = f"/tmp/registry_snap_{sha[:12]}"
     if not os.path.isdir(wt):
         r = subprocess.run(
@@ -287,7 +319,9 @@ def snapshot_hashes(rnd: int, ref: str | None = None) -> dict[str, str] | None:
     if r.returncode != 0:
         print(f"# dump r{rnd} failed: {r.stderr[-500:]}", file=sys.stderr)
         return None
-    return json.loads(r.stdout)
+    out = json.loads(r.stdout)
+    _SNAPSHOT_DUMP_CACHE[sha] = out
+    return out
 
 
 def resolve_snapshot(

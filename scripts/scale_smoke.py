@@ -191,13 +191,26 @@ def build_replicated(
     files = sorted(
         f for f in os.listdir(base) if f.endswith(".parquet")
     )
-    stamp = [(f, int(os.path.getmtime(os.path.join(base, f)))) for f in files]
+    # (name, size, mtime) like bench.py's split cache — mtime alone
+    # misses a same-second fixture rewrite (r15 review)
+    stamp = [
+        (
+            f,
+            os.path.getsize(os.path.join(base, f)),
+            int(os.path.getmtime(os.path.join(base, f))),
+        )
+        for f in files
+    ]
     # hashlib, NOT hash(): str hashing is per-process randomized, which
     # would defeat the cross-invocation cache and strand orphan trees.
     # The key must cover the CONSTRUCTION RECIPE too (sparse flag +
     # template shape), or editing the recipe silently reuses a stale
     # tree built by the old one.
-    recipe = (stamp, sparse, skewed, "v3-word-suffix")
+    # SKEW_TEMPLATE's CONTENT is part of the recipe: editing the
+    # template with a stale keyed tree on disk would otherwise smoke
+    # a corpus that was never built (r15 review — the exact failure
+    # the comment above warns about)
+    recipe = (stamp, sparse, skewed, "v3-word-suffix", SKEW_TEMPLATE)
     key = hashlib.md5(repr(recipe).encode()).hexdigest()[:12]
     tag = "sparse_" if sparse else ("skewed_" if skewed else "")
     out = os.path.join("/tmp", f"spark_graft_scale_{tag}{reps}x_{key}")
@@ -310,8 +323,14 @@ def main() -> int:
     ]
     sparse = "--sparse" in sys.argv[1:]
     skewed = "--skewed" in sys.argv[1:]
-    reps = int(args[0]) if args else 10
-    name_filter = args[1:]
+    # the usage line marks [replication] optional: only consume the
+    # first arg as the factor when it IS a number — a name-only
+    # invocation (`scale_smoke.py similarity_topk`) must not die on
+    # int('similarity_topk') (r15 review)
+    if args and args[0].isdigit():
+        reps, name_filter = int(args[0]), args[1:]
+    else:
+        reps, name_filter = 10, args
     if sparse and not name_filter:
         # the sparse corpus exists to show the prefix-vs-full-index
         # crossover; default to the pair (plus their shared downstream)
@@ -399,7 +418,14 @@ def main() -> int:
     failures = []
     print(f"{'operator':34s} {'rows':>10s} {'t_big':>8s} {'t_0.1':>8s} ratio")
     for name in names:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            # registry drift (renamed/removed operator) must cost ONE
+            # row, not the rest of the table (r15 review; bench.py's
+            # qs.get discipline)
+            print(f"{name:34s} NOT IN REGISTRY")
+            failures.append(name)
+            continue
         try:
             # force_count, not count(): a bare count lets column
             # pruning delete the output expressions, so projection-
