@@ -131,11 +131,36 @@ def _collect(fn, parts: dict[str, str]) -> None:
             # mutable module constants (STOPWORDS, SWEEP_MILLI,
             # BM25_QUERIES, ...) were silently dropped from the hash —
             # an entry could change answers via one of these without
-            # ever going stale (r15 review finding). list/dict repr is
-            # deterministic (insertion order == source order); sets
-            # are serialized sorted so the hash is iteration-order
-            # independent.
-            if isinstance(obj, set):
+            # ever going stale (r15 review finding). Only PLAIN-DATA
+            # content is serialized: a runtime cache like
+            # `_ID_FRAME_CACHE` holds live objects whose reprs carry
+            # memory addresses and mutate mid-process (the pytest
+            # suite populates it before the gate runs), so stateful
+            # containers contribute a content-free marker instead —
+            # "entry started/stopped referencing it" stays visible.
+            # list/dict repr is deterministic (insertion order ==
+            # source order); sets serialize sorted.
+            def _plain(v):
+                if isinstance(v, (int, float, str, bytes, bool,
+                                  type(None))):
+                    return True
+                if isinstance(v, (list, tuple, set, frozenset)):
+                    return all(_plain(x) for x in v)
+                if isinstance(v, dict):
+                    return all(
+                        _plain(k) and _plain(x) for k, x in v.items()
+                    )
+                return False
+
+            if name.startswith("_") or not _plain(obj):
+                # leading underscore = private runtime state by repo
+                # convention (_ID_FRAME_CACHE starts empty and is
+                # populated mid-process, so even a plain-data check
+                # can't make its content hash stable); every public
+                # container constant (STOPWORDS, SWEEP_MILLI, ...) is
+                # hashed by content
+                ser = f"<stateful:{type(obj).__name__}>"
+            elif isinstance(obj, set):
                 ser = "{" + ", ".join(sorted(map(repr, obj))) + "}"
             else:
                 ser = repr(obj)

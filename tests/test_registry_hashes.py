@@ -151,3 +151,39 @@ def test_snapshot_resolution_order():
         assert snap is None and "unavailable" in src
     finally:
         mod.snapshot_hashes = real
+
+
+def test_constant_hashing_covers_containers_not_runtime_state():
+    """r15 review closure: (a) a PUBLIC container constant
+    (STOPWORDS-class list/dict/set) is part of the entry hashes — an
+    edit must drift them; (b) PRIVATE runtime state (_ID_FRAME_CACHE,
+    populated mid-process by the ANN tests that run before this gate)
+    must NOT drift any hash, or this very gate false-fails whenever
+    the suite ordering warms a cache."""
+    mod = _load_script()
+    mod._CURRENT_HASHES_CACHE = None
+    before = mod.current_hashes()
+
+    import gomysql2pg_spark.operators.similarity as SIM
+
+    SIM._ID_FRAME_CACHE["__gate_probe__"] = ("x", object())
+    try:
+        mod._CURRENT_HASHES_CACHE = None
+        after = mod.current_hashes()
+    finally:
+        SIM._ID_FRAME_CACHE.pop("__gate_probe__", None)
+    assert before == after, [
+        k for k in before if before[k] != after.get(k)
+    ]
+
+    import gomysql2pg_spark.operators.text as T
+
+    T.STOPWORDS.append("__gate_probe__")
+    try:
+        mod._CURRENT_HASHES_CACHE = None
+        mutated = mod.current_hashes()
+    finally:
+        T.STOPWORDS.remove("__gate_probe__")
+        mod._CURRENT_HASHES_CACHE = None
+    drifted = [k for k in before if before[k] != mutated.get(k)]
+    assert drifted, "a STOPWORDS edit must mark its readers stale"
