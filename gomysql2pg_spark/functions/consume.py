@@ -29,6 +29,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def drain_one_row(df: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Eagerly drain a provably ONE-row report frame and RELEASE the
+    given corpus-scale caches before returning.
+
+    The repo's persist-release discipline
+    (tests/test_plan_quality.py::test_persist_release_discipline):
+    an operator whose output is a bounded scalar report must not hand
+    back a lazy frame that keeps corpus-scale persists pinned for the
+    session (r16 ADVICE — the `bm25_topk` postings squatter class).
+    The drain is `.first()` — `.limit(1).collect()` by construction,
+    so the no-unbounded-collect lint's invariant holds — and the row
+    is rebuilt as a local literal frame (LocalTableScan) with the
+    SAME schema, which the driver/bench consume like any result. A
+    None row (empty report, e.g. an empty-corpus HAVING guard)
+    returns `df.limit(0)`: the caches are already released, so the
+    empty re-evaluation recomputes at most an empty plan."""
+    spark = df.sparkSession
+    row = df.first()
+    for c in caches:
+        c.unpersist()
+    if row is None:
+        return df.limit(0)
+    cols = [
+        F.lit(row[f.name]).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ]
+    return spark.range(1).select(*cols)
+
+
 def force_count(df: DataFrame) -> int:
     """Row count that forces full evaluation of every output column."""
     try:

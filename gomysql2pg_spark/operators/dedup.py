@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..catalog import fixture_stat, load_table
+from ..functions.consume import drain_one_row
 
 # ---------------------------------------------------------------------------
 # C1: exact dedup
@@ -1900,7 +1901,9 @@ c AS (
 def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic gate over the MinHash-LSH pipeline (see block
     comment above): normalized-dup recall must be total, and the exact
-    verify stage must leave zero below-threshold pairs."""
+    verify stage must leave zero below-threshold pairs. One-row
+    output ⇒ drained eagerly and the pair cache RELEASED
+    (`drain_one_row` — the persist-release discipline)."""
     docs = load_table(spark, sf_dir, "documents")
     lsh = q_dedup_minhash_lsh(spark, sf_dir).persist()
     lsh.count()
@@ -1918,9 +1921,10 @@ def q_dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_below = below.agg(
         F.count("*").cast("long").alias("n_below_threshold")
     )
-    return n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
+    report = n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
         F.broadcast(n_below)
     )
+    return drain_one_row(report, lsh)
 
 
 ORACLE_DEDUP_MINHASH_LSH_VERIFIED = f"""
@@ -1936,7 +1940,8 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic gate over the SimHash pipeline: identical
     normalized text ⇒ identical 64-bit signature ⇒ hamming 0 ⇒ banded
     candidate ⇒ emitted. Zero misses allowed; zero emitted pairs may
-    exceed the hamming radius."""
+    exceed the hamming radius. One-row output ⇒ drained eagerly and
+    the pair cache RELEASED (`drain_one_row`)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = q_dedup_simhash(spark, sf_dir).persist()
     sh.count()
@@ -1952,9 +1957,10 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_over = over.agg(
         F.count("*").cast("long").alias("n_hamming_violations")
     )
-    return n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
+    report = n_pairs.crossJoin(F.broadcast(n_missed)).crossJoin(
         F.broadcast(n_over)
     )
+    return drain_one_row(report, sh)
 
 
 ORACLE_DEDUP_SIMHASH_VERIFIED = f"""

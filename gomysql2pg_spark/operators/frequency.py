@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType, StringType
 
 from ..catalog import load_table
+from ..functions.consume import drain_one_row
 
 #: heavy-hitter support threshold: key share > 0.2 % of all events
 HH_SUPPORT = 0.002
@@ -324,7 +325,7 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").isNotNull().alias("is_true"),
         )
     )
-    return audited.agg(
+    report = audited.agg(
         F.count("*").alias("n_keys"),
         F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_passed"),
         F.sum(F.col("is_true").cast("int")).cast("bigint").alias("n_true"),
@@ -348,6 +349,9 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("fp_rate_micro"),
     )
+    # one-row audit ⇒ drained eagerly, both stage caches RELEASED
+    # (`drain_one_row` — the persist-release discipline)
+    return drain_one_row(report, build, bits)
 
 
 def _oracle_pos(expr: str, start: int, ln: int) -> str:

@@ -740,14 +740,15 @@ BM25_QUERIES = {
 }
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} documents per query for a {Q}-query batch, ranked by
-    BM25 (sum of integer micro-quantized per-term components; ties by
-    doc_id). Scale shape: one postings shuffle, document frequencies
-    broadcast back by term, the 12-row query map broadcast, a
-    combinable integer sum per (qid, doc), and a rank window per qid
-    that Spark executes via WindowGroupLimit (partial top-k per map
-    task before the exchange)."""
+def _bm25_topk_ranked(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked, postings_cache): the LAZY ranked top-k plan plus the
+    persisted postings frame it reads. Split out of `q_bm25_topk` so
+    the plan-shape gate (WindowGroupLimit, broadcast df/query map —
+    tests/test_round15c_ops.py) can inspect the real retrieval plan
+    even though the public operator drains it eagerly; callers of
+    THIS helper own the cache and must release it."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     # the postings feed THREE plan branches (dl, dfreq, the scored
@@ -814,10 +815,56 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc_nulls_last()
     )
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_TOPK_K)
         .select("qid", "doc_id", "rank", "score_micro")
+    )
+    return ranked, post
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} documents per query for a {Q}-query batch, ranked by
+    BM25 (sum of integer micro-quantized per-term components; ties by
+    doc_id). Scale shape (built in `_bm25_topk_ranked`, plan-gated):
+    one postings shuffle, document frequencies broadcast back by
+    term, the 12-row query map broadcast, a combinable integer sum
+    per (qid, doc), and a rank window per qid that Spark executes via
+    WindowGroupLimit (partial top-k per map task before the
+    exchange). The result is ≤ |queries|·K rows BY CONSTRUCTION
+    (row_number ≤ K per qid), so it is drained eagerly through the
+    sanctioned bounded-probe shape and the corpus-scale postings
+    cache is RELEASED before returning (r16 ADVICE: the r15 form
+    returned a lazy frame over the persisted postings, pinning a
+    tokens-sized cache for the session — the storage-memory-squatter
+    class `lsh_recall_report`'s eager drain already fixed); the
+    returned frame is a local literal rebuild of the drained rows
+    (LocalTableScan, never applySchemaToPythonRDD)."""
+    ranked, post = _bm25_topk_ranked(spark, sf_dir)
+    # bounded drain: ≤ |BM25_QUERIES| × K rows exist (asserted against
+    # the literal lint bound below), then the postings cache is freed
+    assert len(BM25_QUERIES) * BM25_TOPK_K <= 64
+    rows = ranked.limit(64).collect()
+    post.unpersist()
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid int, doc_id bigint, rank int, score_micro bigint"
+        )
+    lits = F.array(
+        *[
+            F.struct(
+                F.lit(r.qid).cast("int").alias("qid"),
+                F.lit(r.doc_id).cast("bigint").alias("doc_id"),
+                F.lit(r.rank).cast("int").alias("rank"),
+                F.lit(r.score_micro).cast("long").alias("score_micro"),
+            )
+            for r in rows
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(lits).alias("p"))
+        .select("p.qid", "p.doc_id", "p.rank", "p.score_micro")
     )
 
 

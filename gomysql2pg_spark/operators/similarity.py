@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.consume import drain_one_row
 from .dedup import dot_double
 
 TOP_K = 10
@@ -298,6 +299,9 @@ def q_similarity_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
       the 0.3 floor `tests/test_ann_quality.py` pins (measured
       0.48-0.54 on the fixture family) — the driver-side red flag if
       bucket quality ever collapses.
+
+    One-row output ⇒ drained eagerly and the neighbor cache RELEASED
+    (`drain_one_row` — the persist-release discipline).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = q_similarity_lsh(spark, sf_dir).persist()
@@ -330,9 +334,10 @@ def q_similarity_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return n_queries.crossJoin(F.broadcast(overflow)).crossJoin(
+    report = n_queries.crossJoin(F.broadcast(overflow)).crossJoin(
         F.broadcast(recall)
     )
+    return drain_one_row(report, lsh)
 
 
 ORACLE_SIMILARITY_LSH_VERIFIED = f"""

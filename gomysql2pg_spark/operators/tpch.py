@@ -1116,13 +1116,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — the group-aggregate-vs-global-scalar-threshold shape. The
     threshold compare is integer cross-multiplied (value·DEN >
     total), so the keep set is engine-exact. Plan: one supply
-    aggregate keyed on partkey; the global total is a bounded
-    single-row driver aggregate (`.first()`, the sanctioned scalar
-    shape) embedded as a LITERAL, so the per-part frame is consumed
-    exactly once — no persist to pin (and later leak) across a
-    long-lived session, no second corpus pass (r15 review; the
-    previous form persisted per_part for a crossJoin against the
-    lazily-derived total)."""
+    aggregate keyed on partkey, referenced twice (the per-part side
+    and the global total reduced from it and broadcast back as a
+    one-row frame) — both references share the identical partial-agg
+    Exchange, which Spark's exchange-reuse rewrites to a single
+    physical shuffle (`ReusedExchange`, plan-gated), so the corpus is
+    scanned and partially aggregated ONCE inside one fully lazy plan:
+    no persist to pin across a long-lived session, no eager driver
+    scalar whose lineage would re-run when the result is consumed
+    (r16 ADVICE: the r15 `.first()`-literal form paid two full passes
+    — one at call time, one at consumption)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(
@@ -1139,10 +1142,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps_supplycost_c") * F.col("ps_availqty")
         ).alias("value_c")
     )
-    total_c = per_part.agg(F.sum("value_c")).first()[0] or 0
-    return per_part.filter(
-        F.col("value_c") * Q11_FRACTION_DEN > F.lit(total_c)
-    ).select("ps_partkey", "value_c")
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * Q11_FRACTION_DEN > F.col("total_c"))
+        .select("ps_partkey", "value_c")
+    )
 
 
 ORACLE_Q11 = f"""

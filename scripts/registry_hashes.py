@@ -376,21 +376,59 @@ def resolve_snapshot(
         # committed-edit variant of the r12 post-window gap). mtimes
         # reset on clone/checkout, where the anchor degrades to HEAD
         # (every commit predates the clone) — today's behavior.
+        # Anchor resolution (r16 ADVICE): the first resolution is
+        # PINNED to a sidecar (.anchors/rNN.sha) and preferred ever
+        # after, so the anchor cannot drift as later commits land
+        # with non-monotone commit dates (rebases, cherry-picks,
+        # clock skew). The initial pick is a POSITIONAL first-parent
+        # scan — the newest-position commit whose committer time is
+        # at or before the record's mtime — rather than
+        # `rev-list --before` date filtering, so an older-dated
+        # commit deeper in history can never shadow a newer one.
+        # Residual limit (documented, not fixable from this side):
+        # a post-verify commit deliberately stamped with an old
+        # committer date is indistinguishable by dates alone; only
+        # the driver recording the verified sha inside the record
+        # itself would close that, and this sidecar pins the best
+        # available answer at first observation. Fresh clones are
+        # unaffected: a cloned record always has an ADDING commit,
+        # so resolution path (1) wins before this heuristic runs.
         ref = "HEAD"
         cpath = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(cpath):
-            anchored = subprocess.run(
-                [
-                    "git",
-                    "rev-list",
-                    "-1",
-                    f"--before=@{int(os.stat(cpath).st_mtime)}",
-                    "HEAD",
-                ],
-                cwd=REPO,
-                capture_output=True,
-                text=True,
-            ).stdout.strip()
+            spath = os.path.join(REPO, ".anchors", f"r{rnd:02d}.sha")
+            anchored = ""
+            if os.path.exists(spath):
+                with open(spath) as fh:
+                    anchored = fh.read().strip()
+            if not anchored:
+                mtime = int(os.stat(cpath).st_mtime)
+                log = subprocess.run(
+                    [
+                        "git",
+                        "log",
+                        "--first-parent",
+                        "--format=%H %ct",
+                        "HEAD",
+                    ],
+                    cwd=REPO,
+                    capture_output=True,
+                    text=True,
+                ).stdout
+                for line in log.splitlines():
+                    sha, _, ct = line.partition(" ")
+                    if ct.strip().isdigit() and int(ct) <= mtime:
+                        anchored = sha
+                        break
+                if anchored:
+                    try:
+                        os.makedirs(
+                            os.path.join(REPO, ".anchors"), exist_ok=True
+                        )
+                        with open(spath, "w") as fh:
+                            fh.write(anchored + "\n")
+                    except OSError:
+                        pass  # read-only tree: resolve, don't pin
             if anchored:
                 ref = anchored
         head = subprocess.run(

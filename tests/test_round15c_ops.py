@@ -94,11 +94,19 @@ def test_bm25_topk_plan_broadcasts_and_group_limits(
     frequencies join via broadcast (never a shuffled join against the
     postings), and the per-query top-k executes through Spark's
     WindowGroupLimit so each map task ships at most K rows per query
-    into the final window."""
-    df = queries["bm25_topk"](spark, sf_dir)
-    plan = plan_of(df)
-    assert "WindowGroupLimit" in plan, plan
-    assert plan.count("BroadcastExchange") >= 2, plan
+    into the final window. The public operator drains this plan
+    eagerly (persist-release discipline), so the gate inspects the
+    lazy plan through `_bm25_topk_ranked` and releases the cache it
+    hands over."""
+    from gomysql2pg_spark.operators.ranking import _bm25_topk_ranked
+
+    df, post = _bm25_topk_ranked(spark, sf_dir)
+    try:
+        plan = plan_of(df)
+        assert "WindowGroupLimit" in plan, plan
+        assert plan.count("BroadcastExchange") >= 2, plan
+    finally:
+        post.unpersist()
 
 
 # ------------------------------------------------- quality_rule_ablation
