@@ -1702,6 +1702,138 @@ FROM j GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# within-document repeated-span scrub (r16 — VERDICT item 3)
+# ---------------------------------------------------------------------------
+#
+# `q_boilerplate_strip` removes chunks repeated ACROSS documents; this
+# is the complementary self-repetition pass of the Lee et al. dedup
+# recipe ("Deduplicating Training Data Makes Language Models Better",
+# ACL 2022 — public): spans repeated WITHIN one document (generation
+# loops, scraper stutter, copy-pasted paragraphs) collapse to their
+# first occurrence. `repetition_filter` DETECTS this pathology; this
+# operator repairs it.
+
+SELFREP_NGRAM = 3  # span length in tokens (overlapping windows)
+
+
+def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse within-document repeated token spans to their first
+    occurrence. Semantics (deterministic, order-independent, both
+    engines): every OVERLAPPING SELFREP_NGRAM-token span is keyed by
+    its text; an occurrence whose start position is later than the
+    span's first occurrence in the SAME document marks its
+    SELFREP_NGRAM token positions as covered; the scrubbed document
+    is the ordered join of uncovered tokens (set-union coverage, so
+    overlapping repeats never double-remove). Output text is the
+    normalized (lowercased, whitespace-collapsed) form every
+    downstream hash-dedup pass consumes — same contract as
+    `q_boilerplate_strip`.
+
+    Plan (all token-scale, nothing corpus-quadratic): one span
+    explode → min-position window keyed (doc_id, span) → covered
+    positions (≤ N× the repeat count) distinct'd → one left join of
+    the token stream on (doc_id, position) → one groupBy(doc) whose
+    collect_list is DOCUMENT-sized (bounded by doc length at any
+    corpus scale; array_sort on unique positions is deterministic).
+    A doc with fewer than SELFREP_NGRAM tokens generates no spans and
+    passes through unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    n = SELFREP_NGRAM
+    spans = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = pre.select(
+        "doc_id", F.posexplode(spans).alias("ci", "g")
+    ).select("doc_id", (F.col("ci") + 1).alias("pos"), "g")
+    wmin = Window.partitionBy("doc_id", "g")
+    rep = grams.withColumn("fp", F.min("pos").over(wmin)).filter(
+        F.col("pos") > F.col("fp")
+    )
+    covered = (
+        rep.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col("pos") + F.lit(d) for d in range(n)])
+            ).alias("p"),
+        )
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    tokpos = pre.select(
+        "doc_id", F.posexplode(toks).alias("pi", "w")
+    ).select("doc_id", (F.col("pi") + 1).alias("p"), "w")
+    marked = tokpos.join(covered, ["doc_id", "p"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("rm").cast("long").alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rm").isNull(), F.struct("p", "w"))
+                )
+            ).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            F.array_join(
+                F.transform(F.col("ks"), lambda x: x["w"]), " "
+            ).alias("scrubbed_text"),
+        )
+    )
+
+
+ORACLE_SELFREP_SCRUB = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(l[i : i + {SELFREP_NGRAM - 1}], ' ') AS g
+  FROM toks,
+       unnest(range(1, greatest(len(l) - {SELFREP_NGRAM - 1}, 0) + 1))
+         AS t(i)
+),
+firsts AS (
+  SELECT doc_id, g, MIN(pos) AS fp FROM grams GROUP BY doc_id, g
+),
+rep AS (
+  SELECT gr.doc_id, gr.pos
+  FROM grams gr
+  JOIN firsts f ON gr.doc_id = f.doc_id AND gr.g = f.g
+               AND gr.pos > f.fp
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + d AS p
+  FROM rep, unnest(range(0, {SELFREP_NGRAM})) AS dd(d)
+),
+tp AS (
+  SELECT doc_id, i AS p, l[i] AS w
+  FROM toks, unnest(range(1, len(l) + 1)) AS t(i)
+),
+marked AS (
+  SELECT tp.doc_id, tp.p, tp.w, cov.p IS NOT NULL AS rm
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' ' ORDER BY p),
+                '') AS scrubbed_text
+FROM marked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # C2f: semantic dedup (SemDeDup-style, within-cluster cosine)
 # ---------------------------------------------------------------------------
 
@@ -2367,6 +2499,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_lines": q_dedup_lines,
     "boilerplate_strip": q_boilerplate_strip,
+    "selfrep_scrub": q_selfrep_scrub,
     "lsh_recall_report": q_lsh_recall_report,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "decontamination_check": q_decontamination_check,
@@ -2396,6 +2529,7 @@ ORACLES = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "boilerplate_strip": ORACLE_BOILERPLATE_STRIP,
+    "selfrep_scrub": ORACLE_SELFREP_SCRUB,
     "lsh_recall_report": _oracle_lsh_recall_report(),
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
     "decontamination_check": ORACLE_DECONTAMINATION,
