@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
@@ -1100,49 +1101,255 @@ def _ivf_index(
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
     key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
     name = f"spark_graft_ivf_{key}"
-    out_c, out_s = _join(croot, name), _join(sroot, name)
+    out_c = _join(croot, name)
 
-    def _built() -> bool:
-        return (
-            fs.get_file_info(out_c + "/_SUCCESS").type
-            == pafs.FileType.File
-        )
-
-    def _rm(path: str) -> None:
-        try:
-            fs.delete_dir(path)
-        except (OSError, FileNotFoundError):
-            pass
-
-    if not _built():
+    if not _tree_built(fs, out_c):
         codes = _pq_codes(
             _assign_cells(emb, cent_rows),
             cb,
             carry=("cell",),
         )
-        tmp_name = f"{name}.tmp-{os.getpid()}"
-        codes.write.mode("overwrite").partitionBy("cell").parquet(
-            _join(sroot, tmp_name)
+        # the model sidecar freezes what ENCODED this tree (coarse
+        # centroids + PQ codebook + key), making the index
+        # self-describing: `ivf_index_append` re-reads it to encode
+        # new batches under the exact serving model (r16 — VERDICT
+        # item 4). _train_pq_model is a cache hit here (same key the
+        # caller used to build `cb`).
+        blob = _model_json(
+            key, cent_rows, _train_pq_model(emb, cache_key=fk)
         )
-        tmp_c = _join(croot, tmp_name)
-        try:
-            fs.move(tmp_c, out_c)
-        except OSError:
-            if _built():
-                _rm(tmp_c)  # lost the race — the winner's tree is complete
-            else:  # stale partial tree: evict, install the fresh one
-                _rm(out_c)
-                try:
-                    fs.move(tmp_c, out_c)
-                except OSError:
-                    _rm(tmp_c)
-        if not _built():
+        if not _atomic_install(fs, croot, sroot, name, codes, blob):
             # both install attempts failed (transient fs error, no
             # winner tree either): serve the in-memory frame we just
             # built instead of crashing on the missing final path —
             # the next call retries the install
             return cent_rows, codes
-    return cent_rows, spark.read.parquet(out_s)
+    return cent_rows, _read_index_codes(spark, fs, croot, sroot, name)
+
+
+def _tree_built(fs, tree_c: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return (
+        fs.get_file_info(tree_c + "/_SUCCESS").type == pafs.FileType.File
+    )
+
+
+def _rm_tree(fs, path: str) -> None:
+    try:
+        fs.delete_dir(path)
+    except (OSError, FileNotFoundError):
+        pass
+
+
+def _atomic_install(fs, croot, sroot, name, codes, model_blob) -> bool:
+    """Write `codes` (partitioned by cell) + the model sidecar to a
+    tmp tree and install it as `name` with the _SUCCESS + atomic-move
+    discipline (same race handling the r13 build used inline)."""
+    out_c = _join(croot, name)
+    tmp_name = f"{name}.tmp-{os.getpid()}"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        _join(sroot, tmp_name)
+    )
+    tmp_c = _join(croot, tmp_name)
+    if model_blob is not None:
+        with fs.open_output_stream(_join(tmp_c, "_MODEL.json")) as f:
+            f.write(model_blob)
+    try:
+        fs.move(tmp_c, out_c)
+    except OSError:
+        if _tree_built(fs, out_c):
+            _rm_tree(fs, tmp_c)  # lost the race — winner is complete
+        else:  # stale partial tree: evict, install the fresh one
+            _rm_tree(fs, out_c)
+            try:
+                fs.move(tmp_c, out_c)
+            except OSError:
+                _rm_tree(fs, tmp_c)
+    return _tree_built(fs, out_c)
+
+
+def _model_json(key: str, cent_rows: list, cb_rows: list) -> bytes:
+    import json
+
+    return json.dumps(
+        {
+            "model_key": key,
+            "cent": [
+                [int(c), [float(x) for x in ce]] for c, ce in cent_rows
+            ],
+            "codebook": [
+                [int(m), int(cid), [float(x) for x in ce]]
+                for m, cid, ce in cb_rows
+            ],
+        }
+    ).encode()
+
+
+def _read_model_blob(fs, tree_c: str) -> dict | None:
+    import json
+
+    from pyarrow import fs as pafs
+
+    path = _join(tree_c, "_MODEL.json")
+    if fs.get_file_info(path).type != pafs.FileType.File:
+        return None
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode())
+
+
+def _delta_trees(fs, croot: str, name: str) -> list:
+    """Installed delta-tree basenames for index `name`, oldest-first
+    (sorted by basename — batch ids are caller-chosen, so callers
+    wanting a meaningful order choose sortable ids). `.tmp-` trees
+    mid-install are excluded even if their _SUCCESS already exists."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(croot, allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        base = info.base_name
+        if (
+            info.type == pafs.FileType.Directory
+            and base.startswith(name + ".delta.")
+            and ".tmp-" not in base
+            and _tree_built(fs, _join(croot, base))
+        ):
+            out.append(base)
+    return sorted(out)
+
+
+def _read_index_codes(spark, fs, croot, sroot, name) -> DataFrame:
+    """The index's code table: the base tree plus every installed
+    delta tree (incremental appends, r16). Model consistency is
+    ENFORCED, not assumed: a delta whose sidecar names a different
+    model key than the base was encoded under a different quantizer
+    and would silently corrupt ADC scores — refuse loudly. With no
+    deltas (every oracled entry) this is exactly the r15 single-tree
+    read. At 100 TB each delta stays cell-partitioned, so the probe
+    join prunes partitions per tree; rebuild-and-compact when
+    `ivf_index_staleness` crosses the retrain threshold."""
+    base = spark.read.parquet(_join(sroot, name))
+    deltas = _delta_trees(fs, croot, name)
+    if not deltas:
+        return base
+    base_model = _read_model_blob(fs, _join(croot, name))
+    base_key = base_model["model_key"] if base_model else None
+    out = base
+    for d in deltas:
+        dm = _read_model_blob(fs, _join(croot, d))
+        dk = dm["model_key"] if dm else None
+        if base_key is not None and dk != base_key:
+            raise ValueError(
+                f"IVF index delta {d} was encoded under model "
+                f"{dk!r} but the base tree serves {base_key!r} — "
+                "rebuild the index instead of mixing quantizers"
+            )
+        out = out.unionByName(spark.read.parquet(_join(sroot, d)))
+    return out
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    new_emb: DataFrame,
+    batch_id: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> int:
+    """Incremental index add (r16 — VERDICT item 4): encode ONLY the
+    new vectors with the FROZEN model stored in the installed base
+    tree (its `_MODEL.json` sidecar — no retraining, no corpus
+    re-encode) and install them as a sibling delta tree
+    `<name>.delta.<batch_id>` with the same _SUCCESS + atomic-move
+    discipline as the base. Idempotent per batch_id: re-appending an
+    installed batch is a no-op (returns 0), so a checkpoint-resumed
+    ingest never double-writes. Append ≡ rebuild under the frozen
+    model is pinned by tests/test_round16_ops.py. Returns the number
+    of code rows appended."""
+    import re
+
+    fk = _fixture_key(sf_dir)
+    if fk is None:
+        raise ValueError(
+            "unkeyable fixture: no installed index to append to"
+        )
+    if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", batch_id):
+        raise ValueError(f"batch_id {batch_id!r} must be [A-Za-z0-9_-]+")
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    if not _tree_built(fs, _join(croot, name)):
+        raise ValueError("base index tree not built — build it first")
+    model = _read_model_blob(fs, _join(croot, name))
+    if model is None:
+        raise ValueError(
+            "base tree has no _MODEL.json sidecar (pre-r16 build) — "
+            "rebuild the index to enable appends"
+        )
+    dname = f"{name}.delta.{batch_id}"
+    if _tree_built(fs, _join(croot, dname)):
+        return 0
+    cent_rows = [(c, ce) for c, ce in model["cent"]]
+    cb = _model_df(
+        spark,
+        [(m, cid, ce) for m, cid, ce in model["codebook"]],
+        "m int, cid int, ce array<double>",
+    )
+    codes = _pq_codes(_assign_cells(new_emb, cent_rows), cb, carry=("cell",))
+    blob = _model_json(model["model_key"], cent_rows, model["codebook"])
+    if not _atomic_install(fs, croot, sroot, dname, codes, blob):
+        raise OSError(f"failed to install delta tree {dname}")
+    return spark.read.parquet(_join(sroot, dname)).count()
+
+
+def ivf_index_staleness(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> DataFrame:
+    """One-row index-freshness report: how much of the served code
+    table was APPENDED after the model was trained (the quantizer saw
+    none of it) — the number that decides when to retrain + rebuild.
+    (n_trees, n_codes, n_appended, staleness_milli, model_consistent);
+    integer milli via truncating division of non-negative counts. A
+    local literal frame (tree counts are a bounded driver loop over
+    the installed trees, one count() each — never a corpus collect)."""
+    fk = _fixture_key(sf_dir)
+    if fk is None:
+        raise ValueError("unkeyable fixture: no installed index")
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    if not _tree_built(fs, _join(croot, name)):
+        raise ValueError("base index tree not built")
+    base_model = _read_model_blob(fs, _join(croot, name))
+    base_key = base_model["model_key"] if base_model else None
+    n_base = spark.read.parquet(_join(sroot, name)).count()
+    deltas = _delta_trees(fs, croot, name)
+    n_appended = 0
+    consistent = True
+    for d in deltas:
+        n_appended += spark.read.parquet(_join(sroot, d)).count()
+        dm = _read_model_blob(fs, _join(croot, d))
+        if (dm["model_key"] if dm else None) != base_key:
+            consistent = False
+    total = n_base + n_appended
+    lit = lambda v, t: F.lit(v).cast(t)  # noqa: E731
+    return spark.range(1).select(
+        lit(1 + len(deltas), "int").alias("n_trees"),
+        lit(total, "long").alias("n_codes"),
+        lit(n_appended, "long").alias("n_appended"),
+        lit(
+            (n_appended * 1000) // total if total else 0, "long"
+        ).alias("staleness_milli"),
+        lit(consistent, "boolean").alias("model_consistent"),
+    )
 
 
 def _cell_expr(cent_rows: list, emb_col: str = "embedding") -> "F.Column":
@@ -1996,7 +2203,14 @@ scored AS (
 """
 
 
-def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> DataFrame:
     """Continuous index-quality audit — the nightly job an ANN
     deployment runs before trusting its index: recall@PQ_TOP_K of the
     IVFADC index (`q_similarity_ivfpq`) against the exact brute-force
@@ -2015,9 +2229,13 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("qid", "nid")
     )
-    approx = q_similarity_ivfpq(spark, sf_dir).select(
-        F.col("qid").alias("aqid"), F.col("nid").alias("anid")
-    )
+    approx = q_similarity_ivfpq(
+        spark,
+        sf_dir,
+        index_root=index_root,
+        filesystem=filesystem,
+        spark_root=spark_root,
+    ).select(F.col("qid").alias("aqid"), F.col("nid").alias("anid"))
     hits = exact.join(
         approx,
         (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),

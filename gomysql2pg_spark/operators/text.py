@@ -865,6 +865,184 @@ FROM u GROUP BY rule
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge mining (r16 — VERDICT item 6): the tokenizer-TRAINING step
+# ---------------------------------------------------------------------------
+#
+# `token_fertility` measures an existing tokenizer; this is the
+# distributed building block that TRAINS one: the byte-pair-encoding
+# merge loop (Sennrich, Haddow & Birch, ACL 2016 — public algorithm).
+# Each iteration is one combinable weighted pair-count aggregate over
+# the word-frequency table (vocabulary-sized, NOT corpus-sized — the
+# corpus collapses to (word, n) once up front) plus a single-row
+# argmax and a stateless merge map; K iterations are FIXED so the
+# whole loop is SQL-replayable (a convergence-driven loop could not
+# be stated as a static oracle — same determinism-by-count discipline
+# as IVF_TRAIN_ITERS / PAGERANK_ITERS).
+#
+# Representation: a word's symbol sequence is ONE delimited string —
+# chr(31) || sym || chr(31) per symbol, concatenated — so applying a
+# merge (a, b) is replace('\x1f a \x1f\x1f b \x1f' -> '\x1f ab \x1f'),
+# and both engines' `replace` (left-to-right, non-overlapping) IS the
+# standard greedy BPE merge application: in a run like "a a a" the
+# first pair merges and the survivor cannot re-merge because the
+# merged token no longer equals `a`. Words containing the chr(31)
+# delimiter are excluded up front (identically in the oracle) so a
+# symbol boundary can never be forged by data.
+
+BPE_MERGE_ITERS = 4
+_BPE_SEP = "\x1f"
+
+# adjacent symbol pairs of one delimited word: split on the double
+# delimiter, strip the outer delimiters (symbols never contain one)
+_BPE_PAIRS_EXPR = (
+    "transform(sequence(1, size(l) - 1), i -> named_struct("
+    "'a', replace(element_at(l, i), chr(31), ''), "
+    "'b', replace(element_at(l, i + 1), chr(31), '')))"
+)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {K} BPE merges mined from the corpus: per iteration, the
+    most frequent adjacent symbol pair weighted by word frequency
+    (ties: count DESC, then pair text ASC — engine-exact integer
+    counts and binary string order), applied greedily before the next
+    count. Returns the merge table (it, sym_a, sym_b, pair_n) — the
+    artifact a tokenizer trainer persists.
+
+    Scale shape: the corpus is scanned ONCE (word explode + groupBy →
+    the (word, n) vocabulary table, persisted vocabulary-sized and
+    RELEASED before return); each iteration is a pair explode over
+    the vocabulary (≤ Σ|word| elements), one partial-applied hash
+    aggregate, and a bounded `.first()` argmax; merge application is
+    a stateless map over the cached vocabulary. The K-row result is
+    drained eagerly and returned as a local literal frame
+    (persist-release discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    S = _BPE_SEP
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((F.length("w") > 0) & ~F.col("w").contains(S))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    w0 = words.select(
+        F.concat(
+            F.lit(S), F.array_join(chars, S + S), F.lit(S)
+        ).alias("s"),
+        "n",
+    ).persist()
+    w0.count()
+    cur = w0
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, BPE_MERGE_ITERS + 1):
+        best = (
+            cur.select(F.split("s", S + S).alias("l"), "n")
+            .filter(F.size("l") >= 2)
+            .select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((it, best["a"], best["b"], int(best["cnt"])))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(S + best["a"] + S + S + best["b"] + S),
+                F.lit(S + best["a"] + best["b"] + S),
+            ),
+        )
+    w0.unpersist()
+    if not merges:
+        return spark.createDataFrame(
+            [], "it int, sym_a string, sym_b string, pair_n bigint"
+        )
+    lits = F.array(
+        *[
+            F.struct(
+                F.lit(it).cast("int").alias("it"),
+                F.lit(a).cast("string").alias("sym_a"),
+                F.lit(b).cast("string").alias("sym_b"),
+                F.lit(c).cast("long").alias("pair_n"),
+            )
+            for it, a, b, c in merges
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(lits).alias("m"))
+        .select("m.it", "m.sym_a", "m.sym_b", "m.pair_n")
+    )
+
+
+def _oracle_bpe_merges() -> str:
+    """Static CTE chain replaying the K-iteration merge loop: per
+    iteration, pair counts from w{{t-1}}, the (cnt DESC, a, b) argmax
+    as a one-row CTE, and the merge applied via a LEFT JOIN ON TRUE
+    (an empty argmax leaves the vocabulary untouched instead of
+    annihilating it, matching the Spark loop's early break)."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    blocks = []
+    for t in range(1, BPE_MERGE_ITERS + 1):
+        prev = f"w{t - 1}"
+        blocks.append(
+            f"""
+p{t} AS (
+  SELECT replace(l[i], {sep}, '') AS a,
+         replace(l[i + 1], {sep}, '') AS b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(s, {sep2}) AS l, n FROM {prev}),
+       unnest(range(1, len(l))) AS t(i)
+  GROUP BY 1, 2
+),
+b{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
+w{t} AS (
+  SELECT COALESCE(
+           replace(w.s,
+                   {sep} || b.a || {sep2} || b.b || {sep},
+                   {sep} || b.a || b.b || {sep}),
+           w.s) AS s,
+         w.n
+  FROM {prev} w LEFT JOIN b{t} b ON TRUE
+)"""
+        )
+    final_unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS it, a AS sym_a, b AS sym_b, "
+        f"cnt AS pair_n FROM b{k}"
+        for k in range(1, BPE_MERGE_ITERS + 1)
+    )
+    return rf"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 AND strpos(w, {sep}) = 0
+  GROUP BY w
+),
+w0 AS (
+  SELECT {sep} || array_to_string(
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, i, 1)),
+           {sep2}) || {sep} AS s,
+         n
+  FROM wf
+),{",".join(blocks)}
+{final_unions}
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "temperature_sample": q_temperature_sample,
@@ -879,6 +1057,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "quality_rule_ablation": q_quality_rule_ablation,
     "doc_fingerprint": q_doc_fingerprint,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
@@ -895,4 +1074,5 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_rule_ablation": ORACLE_QUALITY_RULE_ABLATION,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "bpe_merges": _oracle_bpe_merges(),
 }

@@ -174,3 +174,234 @@ def test_selfrep_scrub_invariants_and_idempotence(
     second = queries["selfrep_scrub"](spark, str(out_dir)).collect()
     for r in second:
         assert r["n_removed"] == 0, r
+
+
+# ------------------------------------------------------- bpe_merges
+
+
+def test_bpe_merges_constructed_greedy_semantics(
+    spark, tmp_path, queries
+):
+    """Hand-computed merge sequence on a tiny corpus, covering the
+    greedy-run rule (in 'aaaa' the pair (a,a) counts 3 adjacencies
+    but merging leaves 'aa aa' — the survivor cannot re-merge within
+    the iteration) and the dependence of iteration 2 on iteration 1's
+    applied merge."""
+    # corpus: "ab" x 3 words, "aaaa" x 2 words
+    _write_docs(tmp_path, ["ab ab ab", "aaaa aaaa"])
+    rows = [
+        (r["it"], r["sym_a"], r["sym_b"], r["pair_n"])
+        for r in sorted(
+            queries["bpe_merges"](spark, str(tmp_path)).collect(),
+            key=lambda r: r["it"],
+        )
+    ]
+    # iteration 1: pair (a,b) count 3 ("ab" x3); pair (a,a) count
+    # 3*2=6 from the two "aaaa" words -> (a,a) wins
+    assert rows[0] == (1, "a", "a", 6)
+    # after merging: "aaaa" -> [aa, aa]; iteration 2 pairs:
+    # (a,b) 3, (aa,aa) 2 -> (a,b) wins
+    assert rows[1] == (2, "a", "b", 3)
+    # after merging: "ab" -> [ab]; iteration 3: only (aa,aa) 2 left
+    assert rows[2] == (3, "aa", "aa", 2)
+    # iteration 4: everything is a single symbol -> no pairs; the
+    # loop breaks early and emits exactly 3 merges
+    assert len(rows) == 3
+
+
+def test_bpe_merges_oracle_agrees_on_constructed(spark, tmp_path, duck):
+    """The static CTE oracle replays the same loop on the constructed
+    corpus (early-exhaustion case included: the LEFT JOIN ON TRUE
+    keeps the vocabulary alive through an empty argmax)."""
+    import duckdb
+
+    from gomysql2pg_spark.operators.text import _oracle_bpe_merges
+    from gomysql2pg_spark.operators.text import q_bpe_merges
+
+    _write_docs(tmp_path, ["ab ab ab", "aaaa aaaa"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    got = sorted(
+        tuple(r)
+        for r in q_bpe_merges(spark, str(tmp_path)).collect()
+    )
+    want = sorted(tuple(r) for r in con.execute(_oracle_bpe_merges()).fetchall())
+    assert got == want
+
+
+# ----------------------------------------------- incremental ANN append
+
+
+def _new_vectors(spark, rows):
+    """(vec_id, embedding[64] float, label) frame for append batches."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_ivf_index_append_equals_frozen_rebuild(spark, sf_dir, tmp_path):
+    """VERDICT r16 item 4's 'Done': appending a batch under the FROZEN
+    stored model must yield, tree-union-wise, exactly the codes a full
+    re-encode of (base corpus + batch) under that same model produces
+    — row-for-row, including the coarse cell."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ann")
+    emb = SIM.load_table(spark, sf_dir, "embeddings")
+    # build the base index in an isolated root
+    df = SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root)
+    df.count()
+    # batch: three synthetic vectors outside the fixture id range
+    base_max = emb.agg(F.max("vec_id")).first()[0]
+    new = _new_vectors(
+        spark,
+        [
+            (base_max + 1 + i, [float((i + 2) * (d % 7)) for d in range(64)], None)
+            for i in range(3)
+        ],
+    )
+    n = SIM.ivf_index_append(spark, sf_dir, new, "b001", index_root=root)
+    assert n == 3
+    # idempotent: same batch id -> no-op
+    assert (
+        SIM.ivf_index_append(spark, sf_dir, new, "b001", index_root=root)
+        == 0
+    )
+    # read the served union back
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    key = SIM.hashlib.md5(
+        repr((SIM._fixture_key(sf_dir), "ivf-codes-v2")).encode()
+    ).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    served = SIM._read_index_codes(spark, fs, croot, sroot, name)
+    # frozen re-encode of base + batch from the stored model
+    model = SIM._read_model_blob(fs, SIM._join(croot, name))
+    cent_rows = [(c, ce) for c, ce in model["cent"]]
+    cb = SIM._model_df(
+        spark,
+        [tuple(r) for r in model["codebook"]],
+        "m int, cid int, ce array<double>",
+    )
+    full = emb.select("vec_id", "embedding").unionByName(
+        new.select("vec_id", "embedding")
+    )
+    want = SIM._pq_codes(
+        SIM._assign_cells(full, cent_rows), cb, carry=("cell",)
+    )
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+    got_rows = sorted(tuple(r) for r in served.select(*cols).collect())
+    want_rows = sorted(tuple(r) for r in want.select(*cols).collect())
+    assert got_rows == want_rows
+    # staleness report: 3 appended codes over the total
+    rep = SIM.ivf_index_staleness(spark, sf_dir, index_root=root).first()
+    assert rep["n_trees"] == 2
+    assert rep["n_appended"] == 3
+    assert rep["n_codes"] == len(want_rows)
+    assert rep["staleness_milli"] == 3000 // len(want_rows)
+    assert rep["model_consistent"] is True
+
+
+def test_ivf_index_append_serves_new_vectors_in_queries(
+    spark, sf_dir, tmp_path
+):
+    """Functional proof the probe READS the delta: plant a copy of a
+    query vector as an appended vector — after the append, the IVFADC
+    query must surface the planted neighbor (identical embedding ⇒
+    identical codes ⇒ minimal ADC) for that query."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ann2")
+    emb = SIM.load_table(spark, sf_dir, "embeddings")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    q0 = emb.filter(F.col("vec_id") == 0).first()
+    planted_id = 990_000
+    new = _new_vectors(spark, [(planted_id, list(q0["embedding"]), None)])
+    assert SIM.ivf_index_append(
+        spark, sf_dir, new, "plant", index_root=root
+    ) == 1
+    res = SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root)
+    top0 = [r["nid"] for r in res.filter(F.col("qid") == 0).collect()]
+    assert planted_id in top0, top0
+
+
+def test_ivf_index_append_refuses_model_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """A delta encoded under a different quantizer must be refused at
+    read time (silently mixing models would corrupt ADC scores), and
+    the staleness report must flag the inconsistency."""
+    import json
+
+    import pytest as _pytest
+
+    import gomysql2pg_spark.operators.similarity as SIM
+
+    root = str(tmp_path / "ann3")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    emb = SIM.load_table(spark, sf_dir, "embeddings")
+    new = _new_vectors(
+        spark, [(880_000, [1.0] * 64, None)]
+    )
+    SIM.ivf_index_append(spark, sf_dir, new, "tamper", index_root=root)
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    key = SIM.hashlib.md5(
+        repr((SIM._fixture_key(sf_dir), "ivf-codes-v2")).encode()
+    ).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    dpath = SIM._join(croot, f"{name}.delta.tamper")
+    blob = SIM._read_model_blob(fs, dpath)
+    blob["model_key"] = "deadbeef0000"
+    with fs.open_output_stream(SIM._join(dpath, "_MODEL.json")) as f:
+        f.write(json.dumps(blob).encode())
+    with _pytest.raises(ValueError, match="different.*model|model.*serves"):
+        SIM._read_index_codes(spark, fs, croot, sroot, name).count()
+    rep = SIM.ivf_index_staleness(spark, sf_dir, index_root=root).first()
+    assert rep["model_consistent"] is False
+
+
+def test_ann_recall_report_over_appended_index(spark, sf_dir, tmp_path):
+    """The nightly recall audit runs against an APPENDED index (the
+    r16 'Done' condition): same query set, sane recall bounds, and
+    the report consumes the base+delta union (planted near-duplicate
+    vectors are allowed to displace exact neighbors, so only bounds
+    are pinned, not the exact milli value)."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ann4")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    emb = SIM.load_table(spark, sf_dir, "embeddings")
+    base_max = emb.agg(F.max("vec_id")).first()[0]
+    new = _new_vectors(
+        spark,
+        [
+            (base_max + 1 + i, [float((i * 3 + d) % 11) for d in range(64)], None)
+            for i in range(4)
+        ],
+    )
+    SIM.ivf_index_append(spark, sf_dir, new, "audit", index_root=root)
+    rep = SIM.q_ann_recall_report(spark, sf_dir, index_root=root).first()
+    n_queries = emb.filter(
+        F.col("vec_id") % SIM.QUERY_MOD == 0
+    ).count()
+    assert rep["n_queries"] == n_queries
+    assert 0 <= rep["recall_milli"] <= 1000
