@@ -29,48 +29,36 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r15 window (50 slots), re-derived 2026-08-16 (batch 6) by
-    # `scripts/registry_hashes.py --derive-window`.
-    # (1) changed/new this build: the re-scanned classifier frame
-    # (classifier_score + its three diagnostics), the window-gated
-    # LSH twins, concat_ws epoch shards, sampled-training ANN
-    # entries, the 9 earlier r15-NEW operators, the 5 batch-4
-    # operators (boilerplate_strip, lsh_recall_report,
-    # decontamination_semantic, packing_efficiency,
-    # label_agreement_kappa), the 3 batch-5 operators (bm25_topk,
-    # quality_rule_ablation, temporal_holdout_report), and the 2
-    # batch-6 dedup-tuning tables (dedup_threshold_sweep,
-    # dedup_cluster_sizes)
-    "classifier_score", "dedup_minhash_lsh_verified",
-    "dedup_simhash_verified", "epoch_shuffle", "similarity_ivfpq",
-    "similarity_pq", "ann_recall_report", "bitext_margin_pairs",
-    "bitext_margin_pairs_ivf", "bm25_topk", "boilerplate_strip",
-    "classifier_calibration", "decontamination_semantic",
-    "dedup_cluster_sizes", "dedup_threshold_sweep",
-    "hard_negative_mining", "hard_negative_mining_ivf",
-    "label_agreement_kappa", "lsh_recall_report",
-    "packing_efficiency", "q11_important_stock",
-    "q16_parts_supplier_cnt", "q20_potential_promotion",
-    "q21_waiting_suppliers", "q2_min_cost_supplier",
-    "q9_product_profit", "quality_rule_ablation",
-    "quality_signal_correlation", "shard_manifest",
-    "temporal_holdout_report", "token_fertility",
-    # (2) the r14 stale queue (r14 verdict item 2), oldest green row
-    # first (r10, then r11 rows). The batch-4/5/6 additions push the
-    # last r11/r12 rows (q18_large_volume, q3_shipping_priority,
-    # q7_volume_shipping, skew_salted_agg, bloom_prefilter_join,
-    # coreset_margin_select, cross_source_overlap,
-    # domain_cap_sample_scaled, er_clusters, events_top_paths,
-    # events_transition_matrix, group_reservoir_sample,
-    # mixture_allocation, pagerank_bipartite, similarity_lsh_verified)
-    # + the catalog_tables filler past the 50-slot cut — all are green
-    # in the local sf0.1 AND sf0.01 sweeps and head the r16 queue.
-    "mm_metadata", "mm_resize", "pandas_udaf_wavg", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue", "q19_disjunctive",
-    "q22_dormant_customers", "q8_market_share", "ratio_to_report",
-    "repetition_filter", "seq_packing", "unpivot_metrics",
-    "dedup_exact_norm", "dedup_semantic", "events_ema", "group_agg",
-    "kmeans_assign", "kmeans_update",
+    # --- r16 window (50 slots), re-derived 2026-08-16 (batch 2) by
+    # `scripts/registry_hashes.py --derive-window 16`.
+    # (1) changed/new this build: the persist-release fixes
+    # (bloom_prefilter_join, similarity_lsh_verified, bm25_topk, the
+    # two dedup verified twins), the exchange-reuse Q11, the
+    # _ivf_index model-sidecar refactor (similarity_ivfpq,
+    # ann_recall_report), and the four r16-NEW operators
+    # (retrieval_rrf, retrieval_quality_report, selfrep_scrub,
+    # bpe_merges);
+    # (2) the full 15-entry r15 stale queue (4 r11 + 11 r12 rows —
+    # VERDICT r16 item 1: this window burns it to zero; the two
+    # changed stale rows lead in group 1);
+    # (3) oldest-fresh r09 rows in the remaining slots.
+    "bloom_prefilter_join", "similarity_lsh_verified", "ann_recall_report",
+    "bm25_topk", "dedup_minhash_lsh_verified", "dedup_simhash_verified",
+    "q11_important_stock", "similarity_ivfpq", "bpe_merges",
+    "retrieval_quality_report", "retrieval_rrf", "selfrep_scrub",
+    "q18_large_volume", "q3_shipping_priority", "q7_volume_shipping",
+    "skew_salted_agg", "coreset_margin_select", "cross_source_overlap",
+    "domain_cap_sample_scaled", "er_clusters", "events_top_paths",
+    "events_transition_matrix", "group_reservoir_sample", "mixture_allocation",
+    "pagerank_bipartite", "catalog_tables", "cross_join_small",
+    "datetime_funcs", "exists_pending_orders", "full_outer_join",
+    "lang_id", "null_safe_join", "pii_scrub",
+    "pivot_status", "projection", "q4_order_priority",
+    "quality_score", "rollup_agg", "semi_join",
+    "set_except", "set_union_intersect", "similarity_norms",
+    "string_funcs", "text_stats", "tfidf_top_terms",
+    "token_count", "validate_rowcount", "collect_distinct_arrays",
+    "dedup_embedding", "dedup_jaccard_prefix",
 ]
 
 

@@ -229,6 +229,18 @@ HEADLINE = [
     # pairs + CC, then two tiny aggs)
     "dedup_threshold_sweep",
     "dedup_cluster_sizes",
+    # round-16: hybrid retrieval fusion (composition-priced: both
+    # rankers end-to-end + one k-bounded full-outer join), the
+    # within-doc repeated-span scrub (token-scale: span explode,
+    # min-pos window, covered-position anti-mark, doc-sized
+    # reassembly), and BPE merge mining (K=4 vocabulary-sized
+    # pair-count aggregates + bounded argmaxes off one cached and
+    # released word table)
+    "retrieval_rrf",
+    "selfrep_scrub",
+    "bpe_merges",
+    # nDCG audit: composition-priced (brute-force truth + both rankers)
+    "retrieval_quality_report",
 ]
 
 

@@ -1729,16 +1729,24 @@ def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream hash-dedup pass consumes — same contract as
     `q_boilerplate_strip`.
 
-    Plan (all token-scale, nothing corpus-quadratic): one span
-    explode → min-position window keyed (doc_id, span) → covered
-    positions (≤ N× the repeat count) distinct'd → one left join of
-    the token stream on (doc_id, position) → one groupBy(doc) whose
-    collect_list is DOCUMENT-sized (bounded by doc length at any
-    corpus scale; array_sort on unique positions is deterministic).
-    A doc with fewer than SELFREP_NGRAM tokens generates no spans and
-    passes through unchanged."""
+    Plan (all token-scale, nothing corpus-quadratic; THREE exchanges
+    total): one span explode → min-position window keyed (doc_id,
+    span) → the repeats' covered positions collapse to ONE doc-keyed
+    `collect_set` array (DOCUMENT-sized — ≤ doc length at any corpus
+    scale) → one doc-keyed join back onto the tokenized frame, where
+    an index-aware `filter` lambda drops covered tokens in place (no
+    second token explode, no (doc, position) shuffle, no final
+    collect — the reassembly is a stateless per-row array op; the
+    first cut paid five exchanges through a token-position join).
+    Set-membership order never matters (array_contains), so the
+    unordered collect_set is deterministic. A doc with fewer than
+    SELFREP_NGRAM tokens generates no spans and passes through
+    unchanged; the `size(toks) >= 1` guard mirrors the oracle's
+    omission of NULL-text docs (their unnest range is empty)."""
     docs = load_table(spark, sf_dir, "documents")
-    pre = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    pre = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
     toks = F.col("toks")
     n = SELFREP_NGRAM
     spans = F.when(
@@ -1762,32 +1770,20 @@ def q_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[F.col("pos") + F.lit(d) for d in range(n)])
             ).alias("p"),
         )
-        .distinct()
-        .withColumn("rm", F.lit(True))
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
     )
-    tokpos = pre.select(
-        "doc_id", F.posexplode(toks).alias("pi", "w")
-    ).select("doc_id", (F.col("pi") + 1).alias("p"), "w")
-    marked = tokpos.join(covered, ["doc_id", "p"], "left")
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.count("rm").cast("long").alias("n_removed"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("rm").isNull(), F.struct("p", "w"))
-                )
-            ).alias("ks"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_removed",
-            F.array_join(
-                F.transform(F.col("ks"), lambda x: x["w"]), " "
-            ).alias("scrubbed_text"),
-        )
+    joined = pre.join(covered, "doc_id", "left").withColumn(
+        "cov", F.coalesce("cov", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        toks, lambda w, i: ~F.array_contains(F.col("cov"), i + 1)
+    )
+    return joined.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
     )
 
 

@@ -277,17 +277,15 @@ def _positions(key: str) -> list:
     ]
 
 
-def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row audit of the Bloom prefilter: probe-key counts at each
-    stage (total / Bloom-passed / exact matches / false positives /
-    false negatives) plus the realized false-positive rate over true
-    negatives. Pass/fail is evaluated per DISTINCT probe key (the
-    filter depends only on the key), so the flag computation is
-    build-side-sized, and each position lookup is a broadcast join
-    against the ≤2^16-row position set. (The exact-membership truth
-    join broadcasts the build keys — that's the AUDIT's comparison
-    step; the production prefilter path needs only the
-    bounded-broadcast position joins.)"""
+def _bloom_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(report, build_cache, bits_cache): the LAZY one-row audit plan
+    plus the two persisted stage frames it reads. Split out of
+    `q_bloom_prefilter_join` so the broadcast-position plan gate
+    (tests/test_round7_families.py) can inspect the real audit plan
+    even though the public operator drains it eagerly; callers of
+    THIS helper own the caches and must release them."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # persisted: build feeds the truth join and bits; bits feeds THREE
@@ -349,8 +347,21 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("fp_rate_micro"),
     )
-    # one-row audit ⇒ drained eagerly, both stage caches RELEASED
-    # (`drain_one_row` — the persist-release discipline)
+    return report, build, bits
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the Bloom prefilter: probe-key counts at each
+    stage (total / Bloom-passed / exact matches / false positives /
+    false negatives) plus the realized false-positive rate over true
+    negatives. Pass/fail is evaluated per DISTINCT probe key (the
+    filter depends only on the key), so the flag computation is
+    build-side-sized, and each position lookup is a broadcast join
+    against the ≤2^16-row position set (plan-gated through
+    `_bloom_audit_frames`). One-row output ⇒ drained eagerly and both
+    stage caches RELEASED (`drain_one_row` — the persist-release
+    discipline)."""
+    report, build, bits = _bloom_audit_frames(spark, sf_dir)
     return drain_one_row(report, build, bits)
 
 

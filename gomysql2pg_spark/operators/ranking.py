@@ -17,6 +17,8 @@ vocabulary ≪ corpus); top-k per doc is a window partitioned by doc.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -850,20 +852,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "qid int, doc_id bigint, rank int, score_micro bigint"
         )
-    lits = F.array(
-        *[
-            F.struct(
-                F.lit(r.qid).cast("int").alias("qid"),
-                F.lit(r.doc_id).cast("bigint").alias("doc_id"),
-                F.lit(r.rank).cast("int").alias("rank"),
-                F.lit(r.score_micro).cast("long").alias("score_micro"),
-            )
-            for r in rows
-        ]
+    # ONE SQL string, not per-row Column literals: assembling 40
+    # structs through the Column API costs hundreds of py4j round
+    # trips (~1 s of driver time — the _cell_expr lesson; measured as
+    # a 2.2x bench regression on this entry). All four fields are
+    # integers, so the SQL literals are exact.
+    ival = lambda v: "NULL" if v is None else str(int(v))  # noqa: E731
+    structs = ",".join(
+        f"named_struct('qid', CAST({ival(r.qid)} AS INT), "
+        f"'doc_id', CAST({ival(r.doc_id)} AS BIGINT), "
+        f"'rank', CAST({ival(r.rank)} AS INT), "
+        f"'score_micro', CAST({ival(r.score_micro)} AS BIGINT))"
+        for r in rows
     )
     return (
         spark.range(1)
-        .select(F.explode(lits).alias("p"))
+        .select(F.explode(F.expr(f"array({structs})")).alias("p"))
         .select("p.qid", "p.doc_id", "p.rank", "p.score_micro")
     )
 
@@ -1031,6 +1035,165 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# retrieval rank-quality audit: nDCG@K of the served rankers vs truth
+# ---------------------------------------------------------------------------
+#
+# The eval a retrieval deployment runs before switching rankers: rank
+# quality of the ANN index and the hybrid fusion against the exact
+# brute-force cosine truth, on the SHARED query set (the BM25-mapped
+# ANN queries, so the comparison is apples-to-apples). Binary
+# relevance (membership in the exact top-K), DCG position gains
+# round(1e6 / log2(i+1)) precomputed ONCE in Python and embedded as
+# INTEGER literals in both engines — no runtime log2, so the whole
+# report is integer-exact (the same literal-table trick as the LSH
+# hash planes).
+
+NDCG_K = 5
+_NDCG_GAIN = [
+    round(1e6 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+]
+_NDCG_PREFIX = [0] + [sum(_NDCG_GAIN[: i + 1]) for i in range(NDCG_K)]
+
+
+def q_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ranker, n_queries, total_hits, mean_ndcg_milli) for the IVFADC
+    index and the RRF hybrid against exact-cosine truth@{K}.
+    Composition-priced: truth (brute force) AND both rankers run
+    end-to-end. Queries a ranker misses entirely still count (zero
+    nDCG) via the query-set × ranker base frame — a silent-miss
+    ranker cannot inflate its mean. Per-query nDCG is
+    (dcg·1000) div idcg with idcg looked up from the literal prefix
+    table by truth size; the mean is a truncating integer division.
+    At 100 TB the audit cost is its components' (the truth side is
+    the deliberate quadratic, as in `q_ann_recall_report`); the
+    report itself is two k-bounded joins and two tiny aggregates."""
+    from .similarity import QUERY_MOD, q_similarity_ivfpq, q_similarity_topk
+
+    n_q = len(BM25_QUERIES)
+    truth = (
+        q_similarity_topk(spark, sf_dir)
+        .filter(F.col("rank") <= NDCG_K)
+        .select("qid", "nid")
+    )
+    ivf = (
+        q_similarity_ivfpq(spark, sf_dir)
+        .filter(F.col("rank") <= NDCG_K)
+        .select(F.lit("ivfpq").alias("ranker"), "qid", "nid", "rank")
+    )
+    rrf = (
+        q_retrieval_rrf(spark, sf_dir)
+        .filter(F.col("rank") <= NDCG_K)
+        .select(
+            F.lit("rrf").alias("ranker"),
+            ((F.col("qid") - 1) * QUERY_MOD).cast("bigint").alias("qid"),
+            F.col("doc_id").alias("nid"),
+            "rank",
+        )
+    )
+    cands = ivf.unionByName(rrf)
+    gain = F.lit(0)
+    for i, g in enumerate(_NDCG_GAIN, start=1):
+        gain = F.when(F.col("rank") == i, F.lit(g)).otherwise(gain)
+    sc = (
+        cands.join(truth, ["qid", "nid"], "left_semi")
+        .groupBy("ranker", "qid")
+        .agg(
+            F.sum(gain).cast("long").alias("dcg"),
+            F.count("*").alias("hits"),
+        )
+    )
+    base = (
+        truth.filter(F.col("qid") < n_q * QUERY_MOD)
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    idcg = F.lit(0)
+    for nrel, p in enumerate(_NDCG_PREFIX):
+        idcg = F.when(F.col("n_rel") == nrel, F.lit(p)).otherwise(idcg)
+    br = base.select(
+        "qid",
+        idcg.alias("idcg"),
+        F.explode(F.array(F.lit("ivfpq"), F.lit("rrf"))).alias("ranker"),
+    )
+    per = br.join(sc, ["ranker", "qid"], "left").select(
+        "ranker",
+        F.coalesce("dcg", F.lit(0)).alias("dcg"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        "idcg",
+    )
+    return per.groupBy("ranker").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.expr("CAST(SUM((dcg * 1000) div idcg) div COUNT(*) AS BIGINT)")
+        .alias("mean_ndcg_milli"),
+    )
+
+
+def _oracle_retrieval_quality_report() -> str:
+    from .similarity import ORACLE_SIMILARITY_IVFPQ, ORACLE_SIMILARITY_TOPK
+    from .similarity import QUERY_MOD
+
+    n_q = len(BM25_QUERIES)
+    gain_case = " ".join(
+        f"WHEN {i} THEN {g}"
+        for i, g in enumerate(_NDCG_GAIN, start=1)
+    )
+    idcg_case = " ".join(
+        f"WHEN {n} THEN {p}" for n, p in enumerate(_NDCG_PREFIX)
+    )
+    return f"""
+WITH truth AS (
+  SELECT qid, nid FROM ({ORACLE_SIMILARITY_TOPK}) WHERE rank <= {NDCG_K}
+),
+ivf AS (
+  SELECT 'ivfpq' AS ranker, qid, nid, rank
+  FROM ({ORACLE_SIMILARITY_IVFPQ}) WHERE rank <= {NDCG_K}
+),
+rrf AS (
+  SELECT 'rrf' AS ranker,
+         CAST((qid - 1) * {QUERY_MOD} AS BIGINT) AS qid,
+         doc_id AS nid, rank
+  FROM ({_oracle_retrieval_rrf()}) WHERE rank <= {NDCG_K}
+),
+cands AS (
+  SELECT * FROM ivf UNION ALL SELECT * FROM rrf
+),
+sc AS (
+  SELECT c.ranker, c.qid,
+         CAST(SUM(CASE c.rank {gain_case} ELSE 0 END) AS BIGINT) AS dcg,
+         COUNT(*) AS hits
+  FROM cands c
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.qid = c.qid AND t.nid = c.nid)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT qid, COUNT(*) AS n_rel FROM truth
+  WHERE qid < {n_q * QUERY_MOD} GROUP BY qid
+),
+br AS (
+  SELECT b.qid,
+         CAST(CASE b.n_rel {idcg_case} ELSE 0 END AS BIGINT) AS idcg,
+         r.ranker
+  FROM base b, (VALUES ('ivfpq'), ('rrf')) r(ranker)
+),
+per AS (
+  SELECT br.ranker,
+         COALESCE(sc.dcg, 0) AS dcg,
+         COALESCE(sc.hits, 0) AS hits,
+         br.idcg
+  FROM br LEFT JOIN sc ON br.ranker = sc.ranker AND br.qid = sc.qid
+)
+SELECT ranker,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST(SUM((dcg * 1000) // idcg) // COUNT(*) AS BIGINT)
+         AS mean_ndcg_milli
+FROM per GROUP BY ranker
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_components": q_bm25_components,
@@ -1042,6 +1205,7 @@ QUERIES = {
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "bm25_topk": q_bm25_topk,
     "retrieval_rrf": q_retrieval_rrf,
+    "retrieval_quality_report": q_retrieval_quality_report,
 }
 
 ORACLES = {
@@ -1055,4 +1219,5 @@ ORACLES = {
     "ccnet_perplexity_buckets": ORACLE_CCNET_BUCKETS,
     "bm25_topk": ORACLE_BM25_TOPK,
     "retrieval_rrf": _oracle_retrieval_rrf(),
+    "retrieval_quality_report": _oracle_retrieval_quality_report(),
 }

@@ -130,6 +130,17 @@ SCALE_CRITICAL = [
     # histogram composes jaccard+CC like split_by_cluster
     "dedup_threshold_sweep",
     "dedup_cluster_sizes",
+    # r16: RRF fusion (composition of bm25_topk + similarity_ivfpq +
+    # one k-bounded full-outer join — must track the SUM of its two
+    # components), the within-doc span scrub (token-scale explodes +
+    # one (doc,span) window + doc-sized reassembly), and BPE merge
+    # mining (K vocabulary-sized pair aggregates; vocabulary grows
+    # sublinearly in corpus size, so the ratio should sit BELOW the
+    # row ratio)
+    "retrieval_rrf",
+    "selfrep_scrub",
+    "bpe_merges",
+    "retrieval_quality_report",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

@@ -942,6 +942,12 @@ _PERSIST_PIN_ALLOWLIST = {
         "|candidates|-bounded (never corpus-sized) and the race "
         "duplication without them is measured in the docstring"
     ),
+    ("operators/frequency.py", "_bloom_audit_frames"): (
+        "caller-owns-release contract (docstring): the public "
+        "q_bloom_prefilter_join drains the one-row audit and "
+        "unpersists both handed-over caches; the plan-gate test "
+        "does the same"
+    ),
     ("operators/linkage.py", "q_er_clusters"): (
         "entity-DISTINCT dimension cache (~10^3 rows per 10^6 "
         "facts), documented session policy in the docstring"
@@ -1071,3 +1077,22 @@ def test_one_row_reports_return_local_frames(spark, sf_dir, queries):
         plan = plan_of(df, mode="simple")
         assert "Scan parquet" not in plan, (name, plan)
         assert df.count() == 1, name
+
+
+def test_selfrep_scrub_two_shuffles_no_token_position_join(
+    spark, sf_dir, queries
+):
+    """The span scrub must stay at TWO hash exchanges — the (doc,
+    span) window and the doc-keyed covered-set aggregate — with the
+    covered side joined back by doc (broadcast at test scale, an
+    equi-join at 100 TB) and the reassembly done by an index-aware
+    array filter: no token-position (doc, p) shuffle, no final
+    collect_list exchange (the r16 first cut paid five)."""
+    df = queries["selfrep_scrub"](spark, sf_dir)
+    df.collect()  # AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the AQE toString prints the final AND the initial plan — gate
+    # the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2, final
+    assert "collect_list" not in final, final

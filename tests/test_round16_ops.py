@@ -405,3 +405,58 @@ def test_ann_recall_report_over_appended_index(spark, sf_dir, tmp_path):
     ).count()
     assert rep["n_queries"] == n_queries
     assert 0 <= rep["recall_milli"] <= 1000
+
+
+# ----------------------------------------- retrieval_quality_report
+
+
+def test_retrieval_quality_report_reconciles(spark, sf_dir, queries):
+    """The nDCG report must equal a driver-side recompute from the
+    three published frames (truth, ivfpq, rrf) using the same literal
+    gain table — the audit is arithmetic over its components."""
+    from gomysql2pg_spark.operators.ranking import (
+        BM25_QUERIES,
+        NDCG_K,
+        _NDCG_GAIN,
+        _NDCG_PREFIX,
+    )
+    from gomysql2pg_spark.operators.similarity import QUERY_MOD
+
+    truth = {}
+    for r in queries["similarity_topk"](spark, sf_dir).collect():
+        if r["rank"] <= NDCG_K:
+            truth.setdefault(r["qid"], set()).add(r["nid"])
+    evalq = {
+        q for q in truth if q < len(BM25_QUERIES) * QUERY_MOD
+    }
+    ranked = {"ivfpq": {}, "rrf": {}}
+    for r in queries["similarity_ivfpq"](spark, sf_dir).collect():
+        if r["rank"] <= NDCG_K:
+            ranked["ivfpq"].setdefault(r["qid"], []).append(
+                (r["rank"], r["nid"])
+            )
+    for r in queries["retrieval_rrf"](spark, sf_dir).collect():
+        if r["rank"] <= NDCG_K:
+            ranked["rrf"].setdefault(
+                (r["qid"] - 1) * QUERY_MOD, []
+            ).append((r["rank"], r["doc_id"]))
+    got = {
+        r["ranker"]: r
+        for r in queries["retrieval_quality_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    for ranker, byq in ranked.items():
+        ndcg_sum = hits = 0
+        for q in evalq:
+            dcg = 0
+            for rank, nid in byq.get(q, []):
+                if nid in truth[q]:
+                    dcg += _NDCG_GAIN[rank - 1]
+                    hits += 1
+            idcg = _NDCG_PREFIX[min(len(truth[q]), NDCG_K)]
+            ndcg_sum += (dcg * 1000) // idcg
+        row = got[ranker]
+        assert row["n_queries"] == len(evalq), row
+        assert row["total_hits"] == hits, (ranker, row, hits)
+        assert row["mean_ndcg_milli"] == ndcg_sum // len(evalq), row

@@ -511,9 +511,19 @@ def test_cross_source_overlap_matrix_bounded_and_symmetric_free(
 
 def test_bloom_position_joins_broadcast(spark, sf_dir, queries):
     """Every position lookup must be a broadcast join — the position
-    set is bounded by 2^16 rows regardless of build cardinality."""
-    plan = plan_of(queries["bloom_prefilter_join"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 4, plan  # 3 pos + truth
+    set is bounded by 2^16 rows regardless of build cardinality. The
+    public operator drains the one-row audit eagerly (persist-release
+    discipline), so the gate inspects the lazy plan through
+    `_bloom_audit_frames` and releases the caches it hands over."""
+    from gomysql2pg_spark.operators.frequency import _bloom_audit_frames
+
+    report, build, bits = _bloom_audit_frames(spark, sf_dir)
+    try:
+        plan = plan_of(report)
+        assert plan.count("BroadcastHashJoin") >= 4, plan  # 3 pos + truth
+    finally:
+        build.unpersist()
+        bits.unpersist()
 
 
 # ------------------------------------------- partition-invariance gates
