@@ -241,6 +241,9 @@ HEADLINE = [
     "bpe_merges",
     # nDCG audit: composition-priced (brute-force truth + both rankers)
     "retrieval_quality_report",
+    # BPE train->apply fertility (composition-priced: mines the merges,
+    # then K stateless replace maps + one lang-keyed aggregate)
+    "bpe_fertility",
 ]
 
 

@@ -986,14 +986,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bpe_merges() -> str:
-    """Static CTE chain replaying the K-iteration merge loop: per
-    iteration, pair counts from w{{t-1}}, the (cnt DESC, a, b) argmax
-    as a one-row CTE, and the merge applied via a LEFT JOIN ON TRUE
-    (an empty argmax leaves the vocabulary untouched instead of
-    annihilating it, matching the Spark loop's early break)."""
-    sep = "chr(31)"
-    sep2 = f"{sep} || {sep}"
+_BPE_SEP_SQL = "chr(31)"
+_BPE_SEP2_SQL = f"{_BPE_SEP_SQL} || {_BPE_SEP_SQL}"
+
+
+def _bpe_training_ctes() -> str:
+    """The WITH-body of the K-iteration merge loop (shared by the
+    merge-table oracle and the fertility oracle): wf (filtered word
+    frequencies), w0 (delimited char symbols), then per iteration t —
+    p{{t}} pair counts from w{{t-1}}, the (cnt DESC, a, b) argmax as a
+    one-row CTE b{{t}}, and w{{t}} with the merge applied via a LEFT
+    JOIN ON TRUE (an empty argmax leaves the vocabulary untouched
+    instead of annihilating it, matching the Spark loop's early
+    break)."""
+    sep, sep2 = _BPE_SEP_SQL, _BPE_SEP2_SQL
     blocks = []
     for t in range(1, BPE_MERGE_ITERS + 1):
         prev = f"w{t - 1}"
@@ -1018,13 +1024,7 @@ w{t} AS (
   FROM {prev} w LEFT JOIN b{t} b ON TRUE
 )"""
         )
-    final_unions = " UNION ALL ".join(
-        f"SELECT CAST({k} AS INT) AS it, a AS sym_a, b AS sym_b, "
-        f"cnt AS pair_n FROM b{k}"
-        for k in range(1, BPE_MERGE_ITERS + 1)
-    )
-    return rf"""
-WITH wf AS (
+    return rf"""wf AS (
   SELECT w, COUNT(*) AS n FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
     FROM documents)
@@ -1038,8 +1038,141 @@ w0 AS (
            {sep2}) || {sep} AS s,
          n
   FROM wf
-),{",".join(blocks)}
+),{",".join(blocks)}"""
+
+
+def _oracle_bpe_merges() -> str:
+    final_unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS it, a AS sym_a, b AS sym_b, "
+        f"cnt AS pair_n FROM b{k}"
+        for k in range(1, BPE_MERGE_ITERS + 1)
+    )
+    return f"""
+WITH {_bpe_training_ctes()}
 {final_unions}
+"""
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop closure of the tokenizer-training story: TRAIN the K-merge
+    BPE (`q_bpe_merges`, composition-priced — auditing a cached merge
+    table would fake the measurement), APPLY the mined merges to the
+    per-language vocabulary, and report fertility under the trained
+    segmentation — (lang, n_word_tokens, n_bpe_tokens,
+    bpe_tokens_per_word_milli). This is the number a tokenizer team
+    watches per language as merges accumulate (fertility falls from
+    ~word-length toward ~1 as K grows); `token_fertility` measures a
+    FIXED regex tokenizer, this one measures the LEARNED segmentation
+    at its current K. Integer-exact: symbol counts are array lengths,
+    totals are Σ n·|symbols| over the (lang, word) table, the ratio a
+    truncating div of non-negative bigints.
+
+    Scale shape: merge mining is `q_bpe_merges`' story (one corpus
+    scan to the vocabulary, K vocabulary-sized aggregates, released
+    cache); application is K stateless `replace` maps over the
+    (lang, word) vocabulary plus ONE combinable lang-keyed aggregate.
+    The merge table crosses to the driver as ≤ K rows (bounded-probe
+    drain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    S = _BPE_SEP
+    assert BPE_MERGE_ITERS <= 8
+    merges = q_bpe_merges(spark, sf_dir).limit(8).collect()
+    wfl = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter((F.length("w") > 0) & ~F.col("w").contains(S))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    cur = wfl.select(
+        "lang",
+        F.concat(F.lit(S), F.array_join(chars, S + S), F.lit(S)).alias("s"),
+        "n",
+    )
+    for m in sorted(merges, key=lambda r: r["it"]):
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(S + m["sym_a"] + S + S + m["sym_b"] + S),
+                F.lit(S + m["sym_a"] + m["sym_b"] + S),
+            ),
+        )
+    n_sym = F.size(F.split("s", S + S)).cast("long")
+    per = cur.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("long") * n_sym).alias("toks"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_word_tokens"),
+            F.sum("toks").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_word_tokens",
+            "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 1000) div n_word_tokens").alias(
+                "bpe_tokens_per_word_milli"
+            ),
+        )
+    )
+
+
+def _oracle_bpe_fertility() -> str:
+    """Replays the training CTE chain verbatim, then applies the K
+    mined merges to the per-language vocabulary in iteration order
+    (a{{t}} = a{{t-1}} with b{{t}}'s merge applied; LEFT JOIN ON TRUE
+    so an exhausted argmax is a no-op) and aggregates per lang."""
+    sep, sep2 = _BPE_SEP_SQL, _BPE_SEP2_SQL
+    apply_blocks = []
+    for t in range(1, BPE_MERGE_ITERS + 1):
+        apply_blocks.append(
+            f"""
+a{t} AS (
+  SELECT a.lang,
+         COALESCE(
+           replace(a.s,
+                   {sep} || b.a || {sep2} || b.b || {sep},
+                   {sep} || b.a || b.b || {sep}),
+           a.s) AS s,
+         a.n
+  FROM a{t - 1} a LEFT JOIN b{t} b ON TRUE
+)"""
+        )
+    return rf"""
+WITH {_bpe_training_ctes()},
+wfl AS (
+  SELECT lang, w, COUNT(*) AS n FROM (
+    SELECT lang,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 AND strpos(w, {sep}) = 0
+  GROUP BY lang, w
+),
+a0 AS (
+  SELECT lang,
+         {sep} || array_to_string(
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, i, 1)),
+           {sep2}) || {sep} AS s,
+         n
+  FROM wfl
+),{",".join(apply_blocks)}
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_word_tokens,
+       CAST(SUM(n * len(string_split(s, {sep2}))) AS BIGINT)
+         AS n_bpe_tokens,
+       (CAST(SUM(n * len(string_split(s, {sep2}))) AS BIGINT) * 1000)
+         // CAST(SUM(n) AS BIGINT) AS bpe_tokens_per_word_milli
+FROM a{BPE_MERGE_ITERS} GROUP BY lang
 """
 
 
@@ -1058,6 +1191,7 @@ QUERIES = {
     "quality_rule_ablation": q_quality_rule_ablation,
     "doc_fingerprint": q_doc_fingerprint,
     "bpe_merges": q_bpe_merges,
+    "bpe_fertility": q_bpe_fertility,
 }
 
 ORACLES = {
@@ -1075,4 +1209,5 @@ ORACLES = {
     "quality_rule_ablation": ORACLE_QUALITY_RULE_ABLATION,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "bpe_merges": _oracle_bpe_merges(),
+    "bpe_fertility": _oracle_bpe_fertility(),
 }

@@ -141,6 +141,7 @@ SCALE_CRITICAL = [
     "selfrep_scrub",
     "bpe_merges",
     "retrieval_quality_report",
+    "bpe_fertility",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

@@ -460,3 +460,54 @@ def test_retrieval_quality_report_reconciles(spark, sf_dir, queries):
         assert row["n_queries"] == len(evalq), row
         assert row["total_hits"] == hits, (ranker, row, hits)
         assert row["mean_ndcg_milli"] == ndcg_sum // len(evalq), row
+
+
+# ------------------------------------------------------- bpe_fertility
+
+
+def test_bpe_fertility_hand_computed(spark, tmp_path, queries):
+    """Train-then-apply loop closure on the constructed corpus: after
+    the three mined merges ((a,a), (a,b), (aa,aa)) both vocabulary
+    words collapse to ONE symbol, so fertility is exactly 1000 milli
+    tokens per word."""
+    _write_docs(tmp_path, ["ab ab ab", "aaaa aaaa"])
+    rows = queries["bpe_fertility"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "en"
+    assert r["n_word_tokens"] == 5
+    assert r["n_bpe_tokens"] == 5
+    assert r["bpe_tokens_per_word_milli"] == 1000
+
+
+def test_bpe_fertility_not_above_char_baseline(spark, sf_dir, queries):
+    """Merges can only COLLAPSE symbols: fertility under the trained
+    BPE must sit at or below the character-level (zero-merge)
+    baseline for every language on the real fixture."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r["lang"]: r["m"]
+        for r in docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "(CAST(SUM(length(w)) AS BIGINT) * 1000) div COUNT(*)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    for r in queries["bpe_fertility"](spark, sf_dir).collect():
+        assert r["bpe_tokens_per_word_milli"] <= base[r["lang"]], (
+            r,
+            base,
+        )
