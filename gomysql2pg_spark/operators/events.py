@@ -548,6 +548,136 @@ def q_temporal_holdout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity bands: [k_lo, k_hi] class-size ranges reported as rows.
+# A class of size 1 is a uniquely re-identifiable subject — the number
+# a release review reads first.
+K_ANON_BANDS = ((1, 1), (2, 4), (5, 9), (10, 49), (50, None))
+K_ANON_DAY_US = 86_400_000_000
+K_ANON_VALUE_CENTS = 5_000  # 50-currency-unit value buckets
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the event log under the quasi-identifier
+    (event_type, day, value-bucket) — the governance gate a training
+    pipeline runs before releasing interaction data (Sweeney, IJUFKS
+    2002): a subject (user) whose QI combination is shared by fewer
+    than k subjects is re-identifiable by linkage. Reports the
+    class-size distribution as fixed k-bands: (k_lo, k_hi, n_classes,
+    n_subjects, subjects_milli) where n_subjects counts distinct
+    (QI, user) memberships in classes of that size and subjects_milli
+    is the exact share of all memberships (truncating div).
+
+    Integer-exact end to end: day = epoch-micros div 86_400e6, value
+    bucket = cents div 5000 (both pure integer arithmetic — no float
+    boundary can disagree across engines), class sizes and band sums
+    are bigint counts.
+
+    Scale shape (100 TB): two hash aggregates with map-side partials —
+    (QI, user) distinct → (QI) class sizes → (band) rollup; state
+    shrinks at every step (memberships → classes → ≤5 bands); the
+    share denominator is a window sum over the ≤5-row band frame, so
+    no scalar broadcast join touches the corpus. No windows over the
+    corpus, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx")
+    vb = F.expr(
+        f"{sql_cents_spark('value')} div {K_ANON_VALUE_CENTS}"
+    ).alias("value_bucket")
+    members = (
+        ev.select("event_type", day, vb, "user_id").distinct()
+    )
+    classes = members.groupBy(
+        "event_type", "day_idx", "value_bucket"
+    ).agg(F.count("*").alias("k"))
+    band_hi_case = "CASE "
+    band_lo_case = "CASE "
+    for lo, hi in K_ANON_BANDS:
+        cond = f"k >= {lo}" + (f" AND k <= {hi}" if hi is not None else "")
+        band_lo_case += f"WHEN {cond} THEN CAST({lo} AS BIGINT) "
+        band_hi_case += (
+            f"WHEN {cond} THEN CAST({hi} AS BIGINT) "
+            if hi is not None
+            else f"WHEN {cond} THEN CAST(NULL AS BIGINT) "
+        )
+    band_lo = F.expr(band_lo_case + "END")
+    band_hi = F.expr(band_hi_case + "END")
+    bands = (
+        classes.groupBy(band_lo.alias("k_lo"), band_hi.alias("k_hi"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_subjects"),
+        )
+    )
+    w = Window.partitionBy()  # ≤5 rows — a driver-trivial window
+    return bands.select(
+        "k_lo",
+        "k_hi",
+        "n_classes",
+        "n_subjects",
+        F.expr(
+            "n_subjects * 1000"
+        ).cast("long").alias("_num"),
+        F.sum("n_subjects").over(w).alias("_den"),
+    ).select(
+        "k_lo",
+        "k_hi",
+        "n_classes",
+        "n_subjects",
+        F.expr("_num div _den").alias("subjects_milli"),
+    )
+
+
+def sql_cents_spark(x: str) -> str:
+    """Spark-side SQL string for exact integer cents (mirrors
+    functions.numeric.cents — round then try_cast; kept as a SQL
+    string because the QI bucket composes with integer div inside
+    one F.expr)."""
+    return f"try_cast(round(({x}) * 100) as long)"
+
+
+def _k_anon_band_sql(col: str) -> tuple[str, str]:
+    lo_case, hi_case = "CASE ", "CASE "
+    for lo, hi in K_ANON_BANDS:
+        cond = f"{col} >= {lo}" + (
+            f" AND {col} <= {hi}" if hi is not None else ""
+        )
+        lo_case += f"WHEN {cond} THEN CAST({lo} AS BIGINT) "
+        hi_case += (
+            f"WHEN {cond} THEN CAST({hi} AS BIGINT) "
+            if hi is not None
+            else f"WHEN {cond} THEN CAST(NULL AS BIGINT) "
+        )
+    return lo_case + "END", hi_case + "END"
+
+
+_KA_LO, _KA_HI = _k_anon_band_sql("k")
+
+ORACLE_K_ANONYMITY = f"""
+WITH members AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // {K_ANON_DAY_US} AS day_idx,
+         TRY_CAST(ROUND(value * 100) AS BIGINT)
+           // {K_ANON_VALUE_CENTS} AS value_bucket,
+         user_id
+  FROM events
+),
+classes AS (
+  SELECT event_type, day_idx, value_bucket, COUNT(*) AS k
+  FROM members GROUP BY 1, 2, 3
+),
+bands AS (
+  SELECT {_KA_LO} AS k_lo, {_KA_HI} AS k_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(k) AS BIGINT) AS n_subjects
+  FROM classes GROUP BY 1, 2
+)
+SELECT k_lo, k_hi, n_classes, n_subjects,
+       CAST((n_subjects * 1000) // SUM(n_subjects) OVER () AS BIGINT)
+         AS subjects_milli
+FROM bands
+"""
+
+
 ORACLE_TEMPORAL_HOLDOUT = f"""
 WITH b AS (
   SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
@@ -588,9 +718,11 @@ QUERIES = {
     "events_latest_per_user": q_events_latest_per_user,
     "events_json_props": q_events_json_props,
     "temporal_holdout_report": q_temporal_holdout_report,
+    "k_anonymity_report": q_k_anonymity_report,
 }
 
 ORACLES = {
+    "k_anonymity_report": ORACLE_K_ANONYMITY,
     "events_window": ORACLE_EVENTS_WINDOW,
     "events_transition_matrix": ORACLE_EVENTS_TRANSITIONS,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

@@ -39,7 +39,7 @@ whose mass is ~1/N); integer-derived means are exact in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1185,7 +1185,108 @@ WITH scored AS (
 """
 
 
+def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift report between two
+    corpus snapshots (cohort A = even doc_id, cohort B = odd — the
+    deterministic stand-in for old-shard vs new-shard), per language:
+    D = max over x of |ECDF_A(x) − ECDF_B(x)| on the document-length
+    distribution. This is the distribution-shift monitor a corpus
+    refresh runs before retraining — a mean/quantile diff misses shape
+    changes KS catches (bimodality, truncation, a new scraper's length
+    cap).
+
+    Integer-exact: D's sup is computed as max |cumA·nB − cumB·nA| over
+    the merged value grid (cross-multiplied ECDFs never divide), then
+    published once as ks_micro = 1e6·max_diff div (nA·nB). ECDFs of
+    BOTH cohorts are evaluated on the UNION of observed lengths (one
+    conditional-sum groupBy gives both counts per grid point, absent
+    sides contribute 0 — evaluating each ECDF only at its own sample
+    understates D).
+
+    Scale shape (100 TB): groupBy (lang, n_chars) collapses the corpus
+    to grid-sized rows FIRST (map-side partials); the cumulative window
+    and the final per-lang max run over that grid frame — #langs
+    partitions, each |distinct lengths| rows, never corpus-scale window
+    state. Two exchanges total ((lang, n_chars) hash agg → lang
+    window+agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.select(
+            "lang",
+            F.coalesce(F.length("text"), F.lit(0))
+            .cast("long")
+            .alias("v"),
+            (F.col("doc_id") % 2 == 0).alias("is_a"),
+        )
+        .groupBy("lang", "v")
+        .agg(
+            F.sum(F.expr("CAST(is_a AS LONG)")).alias("ca"),
+            F.sum(F.expr("CAST(NOT is_a AS LONG)")).alias("cb"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("v")
+    wall = Window.partitionBy("lang")
+    cum = grid.select(
+        "lang",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    return (
+        cum.groupBy("lang", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("max_diff")
+        )
+        .select(
+            "lang",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CASE WHEN n_a > 0 AND n_b > 0"
+                " THEN (max_diff * 1000000) div (n_a * n_b)"
+                " ELSE NULL END"
+            ).alias("ks_micro"),
+        )
+    )
+
+
+ORACLE_LENGTH_DRIFT_KS = """
+WITH grid AS (
+  SELECT lang,
+         CAST(COALESCE(length(text), 0) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS cb
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang,
+         SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS cum_a,
+         SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+         SUM(ca) OVER (PARTITION BY lang) AS n_a,
+         SUM(cb) OVER (PARTITION BY lang) AS n_b
+  FROM grid
+)
+SELECT lang,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0
+            THEN (MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000)
+                 // (n_a * n_b)
+            ELSE NULL END AS BIGINT) AS ks_micro
+FROM cum GROUP BY lang, n_a, n_b
+"""
+
+
 QUERIES = {
+    "length_drift_ks": q_length_drift_ks,
     "doc_chunking": q_doc_chunking,
     "corpus_datacard": q_corpus_datacard,
     "char_entropy": q_char_entropy,
@@ -1202,6 +1303,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "length_drift_ks": ORACLE_LENGTH_DRIFT_KS,
     "doc_chunking": ORACLE_DOC_CHUNKING,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,
     "char_entropy": ORACLE_CHAR_ENTROPY,

@@ -1230,10 +1230,17 @@ def _read_index_codes(spark, fs, croot, sroot, name) -> DataFrame:
     join prunes partitions per tree; rebuild-and-compact when
     `ivf_index_staleness` crosses the retrain threshold."""
     base = spark.read.parquet(_join(sroot, name))
-    deltas = _delta_trees(fs, croot, name)
+    base_model = _read_model_blob(fs, _join(croot, name))
+    absorbed = set(
+        (base_model or {}).get("compacted_through", [])
+    )  # deltas already folded into the base by ivf_index_compact —
+    # their trees may survive a crashed cleanup; serving them again
+    # would double every absorbed code row
+    deltas = [
+        d for d in _delta_trees(fs, croot, name) if d not in absorbed
+    ]
     if not deltas:
         return base
-    base_model = _read_model_blob(fs, _join(croot, name))
     base_key = base_model["model_key"] if base_model else None
     out = base
     for d in deltas:
@@ -1290,7 +1297,11 @@ def ivf_index_append(
             "rebuild the index to enable appends"
         )
     dname = f"{name}.delta.{batch_id}"
-    if _tree_built(fs, _join(croot, dname)):
+    if _tree_built(fs, _join(croot, dname)) or dname in set(
+        model.get("compacted_through", [])
+    ):
+        # installed OR already folded into the base by a compaction —
+        # re-encoding it would double the batch's rows
         return 0
     cent_rows = [(c, ce) for c, ce in model["cent"]]
     cb = _model_df(
@@ -1303,6 +1314,88 @@ def ivf_index_append(
     if not _atomic_install(fs, croot, sroot, dname, codes, blob):
         raise OSError(f"failed to install delta tree {dname}")
     return spark.read.parquet(_join(sroot, dname)).count()
+
+
+def ivf_index_compact(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> int:
+    """Fold the installed delta trees back into ONE cell-partitioned
+    base tree — the maintenance pass `ivf_index_staleness` triggers
+    (r16: append → staleness → COMPACT closes the index lifecycle).
+    The model is NOT retrained: compaction rewrites codes produced
+    under the frozen quantizer, so it is cheap (code-table-sized, no
+    corpus re-encode) and changes nothing a query reads — pinned by
+    compact ≡ base+deltas row-for-row in tests/test_round16b_ops.py.
+
+    Crash-safety (the discipline, in order):
+    1. The consolidated tree is FULLY installed under a staging name
+       (same tmp→_SUCCESS→atomic-move path as every install) while the
+       live base still serves — a crash here leaves an orphan staging
+       tree and a correct index.
+    2. The new tree's `_MODEL.json` carries `compacted_through`: the
+       basenames of every delta it absorbed (cumulative across
+       compactions). `_read_index_codes`/`ivf_index_staleness` SKIP
+       deltas named there, so once the new base is in place, absorbed
+       delta trees still on disk are ignored — delta removal can crash
+       with no correctness effect.
+    3. The swap is two renames (base → .old, staging → base). Between
+       them the index name briefly resolves to nothing; readers fail
+       loudly and retry — never silently serve half an index. Cleanup
+       of `.old` and absorbed deltas is best-effort last.
+
+    Returns the number of delta trees absorbed (0 = nothing to do)."""
+    fk = _fixture_key(sf_dir)
+    if fk is None:
+        raise ValueError("unkeyable fixture: no installed index")
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    base_c = _join(croot, name)
+    if not _tree_built(fs, base_c):
+        raise ValueError("base index tree not built — nothing to compact")
+    model = _read_model_blob(fs, base_c)
+    if model is None:
+        raise ValueError(
+            "base tree has no _MODEL.json sidecar (pre-r16 build) — "
+            "rebuild the index instead of compacting"
+        )
+    absorbed = set(model.get("compacted_through", []))
+    deltas = [d for d in _delta_trees(fs, croot, name) if d not in absorbed]
+    if not deltas:
+        return 0
+    # model-consistency gate BEFORE any write (same refusal as reads)
+    for d in deltas:
+        dm = _read_model_blob(fs, _join(croot, d))
+        dk = dm["model_key"] if dm else None
+        if dk != model["model_key"]:
+            raise ValueError(
+                f"IVF index delta {d} was encoded under model {dk!r} "
+                f"but the base serves {model['model_key']!r} — rebuild "
+                "instead of compacting mixed quantizers"
+            )
+    codes = spark.read.parquet(_join(sroot, name))
+    for d in deltas:
+        codes = codes.unionByName(spark.read.parquet(_join(sroot, d)))
+    import json as _json
+
+    blob = _json.dumps(
+        {**model, "compacted_through": sorted(absorbed | set(deltas))}
+    ).encode()
+    staging = f"{name}.compact-{os.getpid()}"
+    if not _atomic_install(fs, croot, sroot, staging, codes, blob):
+        raise OSError(f"failed to install compacted tree {staging}")
+    old = f"{name}.old-{os.getpid()}"
+    fs.move(base_c, _join(croot, old))
+    fs.move(_join(croot, staging), base_c)
+    _rm_tree(fs, _join(croot, old))
+    for d in deltas:
+        _rm_tree(fs, _join(croot, d))
+    return len(deltas)
 
 
 def ivf_index_staleness(
@@ -1330,8 +1423,11 @@ def ivf_index_staleness(
         raise ValueError("base index tree not built")
     base_model = _read_model_blob(fs, _join(croot, name))
     base_key = base_model["model_key"] if base_model else None
+    absorbed = set((base_model or {}).get("compacted_through", []))
     n_base = spark.read.parquet(_join(sroot, name)).count()
-    deltas = _delta_trees(fs, croot, name)
+    deltas = [
+        d for d in _delta_trees(fs, croot, name) if d not in absorbed
+    ]
     n_appended = 0
     consistent = True
     for d in deltas:

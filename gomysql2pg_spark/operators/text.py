@@ -8,7 +8,7 @@ ratio would otherwise introduce float formatting differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1176,6 +1176,286 @@ FROM a{BPE_MERGE_ITERS} GROUP BY lang
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token counts under the TRAINED BPE segmentation —
+    the number packing (`seq_packing`), budget selection
+    (`token_budget_select`) and billing actually consume. Completes the
+    tokenizer story at corpus scale: `bpe_merges` trains,
+    `bpe_fertility` evaluates the segmentation on the vocabulary, this
+    one ENCODES EVERY DOCUMENT — via the only plan that survives
+    100 TB: apply the K merges to the DISTINCT-WORD VOCABULARY once
+    (vocabulary-sized, K stateless replace maps), then join encoded
+    word lengths back to the (doc_id, word, count) frame. Encoding
+    each document's text directly would re-run the merge cascade over
+    the full corpus; the vocab-join does the expensive work once per
+    distinct word.
+
+    Output per document: (doc_id, n_words, n_bpe_tokens, n_word_chars,
+    chars_per_bpe_milli) — integer-exact (symbol counts are array
+    lengths, the compression ratio a truncating div). Reconciliation
+    invariant (pinned in tests): Σ_docs n_bpe_tokens equals
+    Σ_langs n_bpe_tokens from `bpe_fertility` — same corpus, same
+    merges, two roll-ups.
+
+    Scale shape: training is `q_bpe_merges`' story (composition-priced
+    — reading a cached merge table would fake the measurement); the
+    apply is one explode+groupBy to (doc, word) counts, a distinct to
+    the vocabulary, K replaces over it, and ONE shuffle join back on
+    word (both sides word-keyed; the vocabulary side is the small one
+    but can exceed broadcast size at corpus scale, so the plan leaves
+    the strategy to AQE). Word filtering matches `wf` exactly (empty
+    and separator-carrying words excluded) so the merge table and the
+    apply see the same universe."""
+    docs = load_table(spark, sf_dir, "documents")
+    S = _BPE_SEP
+    assert BPE_MERGE_ITERS <= 8
+    merges = q_bpe_merges(spark, sf_dir).limit(8).collect()
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter((F.length("w") > 0) & ~F.col("w").contains(S))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+    venc = dw.select("w").distinct().select(
+        "w",
+        F.concat(F.lit(S), F.array_join(chars, S + S), F.lit(S)).alias("s"),
+    )
+    for m in sorted(merges, key=lambda r: r["it"]):
+        venc = venc.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(S + m["sym_a"] + S + S + m["sym_b"] + S),
+                F.lit(S + m["sym_a"] + m["sym_b"] + S),
+            ),
+        )
+    venc = venc.select(
+        "w", F.size(F.split("s", S + S)).cast("long").alias("vlen")
+    )
+    return (
+        dw.join(venc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("vlen")).alias("n_bpe_tokens"),
+            F.sum(F.col("c") * F.length("w").cast("long")).alias(
+                "n_word_chars"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_word_chars",
+            F.expr("(n_word_chars * 1000) div n_bpe_tokens").alias(
+                "chars_per_bpe_milli"
+            ),
+        )
+    )
+
+
+def _oracle_bpe_token_counts() -> str:
+    """Training CTE chain verbatim, then the vocab-encode chain
+    (v{t} keyed by the original word so the doc join survives the
+    rewrites) and the per-document roll-up."""
+    sep, sep2 = _BPE_SEP_SQL, _BPE_SEP2_SQL
+    apply_blocks = []
+    for t in range(1, BPE_MERGE_ITERS + 1):
+        apply_blocks.append(
+            f"""
+v{t} AS (
+  SELECT v.w,
+         COALESCE(
+           replace(v.s,
+                   {sep} || b.a || {sep2} || b.b || {sep},
+                   {sep} || b.a || b.b || {sep}),
+           v.s) AS s
+  FROM v{t - 1} v LEFT JOIN b{t} b ON TRUE
+)"""
+        )
+    return rf"""
+WITH {_bpe_training_ctes()},
+dw AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents)
+  WHERE length(w) > 0 AND strpos(w, {sep}) = 0
+  GROUP BY doc_id, w
+),
+v0 AS (
+  SELECT w,
+         {sep} || array_to_string(
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, i, 1)),
+           {sep2}) || {sep} AS s
+  FROM (SELECT DISTINCT w FROM dw)
+),{",".join(apply_blocks)}
+SELECT dw.doc_id,
+       CAST(SUM(dw.c) AS BIGINT) AS n_words,
+       CAST(SUM(dw.c * len(string_split(v.s, {sep2}))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(SUM(dw.c * length(dw.w)) AS BIGINT) AS n_word_chars,
+       (CAST(SUM(dw.c * length(dw.w)) AS BIGINT) * 1000)
+         // CAST(SUM(dw.c * len(string_split(v.s, {sep2}))) AS BIGINT)
+         AS chars_per_bpe_milli
+FROM dw JOIN v{BPE_MERGE_ITERS} v ON dw.w = v.w
+GROUP BY dw.doc_id
+"""
+
+
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingles per winnowing window
+_WINNOW_POS_BITS = 21  # positions packed below the hash in the tie key
+_WINNOW_POS_CAP = (1 << _WINNOW_POS_BITS) - 1  # 2,097,151 shingles/doc
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
+    slide a w-window over the hash sequence, and in each window select
+    the RIGHTMOST occurrence of the minimum hash. The selected set is
+    position-robust: any match of ≥ w+k−1 tokens between two documents
+    shares a fingerprint, guaranteed — which is what makes this the
+    standard plagiarism/near-copy index (`doc_fingerprint` hashes the
+    WHOLE doc; this one survives local edits).
+
+    Rightmost-min without a nested window: each shingle i packs into
+    one bigint key = hash·2^21 + (2^21−1−i), so a plain window MIN is
+    exactly (min hash, then max position) — min-by on a composite key
+    via integer packing, no argmax-over-window gymnastics, identical
+    in both engines. Docs with more than 2^21 shingles are REFUSED
+    loudly (raise via ANSI overflow is silent — instead the filter
+    documents the cap; production chunks docs long before 2M tokens,
+    `doc_chunking`).
+
+    Output is doc-sized: (doc_id, n_grams, n_fps, density_milli,
+    fp_xor) — n_fps/n_grams ≈ 2/(w+1) for random text (the paper's
+    expected density), fp_xor an order-free digest of the selected
+    fingerprint SET (post-distinct, so duplicate selections of the
+    same (pos, fp) never cancel). Docs with fewer than k+w−1 tokens
+    have no full window and drop out (documented; they carry no
+    robust fingerprint).
+
+    Scale shape (100 TB): shingling + hashing is a stateless map
+    (sequence/slice/md5 inside codegen, fan-out ≈ one row per token);
+    the only exchange is the per-doc window (+ the reusing groupBy on
+    the same key); state per task is w rows. No corpus collects, no
+    UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    grams = (
+        docs.select("doc_id", toks.alias("l"))
+        .filter(F.size("l") >= k + w - 1)
+        .select(
+            "doc_id",
+            (F.size("l") - k + 1).cast("long").alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {k - 1}),"
+                    f" i -> array_join(slice(l, i, {k}), ' '))"
+                )
+            ).alias("gi0", "g"),
+        )
+        .filter(F.col("n_grams") <= _WINNOW_POS_CAP)
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    key = (
+        h * F.lit(_WINNOW_POS_CAP + 1)
+        + (F.lit(_WINNOW_POS_CAP) - (F.col("gi0") + 1))
+    ).alias("key")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("gi")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            (F.col("gi0") + 1).alias("gi"),
+            key,
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "gi",
+            F.min("key").over(win).alias("wkey"),
+        )
+        .filter(F.col("gi") >= w)  # full windows only
+        .select("doc_id", "n_grams", "wkey")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count("*").alias("n_fps"),
+            F.expr(f"bit_xor(wkey div {_WINNOW_POS_CAP + 1})").alias(
+                "fp_xor"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fps",
+            F.expr("(n_fps * 1000) div n_grams").alias("density_milli"),
+            "fp_xor",
+        )
+    )
+
+
+ORACLE_WINNOWING = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> length(t) > 0) AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CAST(len(l) - {WINNOW_K - 1} AS BIGINT) AS n_grams,
+         i AS gi,
+         array_to_string(l[i:i + {WINNOW_K - 1}], ' ') AS g
+  FROM toks,
+       unnest(range(1, greatest(len(l) - {WINNOW_K - 1}, 0) + 1)) AS t(i)
+  WHERE len(l) >= {WINNOW_K + WINNOW_W - 1}
+    AND len(l) - {WINNOW_K - 1} <= {_WINNOW_POS_CAP}
+),
+keyed AS (
+  SELECT doc_id, n_grams, gi,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+           * {_WINNOW_POS_CAP + 1}
+           + ({_WINNOW_POS_CAP} - gi) AS key
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, wkey FROM (
+    SELECT doc_id, n_grams, gi,
+           MIN(key) OVER (PARTITION BY doc_id ORDER BY gi
+                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS wkey
+    FROM keyed
+  ) WHERE gi >= {WINNOW_W}
+)
+SELECT doc_id, n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST((COUNT(*) * 1000) // n_grams AS BIGINT) AS density_milli,
+       CAST(bit_xor(wkey // {_WINNOW_POS_CAP + 1}) AS BIGINT) AS fp_xor
+FROM sel
+GROUP BY doc_id, n_grams
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "temperature_sample": q_temperature_sample,
@@ -1192,6 +1472,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "bpe_merges": q_bpe_merges,
     "bpe_fertility": q_bpe_fertility,
+    "winnowing_fingerprint": q_winnowing_fingerprint,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLES = {
@@ -1210,4 +1492,6 @@ ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "bpe_merges": _oracle_bpe_merges(),
     "bpe_fertility": _oracle_bpe_fertility(),
+    "winnowing_fingerprint": ORACLE_WINNOWING,
+    "bpe_token_counts": _oracle_bpe_token_counts(),
 }

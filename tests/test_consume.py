@@ -28,14 +28,16 @@ def test_force_count_matches_count_across_type_shapes(spark, sf_dir):
 
 
 def test_force_count_actually_evaluates_projected_expressions(spark):
-    """A projection whose expression FAILS on evaluation (ANSI divide
-    by zero) is silently pruned by count() — the measurement lie —
-    but must blow up under force_count, proving the forced plan runs
-    the expression."""
+    """A projection whose expression FAILS on evaluation is silently
+    pruned by count() — the measurement lie — but must blow up under
+    force_count, proving the forced plan runs the expression. Exactly
+    ONE failing column: with several, parallel tasks race and whichever
+    partition fails first decides the reported error, so the match was
+    flaky (an ANSI divide-by-zero on id=0 could beat raise_error)."""
     from py4j.protocol import Py4JJavaError
 
     df = spark.range(10).select(
-        (F.lit(1) / F.col("id") - F.lit(1) / F.col("id")).alias("z"),
+        (F.col("id") * 2).alias("z"),
         F.expr("raise_error('evaluated')").alias("boom"),
     )
     # count() prunes both columns and succeeds: the lie this helper
