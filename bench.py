@@ -244,6 +244,11 @@ HEADLINE = [
     # BPE train->apply fertility (composition-priced: mines the merges,
     # then K stateless replace maps + one lang-keyed aggregate)
     "bpe_fertility",
+    # r16 batch 2
+    "winnowing_fingerprint",
+    "bpe_token_counts",
+    "k_anonymity_report",
+    "length_drift_ks",
 ]
 
 

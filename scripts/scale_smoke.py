@@ -142,6 +142,17 @@ SCALE_CRITICAL = [
     "bpe_merges",
     "retrieval_quality_report",
     "bpe_fertility",
+    # r16 batch 2: winnowing (token-scale shingle explode + ONE per-doc
+    # window — the ratio should track the token ratio), doc-level BPE
+    # encode (train + vocab encode + one word-keyed join back; the
+    # vocab side grows sublinearly), k-anonymity (two shrinking hash
+    # aggs over the event log), KS drift (corpus collapses to the
+    # (lang, length) grid before any window — the grid saturates, so
+    # the ratio should fall BELOW the row ratio)
+    "winnowing_fingerprint",
+    "bpe_token_counts",
+    "k_anonymity_report",
+    "length_drift_ks",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",
