@@ -249,6 +249,11 @@ HEADLINE = [
     "bpe_token_counts",
     "k_anonymity_report",
     "length_drift_ks",
+    # r16 batch 3
+    "quantize_recall_report",
+    "weak_label_vote",
+    "curriculum_order",
+    "kn_bigram_logprob",
 ]
 
 

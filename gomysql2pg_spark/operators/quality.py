@@ -1185,6 +1185,202 @@ WITH scored AS (
 """
 
 
+#: weak-supervision labeling functions (Ratner et al., VLDB 2018 —
+#: Snorkel): each votes keep(+1) / drop(−1) / abstain(0) on a doc.
+#: Thresholds sit inside the fixture's distributions so every
+#: diagnostic column is non-degenerate (pinned in tests).
+_LF_NAMES = ("lf_length", "lf_stopword", "lf_digit", "lf_repetition")
+
+
+def q_weak_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision diagnostics table (Snorkel's label-model
+    pre-flight): four deterministic labeling functions vote
+    keep/drop/abstain per document; the report gives, per LF, the
+    polarity counts plus the three numbers a label-model practitioner
+    reads before training — coverage (non-abstain share), overlap
+    (non-abstain docs where ≥1 OTHER LF also votes), and conflict
+    (non-abstain docs where ≥1 other LF votes the OPPOSITE polarity)
+    — and agreement with the majority-vote consensus (sign of the
+    vote sum; a tie is consensus-abstain and counts as disagreement,
+    the conservative read).
+
+    LFs (integer-exact, text-derived):
+    - lf_length: +1 in the 20..10000-char band, −1 under 5 chars;
+    - lf_stopword: +1 if any stopword ('the a and of to'), abstains
+      otherwise (a one-sided LF — its n_neg is honestly 0);
+    - lf_digit: −1 if digits exceed 30% of chars, +1 if digit-free;
+    - lf_repetition: −1 if distinct tokens < 50% of tokens.
+
+    Scale shape (100 TB): every vote and every cross-LF overlap/
+    conflict flag is a WITHIN-ROW expression computed in one corpus
+    scan; a 4-struct generator fans the row into (rule, vote, flags)
+    and ONE combinable aggregate reduces to 4 rows. The total-docs
+    denominator is a 4-row window, never a corpus broadcast."""
+    from .text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.coalesce(F.length("text"), F.lit(0))
+    n_digits = n_chars - F.length(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"[0-9]", "")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    n_tok = F.size(toks)
+    n_dtok = F.size(F.array_distinct(toks))
+    lf_length = (
+        F.when((n_chars >= 20) & (n_chars <= 10000), 1)
+        .when(n_chars < 5, -1)
+        .otherwise(0)
+    )
+    lf_stopword = F.when(n_stop > 0, 1).otherwise(0)
+    lf_digit = (
+        F.when(n_digits * 100 > n_chars * 30, -1)
+        .when(n_digits == 0, 1)
+        .otherwise(0)
+    )
+    lf_repetition = F.when(
+        (n_tok > 0) & (n_dtok * 100 < n_tok * 50), -1
+    ).otherwise(0)
+    voted = docs.select(
+        lf_length.alias("v1"),
+        lf_stopword.alias("v2"),
+        lf_digit.alias("v3"),
+        lf_repetition.alias("v4"),
+    ).select(
+        "v1",
+        "v2",
+        "v3",
+        "v4",
+        F.expr("sign(v1 + v2 + v3 + v4)").cast("int").alias("consensus"),
+    )
+    structs = []
+    for i, name in enumerate(_LF_NAMES, start=1):
+        others = [f"v{j}" for j in range(1, 5) if j != i]
+        any_other = " OR ".join(f"{o} != 0" for o in others)
+        any_conflict = " OR ".join(
+            f"({o} != 0 AND {o} != v{i})" for o in others
+        )
+        structs.append(
+            f"struct('{name}' AS rule, v{i} AS v,"
+            f" CAST(v{i} != 0 AND ({any_other}) AS INT) AS ov,"
+            f" CAST(v{i} != 0 AND ({any_conflict}) AS INT) AS cf,"
+            f" CAST(v{i} != 0 AND v{i} = consensus AS INT) AS ag)"
+        )
+    fanned = voted.select(
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("s")
+    ).select("s.rule", "s.v", "s.ov", "s.cf", "s.ag")
+    per_rule = fanned.groupBy("rule").agg(
+        F.sum(F.expr("CAST(v = 1 AS LONG)")).alias("n_pos"),
+        F.sum(F.expr("CAST(v = -1 AS LONG)")).alias("n_neg"),
+        F.sum(F.expr("CAST(v = 0 AS LONG)")).alias("n_abstain"),
+        F.sum(F.col("ov").cast("long")).alias("n_overlap"),
+        F.sum(F.col("cf").cast("long")).alias("n_conflict"),
+        F.sum(F.col("ag").cast("long")).alias("n_agree"),
+    )
+    w = Window.partitionBy()  # 4 rows
+    return per_rule.select(
+        "rule",
+        "n_pos",
+        "n_neg",
+        "n_abstain",
+        F.expr(
+            "(n_pos + n_neg) * 1000"
+        ).alias("_cov"),
+        F.sum(F.expr("n_pos + n_neg + n_abstain") / 4).over(w)
+        .cast("long")
+        .alias("_n"),
+        "n_overlap",
+        "n_conflict",
+        "n_agree",
+    ).select(
+        "rule",
+        "n_pos",
+        "n_neg",
+        "n_abstain",
+        F.expr("_cov div _n").alias("coverage_milli"),
+        F.expr("(n_overlap * 1000) div _n").alias("overlap_milli"),
+        F.expr("(n_conflict * 1000) div _n").alias("conflict_milli"),
+        F.expr(
+            "CASE WHEN n_pos + n_neg > 0"
+            " THEN (n_agree * 1000) div (n_pos + n_neg) END"
+        ).alias("consensus_agree_milli"),
+    )
+
+
+def _oracle_weak_label_vote() -> str:
+    from .text import _SQL_STOP
+
+    rule_rows = []
+    for i, name in enumerate(_LF_NAMES, start=1):
+        others = [f"v{j}" for j in range(1, 5) if j != i]
+        any_other = " OR ".join(f"{o} != 0" for o in others)
+        any_conflict = " OR ".join(
+            f"({o} != 0 AND {o} != v{i})" for o in others
+        )
+        rule_rows.append(
+            f"SELECT '{name}' AS rule, v{i} AS v,"
+            f" CAST(v{i} != 0 AND ({any_other}) AS INT) AS ov,"
+            f" CAST(v{i} != 0 AND ({any_conflict}) AS INT) AS cf,"
+            f" CAST(v{i} != 0 AND v{i} = consensus AS INT) AS ag"
+            " FROM voted"
+        )
+    fanned = " UNION ALL ".join(rule_rows)
+    return rf"""
+WITH t AS (
+  SELECT COALESCE(length(text), 0) AS n_chars,
+         COALESCE(length(text), 0)
+           - length(regexp_replace(COALESCE(text, ''), '[0-9]', '', 'g'))
+           AS n_digits,
+         {_SQL_STOP} AS n_stop,
+         len(list_filter(string_split_regex(lower(trim(COALESCE(text, ''))),
+             '\s+'), w -> length(w) > 0)) AS n_tok,
+         len(list_distinct(list_filter(string_split_regex(
+             lower(trim(COALESCE(text, ''))), '\s+'),
+             w -> length(w) > 0))) AS n_dtok
+  FROM documents
+),
+voted AS (
+  SELECT CASE WHEN n_chars >= 20 AND n_chars <= 10000 THEN 1
+              WHEN n_chars < 5 THEN -1 ELSE 0 END AS v1,
+         CASE WHEN n_stop > 0 THEN 1 ELSE 0 END AS v2,
+         CASE WHEN n_digits * 100 > n_chars * 30 THEN -1
+              WHEN n_digits = 0 THEN 1 ELSE 0 END AS v3,
+         CASE WHEN n_tok > 0 AND n_dtok * 100 < n_tok * 50 THEN -1
+              ELSE 0 END AS v4,
+         CAST(sign(v1 + v2 + v3 + v4) AS INT) AS consensus
+  FROM t
+),
+fanned AS ({fanned}),
+per_rule AS (
+  SELECT rule,
+         CAST(SUM(CAST(v = 1 AS INT)) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(v = -1 AS INT)) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(v = 0 AS INT)) AS BIGINT) AS n_abstain,
+         CAST(SUM(ov) AS BIGINT) AS n_overlap,
+         CAST(SUM(cf) AS BIGINT) AS n_conflict,
+         CAST(SUM(ag) AS BIGINT) AS n_agree
+  FROM fanned GROUP BY rule
+)
+SELECT rule, n_pos, n_neg, n_abstain,
+       CAST(((n_pos + n_neg) * 1000)
+         // CAST(SUM(n_pos + n_neg + n_abstain) OVER () / 4 AS BIGINT)
+         AS BIGINT) AS coverage_milli,
+       CAST((n_overlap * 1000)
+         // CAST(SUM(n_pos + n_neg + n_abstain) OVER () / 4 AS BIGINT)
+         AS BIGINT) AS overlap_milli,
+       CAST((n_conflict * 1000)
+         // CAST(SUM(n_pos + n_neg + n_abstain) OVER () / 4 AS BIGINT)
+         AS BIGINT) AS conflict_milli,
+       CAST(CASE WHEN n_pos + n_neg > 0
+            THEN (n_agree * 1000) // (n_pos + n_neg) END AS BIGINT)
+         AS consensus_agree_milli
+FROM per_rule
+"""
+
+
 def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift report between two
     corpus snapshots (cohort A = even doc_id, cohort B = odd — the
@@ -1286,6 +1482,7 @@ FROM cum GROUP BY lang, n_a, n_b
 
 
 QUERIES = {
+    "weak_label_vote": q_weak_label_vote,
     "length_drift_ks": q_length_drift_ks,
     "doc_chunking": q_doc_chunking,
     "corpus_datacard": q_corpus_datacard,
@@ -1303,6 +1500,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weak_label_vote": _oracle_weak_label_vote(),
     "length_drift_ks": ORACLE_LENGTH_DRIFT_KS,
     "doc_chunking": ORACLE_DOC_CHUNKING,
     "corpus_datacard": ORACLE_CORPUS_DATACARD,

@@ -515,6 +515,162 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+#: Kneser-Ney absolute discount (the standard 0.75; held as the exact
+#: double 3/4 so both engines' arithmetic is bit-identical)
+KN_DISCOUNT = 0.75
+
+#: the per-bigram-type KN probability → integer micro log-prob, as ONE
+#: SQL text shared verbatim by engine and oracle (the `_DATACARD_SQL`
+#: discipline): interpolated KN = discounted MLE + back-off weight ×
+#: continuation probability, every operand an exact integer count cast
+#: to double, so the expression tree — and the rounded micro value —
+#: cannot drift between engines.
+_KN_LOGP_SQL = (
+    "CAST(ROUND(LN("
+    "GREATEST(CAST(cnt AS DOUBLE) - {d}, CAST(0 AS DOUBLE))"
+    " / CAST(ctx_n AS DOUBLE)"
+    " + {d} * CAST(n1f AS DOUBLE) / CAST(ctx_n AS DOUBLE)"
+    " * (CAST(n1p AS DOUBLE) / CAST(types AS DOUBLE))"
+    ") * 1000000) AS BIGINT)"
+)
+
+
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document INTERPOLATED KNESER-NEY bigram log-likelihood
+    (Kneser & Ney, ICASSP 1995; Chen & Goodman, CSL 1999 — the
+    smoothing KenLM ships by default, one real step up from
+    `bigram_lm_logprob`'s add-1):
+
+        P_KN(w2|w1) = max(c(w1,w2) − d, 0) / c(w1·)
+                      + d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+
+    — the continuation probability ranks words by how many CONTEXTS
+    they complete, not raw frequency (the 'San Francisco' effect:
+    'Francisco' is frequent but follows only one word, so KN scores
+    it low as a generic continuation). Scored over each doc's
+    adjacent pairs from the self-trained table; a deployment swaps in
+    a reference-corpus model, the plan is identical.
+
+    Determinism: the KN probability is computed per bigram TYPE from
+    five integer counts through ONE shared SQL expression
+    (`_KN_LOGP_SQL`, identical text in engine and oracle), ln()
+    quantized to micro-units once per type, per-doc score an exact
+    bigint sum. Every scored bigram is seen (same-corpus training),
+    so the discounted term is positive and ln() is defined.
+
+    Scale shape: identical to `bigram_lm_logprob` — one bigram-stream
+    pass (persisted: the stream feeds the count aggregates AND the
+    returned per-doc probe join, the allowlisted shingle-pipeline
+    discipline), three vocabulary-sized hash aggs (counts,
+    left-contexts, right-continuations), a one-row types aggregate
+    broadcast, and the stream-vs-model equi-join on the bigram key.
+    The N1+ tables are BY-PRODUCTS of the count table — no extra
+    corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    from .text import bigram_index
+
+    toks = F.col("toks")
+    pairs = F.transform(
+        bigram_index(toks),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ).alias("bigram"),
+        ),
+    )
+    big = (
+        pre.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2", "p.bigram")
+        .persist()
+    )
+    big.count()
+    c = big.groupBy("w1", "w2", "bigram").agg(F.count("*").alias("cnt"))
+    ctx = c.groupBy("w1").agg(
+        F.sum("cnt").alias("ctx_n"), F.count("*").alias("n1f")
+    )
+    cont = c.groupBy("w2").agg(F.count("*").alias("n1p"))
+    types = c.agg(F.count("*").alias("types"))
+    bp = (
+        c.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "bigram",
+            F.expr(_KN_LOGP_SQL.format(d=KN_DISCOUNT)).alias(
+                "logp_micro"
+            ),
+        )
+    )
+    per = (
+        big.join(bp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce("sum_logp_micro", F.lit(0).cast("long")).alias(
+                "sum_logp_micro"
+            ),
+        )
+    )
+    return out
+
+
+ORACLE_KN_BIGRAM_LOGPROB = rf"""
+WITH pre AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+                i -> struct_pack(w1 := l[i], w2 := l[i + 1],
+                                 bigram := l[i] || ' ' || l[i + 1]))) AS p
+  FROM pre
+),
+bigf AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.bigram AS bigram FROM big
+),
+c AS (
+  SELECT w1, w2, bigram, COUNT(*) AS cnt FROM bigf GROUP BY w1, w2, bigram
+),
+ctx AS (
+  SELECT w1, SUM(cnt) AS ctx_n, COUNT(*) AS n1f FROM c GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS n1p FROM c GROUP BY w2),
+ty AS (SELECT COUNT(*) AS types FROM c),
+bp AS (
+  SELECT bigram, {_KN_LOGP_SQL.format(d=KN_DISCOUNT)} AS logp_micro
+  FROM c JOIN ctx USING (w1) JOIN cont USING (w2), ty
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro
+  FROM bigf JOIN bp USING (bigram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.sum_logp_micro, 0) AS sum_logp_micro
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 DSIR_TARGET_LANG = "en"  # the fixture's "target distribution" proxy
 
 
@@ -1201,6 +1357,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "unigram_logprob": q_unigram_logprob,
     "bigram_lm_logprob": q_bigram_lm_logprob,
+    "kn_bigram_logprob": q_kn_bigram_logprob,
     "dsir_select": q_dsir_select,
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "bm25_topk": q_bm25_topk,
@@ -1215,6 +1372,7 @@ ORACLES = {
     "oov_rate": ORACLE_OOV_RATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "bigram_lm_logprob": ORACLE_BIGRAM_LM_LOGPROB,
+    "kn_bigram_logprob": ORACLE_KN_BIGRAM_LOGPROB,
     "dsir_select": ORACLE_DSIR_SELECT,
     "ccnet_perplexity_buckets": ORACLE_CCNET_BUCKETS,
     "bm25_topk": ORACLE_BM25_TOPK,

@@ -1032,7 +1032,114 @@ FROM es GROUP BY 1, 2
 """
 
 
+#: curriculum tercile cutpoints (exact percentile_disc, per language)
+CURRICULUM_LO = 0.33
+CURRICULUM_HI = 0.66
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training schedule (Bengio et al., ICML 2009 —
+    easy-first ordering): per language, documents are assigned to
+    three phases by length terciles (short ≈ easy first), and the
+    schedule reports what each phase feeds the trainer — (phase, lang,
+    n_docs, n_tokens, min_chars, max_chars, cum_tokens), cum_tokens
+    being the running token budget through the end of the phase (the
+    number a training run checkpoints against).
+
+    NOT a corpus-wide sort: phase assignment is the repo's
+    broadcast-cutpoint pattern (grouped exact `percentile_disc` → tiny
+    per-lang cut table → broadcast join → stateless CASE), so the
+    corpus is touched by one scan + one hash aggregate; the cumulative
+    window runs over the 3·|langs|-row schedule frame only. Ties at a
+    cutpoint share a phase (deterministic in both engines — no
+    row_number/ntile whose tie order could drift).
+
+    Integer-exact: lengths and token counts are bigints; no ratios
+    published."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.expr(
+            f"CAST(percentile_disc({CURRICULUM_LO}) WITHIN GROUP"
+            " (ORDER BY n_chars) AS BIGINT)"
+        ).alias("c1"),
+        F.expr(
+            f"CAST(percentile_disc({CURRICULUM_HI}) WITHIN GROUP"
+            " (ORDER BY n_chars) AS BIGINT)"
+        ).alias("c2"),
+    )
+    n_tokens = F.when(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0, 0
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    phased = docs.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.expr(
+            "CASE WHEN n_chars <= c1 THEN 1"
+            " WHEN n_chars <= c2 THEN 2 ELSE 3 END"
+        ).alias("phase"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tok"),
+    )
+    sched = phased.groupBy("phase", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("phase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sched.select(
+        "phase",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "min_chars",
+        "max_chars",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+
+
+ORACLE_CURRICULUM_ORDER = rf"""
+WITH cuts AS (
+  SELECT lang,
+         CAST(percentile_disc({CURRICULUM_LO}) WITHIN GROUP
+              (ORDER BY n_chars) AS BIGINT) AS c1,
+         CAST(percentile_disc({CURRICULUM_HI}) WITHIN GROUP
+              (ORDER BY n_chars) AS BIGINT) AS c2
+  FROM documents GROUP BY lang
+),
+phased AS (
+  SELECT d.lang,
+         CASE WHEN d.n_chars <= c.c1 THEN 1
+              WHEN d.n_chars <= c.c2 THEN 2 ELSE 3 END AS phase,
+         CAST(d.n_chars AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(trim(COALESCE(d.text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\s+')) END
+              AS BIGINT) AS n_tok
+  FROM documents d JOIN cuts c ON d.lang = c.lang
+),
+sched AS (
+  SELECT phase, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         MIN(n_chars) AS min_chars,
+         MAX(n_chars) AS max_chars
+  FROM phased GROUP BY phase, lang
+)
+SELECT phase, lang, n_docs, n_tokens, min_chars, max_chars,
+       CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY phase
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
+FROM sched
+"""
+
+
 QUERIES = {
+    "curriculum_order": q_curriculum_order,
     "curation_pipeline": q_curation_pipeline,
     "epoch_shuffle": q_epoch_shuffle,
     "shard_manifest": q_shard_manifest,
@@ -1052,6 +1159,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curriculum_order": ORACLE_CURRICULUM_ORDER,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "shard_manifest": ORACLE_SHARD_MANIFEST,

@@ -2373,6 +2373,121 @@ FROM h HAVING COUNT(*) > 0
 """
 
 
+def q_quantize_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does int8 storage cost in ranking quality? Recall@{TOP_K}
+    of the cosine ranking computed ON THE QUANTIZED CODES
+    (`embedding_quantize`'s symmetric per-vector int8) against the
+    float brute-force truth (`q_similarity_topk`) on the same query
+    set — the measurement that licenses shipping a 4×-smaller index.
+    The scale factor CANCELS in cosine (q = x·127/scale is a positive
+    scalar multiple per vector), so the quantized ranking is exactly
+    the cosine of the integer code arrays: integer components are
+    exact doubles and the fold is the engine-shared `dot_double`
+    tree, no dequantization float round-trip. One row
+    (n_queries, total_hits, recall_milli), composition-priced — both
+    rankings run end-to-end, caching either would fake the audit.
+    An all-zero vector quantizes to NULL components (try_divide) and
+    its NULL cosine ranks last in both engines.
+
+    Scale shape: the quantized side is the same broadcast-queries ×
+    one-corpus-scan + per-query WindowGroupLimit plan as the float
+    baseline (a deliberate |Q|×n contrast entry, like
+    `similarity_topk` itself); the hit join is K-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    scaled = emb.select("vec_id", "embedding", max_abs.alias("scale"))
+    qarr = F.transform(
+        e,
+        lambda x: F.round(
+            F.try_divide(x.cast("double") * F.lit(127.0), F.col("scale"))
+        ).try_cast("int"),
+    )
+    codes = scaled.select("vec_id", qarr.alias("q")).withColumn(
+        "nrm", _l2(F.col("q"))
+    )
+    qs = codes.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = codes.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (
+            dot_double(F.col("qq"), F.col("q"))
+            / (F.col("qnrm") * F.col("nrm"))
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("qcos").desc(), F.col("nid")
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(F.col("qid").alias("aqid"), F.col("nid").alias("anid"))
+    )
+    exact = q_similarity_topk(spark, sf_dir).select("qid", "nid")
+    hits = exact.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+        "left",
+    )
+    per_q = hits.groupBy("qid").agg(F.count("anid").alias("hits"))
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .filter(F.col("n_queries") > 0)
+        .select(
+            "n_queries",
+            "total_hits",
+            F.expr(
+                f"(total_hits * 1000) div (n_queries * {TOP_K})"
+            ).alias("recall_milli"),
+        )
+    )
+
+
+ORACLE_QUANTIZE_RECALL_REPORT = f"""
+WITH ex AS ({ORACLE_SIMILARITY_TOPK}),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> TRY_CAST(round(x * 127.0 / NULLIF(scale, 0)) AS INT)) AS q
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+             AS scale
+    FROM embeddings)
+),
+ap AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS nid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.q::DOUBLE[],
+                                             e.q::DOUBLE[]) DESC,
+                      e.vec_id) AS rank
+    FROM qz q JOIN qz e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+  ) WHERE rank <= {TOP_K}
+),
+h AS (
+  SELECT ex.qid, COUNT(ap.nid) AS hits
+  FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.nid = ex.nid
+  GROUP BY ex.qid
+)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       (CAST(SUM(hits) AS BIGINT) * 1000)
+         // (COUNT(*) * {TOP_K}) AS recall_milli
+FROM h HAVING COUNT(*) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic decontamination (embedding-space eval-set leakage scan)
 # ---------------------------------------------------------------------------
@@ -2503,6 +2618,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "decontamination_semantic": q_decontamination_semantic,
     "ann_recall_report": q_ann_recall_report,
+    "quantize_recall_report": q_quantize_recall_report,
     "hard_negative_mining": q_hard_negative_mining,
     "hard_negative_mining_ivf": q_hard_negative_mining_ivf,
     "bitext_margin_pairs": q_bitext_margin_pairs,
@@ -2519,6 +2635,7 @@ ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "decontamination_semantic": ORACLE_DECONTAMINATION_SEMANTIC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
+    "quantize_recall_report": ORACLE_QUANTIZE_RECALL_REPORT,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,
     "hard_negative_mining_ivf": ORACLE_HARD_NEGATIVE_MINING_IVF,
     "bitext_margin_pairs": ORACLE_BITEXT_MARGIN_PAIRS,

@@ -153,6 +153,16 @@ SCALE_CRITICAL = [
     "bpe_token_counts",
     "k_anonymity_report",
     "length_drift_ks",
+    # r16 batch 3: int8 recall audit (two |Q|×n rankings by design —
+    # the deliberate-quadratic contrast class), weak-vote diagnostics
+    # (one scan + 4-struct fan-out into a combinable agg — should
+    # track the row ratio), curriculum schedule (broadcast-cutpoint,
+    # one scan + grouped percentile), KN bigram LM (bigram stream +
+    # vocabulary-sized model aggs, same shape as bigram_lm_logprob)
+    "quantize_recall_report",
+    "weak_label_vote",
+    "curriculum_order",
+    "kn_bigram_logprob",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

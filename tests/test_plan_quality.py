@@ -980,6 +980,11 @@ _PERSIST_PIN_ALLOWLIST = {
         "returned per-doc probe join (same discipline as the "
         "shingle pipelines, documented)"
     ),
+    ("operators/ranking.py", "q_kn_bigram_logprob"): (
+        "the same bigram-stream cache as q_bigram_lm_logprob (the "
+        "KN model adds two by-product aggregates over the SAME "
+        "stream; docstring documents the discipline)"
+    ),
     ("operators/similarity.py", "_assign_cells"): (
         "documented eviction/collision-safe id-frame pin (r15 O2): "
         "both consumers of the monotonic-id frame must read the SAME "

@@ -1,0 +1,217 @@
+"""Round-16 batch-3 operator tests: int8 quantization recall audit,
+weak-supervision vote diagnostics, curriculum schedule, and the
+interpolated Kneser-Ney bigram LM."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+# -------------------------------------------- quantize_recall_report
+
+
+def test_quantize_recall_report_shape_and_floor(spark, sf_dir, queries):
+    """One row; recall_milli is the exact truncating division of the
+    published sums; int8 keeps most of the float ranking at the
+    fixture scale (symmetric per-vector quantization of 64-dim
+    vectors loses little cosine precision — a collapse below 1/2
+    would mean the quantized ranking is broken, not merely lossy)."""
+    from gomysql2pg_spark.operators.similarity import QUERY_MOD, TOP_K
+    from gomysql2pg_spark.catalog import load_table
+
+    rows = queries["quantize_recall_report"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id % {QUERY_MOD} = 0")
+        .count()
+    )
+    assert r["n_queries"] == n_queries
+    assert 0 <= r["total_hits"] <= r["n_queries"] * TOP_K
+    assert r["recall_milli"] == r["total_hits"] * 1000 // (
+        r["n_queries"] * TOP_K
+    )
+    assert r["recall_milli"] >= 500, "int8 ranking collapsed"
+
+
+# -------------------------------------------------- weak_label_vote
+
+
+def _py_votes(text):
+    text = text or ""
+    n_chars = len(text)
+    n_digits = sum(c.isdigit() for c in text)
+    toks = [t for t in text.strip().lower().split() if t]
+    n_stop = sum(t in ("the", "a", "and", "of", "to") for t in toks)
+    v1 = 1 if 20 <= n_chars <= 10000 else (-1 if n_chars < 5 else 0)
+    v2 = 1 if n_stop > 0 else 0
+    v3 = (
+        -1
+        if n_digits * 100 > n_chars * 30
+        else (1 if n_digits == 0 else 0)
+    )
+    v4 = -1 if toks and len(set(toks)) * 100 < len(toks) * 50 else 0
+    return (v1, v2, v3, v4)
+
+
+def test_weak_label_vote_matches_python_model(spark, sf_dir, queries):
+    """Every published count and milli share must equal a plain-Python
+    recount of the four labeling functions over the fixture."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.quality import _LF_NAMES
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    votes = [_py_votes(t) for t in texts]
+    n = len(votes)
+    got = {
+        r["rule"]: r
+        for r in queries["weak_label_vote"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(_LF_NAMES)
+    for i, name in enumerate(_LF_NAMES):
+        vi = [v[i] for v in votes]
+        others = [
+            [v[j] for v in votes] for j in range(4) if j != i
+        ]
+        n_pos = sum(x == 1 for x in vi)
+        n_neg = sum(x == -1 for x in vi)
+        consensus = [
+            (0 if s == 0 else (1 if s > 0 else -1))
+            for s in (sum(v) for v in votes)
+        ]
+        n_overlap = sum(
+            x != 0 and any(o[k] != 0 for o in others)
+            for k, x in enumerate(vi)
+        )
+        n_conflict = sum(
+            x != 0 and any(o[k] != 0 and o[k] != x for o in others)
+            for k, x in enumerate(vi)
+        )
+        n_agree = sum(
+            x != 0 and x == consensus[k] for k, x in enumerate(vi)
+        )
+        r = got[name]
+        assert r["n_pos"] == n_pos and r["n_neg"] == n_neg, name
+        assert r["n_abstain"] == n - n_pos - n_neg, name
+        assert r["coverage_milli"] == (n_pos + n_neg) * 1000 // n
+        assert r["overlap_milli"] == n_overlap * 1000 // n
+        assert r["conflict_milli"] == n_conflict * 1000 // n
+        if n_pos + n_neg:
+            assert (
+                r["consensus_agree_milli"]
+                == n_agree * 1000 // (n_pos + n_neg)
+            ), name
+        else:
+            assert r["consensus_agree_milli"] is None
+    # the one-sided LF is honestly one-sided
+    assert got["lf_stopword"]["n_neg"] == 0
+    # the fixture must exercise overlap (otherwise the diagnostics
+    # are vacuous)
+    assert any(r["overlap_milli"] > 0 for r in got.values())
+
+
+# -------------------------------------------------- curriculum_order
+
+
+def test_curriculum_order_schedule_invariants(spark, sf_dir, queries):
+    """Per language: phases partition the docs, the cumulative budget
+    is the running sum in phase order, and phase bands are ordered
+    (max_chars of phase p <= min_chars of phase p+1 — terciles on the
+    same axis cannot interleave)."""
+    from gomysql2pg_spark.catalog import load_table
+
+    rows = queries["curriculum_order"](spark, sf_dir).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == load_table(spark, sf_dir, "documents").count()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["phase"])
+        assert [r["phase"] for r in rs] == list(
+            range(1, len(rs) + 1)
+        ), lang
+        cum = 0
+        for r in rs:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum, lang
+            assert r["min_chars"] <= r["max_chars"], lang
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_chars"] <= b["min_chars"], lang
+
+
+# ------------------------------------------------- kn_bigram_logprob
+
+
+def test_kn_bigram_matches_hand_model(spark, tmp_path, queries):
+    """Hand-computed interpolated KN on a constructed corpus: every
+    per-doc micro log-prob must equal the closed-form sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["a b a b", "a c"]
+    # bigrams: d1: (a,b) (b,a) (a,b); d2: (a,c)
+    # counts: c(a,b)=2 c(b,a)=1 c(a,c)=1
+    # ctx: a: ctx_n=3 n1f=2 ; b: ctx_n=1 n1f=1
+    # cont: b: n1p=1 ; a: n1p=1 ; c: n1p=1 ; types=3
+    d = 0.75
+    p_ab = (2 - d) / 3 + d * 2 / 3 * (1 / 3)
+    p_ba = (1 - d) / 1 + d * 1 / 1 * (1 / 3)
+    p_ac = (1 - d) / 3 + d * 2 / 3 * (1 / 3)
+    lp = {
+        k: round(math.log(v) * 1_000_000)
+        for k, v in (("ab", p_ab), ("ba", p_ba), ("ac", p_ac))
+    }
+    want = {
+        1: (3, 2 * lp["ab"] + lp["ba"]),
+        2: (1, lp["ac"]),
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array(
+                [len(t) for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_micro"])
+        for r in queries["kn_bigram_logprob"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kn_and_add1_score_the_same_bigram_universe(
+    spark, sf_dir, queries
+):
+    """Both LMs are trained and scored on the same corpus, so the
+    per-doc bigram counts must be identical — only the probabilities
+    (and thus the scores) differ."""
+    kn = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in queries["kn_bigram_logprob"](spark, sf_dir).collect()
+    }
+    a1 = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in queries["bigram_lm_logprob"](spark, sf_dir).collect()
+    }
+    assert kn == a1
