@@ -589,18 +589,13 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = members.groupBy(
         "event_type", "day_idx", "value_bucket"
     ).agg(F.count("*").alias("k"))
-    band_hi_case = "CASE "
-    band_lo_case = "CASE "
-    for lo, hi in K_ANON_BANDS:
-        cond = f"k >= {lo}" + (f" AND k <= {hi}" if hi is not None else "")
-        band_lo_case += f"WHEN {cond} THEN CAST({lo} AS BIGINT) "
-        band_hi_case += (
-            f"WHEN {cond} THEN CAST({hi} AS BIGINT) "
-            if hi is not None
-            else f"WHEN {cond} THEN CAST(NULL AS BIGINT) "
-        )
-    band_lo = F.expr(band_lo_case + "END")
-    band_hi = F.expr(band_hi_case + "END")
+    # ONE band-CASE builder shared with the oracle (`_k_anon_band_sql`
+    # below) — the plain-SQL text is valid in both engines, so the
+    # band boundaries cannot drift between them (r16 review; the
+    # `_KN_LOGP_SQL` discipline)
+    lo_sql, hi_sql = _k_anon_band_sql("k")
+    band_lo = F.expr(lo_sql)
+    band_hi = F.expr(hi_sql)
     bands = (
         classes.groupBy(band_lo.alias("k_lo"), band_hi.alias("k_hi"))
         .agg(

@@ -1309,11 +1309,24 @@ def ivf_index_append(
         [(m, cid, ce) for m, cid, ce in model["codebook"]],
         "m int, cid int, ce array<double>",
     )
-    codes = _pq_codes(_assign_cells(new_emb, cent_rows), cb, carry=("cell",))
-    blob = _model_json(model["model_key"], cent_rows, model["codebook"])
-    if not _atomic_install(fs, croot, sroot, dname, codes, blob):
-        raise OSError(f"failed to install delta tree {dname}")
-    return spark.read.parquet(_join(sroot, dname)).count()
+    codes = _pq_codes(
+        _assign_cells(new_emb, cent_rows), cb, carry=("cell",)
+    ).persist()
+    try:
+        n = codes.count()
+        if n == 0:
+            # an empty batch must NOT install: a delta tree with
+            # _SUCCESS but zero part files fails schema inference on
+            # every later read and poisons the whole index (r16
+            # review). Returning 0 keeps the resume contract — a
+            # retried empty batch is still a no-op.
+            return 0
+        blob = _model_json(model["model_key"], cent_rows, model["codebook"])
+        if not _atomic_install(fs, croot, sroot, dname, codes, blob):
+            raise OSError(f"failed to install delta tree {dname}")
+        return n
+    finally:
+        codes.unpersist()
 
 
 def ivf_index_compact(

@@ -397,12 +397,27 @@ def resolve_snapshot(
         cpath = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(cpath):
             spath = os.path.join(REPO, ".anchors", f"r{rnd:02d}.sha")
+            mtime = int(os.stat(cpath).st_mtime)
             anchored = ""
             if os.path.exists(spath):
+                # sidecar line: "<sha> <record-mtime-at-pin-time>".
+                # The pin is only valid for the record it was derived
+                # from — a driver RE-verification of the same round
+                # rewrites CORRECTNESS_r{N}.json with a newer mtime,
+                # and serving the stale pin would hash-compare the
+                # newly verified entries against the old tree and
+                # report them stale (r16 review). A bare legacy sha
+                # (no mtime field) is treated as stale for the same
+                # reason: its provenance is unknown.
                 with open(spath) as fh:
-                    anchored = fh.read().strip()
+                    parts = fh.read().strip().split()
+                if (
+                    len(parts) == 2
+                    and parts[1].isdigit()
+                    and int(parts[1]) >= mtime
+                ):
+                    anchored = parts[0]
             if not anchored:
-                mtime = int(os.stat(cpath).st_mtime)
                 log = subprocess.run(
                     [
                         "git",
@@ -426,7 +441,7 @@ def resolve_snapshot(
                             os.path.join(REPO, ".anchors"), exist_ok=True
                         )
                         with open(spath, "w") as fh:
-                            fh.write(anchored + "\n")
+                            fh.write(f"{anchored} {mtime}\n")
                     except OSError:
                         pass  # read-only tree: resolve, don't pin
             if anchored:

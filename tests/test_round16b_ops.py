@@ -333,3 +333,39 @@ def test_ivf_index_compact_survives_crashed_delta_cleanup(
     rep = SIM.ivf_index_staleness(spark, sf_dir, index_root=root).first()
     assert rep["n_trees"] == 1
     assert rep["n_appended"] == 0
+
+
+def test_ivf_index_append_empty_batch_is_refused(
+    spark, sf_dir, tmp_path
+):
+    """An empty batch must NOT install a delta tree: a tree with
+    _SUCCESS but zero part files fails schema inference on every
+    later read and poisons the index (r16 review). The call is a
+    no-op returning 0, the index keeps serving, and a later retry of
+    the same batch_id with real rows still appends."""
+    import gomysql2pg_spark.operators.similarity as SIM
+
+    from tests.test_round16_ops import _new_vectors
+
+    root = str(tmp_path / "ann")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    empty = _new_vectors(spark, [])
+    assert (
+        SIM.ivf_index_append(spark, sf_dir, empty, "bz", index_root=root)
+        == 0
+    )
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    key = SIM.hashlib.md5(
+        repr((SIM._fixture_key(sf_dir), "ivf-codes-v2")).encode()
+    ).hexdigest()[:12]
+    name = f"spark_graft_ivf_{key}"
+    assert not SIM._delta_trees(fs, croot, name)
+    # the index still reads, and the batch_id is NOT burned
+    assert SIM._read_index_codes(
+        spark, fs, croot, sroot, name
+    ).count() > 0
+    real = _new_vectors(spark, [(10_000_001, [1.0] * 64, None)])
+    assert (
+        SIM.ivf_index_append(spark, sf_dir, real, "bz", index_root=root)
+        == 1
+    )

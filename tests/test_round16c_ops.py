@@ -50,7 +50,9 @@ def test_quantize_recall_report_shape_and_floor(spark, sf_dir, queries):
 def _py_votes(text):
     text = text or ""
     n_chars = len(text)
-    n_digits = sum(c.isdigit() for c in text)
+    n_digits = sum(c in "0123456789" for c in text)  # [0-9], NOT
+    # str.isdigit(): the operator's regexp class excludes Unicode
+    # digits, and the model must mirror it exactly
     toks = [t for t in text.strip().lower().split() if t]
     n_stop = sum(t in ("the", "a", "and", "of", "to") for t in toks)
     v1 = 1 if 20 <= n_chars <= 10000 else (-1 if n_chars < 5 else 0)
