@@ -254,6 +254,8 @@ HEADLINE = [
     "weak_label_vote",
     "curriculum_order",
     "kn_bigram_logprob",
+    # r16 batch 4
+    "similarity_ivfpq_refined",
 ]
 
 

@@ -163,6 +163,10 @@ SCALE_CRITICAL = [
     "weak_label_vote",
     "curriculum_order",
     "kn_bigram_logprob",
+    # r16 batch 4: IVFADC+R — the partition-pruned ADC plan plus a
+    # |Q|·R-bounded exact rerank; the rerank term is corpus-size
+    # independent, so the ratio should track similarity_ivfpq's
+    "similarity_ivfpq_refined",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

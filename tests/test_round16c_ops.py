@@ -217,3 +217,45 @@ def test_kn_and_add1_score_the_same_bigram_universe(
         for r in queries["bigram_lm_logprob"](spark, sf_dir).collect()
     }
     assert kn == a1
+
+
+# -------------------------------------------- similarity_ivfpq_refined
+
+
+def test_ivfpq_refined_recall_is_monotone_and_exactly_pool_cap_truth(
+    spark, sf_dir, queries
+):
+    """The re-ranking theorem the operator's docstring states: refined
+    hits per query are EXACTLY (ADC pool at depth R) ∩ (exact top-K
+    truth) — a true neighbor in the pool cannot be displaced from the
+    refined top-K except by other true neighbors — and therefore
+    refined recall >= plain-ADC recall per query."""
+    import gomysql2pg_spark.operators.similarity as SIM
+
+    truth: dict = {}
+    for r in queries["similarity_topk"](spark, sf_dir).collect():
+        if r["rank"] <= SIM.PQ_TOP_K:
+            truth.setdefault(r["qid"], set()).add(r["nid"])
+    pool: dict = {}
+    for r in SIM.q_similarity_ivfpq(
+        spark, sf_dir, topk=SIM.PQ_REFINE_R
+    ).collect():
+        pool.setdefault(r["qid"], set()).add(r["nid"])
+    adc: dict = {}
+    for r in queries["similarity_ivfpq"](spark, sf_dir).collect():
+        adc.setdefault(r["qid"], set()).add(r["nid"])
+    refined: dict = {}
+    for r in queries["similarity_ivfpq_refined"](spark, sf_dir).collect():
+        refined.setdefault(r["qid"], set()).add(r["nid"])
+    assert refined, "no refined results at test scale"
+    lifted = 0
+    for qid, t in truth.items():
+        want = pool.get(qid, set()) & t
+        got = refined.get(qid, set()) & t
+        assert got == want, qid
+        adc_hits = adc.get(qid, set()) & t
+        assert len(got) >= len(adc_hits), qid
+        lifted += len(got) - len(adc_hits)
+    # the deeper pool must actually lift recall somewhere at fixture
+    # scale, otherwise R = K and the stage is vacuous
+    assert lifted > 0
