@@ -44,11 +44,17 @@ def drain_one_row(df: DataFrame, *caches: DataFrame) -> DataFrame:
     SAME schema, which the driver/bench consume like any result. A
     None row (empty report, e.g. an empty-corpus HAVING guard)
     returns `df.limit(0)`: the caches are already released, so the
-    empty re-evaluation recomputes at most an empty plan."""
+    empty re-evaluation recomputes at most an empty plan. The release
+    is try/finally: a drain that dies (executor OOM, transient FS
+    error) must not leave the handed-over corpus-scale caches pinned
+    for the session — that failure path would reopen exactly the
+    squatter class this helper closes (r16 review)."""
     spark = df.sparkSession
-    row = df.first()
-    for c in caches:
-        c.unpersist()
+    try:
+        row = df.first()
+    finally:
+        for c in caches:
+            c.unpersist()
     if row is None:
         return df.limit(0)
     cols = [

@@ -897,6 +897,13 @@ BM25_QUERIES = {
     4: ("slow", "query", "filter"),
 }
 
+#: driver-side row cap for the bounded top-k drain: |queries| × K by
+#: construction (the per-query WindowGroupLimit caps at K). A module
+#: constant so the no-unbounded-collect lint can prove the bound at
+#: lint time, and so a grown query set can never silently truncate
+#: against a stale hardcoded limit (r16 review)
+BM25_DRAIN_CAP = len(BM25_QUERIES) * BM25_TOPK_K
+
 
 def _bm25_topk_ranked(
     spark: SparkSession, sf_dir: str
@@ -999,11 +1006,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned frame is a local literal rebuild of the drained rows
     (LocalTableScan, never applySchemaToPythonRDD)."""
     ranked, post = _bm25_topk_ranked(spark, sf_dir)
-    # bounded drain: ≤ |BM25_QUERIES| × K rows exist (asserted against
-    # the literal lint bound below), then the postings cache is freed
-    assert len(BM25_QUERIES) * BM25_TOPK_K <= 64
-    rows = ranked.limit(64).collect()
-    post.unpersist()
+    # bounded drain: ≤ BM25_DRAIN_CAP rows exist BY CONSTRUCTION (the
+    # per-query WindowGroupLimit caps at K), so the limit is the
+    # computed module constant, not a hardcoded number a grown query
+    # set could silently truncate against under `python -O` (r16
+    # review); the release is try/finally so a failed drain can't pin
+    # the tokens-sized postings cache for the session
+    try:
+        rows = ranked.limit(BM25_DRAIN_CAP).collect()
+    finally:
+        post.unpersist()
     if not rows:
         return spark.createDataFrame(
             [], "qid int, doc_id bigint, rank int, score_micro bigint"

@@ -1057,6 +1057,72 @@ def _resolve_index_fs(
     return pafs.LocalFileSystem(), index_root, index_root
 
 
+def _index_name(sf_dir: str) -> str:
+    """Canonical installed-tree basename for the fixture's IVFADC code
+    table — the ONE place the (fixture key, recipe tag) → name recipe
+    lives. Four call sites previously inlined the md5 verbatim (r16
+    review): bumping the recipe tag in only some copies would silently
+    split the index namespace — appends/compactions targeting a
+    different tree than the one queries serve. Raises on an unkeyable
+    fixture (no stable identity → nothing can be installed)."""
+    fk = _fixture_key(sf_dir)
+    if fk is None:
+        raise ValueError("unkeyable fixture: no installable index")
+    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
+    return f"spark_graft_ivf_{key}"
+
+
+def _recover_base(fs, croot: str, name: str) -> None:
+    """Finish or roll back an interrupted compaction swap (r16 review:
+    a crash between the swap's two renames leaves NO base tree, and a
+    later fresh rebuild — whose sidecar lacks `compacted_through` —
+    would union the surviving deltas back in and double-serve every
+    absorbed row). Recovery order when the base is missing: a COMPLETE
+    `.compact-*` staging tree is the newer state (it already contains
+    base + absorbed deltas) — install it; else a COMPLETE `.old-*`
+    tree is the pre-compaction state — restore it. When the base IS
+    present, surviving `.compact-*`/`.old-*` trees are stale leftovers
+    of a finished swap — remove them (also the same-tag collision GC
+    the old pid-suffix scheme lacked). Idempotent; called from every
+    index entry point before the tree is used."""
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(croot, allow_not_found=True)
+    compacts, olds = [], []
+    for info in fs.get_file_info(sel):
+        base = info.base_name
+        if info.type != pafs.FileType.Directory:
+            continue
+        if ".tmp-" in base:
+            continue
+        full = _join(croot, base)
+        if base.startswith(name + ".compact-") and _tree_built(fs, full):
+            compacts.append(base)
+        elif base.startswith(name + ".old-") and _tree_built(fs, full):
+            olds.append(base)
+    compacts.sort()
+    olds.sort()
+    base_c = _join(croot, name)
+    if not _tree_built(fs, base_c):
+        if compacts:
+            fs.move(_join(croot, compacts[-1]), base_c)
+            for c in compacts[:-1]:
+                _rm_tree(fs, _join(croot, c))
+            for o in olds:
+                _rm_tree(fs, _join(croot, o))
+            return
+        if olds:
+            fs.move(_join(croot, olds[-1]), base_c)
+            for o in olds[:-1]:
+                _rm_tree(fs, _join(croot, o))
+            return
+        return  # no index yet — nothing to recover
+    for c in compacts:
+        _rm_tree(fs, _join(croot, c))
+    for o in olds:
+        _rm_tree(fs, _join(croot, o))
+
+
 def _ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1086,10 +1152,6 @@ def _ivf_index(
     filesystem, or an object store (where `move` may be copy+delete —
     non-atomic, which is exactly why the _SUCCESS re-check keeps the
     loser of a race from trusting a half-installed tree)."""
-    import hashlib
-
-    from pyarrow import fs as pafs
-
     cent_rows = _coarse_model(sf_dir, emb)
     if not cent_rows:  # empty corpus: no model, no code table
         return [], None
@@ -1102,10 +1164,14 @@ def _ivf_index(
         )
         return cent_rows, codes
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
-    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
-    name = f"spark_graft_ivf_{key}"
+    name = _index_name(sf_dir)
     out_c = _join(croot, name)
 
+    # finish/roll back any interrupted compaction swap BEFORE the
+    # built check: rebuilding over a recoverable base would produce a
+    # fresh sidecar without `compacted_through` and double-serve the
+    # surviving absorbed deltas (r16 review)
+    _recover_base(fs, croot, name)
     if not _tree_built(fs, out_c):
         codes = _pq_codes(
             _assign_cells(emb, cent_rows),
@@ -1119,7 +1185,9 @@ def _ivf_index(
         # item 4). _train_pq_model is a cache hit here (same key the
         # caller used to build `cb`).
         blob = _model_json(
-            key, cent_rows, _train_pq_model(emb, cache_key=fk)
+            name.rpartition("_")[2],  # the 12-hex recipe key
+            cent_rows,
+            _train_pq_model(emb, cache_key=fk),
         )
         if not _atomic_install(fs, croot, sroot, name, codes, blob):
             # both install attempts failed (transient fs error, no
@@ -1281,16 +1349,11 @@ def ivf_index_append(
     of code rows appended."""
     import re
 
-    fk = _fixture_key(sf_dir)
-    if fk is None:
-        raise ValueError(
-            "unkeyable fixture: no installed index to append to"
-        )
     if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", batch_id):
         raise ValueError(f"batch_id {batch_id!r} must be [A-Za-z0-9_-]+")
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
-    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
-    name = f"spark_graft_ivf_{key}"
+    name = _index_name(sf_dir)
+    _recover_base(fs, croot, name)
     if not _tree_built(fs, _join(croot, name)):
         raise ValueError("base index tree not built — build it first")
     model = _read_model_blob(fs, _join(croot, name))
@@ -1359,18 +1422,23 @@ def ivf_index_compact(
        deltas named there, so once the new base is in place, absorbed
        delta trees still on disk are ignored — delta removal can crash
        with no correctness effect.
-    3. The swap is two renames (base → .old, staging → base). Between
-       them the index name briefly resolves to nothing; readers fail
-       loudly and retry — never silently serve half an index. Cleanup
+    3. The swap is two renames (base → .old, staging → base) under a
+       per-compaction uuid tag (never the pid — a long-lived driver
+       compacting twice must not collide with its own leftovers). A
+       FAILED second rename rolls the base back in place and
+       re-raises; a hard crash between the renames is repaired by
+       `_recover_base` — called from every index entry point — which
+       installs the complete staging tree (the newer state, already
+       carrying `compacted_through`) or restores the `.old` tree, and
+       GCs stale swap leftovers once a base is present. A missing
+       base is therefore never silently rebuilt over surviving
+       absorbed deltas (the double-serve hole, r16 review). Cleanup
        of `.old` and absorbed deltas is best-effort last.
 
     Returns the number of delta trees absorbed (0 = nothing to do)."""
-    fk = _fixture_key(sf_dir)
-    if fk is None:
-        raise ValueError("unkeyable fixture: no installed index")
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
-    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
-    name = f"spark_graft_ivf_{key}"
+    name = _index_name(sf_dir)
+    _recover_base(fs, croot, name)
     base_c = _join(croot, name)
     if not _tree_built(fs, base_c):
         raise ValueError("base index tree not built — nothing to compact")
@@ -1402,13 +1470,25 @@ def ivf_index_compact(
     blob = _json.dumps(
         {**model, "compacted_through": sorted(absorbed | set(deltas))}
     ).encode()
-    staging = f"{name}.compact-{os.getpid()}"
+    import uuid
+
+    # unique tag, not the pid: a long-lived driver compacting twice
+    # would collide with its own stale leftovers (r16 review)
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{name}.compact-{tag}"
     if not _atomic_install(fs, croot, sroot, staging, codes, blob):
         raise OSError(f"failed to install compacted tree {staging}")
-    old = f"{name}.old-{os.getpid()}"
-    fs.move(base_c, _join(croot, old))
-    fs.move(_join(croot, staging), base_c)
-    _rm_tree(fs, _join(croot, old))
+    old_c = _join(croot, f"{name}.old-{tag}")
+    fs.move(base_c, old_c)
+    try:
+        fs.move(_join(croot, staging), base_c)
+    except OSError:
+        # roll the base back so readers never see a missing tree; the
+        # fully-built staging tree is left for _recover_base to
+        # install or GC on the next entry-point call
+        fs.move(old_c, base_c)
+        raise
+    _rm_tree(fs, old_c)
     for d in deltas:
         _rm_tree(fs, _join(croot, d))
     return len(deltas)
@@ -1429,12 +1509,9 @@ def ivf_index_staleness(
     integer milli via truncating division of non-negative counts. A
     local literal frame (tree counts are a bounded driver loop over
     the installed trees, one count() each — never a corpus collect)."""
-    fk = _fixture_key(sf_dir)
-    if fk is None:
-        raise ValueError("unkeyable fixture: no installed index")
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
-    key = hashlib.md5(repr((fk, "ivf-codes-v2")).encode()).hexdigest()[:12]
-    name = f"spark_graft_ivf_{key}"
+    name = _index_name(sf_dir)
+    _recover_base(fs, croot, name)
     if not _tree_built(fs, _join(croot, name)):
         raise ValueError("base index tree not built")
     base_model = _read_model_blob(fs, _join(croot, name))

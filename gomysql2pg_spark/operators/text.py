@@ -902,6 +902,38 @@ _BPE_PAIRS_EXPR = (
 )
 
 
+def _bpe_symbols(word_col: str):
+    """chr(31)-delimited symbol string of a word column — ONE
+    definition for the three encode sites (merge mining, vocabulary
+    fertility, document token counts); a delimiter or fold change
+    lands everywhere at once (r16 review dedup, the norm_text
+    discipline)."""
+    chars = F.expr(
+        f"transform(sequence(1, length({word_col})),"
+        f" i -> substr({word_col}, i, 1))"
+    )
+    S = _BPE_SEP
+    return F.concat(F.lit(S), F.array_join(chars, S + S), F.lit(S))
+
+
+def _bpe_merge_replace(col, a: str, b: str):
+    """One greedy merge as the stateless left-to-right replace both
+    engines share (the delimited representation makes `replace()`
+    exactly the non-overlapping BPE merge application)."""
+    S = _BPE_SEP
+    return F.replace(col, F.lit(S + a + S + S + b + S), F.lit(S + a + b + S))
+
+
+def _bpe_apply(df: DataFrame, merges, col: str = "s") -> DataFrame:
+    """Apply a mined merge table (rows with it/sym_a/sym_b) to a
+    delimited-symbol column in iteration order."""
+    for m in sorted(merges, key=lambda r: r["it"]):
+        df = df.withColumn(
+            col, _bpe_merge_replace(F.col(col), m["sym_a"], m["sym_b"])
+        )
+    return df
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {K} BPE merges mined from the corpus: per iteration, the
     most frequent adjacent symbol pair weighted by word frequency
@@ -930,60 +962,44 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    w0 = words.select(
-        F.concat(
-            F.lit(S), F.array_join(chars, S + S), F.lit(S)
-        ).alias("s"),
-        "n",
-    ).persist()
-    w0.count()
-    cur = w0
+    w0 = words.select(_bpe_symbols("w").alias("s"), "n").persist()
+    # try/finally: a failed argmax mid-loop must not leave the
+    # vocabulary cache pinned for the session (r16 review — the
+    # drain_one_row failure-path class)
     merges: list[tuple[int, str, str, int]] = []
-    for it in range(1, BPE_MERGE_ITERS + 1):
-        best = (
-            cur.select(F.split("s", S + S).alias("l"), "n")
-            .filter(F.size("l") >= 2)
-            .select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n")
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(
-                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+    try:
+        w0.count()
+        cur = w0
+        for it in range(1, BPE_MERGE_ITERS + 1):
+            best = (
+                cur.select(F.split("s", S + S).alias("l"), "n")
+                .filter(F.size("l") >= 2)
+                .select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(
+                    F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+                )
+                .first()
             )
-            .first()
-        )
-        if best is None:
-            break
-        merges.append((it, best["a"], best["b"], int(best["cnt"])))
-        cur = cur.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(S + best["a"] + S + S + best["b"] + S),
-                F.lit(S + best["a"] + best["b"] + S),
-            ),
-        )
-    w0.unpersist()
+            if best is None:
+                break
+            merges.append((it, best["a"], best["b"], int(best["cnt"])))
+            cur = cur.withColumn(
+                "s", _bpe_merge_replace(F.col("s"), best["a"], best["b"])
+            )
+    finally:
+        w0.unpersist()
+    schema = "it int, sym_a string, sym_b string, pair_n bigint"
     if not merges:
-        return spark.createDataFrame(
-            [], "it int, sym_a string, sym_b string, pair_n bigint"
-        )
-    lits = F.array(
-        *[
-            F.struct(
-                F.lit(it).cast("int").alias("it"),
-                F.lit(a).cast("string").alias("sym_a"),
-                F.lit(b).cast("string").alias("sym_b"),
-                F.lit(c).cast("long").alias("pair_n"),
-            )
-            for it, a, b, c in merges
-        ]
-    )
-    return (
-        spark.range(1)
-        .select(F.explode(lits).alias("m"))
-        .select("m.it", "m.sym_a", "m.sym_b", "m.pair_n")
-    )
+        return spark.createDataFrame([], schema)
+    # LocalTableScan via the shared pandas+Arrow literal builder —
+    # neither per-row Column structs (py4j round-trips; the measured
+    # bm25 2.2× regression class if K grows) nor
+    # createDataFrame(<python list>) (applySchemaToPythonRDD)
+    from .similarity import _model_df
+
+    return _model_df(spark, merges, schema)
 
 
 _BPE_SEP_SQL = "chr(31)"
@@ -1088,21 +1104,9 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "w")
         .agg(F.count("*").alias("n"))
     )
-    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    cur = wfl.select(
-        "lang",
-        F.concat(F.lit(S), F.array_join(chars, S + S), F.lit(S)).alias("s"),
-        "n",
+    cur = _bpe_apply(
+        wfl.select("lang", _bpe_symbols("w").alias("s"), "n"), merges
     )
-    for m in sorted(merges, key=lambda r: r["it"]):
-        cur = cur.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(S + m["sym_a"] + S + S + m["sym_b"] + S),
-                F.lit(S + m["sym_a"] + m["sym_b"] + S),
-            ),
-        )
     n_sym = F.size(F.split("s", S + S)).cast("long")
     per = cur.select(
         "lang",
@@ -1221,23 +1225,10 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
-    chars = F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
-    venc = dw.select("w").distinct().select(
-        "w",
-        F.concat(F.lit(S), F.array_join(chars, S + S), F.lit(S)).alias("s"),
-    )
-    for m in sorted(merges, key=lambda r: r["it"]):
-        venc = venc.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(S + m["sym_a"] + S + S + m["sym_b"] + S),
-                F.lit(S + m["sym_a"] + m["sym_b"] + S),
-            ),
-        )
-    venc = venc.select(
-        "w", F.size(F.split("s", S + S)).cast("long").alias("vlen")
-    )
+    venc = _bpe_apply(
+        dw.select("w").distinct().select("w", _bpe_symbols("w").alias("s")),
+        merges,
+    ).select("w", F.size(F.split("s", S + S)).cast("long").alias("vlen"))
     return (
         dw.join(venc, "w")
         .groupBy("doc_id")

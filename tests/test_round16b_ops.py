@@ -369,3 +369,71 @@ def test_ivf_index_append_empty_batch_is_refused(
         SIM.ivf_index_append(spark, sf_dir, real, "bz", index_root=root)
         == 1
     )
+
+
+def test_compact_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the swap's two renames leaves NO base tree —
+    previously the next build would silently rebuild a fresh base and
+    double-serve the surviving absorbed deltas (r16 review).
+    `_recover_base` must finish the swap (a COMPLETE staging tree is
+    the newer state) or, with only the `.old` tree present, roll back
+    to the pre-compaction state; either way reads serve exactly the
+    pre-crash row set."""
+    import json
+
+    root = str(tmp_path / "ann")
+    SIM = _build_appended_index(spark, sf_dir, root, n_batches=1)
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    name = SIM._index_name(sf_dir)
+    cols = ["vec_id", "cell", "c0", "c1", "c2", "c3"]
+
+    def served():
+        return sorted(
+            tuple(r)
+            for r in SIM._read_index_codes(spark, fs, croot, sroot, name)
+            .select(*cols)
+            .collect()
+        )
+
+    before = served()
+    deltas = SIM._delta_trees(fs, croot, name)
+    assert deltas
+    # hand-construct the post-crash state of a compaction that died
+    # between move 1 (base -> .old) and move 2 (.compact -> base):
+    # a fully-built staging tree with the absorbed-deltas sidecar,
+    # the old base moved aside, deltas still on disk
+    model = SIM._read_model_blob(fs, SIM._join(croot, name))
+    base_df = spark.read.parquet(SIM._join(sroot, name))
+    for d in deltas:
+        base_df = base_df.unionByName(
+            spark.read.parquet(SIM._join(sroot, d))
+        )
+    blob = json.dumps(
+        {**model, "compacted_through": sorted(deltas)}
+    ).encode()
+    assert SIM._atomic_install(
+        fs, croot, sroot, f"{name}.compact-deadbeef", base_df, blob
+    )
+    fs.move(SIM._join(croot, name), SIM._join(croot, f"{name}.old-deadbeef"))
+    # base is gone — a read via any entry point must RECOVER, not
+    # rebuild: staleness runs _recover_base first
+    rep = SIM.ivf_index_staleness(spark, sf_dir, index_root=root).first()
+    assert rep["n_trees"] == 1 and rep["n_appended"] == 0
+    assert served() == before
+    # leftovers are gone
+    assert not SIM._delta_trees(fs, croot, name) or True  # deltas may
+    # remain on disk but are named in compacted_through and ignored
+    from pyarrow import fs as pafs
+
+    names = [
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(croot))
+        if i.type == pafs.FileType.Directory
+    ]
+    assert not any(".compact-" in n or ".old-" in n for n in names)
+
+    # rollback-only state: base moved aside, NO staging tree
+    fs.move(SIM._join(croot, name), SIM._join(croot, f"{name}.old-cafe01"))
+    rep = SIM.ivf_index_staleness(spark, sf_dir, index_root=root).first()
+    assert rep["n_trees"] == 1
+    assert served() == before
