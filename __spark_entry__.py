@@ -29,19 +29,19 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r16 window (50 slots), re-derived 2026-08-16 (batch 6) by
+    # --- r16 window (50 slots), re-derived 2026-08-16 (batch 7) by
     # `scripts/registry_hashes.py --derive-window 16`.
     # (1) changed/new this build: the persist-release fixes
     # (bloom_prefilter_join, similarity_lsh_verified, bm25_topk, the
     # two dedup verified twins), the exchange-reuse Q11, the
     # _ivf_index model-sidecar + compaction refactor + parameterized
     # ADC cap (similarity_ivfpq, similarity_pq, ann_recall_report),
-    # and the FOURTEEN r16-NEW operators (retrieval_rrf,
+    # and the SIXTEEN r16-NEW operators (retrieval_rrf,
     # retrieval_quality_report, selfrep_scrub, bpe_merges,
     # bpe_fertility, bpe_token_counts, winnowing_fingerprint,
-    # k_anonymity_report, length_drift_ks, quantize_recall_report,
-    # weak_label_vote, curriculum_order, kn_bigram_logprob,
-    # similarity_ivfpq_refined);
+    # winnow_near_dup, k_anonymity_report, l_diversity_report,
+    # length_drift_ks, quantize_recall_report, weak_label_vote,
+    # curriculum_order, kn_bigram_logprob, similarity_ivfpq_refined);
     # (2) the full 15-entry r15 stale queue (4 r11 + 11 r12 rows —
     # VERDICT r16 item 1: this window burns it to zero; the two
     # changed stale rows lead in group 1);
@@ -51,9 +51,9 @@ _PRIORITY = [
     "q11_important_stock", "similarity_ivfpq", "similarity_pq",
     "bpe_fertility", "bpe_merges", "bpe_token_counts",
     "curriculum_order", "k_anonymity_report", "kn_bigram_logprob",
-    "length_drift_ks", "quantize_recall_report",
+    "l_diversity_report", "length_drift_ks", "quantize_recall_report",
     "retrieval_quality_report", "retrieval_rrf", "selfrep_scrub",
-    "similarity_ivfpq_refined", "weak_label_vote",
+    "similarity_ivfpq_refined", "weak_label_vote", "winnow_near_dup",
     "winnowing_fingerprint", "q18_large_volume", "q3_shipping_priority",
     "q7_volume_shipping", "skew_salted_agg", "coreset_margin_select",
     "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
@@ -63,7 +63,6 @@ _PRIORITY = [
     "exists_pending_orders", "full_outer_join", "lang_id",
     "null_safe_join", "pii_scrub", "pivot_status",
     "projection", "q4_order_priority", "quality_score",
-    "rollup_agg", "semi_join",
 ]
 
 

@@ -256,6 +256,9 @@ HEADLINE = [
     "kn_bigram_logprob",
     # r16 batch 4
     "similarity_ivfpq_refined",
+    # r16 batch 5
+    "winnow_near_dup",
+    "l_diversity_report",
 ]
 
 

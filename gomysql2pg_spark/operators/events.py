@@ -647,6 +647,78 @@ def _k_anon_band_sql(col: str) -> tuple[str, str]:
 
 _KA_LO, _KA_HI = _k_anon_band_sql("k")
 
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007 — the
+    k-anonymity successor): a k-anonymous class is still disclosive
+    if its SENSITIVE attribute is homogeneous (everyone in the class
+    did the same thing). Over the (day, value-bucket) quasi-identifier
+    — `event_type` is the sensitive attribute here, so it moves OUT
+    of the QI `q_k_anonymity_report` uses — report the distribution
+    of distinct-sensitive-value counts l: (l, n_classes, n_records,
+    records_milli). Classes at l = 1 are the disclosure set a release
+    review reads first; the same integer day/bucket arithmetic as the
+    k-anonymity audit, so the two reports share a QI algebra.
+
+    Scale shape: two shrinking hash aggregates ((QI, sensitive)
+    distinct-collapse with the record count carried → per-QI l and
+    sizes → ≤|event types| l-bands) and a tiny window for the share —
+    the k-anonymity plan with one more sensitive-collapse step."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx")
+    vb = F.expr(
+        f"{sql_cents_spark('value')} div {K_ANON_VALUE_CENTS}"
+    ).alias("value_bucket")
+    cells = ev.select(day, vb, "event_type").groupBy(
+        "day_idx", "value_bucket", "event_type"
+    ).agg(F.count("*").alias("n"))
+    classes = cells.groupBy("day_idx", "value_bucket").agg(
+        F.count("*").alias("l"), F.sum("n").alias("n_records")
+    )
+    bands = classes.groupBy("l").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("n_records").alias("n_records"),
+    )
+    w = Window.partitionBy()  # ≤|event types| rows
+    return bands.select(
+        "l",
+        "n_classes",
+        "n_records",
+        F.sum("n_records").over(w).alias("_tot"),
+    ).select(
+        "l",
+        "n_classes",
+        "n_records",
+        F.expr("(n_records * 1000) div _tot").alias("records_milli"),
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH cells AS (
+  SELECT epoch_us(ts) // {K_ANON_DAY_US} AS day_idx,
+         TRY_CAST(ROUND(value * 100) AS BIGINT)
+           // {K_ANON_VALUE_CENTS} AS value_bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT day_idx, value_bucket,
+         CAST(COUNT(*) AS BIGINT) AS l,
+         CAST(SUM(n) AS BIGINT) AS n_records
+  FROM cells GROUP BY 1, 2
+),
+bands AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(n_records) AS BIGINT) AS n_records
+  FROM classes GROUP BY l
+)
+SELECT l, n_classes, n_records,
+       CAST((n_records * 1000) // SUM(n_records) OVER () AS BIGINT)
+         AS records_milli
+FROM bands
+"""
+
+
 ORACLE_K_ANONYMITY = f"""
 WITH members AS (
   SELECT DISTINCT event_type,
@@ -714,10 +786,12 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "temporal_holdout_report": q_temporal_holdout_report,
     "k_anonymity_report": q_k_anonymity_report,
+    "l_diversity_report": q_l_diversity_report,
 }
 
 ORACLES = {
     "k_anonymity_report": ORACLE_K_ANONYMITY,
+    "l_diversity_report": ORACLE_L_DIVERSITY,
     "events_window": ORACLE_EVENTS_WINDOW,
     "events_transition_matrix": ORACLE_EVENTS_TRANSITIONS,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

@@ -1307,6 +1307,61 @@ _WINNOW_POS_BITS = 21  # positions packed below the hash in the tie key
 _WINNOW_POS_CAP = (1 << _WINNOW_POS_BITS) - 1  # 2,097,151 shingles/doc
 
 
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """The selected-fingerprint frame (doc_id, n_grams, wkey) of the
+    winnowing algorithm — ONE definition shared by the per-doc digest
+    (`q_winnowing_fingerprint`) and the cross-doc candidate-pair
+    index (`q_winnow_near_dup`); wkey packs (fp, pos), so distinct
+    wkey = the selected (pos, fp) set."""
+    k, w = WINNOW_K, WINNOW_W
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    grams = (
+        docs.select("doc_id", toks.alias("l"))
+        .filter(F.size("l") >= k + w - 1)
+        .select(
+            "doc_id",
+            (F.size("l") - k + 1).cast("long").alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {k - 1}),"
+                    f" i -> array_join(slice(l, i, {k}), ' '))"
+                )
+            ).alias("gi0", "g"),
+        )
+        .filter(F.col("n_grams") <= _WINNOW_POS_CAP)
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    key = (
+        h * F.lit(_WINNOW_POS_CAP + 1)
+        + (F.lit(_WINNOW_POS_CAP) - (F.col("gi0") + 1))
+    ).alias("key")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("gi")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            (F.col("gi0") + 1).alias("gi"),
+            key,
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "gi",
+            F.min("key").over(win).alias("wkey"),
+        )
+        .filter(F.col("gi") >= w)  # full windows only
+        .select("doc_id", "n_grams", "wkey")
+        .distinct()
+    )
+
+
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
@@ -1340,53 +1395,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key); state per task is w rows. No corpus collects, no
     UDFs."""
     docs = load_table(spark, sf_dir, "documents")
-    k, w = WINNOW_K, WINNOW_W
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
-    grams = (
-        docs.select("doc_id", toks.alias("l"))
-        .filter(F.size("l") >= k + w - 1)
-        .select(
-            "doc_id",
-            (F.size("l") - k + 1).cast("long").alias("n_grams"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(l) - {k - 1}),"
-                    f" i -> array_join(slice(l, i, {k}), ' '))"
-                )
-            ).alias("gi0", "g"),
-        )
-        .filter(F.col("n_grams") <= _WINNOW_POS_CAP)
-    )
-    h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-    key = (
-        h * F.lit(_WINNOW_POS_CAP + 1)
-        + (F.lit(_WINNOW_POS_CAP) - (F.col("gi0") + 1))
-    ).alias("key")
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("gi")
-        .rowsBetween(-(w - 1), 0)
-    )
-    sel = (
-        grams.select(
-            "doc_id",
-            "n_grams",
-            (F.col("gi0") + 1).alias("gi"),
-            key,
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "gi",
-            F.min("key").over(win).alias("wkey"),
-        )
-        .filter(F.col("gi") >= w)  # full windows only
-        .select("doc_id", "n_grams", "wkey")
-        .distinct()
-    )
+    sel = _winnow_selected(docs)
     return (
         sel.groupBy("doc_id", "n_grams")
         .agg(
@@ -1406,7 +1415,19 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WINNOWING = rf"""
-WITH toks AS (
+WITH {{sel_ctes}}
+SELECT doc_id, n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST((COUNT(*) * 1000) // n_grams AS BIGINT) AS density_milli,
+       CAST(bit_xor(wkey // {_WINNOW_POS_CAP + 1}) AS BIGINT) AS fp_xor
+FROM sel
+GROUP BY doc_id, n_grams
+"""
+
+# the winnowing selection chain (toks → grams → keyed → sel) as one
+# CTE body shared by the per-doc digest oracle and the near-dup pair
+# oracle — mirrors `_winnow_selected` exactly
+_WINNOW_SEL_CTES = rf"""toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\s+'),
                      t -> length(t) > 0) AS l
@@ -1437,13 +1458,76 @@ sel AS (
                           AND CURRENT ROW) AS wkey
     FROM keyed
   ) WHERE gi >= {WINNOW_W}
-)
-SELECT doc_id, n_grams,
-       CAST(COUNT(*) AS BIGINT) AS n_fps,
-       CAST((COUNT(*) * 1000) // n_grams AS BIGINT) AS density_milli,
-       CAST(bit_xor(wkey // {_WINNOW_POS_CAP + 1}) AS BIGINT) AS fp_xor
-FROM sel
-GROUP BY doc_id, n_grams
+)"""
+
+ORACLE_WINNOWING = ORACLE_WINNOWING.format(sel_ctes=_WINNOW_SEL_CTES)
+
+#: fingerprints selected in more than this many documents are
+#: boilerplate (shared headers/templates) — dropped before the pair
+#: join, the df-cap discipline of the Jaccard inverted index
+WINNOW_FP_DF_CAP = 20
+#: shared-fingerprint floor for reporting a candidate pair
+WINNOW_PAIR_MIN = 2
+
+
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What MOSS actually DOES with winnowing fingerprints: the
+    cross-document candidate-pair index. Two documents sharing any
+    run of ≥ w+k−1 tokens share a selected fingerprint (the winnowing
+    guarantee), so a fingerprint-bucket self-join surfaces every
+    near-copy pair without an all-pairs scan — the MOSS-style sibling
+    of the MinHash-LSH band join. Pairs sharing ≥ WINNOW_PAIR_MIN
+    fingerprints are reported with their shared count (the
+    plagiarism-review ranking key).
+
+    Scale shape (the LSH-family discipline): the selected-fingerprint
+    frame is token-scale (density ≈ 2/(w+1) of shingles); a document
+    frequency gate drops fingerprints appearing in more than
+    WINNOW_FP_DF_CAP documents BEFORE any pair forms — shared
+    boilerplate would otherwise contribute df² pair rows per
+    fingerprint, the exact mega-bucket failure the window-gated LSH
+    kernel guards against; with the cap, the pair join is bounded by
+    Σ df² ≤ cap · Σ df. One fp-keyed self-join, one (a, b) hash
+    aggregate. No collects, no windows over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = (
+        _winnow_selected(docs)
+        .select(
+            "doc_id",
+            F.expr(f"wkey div {_WINNOW_POS_CAP + 1}").alias("fp"),
+        )
+        .distinct()
+    )
+    dfc = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = fps.join(
+        dfc.filter(F.col("df") <= WINNOW_FP_DF_CAP).select("fp"), "fp"
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN)
+    )
+
+
+ORACLE_WINNOW_NEAR_DUP = f"""
+WITH {_WINNOW_SEL_CTES},
+fps AS (
+  SELECT DISTINCT doc_id, wkey // {_WINNOW_POS_CAP + 1} AS fp FROM sel
+),
+dfc AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+  WHERE df <= {WINNOW_FP_DF_CAP}
+),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
 """
 
 
@@ -1464,6 +1548,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_fertility": q_bpe_fertility,
     "winnowing_fingerprint": q_winnowing_fingerprint,
+    "winnow_near_dup": q_winnow_near_dup,
     "bpe_token_counts": q_bpe_token_counts,
 }
 
@@ -1484,5 +1569,6 @@ ORACLES = {
     "bpe_merges": _oracle_bpe_merges(),
     "bpe_fertility": _oracle_bpe_fertility(),
     "winnowing_fingerprint": ORACLE_WINNOWING,
+    "winnow_near_dup": ORACLE_WINNOW_NEAR_DUP,
     "bpe_token_counts": _oracle_bpe_token_counts(),
 }

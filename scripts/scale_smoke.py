@@ -167,6 +167,11 @@ SCALE_CRITICAL = [
     # |Q|·R-bounded exact rerank; the rerank term is corpus-size
     # independent, so the ratio should track similarity_ivfpq's
     "similarity_ivfpq_refined",
+    # r16 batch 5: the MOSS pair index (fp-bucket self-join under the
+    # df-cap — the LSH-band-join shape, Σ df² bounded) and the
+    # l-diversity audit (two shrinking hash aggs like k-anonymity)
+    "winnow_near_dup",
+    "l_diversity_report",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

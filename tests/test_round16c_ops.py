@@ -259,3 +259,66 @@ def test_ivfpq_refined_recall_is_monotone_and_exactly_pool_cap_truth(
     # the deeper pool must actually lift recall somewhere at fixture
     # scale, otherwise R = K and the stage is vacuous
     assert lifted > 0
+
+
+# ----------------------------------------------- winnow_near_dup
+
+
+def test_winnow_near_dup_matches_python_model(spark, sf_dir, queries):
+    """The candidate-pair index must equal the pure-Python recount:
+    winnow every doc (the reference model proven equal to the
+    operator), apply the df-cap, count shared fingerprints per pair,
+    keep pairs at the floor."""
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.text import (
+        WINNOW_FP_DF_CAP,
+        WINNOW_PAIR_MIN,
+    )
+    from tests.test_round16b_ops import _py_winnow
+
+    texts = {
+        r["doc_id"]: r["text"] or ""
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    doc_fps = {
+        d: {fp for _, fp in _py_winnow(t)[0]} for d, t in texts.items()
+    }
+    df: dict = {}
+    for fps in doc_fps.values():
+        for fp in fps:
+            df[fp] = df.get(fp, 0) + 1
+    kept = {
+        d: {fp for fp in fps if df[fp] <= WINNOW_FP_DF_CAP}
+        for d, fps in doc_fps.items()
+    }
+    ids = sorted(kept)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(kept[a] & kept[b])
+            if shared >= WINNOW_PAIR_MIN:
+                want[(a, b)] = shared
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in queries["winnow_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no candidate pairs — vacuous test"
+
+
+# --------------------------------------------- l_diversity_report
+
+
+def test_l_diversity_partitions_the_event_log(spark, sf_dir, queries, duck):
+    """Band record counts must partition the event log; l is bounded
+    by the number of event types; shares are the exact truncating
+    milli-division."""
+    rows = queries["l_diversity_report"](spark, sf_dir).collect()
+    assert rows
+    n_events, n_types = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT event_type) FROM events"
+    ).fetchone()
+    assert sum(r["n_records"] for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r["l"] <= n_types
+        assert r["records_milli"] == r["n_records"] * 1000 // n_events
