@@ -719,6 +719,155 @@ FROM bands
 """
 
 
+# t-closeness bands: [t_lo, t_hi] milli-TVD ranges reported as rows.
+# t = 0 means the class's sensitive distribution equals the global one
+# (no disclosure beyond the prior); t near 1000 means the class is
+# concentrated on sensitive values the population rarely takes.
+T_CLOSE_BANDS = ((0, 99), (100, 249), (250, 499), (500, 749), (750, 1000))
+
+
+def _t_close_band_sql(col: str) -> tuple[str, str]:
+    lo_case, hi_case = "CASE ", "CASE "
+    for lo, hi in T_CLOSE_BANDS:
+        cond = f"{col} >= {lo} AND {col} <= {hi}"
+        lo_case += f"WHEN {cond} THEN CAST({lo} AS BIGINT) "
+        hi_case += f"WHEN {cond} THEN CAST({hi} AS BIGINT) "
+    return lo_case + "END", hi_case + "END"
+
+
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 —
+    the third member of the release-audit trio with
+    `q_k_anonymity_report` and `q_l_diversity_report`): an l-diverse
+    class still leaks when its SENSITIVE distribution differs sharply
+    from the global one (skewness/similarity attacks). Over the same
+    (day, value-bucket) quasi-identifier with `event_type` sensitive,
+    each class's distance to the global sensitive distribution is the
+    total variation distance (the ICDE paper's "equal distance" EMD
+    for categorical attributes): t = ½ Σᵢ |pᵢ − qᵢ|. Report the class
+    distribution over fixed t-bands: (t_lo, t_hi, n_classes,
+    n_records, records_milli).
+
+    Integer-exact end to end via cross-multiplied fractions (the
+    `length_drift_ks` ECDF trick): with class size n_c, global size N,
+    class counts n_ci and global counts gᵢ,
+    t_milli = 1000 · Σᵢ |n_ci·N − gᵢ·n_c| // (2·n_c·N), where sensitive
+    values ABSENT from the class contribute gᵢ·n_c — folded in as
+    n_c · (N − Σ_present gᵢ) so the explicit sum never leaves the
+    class's own rows. Products are bounded by N²: exact in bigint
+    through N ≈ 3·10⁹; past that the same plan runs with the two
+    products as DECIMAL(38,0).
+
+    Scale shape (100 TB): the l-diversity plan plus one broadcast —
+    cells ((QI, sensitive) counts) → per-QI class totals (hash agg) →
+    cells ⨝ classes on the QI (both already shrunk to distinct-cell
+    cardinality) ⨝ broadcast global sensitive counts → per-class sum
+    → ≤5 band rows; the N scalar rides a one-row broadcast cross
+    join. No corpus windows, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx")
+    vb = F.expr(
+        f"{sql_cents_spark('value')} div {K_ANON_VALUE_CENTS}"
+    ).alias("value_bucket")
+    cells = ev.select(day, vb, "event_type").groupBy(
+        "day_idx", "value_bucket", "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    classes = cells.groupBy("day_idx", "value_bucket").agg(
+        F.sum("n").alias("n_c")
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("g")
+    )
+    # `n_tot`, not `N`: Spark resolves column names case-insensitively,
+    # so `N` would be ambiguous against the per-cell `n`
+    total = ev.agg(F.count("*").cast("long").alias("n_tot"))
+    scored = (
+        cells.join(classes, ["day_idx", "value_bucket"])
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(total))
+        .groupBy("day_idx", "value_bucket")
+        .agg(
+            F.first("n_c").alias("n_c"),
+            F.first("n_tot").alias("n_tot"),
+            F.sum(
+                F.abs(F.col("n") * F.col("n_tot") - F.col("g") * F.col("n_c"))
+            ).alias("present_diff"),
+            F.sum("g").alias("present_g"),
+        )
+        .select(
+            "n_c",
+            F.expr(
+                "(1000 * (present_diff + n_c * (n_tot - present_g)))"
+                " div (2 * n_c * n_tot)"
+            ).alias("t_milli"),
+        )
+    )
+    lo_sql, hi_sql = _t_close_band_sql("t_milli")
+    bands = scored.groupBy(
+        F.expr(lo_sql).alias("t_lo"), F.expr(hi_sql).alias("t_hi")
+    ).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("n_c").alias("n_records"),
+    )
+    w = Window.partitionBy()  # ≤5 band rows — a driver-trivial window
+    return bands.select(
+        "t_lo",
+        "t_hi",
+        "n_classes",
+        "n_records",
+        F.sum("n_records").over(w).alias("_tot"),
+    ).select(
+        "t_lo",
+        "t_hi",
+        "n_classes",
+        "n_records",
+        F.expr("(n_records * 1000) div _tot").alias("records_milli"),
+    )
+
+
+_TC_LO, _TC_HI = _t_close_band_sql("t_milli")
+
+ORACLE_T_CLOSENESS = f"""
+WITH cells AS (
+  SELECT epoch_us(ts) // {K_ANON_DAY_US} AS day_idx,
+         TRY_CAST(ROUND(value * 100) AS BIGINT)
+           // {K_ANON_VALUE_CENTS} AS value_bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT day_idx, value_bucket, CAST(SUM(n) AS BIGINT) AS n_c
+  FROM cells GROUP BY 1, 2
+),
+gl AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM events),
+scored AS (
+  SELECT c.day_idx, c.value_bucket, cl.n_c,
+         (1000 * (SUM(ABS(c.n * t.n_tot - g.g * cl.n_c))
+                  + cl.n_c * (ANY_VALUE(t.n_tot) - SUM(g.g))))
+           // (2 * cl.n_c * ANY_VALUE(t.n_tot)) AS t_milli
+  FROM cells c
+  JOIN classes cl USING (day_idx, value_bucket)
+  JOIN gl g USING (event_type)
+  CROSS JOIN tot t
+  GROUP BY c.day_idx, c.value_bucket, cl.n_c
+),
+bands AS (
+  SELECT {_TC_LO} AS t_lo, {_TC_HI} AS t_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(n_c) AS BIGINT) AS n_records
+  FROM scored GROUP BY 1, 2
+)
+SELECT t_lo, t_hi, n_classes, n_records,
+       CAST((n_records * 1000) // SUM(n_records) OVER () AS BIGINT)
+         AS records_milli
+FROM bands
+"""
+
+
 ORACLE_K_ANONYMITY = f"""
 WITH members AS (
   SELECT DISTINCT event_type,
@@ -787,11 +936,13 @@ QUERIES = {
     "temporal_holdout_report": q_temporal_holdout_report,
     "k_anonymity_report": q_k_anonymity_report,
     "l_diversity_report": q_l_diversity_report,
+    "t_closeness_report": q_t_closeness_report,
 }
 
 ORACLES = {
     "k_anonymity_report": ORACLE_K_ANONYMITY,
     "l_diversity_report": ORACLE_L_DIVERSITY,
+    "t_closeness_report": ORACLE_T_CLOSENESS,
     "events_window": ORACLE_EVENTS_WINDOW,
     "events_transition_matrix": ORACLE_EVENTS_TRANSITIONS,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
