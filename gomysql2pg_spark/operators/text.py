@@ -950,46 +950,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stateless map over the cached vocabulary. The K-row result is
     drained eagerly and returned as a local literal frame
     (persist-release discipline)."""
-    docs = load_table(spark, sf_dir, "documents")
-    S = _BPE_SEP
-    words = (
-        docs.select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("w")
-        )
-        .filter((F.length("w") > 0) & ~F.col("w").contains(S))
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
-    )
-    w0 = words.select(_bpe_symbols("w").alias("s"), "n").persist()
-    # try/finally: a failed argmax mid-loop must not leave the
-    # vocabulary cache pinned for the session (r16 review — the
-    # drain_one_row failure-path class)
-    merges: list[tuple[int, str, str, int]] = []
-    try:
-        w0.count()
-        cur = w0
-        for it in range(1, BPE_MERGE_ITERS + 1):
-            best = (
-                cur.select(F.split("s", S + S).alias("l"), "n")
-                .filter(F.size("l") >= 2)
-                .select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n")
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("n").alias("cnt"))
-                .orderBy(
-                    F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-                )
-                .first()
-            )
-            if best is None:
-                break
-            merges.append((it, best["a"], best["b"], int(best["cnt"])))
-            cur = cur.withColumn(
-                "s", _bpe_merge_replace(F.col("s"), best["a"], best["b"])
-            )
-    finally:
-        w0.unpersist()
+    merges, _ = _mine_bpe_merges(spark, sf_dir, BPE_MERGE_ITERS)
+    return _bpe_merge_frame(spark, merges)
+
+
+def _bpe_merge_frame(spark: SparkSession, merges: list) -> DataFrame:
     schema = "it int, sym_a string, sym_b string, pair_n bigint"
     if not merges:
         return spark.createDataFrame([], schema)
@@ -1002,26 +967,127 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _model_df(spark, merges, schema)
 
 
+def _mine_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int,
+    checkpoints: tuple[int, ...] = (),
+) -> tuple[list, dict]:
+    """The shared BPE merge-mining loop at any K — the driver-visible
+    data-dependent iteration (each merge depends on the previous
+    argmax; the k-means/PageRank determinism-by-count precedent).
+    Returns (merges, fert): merges = [(it, sym_a, sym_b, pair_n)…],
+    fert = {k: (n_word_tokens, n_bpe_tokens)} measured on the weighted
+    vocabulary AFTER k merges for each requested checkpoint.
+
+    Per-iteration cost stays VOCABULARY-sized at any K: one pair
+    explode + hash aggregate + bounded argmax `.first()`, then ONE
+    stateless replace map. The merged state is LINEAGE-TRUNCATED each
+    iteration (`localCheckpoint`): a persist alone leaves the logical
+    plan growing by one self-referencing projection per merge, and
+    Catalyst's project collapse re-substitutes the whole replace chain
+    into every use site — measured superlinear (K=16: 38 s) and a
+    planner heap OOM by K=32 at sf0.01; the checkpointed form is flat
+    ~0.2 s/iteration (K=64: 15 s). Each iteration's vocabulary RDD is
+    released by the ContextCleaner as soon as the next iteration drops
+    the Python reference, so at most two vocabulary-sized states are
+    live at once. Driver memory holds K merge rows; no corpus-scale
+    collect anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    S = _BPE_SEP
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter((F.length("w") > 0) & ~F.col("w").contains(S))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    cur = words.select(
+        _bpe_symbols("w").alias("s"), "n"
+    ).localCheckpoint()
+
+    def _fert(df: DataFrame):
+        r = df.agg(
+            F.sum("n").cast("long").alias("nw"),
+            F.sum(
+                F.col("n").cast("long")
+                * F.size(F.split("s", S + S)).cast("long")
+            ).alias("nb"),
+        ).first()
+        return (int(r["nw"] or 0), int(r["nb"] or 0))
+
+    merges: list[tuple[int, str, str, int]] = []
+    fert: dict[int, tuple[int, int]] = {}
+    if 0 in checkpoints:
+        fert[0] = _fert(cur)
+    exhausted = False
+    for it in range(1, iters + 1):
+        if not exhausted:
+            best = (
+                cur.select(F.split("s", S + S).alias("l"), "n")
+                .filter(F.size("l") >= 2)
+                .select(
+                    F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n"
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(
+                    F.col("cnt").desc(),
+                    F.col("a").asc(),
+                    F.col("b").asc(),
+                )
+                .first()
+            )
+            if best is None:
+                exhausted = True
+            else:
+                merges.append(
+                    (it, best["a"], best["b"], int(best["cnt"]))
+                )
+                cur = cur.withColumn(
+                    "s",
+                    _bpe_merge_replace(F.col("s"), best["a"], best["b"]),
+                ).localCheckpoint()
+        if it in checkpoints:
+            fert[it] = _fert(cur)
+    return merges, fert
+
+
 _BPE_SEP_SQL = "chr(31)"
 _BPE_SEP2_SQL = f"{_BPE_SEP_SQL} || {_BPE_SEP_SQL}"
 
 
-def _bpe_training_ctes() -> str:
+def _bpe_training_ctes(
+    iters: int | None = None, materialized: bool = False
+) -> str:
     """The WITH-body of the K-iteration merge loop (shared by the
-    merge-table oracle and the fertility oracle): wf (filtered word
-    frequencies), w0 (delimited char symbols), then per iteration t —
-    p{{t}} pair counts from w{{t-1}}, the (cnt DESC, a, b) argmax as a
-    one-row CTE b{{t}}, and w{{t}} with the merge applied via a LEFT
-    JOIN ON TRUE (an empty argmax leaves the vocabulary untouched
-    instead of annihilating it, matching the Spark loop's early
-    break)."""
+    merge-table oracles — K=4 and production-K — and the fertility
+    oracles): wf (filtered word frequencies), w0 (delimited char
+    symbols), then per iteration t — p{{t}} pair counts from w{{t-1}},
+    the (cnt DESC, a, b) argmax as a one-row CTE b{{t}}, and w{{t}}
+    with the merge applied via a LEFT JOIN ON TRUE (an empty argmax
+    leaves the vocabulary untouched instead of annihilating it,
+    matching the Spark loop's early break).
+
+    `materialized=True` emits `AS MATERIALIZED` on every iteration
+    CTE: each w{{t}} is referenced twice (by p{{t+1}} and w{{t+1}}),
+    so DuckDB's default inlining duplicates the chain EXPONENTIALLY in
+    K — the K=4 oracles never noticed, the K=64 chain dies on file
+    handles before it dies on time. Materialization makes the replay
+    cost K vocabulary-sized scans (measured 2.6 s at K=64/sf0.01)."""
+    if iters is None:
+        iters = BPE_MERGE_ITERS
+    kw = " MATERIALIZED" if materialized else ""
     sep, sep2 = _BPE_SEP_SQL, _BPE_SEP2_SQL
     blocks = []
-    for t in range(1, BPE_MERGE_ITERS + 1):
+    for t in range(1, iters + 1):
         prev = f"w{t - 1}"
         blocks.append(
             f"""
-p{t} AS (
+p{t} AS{kw} (
   SELECT replace(l[i], {sep}, '') AS a,
          replace(l[i + 1], {sep}, '') AS b,
          CAST(SUM(n) AS BIGINT) AS cnt
@@ -1029,8 +1095,8 @@ p{t} AS (
        unnest(range(1, len(l))) AS t(i)
   GROUP BY 1, 2
 ),
-b{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
-w{t} AS (
+b{t} AS{kw} (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
+w{t} AS{kw} (
   SELECT COALESCE(
            replace(w.s,
                    {sep} || b.a || {sep2} || b.b || {sep},
@@ -1040,7 +1106,7 @@ w{t} AS (
   FROM {prev} w LEFT JOIN b{t} b ON TRUE
 )"""
         )
-    return rf"""wf AS (
+    return rf"""wf AS{kw} (
   SELECT w, COUNT(*) AS n FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
     FROM documents)
@@ -1057,14 +1123,18 @@ w0 AS (
 ),{",".join(blocks)}"""
 
 
-def _oracle_bpe_merges() -> str:
+def _oracle_bpe_merges(
+    iters: int | None = None, materialized: bool = False
+) -> str:
+    if iters is None:
+        iters = BPE_MERGE_ITERS
     final_unions = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS it, a AS sym_a, b AS sym_b, "
         f"cnt AS pair_n FROM b{k}"
-        for k in range(1, BPE_MERGE_ITERS + 1)
+        for k in range(1, iters + 1)
     )
     return f"""
-WITH {_bpe_training_ctes()}
+WITH {_bpe_training_ctes(iters, materialized)}
 {final_unions}
 """
 
@@ -1298,6 +1368,86 @@ SELECT dw.doc_id,
          AS chars_per_bpe_milli
 FROM dw JOIN v{BPE_MERGE_ITERS} v ON dw.w = v.w
 GROUP BY dw.doc_id
+"""
+
+
+# production-scale merge count (r16 VERDICT item 3: "a driver-loop
+# variant at K≈64-256 … would make the tokenizer loop real rather than
+# demonstrative"). 64 keeps the oracle replay tractable (2.6 s at
+# sf0.01 with materialized CTEs) while being a real tokenizer-shaped K.
+BPE_PROD_ITERS = 64
+# fertility-curve checkpoints: char baseline, the oracled K=4 twin's
+# point, and two production depths — the curve a tokenizer team reads
+BPE_CURVE_KS = (0, BPE_MERGE_ITERS, 16, BPE_PROD_ITERS)
+
+
+def q_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-K BPE merge table: `q_bpe_merges` at
+    K={BPE_PROD_ITERS} driver-side iterations (the k-means/PageRank
+    data-dependent-loop precedent — each merge is one vocabulary-sized
+    aggregate + a bounded argmax, so K Spark jobs, never a corpus
+    re-scan). The K=4 entry stays as the cheap always-on gate; this
+    one proves the loop holds at a tokenizer-shaped depth. Oracled
+    EXACTLY (not rows-only): the DuckDB replay materializes each
+    iteration CTE — without `AS MATERIALIZED`, inlining duplicates the
+    doubly-referenced w{{t}} chain exponentially in K.
+
+    Scale shape: identical per-iteration plan to `q_bpe_merges`
+    (see `_mine_bpe_merges`: rolling persist keeps the replace chain
+    depth 1); total cost is K × vocabulary, linear in K."""
+    merges, _ = _mine_bpe_merges(spark, sf_dir, BPE_PROD_ITERS)
+    return _bpe_merge_frame(spark, merges)
+
+
+def q_bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility vs merge depth — the curve a tokenizer team reads to
+    pick K: (k, n_word_tokens, n_bpe_tokens, bpe_tokens_per_word_milli)
+    at k ∈ {BPE_CURVE_KS} checkpoints of ONE K={BPE_PROD_ITERS}
+    training run (k=0 is the character baseline, so the row pair
+    (0, K) brackets the whole compression story). Fertility here is
+    corpus-weighted over the training vocabulary: Σ n·|symbols| / Σ n,
+    integer-exact via the truncating milli-division.
+
+    Scale shape: `_mine_bpe_merges`' story plus one vocabulary-sized
+    aggregate per checkpoint (4 extra tiny jobs); nothing touches the
+    corpus after the initial word count."""
+    _, fert = _mine_bpe_merges(
+        spark, sf_dir, BPE_PROD_ITERS, checkpoints=BPE_CURVE_KS
+    )
+    rows = [
+        (k, nw, nb, (nb * 1000) // nw)
+        for k, (nw, nb) in sorted(fert.items())
+        if nw > 0
+    ]
+    schema = (
+        "k int, n_word_tokens bigint, n_bpe_tokens bigint, "
+        "bpe_tokens_per_word_milli bigint"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    from .similarity import _model_df
+
+    return _model_df(spark, rows, schema)
+
+
+def _oracle_bpe_fertility_curve() -> str:
+    """One materialized K={BPE_PROD_ITERS} training chain, then one
+    aggregate row per checkpoint vocabulary w{{k}} (HAVING drops the
+    empty-corpus NULL row exactly like the engine's nw>0 guard)."""
+    sep2 = _BPE_SEP2_SQL
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_word_tokens,
+       CAST(SUM(n * len(string_split(s, {sep2}))) AS BIGINT)
+         AS n_bpe_tokens,
+       (CAST(SUM(n * len(string_split(s, {sep2}))) AS BIGINT) * 1000)
+         // CAST(SUM(n) AS BIGINT) AS bpe_tokens_per_word_milli
+FROM w{k} HAVING CAST(SUM(n) AS BIGINT) > 0"""
+        for k in sorted(BPE_CURVE_KS)
+    )
+    return f"""
+WITH {_bpe_training_ctes(BPE_PROD_ITERS, materialized=True)}
+{selects}
 """
 
 
@@ -1550,6 +1700,8 @@ QUERIES = {
     "winnowing_fingerprint": q_winnowing_fingerprint,
     "winnow_near_dup": q_winnow_near_dup,
     "bpe_token_counts": q_bpe_token_counts,
+    "bpe_merges_k64": q_bpe_merges_k64,
+    "bpe_fertility_curve": q_bpe_fertility_curve,
 }
 
 ORACLES = {
@@ -1571,4 +1723,6 @@ ORACLES = {
     "winnowing_fingerprint": ORACLE_WINNOWING,
     "winnow_near_dup": ORACLE_WINNOW_NEAR_DUP,
     "bpe_token_counts": _oracle_bpe_token_counts(),
+    "bpe_merges_k64": _oracle_bpe_merges(BPE_PROD_ITERS, materialized=True),
+    "bpe_fertility_curve": _oracle_bpe_fertility_curve(),
 }

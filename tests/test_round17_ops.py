@@ -90,3 +90,98 @@ def test_t_closeness_matches_python_model(spark, sf_dir, queries, duck):
     }
     assert got == want
     assert want, "fixture produced no QI classes — vacuous test"
+
+
+# --------------------------------- bpe_merges_k64 / bpe_fertility_curve
+
+
+def _py_bpe_train(word_counts, iters):
+    """Reference pure-Python BPE trainer (Sennrich et al., ACL 2016,
+    Algorithm 1): per iteration count adjacent symbol pairs weighted
+    by word frequency, merge the (count DESC, pair ASC) argmax with
+    greedy left-to-right non-overlapping application."""
+    vocab = [(list(w), n) for w, n in word_counts.items()]
+    merges = []
+    for it in range(1, iters + 1):
+        pairs: dict = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((it, a, b, cnt))
+        for i, (syms, n) in enumerate(vocab):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            vocab[i] = (out, n)
+    return merges, vocab
+
+
+def _fixture_word_counts(duck):
+    rows = duck.execute(
+        r"""SELECT w, COUNT(*) FROM (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents)
+            WHERE length(w) > 0 AND strpos(w, chr(31)) = 0
+            GROUP BY w"""
+    ).fetchall()
+    return dict(rows)
+
+
+def test_bpe_k64_matches_pure_python(spark, sf_dir, queries, duck):
+    """The distributed 64-merge table must equal the reference
+    pure-Python BPE trainer on the fixture vocabulary — algorithmic
+    equivalence, independent of the DuckDB cross-engine oracle."""
+    from gomysql2pg_spark.operators.text import BPE_PROD_ITERS
+
+    want, _ = _py_bpe_train(_fixture_word_counts(duck), BPE_PROD_ITERS)
+    got = sorted(
+        (r["it"], r["sym_a"], r["sym_b"], r["pair_n"])
+        for r in queries["bpe_merges_k64"](spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) == BPE_PROD_ITERS, "fixture exhausted pairs early"
+
+
+def test_bpe_fertility_curve_shape(spark, sf_dir, queries, duck):
+    """The curve must be monotone non-increasing in k (every merge can
+    only shrink token counts), anchored at the char baseline (k=0:
+    n_bpe = total characters), constant in n_word_tokens, and its
+    final point must equal the pure-Python trainer's segmentation."""
+    from gomysql2pg_spark.operators.text import (
+        BPE_CURVE_KS,
+        BPE_PROD_ITERS,
+    )
+
+    rows = {
+        r["k"]: r
+        for r in queries["bpe_fertility_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(BPE_CURVE_KS)
+    wc = _fixture_word_counts(duck)
+    n_words = sum(wc.values())
+    n_chars = sum(len(w) * n for w, n in wc.items())
+    assert rows[0]["n_word_tokens"] == n_words
+    assert rows[0]["n_bpe_tokens"] == n_chars
+    last = None
+    for k in sorted(BPE_CURVE_KS):
+        r = rows[k]
+        assert r["n_word_tokens"] == n_words
+        assert r["bpe_tokens_per_word_milli"] == (
+            r["n_bpe_tokens"] * 1000 // n_words
+        )
+        if last is not None:
+            assert r["n_bpe_tokens"] <= last
+        last = r["n_bpe_tokens"]
+    _, vocab = _py_bpe_train(wc, BPE_PROD_ITERS)
+    assert rows[BPE_PROD_ITERS]["n_bpe_tokens"] == sum(
+        len(syms) * n for syms, n in vocab
+    )
