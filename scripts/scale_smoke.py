@@ -172,6 +172,18 @@ SCALE_CRITICAL = [
     # l-diversity audit (two shrinking hash aggs like k-anonymity)
     "winnow_near_dup",
     "l_diversity_report",
+    # r17: t-closeness (the k-anonymity plan + one broadcast — same
+    # shrinking-agg shape), production-K BPE (64 vocabulary-sized
+    # iterations — per-iteration cost must stay flat as the corpus
+    # grows, so the ratio should track bpe_merges'), the fertility
+    # curve (same loop + 4 checkpoint aggs), and the streaming
+    # admission gate (stateless band keys + 4 stream-static joins
+    # against the (band,bkey)→min index; a mega-bucket collapses to
+    # ONE index row, so the skewed twin must stay flat)
+    "t_closeness_report",
+    "bpe_merges_k64",
+    "bpe_fertility_curve",
+    "stream_dedup_admit",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",
@@ -386,6 +398,9 @@ def main() -> int:
             "dedup_simhash",
             "dedup_survivors_lsh",
             "dedup_exact_norm",
+            # r17: the online admission gate must survive the same
+            # mega-bucket (the template collapses to ONE index row)
+            "stream_dedup_admit",
         ]
     names = [
         n

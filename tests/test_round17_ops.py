@@ -185,3 +185,55 @@ def test_bpe_fertility_curve_shape(spark, sf_dir, queries, duck):
     assert rows[BPE_PROD_ITERS]["n_bpe_tokens"] == sum(
         len(syms) * n for syms, n in vocab
     )
+
+
+# ------------------------------------------------ stream_dedup_admit
+
+
+def test_stream_admit_reconciles_with_batch_lsh(spark, sf_dir, queries):
+    """The r16 VERDICT's done-condition for the online gate: a
+    streamed (odd) doc is flagged duplicate-of m exactly when the
+    BATCH banded pipeline on the combined corpus produces a candidate
+    pair between it and an installed (even) doc, with m the minimal
+    such partner. (Fixture buckets are far below LSH_MAX_BUCKET, so
+    the batch kernel's mega-bucket drop cannot make the sides differ.)"""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.dedup import (
+        _bucket_pairs,
+        _md5_minhash_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _bucket_pairs(_md5_minhash_bands(docs)).collect()
+    want: dict = {}
+    for r in pairs:
+        a, b = r["da"], r["db"]
+        for odd, even in ((a, b), (b, a)):
+            if odd % 2 == 1 and even % 2 == 0:
+                want[odd] = min(want.get(odd, even), even)
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in queries["stream_dedup_admit"](spark, sf_dir).collect()
+        if r["verdict"] == "duplicate"
+    }
+    assert got == want
+    assert want, "fixture produced no cross-half candidates — vacuous"
+
+
+def test_stream_admit_covers_every_streamed_doc(spark, sf_dir, queries):
+    """Append-mode gate: exactly one verdict per odd doc; admitted
+    rows carry NULL dup_of; duplicate rows point at an even doc."""
+    from gomysql2pg_spark.catalog import load_table
+
+    rows = queries["stream_dedup_admit"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_odd = docs.filter("doc_id % 2 = 1").count()
+    assert len(rows) == n_odd
+    assert len({r["doc_id"] for r in rows}) == n_odd
+    for r in rows:
+        if r["verdict"] == "admit":
+            assert r["dup_of"] is None
+        else:
+            assert r["dup_of"] is not None and r["dup_of"] % 2 == 0
