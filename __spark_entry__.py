@@ -29,40 +29,39 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r16 window (50 slots), re-derived 2026-08-16 (batch 7) by
-    # `scripts/registry_hashes.py --derive-window 16`.
-    # (1) changed/new this build: the persist-release fixes
-    # (bloom_prefilter_join, similarity_lsh_verified, bm25_topk, the
-    # two dedup verified twins), the exchange-reuse Q11, the
-    # _ivf_index model-sidecar + compaction refactor + parameterized
-    # ADC cap (similarity_ivfpq, similarity_pq, ann_recall_report),
-    # and the SIXTEEN r16-NEW operators (retrieval_rrf,
-    # retrieval_quality_report, selfrep_scrub, bpe_merges,
-    # bpe_fertility, bpe_token_counts, winnowing_fingerprint,
-    # winnow_near_dup, k_anonymity_report, l_diversity_report,
-    # length_drift_ks, quantize_recall_report, weak_label_vote,
-    # curriculum_order, kn_bigram_logprob, similarity_ivfpq_refined);
-    # (2) the full 15-entry r15 stale queue (4 r11 + 11 r12 rows —
-    # VERDICT r16 item 1: this window burns it to zero; the two
-    # changed stale rows lead in group 1);
-    # (3) oldest-fresh r09 rows in the remaining slots.
-    "bloom_prefilter_join", "similarity_lsh_verified", "ann_recall_report",
-    "bm25_topk", "dedup_minhash_lsh_verified", "dedup_simhash_verified",
-    "q11_important_stock", "similarity_ivfpq", "similarity_pq",
-    "bpe_fertility", "bpe_merges", "bpe_token_counts",
-    "curriculum_order", "k_anonymity_report", "kn_bigram_logprob",
-    "l_diversity_report", "length_drift_ks", "quantize_recall_report",
-    "retrieval_quality_report", "retrieval_rrf", "selfrep_scrub",
-    "similarity_ivfpq_refined", "weak_label_vote", "winnow_near_dup",
-    "winnowing_fingerprint", "q18_large_volume", "q3_shipping_priority",
-    "q7_volume_shipping", "skew_salted_agg", "coreset_margin_select",
-    "cross_source_overlap", "domain_cap_sample_scaled", "er_clusters",
-    "events_top_paths", "events_transition_matrix",
-    "group_reservoir_sample", "mixture_allocation", "pagerank_bipartite",
-    "catalog_tables", "cross_join_small", "datetime_funcs",
-    "exists_pending_orders", "full_outer_join", "lang_id",
-    "null_safe_join", "pii_scrub", "pivot_status",
-    "projection", "q4_order_priority", "quality_score",
+    # --- r17 window (50 slots), derived 2026-08-16 by
+    # `scripts/registry_hashes.py --derive-window 17`.
+    # (1) changed/new this build: the FIVE r17-NEW operators
+    # (ann_retrain_report, bpe_merges_k64, bpe_fertility_curve,
+    # stream_dedup_admit, t_closeness_report) plus the eleven entries
+    # whose closures the r17 work touched — the retrain path threads
+    # seed_by_hash through _train_coarse/_train_pq_model (every
+    # IVF/PQ-family entry: similarity_pq/ivfpq/ivfpq_refined,
+    # ann_recall_report, bitext_margin_pairs_ivf,
+    # hard_negative_mining_ivf, retrieval_rrf/quality_report) and the
+    # production-K BPE refactor touches the shared merge-cascade
+    # builders (bpe_merges, bpe_fertility, bpe_token_counts);
+    # (2) no stale entries exist (r16 burned the queue to zero), so
+    # the remaining 34 slots rotate the oldest-fresh r09/r10/r11 rows
+    # (VERDICT r16 item 5: let --derive-window slot them, no
+    # hand-curation).
+    "bitext_margin_pairs_ivf", "hard_negative_mining_ivf",
+    "ann_recall_report", "bpe_fertility", "bpe_merges",
+    "bpe_token_counts", "retrieval_quality_report", "retrieval_rrf",
+    "similarity_ivfpq", "similarity_ivfpq_refined", "similarity_pq",
+    "ann_retrain_report", "bpe_fertility_curve", "bpe_merges_k64",
+    "stream_dedup_admit", "t_closeness_report",
+    "rollup_agg", "semi_join", "set_except", "set_union_intersect",
+    "similarity_norms", "string_funcs", "text_stats", "tfidf_top_terms",
+    "token_count", "validate_rowcount", "collect_distinct_arrays",
+    "dedup_embedding", "dedup_jaccard_prefix", "doc_fingerprint",
+    "freq_sketch_check", "profile_orders", "q13_custdist",
+    "regex_funcs", "sequence_semantics", "dedup_lines", "oov_rate",
+    "stratified_sample", "string_distance", "temperature_sample",
+    "token_budget_select", "typemap_matrix", "unigram_logprob",
+    "anti_join", "approx_distinct_check", "approx_quantiles_check",
+    "cell_transforms", "char_entropy", "conditional_null",
+    "cooccurrence_lift",
 ]
 
 

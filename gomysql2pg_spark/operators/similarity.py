@@ -501,9 +501,16 @@ def _pq_codebook(emb: DataFrame, cache_key=None) -> DataFrame:
     )
 
 
-def _train_pq_model(emb: DataFrame, cache_key=None) -> list:
+def _train_pq_model(
+    emb: DataFrame, cache_key=None, seed_by_hash: bool = False
+) -> list:
     """[(m, cid, [subdim doubles])] — PQ_TRAIN_ITERS Lloyd iterations
-    per subspace from the vec_id < PQ_K seeds, held on the driver like
+    per subspace from the vec_id < PQ_K seeds (or, with
+    `seed_by_hash`, the PQ_K smallest-md5(vec_id) rows — the retrain
+    path's distribution-covering seeding: low-id seeds are frozen in
+    the ORIGINAL corpus region, so a model retrained over drifted data
+    could never allocate resolution to the new region; hash order is
+    deterministic and oracle-replayable), held on the driver like
     `_train_coarse` (per iteration: ONE broadcast-join argmin pass +
     ONE (PQ_M × PQ_K)-row sufficient-statistics collect — the collect
     moves model-sized rows, never data rows). Same engine-exact
@@ -513,15 +520,28 @@ def _train_pq_model(emb: DataFrame, cache_key=None) -> list:
     empty cells keep their previous sub-centroid."""
     if cache_key is not None and cache_key in _PQ_CB_CACHE:
         return _PQ_CB_CACHE[cache_key]
-    seeds = (
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").cast("int").alias("cid"),
-            F.col("embedding").cast("array<double>").alias("e"),
+    if seed_by_hash:
+        seeds = (
+            emb.filter(F.col("vec_id").isNotNull())
+            .select(
+                F.col("vec_id").cast("int").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("e"),
+                F.md5(F.col("vec_id").cast("string")).alias("hk"),
+            )
+            .orderBy(F.col("hk"), F.col("cid"))
+            .limit(PQ_K)
+            .collect()
         )
-        .limit(PQ_K)
-        .collect()
-    )
+    else:
+        seeds = (
+            emb.filter(F.col("vec_id") < PQ_K)
+            .select(
+                F.col("vec_id").cast("int").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+            .limit(PQ_K)
+            .collect()
+        )
     model: dict = {}
     for r in seeds:
         e = [float(x) for x in r["e"]]
@@ -749,76 +769,97 @@ _PQ_FOLD = """list_reduce(
                        s -> (s[1] - s[2]) * (s[1] - s[2]))),
       (acc, x) -> acc + x)"""
 
-def _pq_train_sql(iters: int = None) -> str:
+def _pq_train_sql(
+    iters: int = None,
+    src: str = "embeddings",
+    enc_src: str | None = None,
+    sfx: str = "",
+    seed_by_hash: bool = False,
+) -> str:
     """CTE chain replaying `_train_pq_model` exactly — the subspace
     twin of `_coarse_train_sql`: pcb0 = seed sub-slices; per iteration
     t, pa{t} = (d, cid)-argmin assignment per (vector, subspace) under
     pcb{t-1}, ps{t} = bigint-micro sufficient statistics, pcb{t} =
     means with empty cells keeping their previous sub-centroid.
     Requires the `ms` CTE; emits `psub` and ends with
-    `cb AS (SELECT … FROM pcb{iters})` so consumers keep their shape."""
+    `cb AS (SELECT … FROM pcb{iters})` so consumers keep their shape.
+    `src` is the TRAINING corpus, `enc_src` (default src) the corpus
+    `psub` slices for ENCODING — the retrain report trains the frozen
+    model on the base corpus but encodes base+delta; `sfx`/
+    `seed_by_hash` as in `_coarse_train_sql`."""
     if iters is None:
         iters = PQ_TRAIN_ITERS
+    if enc_src is None:
+        enc_src = src
     # ptr = the sub-slices of the (sampled) training corpus — the
     # subspace twin of _coarse_train_sql's `tr` (identity sans
-    # predicate when sampling is disabled); psub stays full-corpus
-    # because consumers ENCODE every vector with the trained codebook
+    # predicate when sampling is disabled); psub covers the ENCODE
+    # corpus because consumers encode every vector with the codebook
     ptr_where = " WHERE vec_id IS NOT NULL" + (
         f" AND {_train_sample_pred_sql()}"
         if TRAIN_SAMPLE_MOD > 1
         else ""
     )
-    ctes = [
-        f"""psub AS (
-  SELECT vec_id, m,
-         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
-  FROM embeddings, ms
-)""",
-        f"""ptr AS (
-  SELECT vec_id, m,
-         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
-  FROM (SELECT vec_id, embedding FROM embeddings{ptr_where}), ms
-)""",
-        f"""pcb0 AS (
+    if seed_by_hash:
+        seed_sql = f"""pcb0{sfx} AS (
   SELECT m, CAST(vec_id AS INT) AS cid,
          embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
-  FROM embeddings, ms WHERE vec_id < {PQ_K}
+  FROM (SELECT vec_id, embedding FROM {src} WHERE vec_id IS NOT NULL
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K}), ms
+)"""
+    else:
+        seed_sql = f"""pcb0{sfx} AS (
+  SELECT m, CAST(vec_id AS INT) AS cid,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS ce
+  FROM {src}, ms WHERE vec_id < {PQ_K}
+)"""
+    ctes = [
+        f"""psub{sfx} AS (
+  SELECT vec_id, m,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
+  FROM {enc_src}, ms
 )""",
+        f"""ptr{sfx} AS (
+  SELECT vec_id, m,
+         embedding[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)] AS se
+  FROM (SELECT vec_id, embedding FROM {src}{ptr_where}), ms
+)""",
+        seed_sql,
     ]
     for t in range(1, iters + 1):
-        prev = f"pcb{t - 1}"
+        prev = f"pcb{t - 1}{sfx}"
         ctes.append(
-            f"""pa{t} AS (
+            f"""pa{t}{sfx} AS (
   SELECT vec_id, m, cid FROM (
     SELECT s.vec_id, s.m, c.cid,
            ROW_NUMBER() OVER (
              PARTITION BY s.vec_id, s.m
              ORDER BY {_PQ_FOLD.format(a='s.se', b='c.ce')}, c.cid) AS rn
-    FROM ptr s JOIN {prev} c USING (m))
+    FROM ptr{sfx} s JOIN {prev} c USING (m))
   WHERE rn = 1
 )"""
         )
         ctes.append(
-            f"""ps{t} AS (
+            f"""ps{t}{sfx} AS (
   SELECT m, cid, i AS pos,
          SUM(TRY_CAST(ROUND(s.se[i] * 1e6) AS BIGINT)) AS sm,
          COUNT(*) AS c
-  FROM pa{t} JOIN ptr s USING (vec_id, m)
+  FROM pa{t}{sfx} JOIN ptr{sfx} s USING (vec_id, m)
   CROSS JOIN range(1, {PQ_SUBDIM + 1}) t(i)
   GROUP BY m, cid, i
 )"""
         )
         ctes.append(
-            f"""pcb{t} AS (
+            f"""pcb{t}{sfx} AS (
   SELECT p.m, p.cid, COALESCE(x.ce, p.ce) AS ce
   FROM {prev} p LEFT JOIN (
     SELECT m, cid, LIST(CAST(COALESCE(sm, 0) AS DOUBLE) / 1e6 / c
                         ORDER BY pos) AS ce
-    FROM ps{t} GROUP BY m, cid
+    FROM ps{t}{sfx} GROUP BY m, cid
   ) x USING (m, cid)
 )"""
         )
-    ctes.append(f"cb AS (SELECT m, cid, ce FROM pcb{iters})")
+    ctes.append(f"cb{sfx} AS (SELECT m, cid, ce FROM pcb{iters}{sfx})")
     return ",\n".join(ctes)
 
 
@@ -896,7 +937,9 @@ _COARSE_CACHE: dict = {}
 _ID_FRAME_CACHE: dict = {}
 
 
-def _train_coarse(emb: DataFrame, cache_key=None) -> list:
+def _train_coarse(
+    emb: DataFrame, cache_key=None, seed_by_hash: bool = False
+) -> list:
     """Train the IVF coarse quantizer: IVF_TRAIN_ITERS Lloyd
     iterations composed from the clustering.py E/M halves (Jégou et
     al., TPAMI 2011 §V — IVFADC assumes a TRAINED coarse quantizer;
@@ -923,18 +966,34 @@ def _train_coarse(emb: DataFrame, cache_key=None) -> list:
         return _COARSE_CACHE[cache_key]
     dim = PQ_M * PQ_SUBDIM
     # both collects are MODEL-sized, never data-sized: seeds are the
-    # filter vec_id < IVF_NLIST (≤ nlist rows), statistics are one row
-    # per cell (≤ nlist rows) — the explicit limit documents the bound
-    # and keeps the driver-collection lint honest
-    cent = {
-        int(r["cell"]): [float(x) for x in r["ce"]]
-        for r in emb.filter(F.col("vec_id") < IVF_NLIST)
-        .select(
-            F.col("vec_id").cast("int").alias("cell"),
-            F.col("embedding").cast("array<double>").alias("ce"),
+    # filter vec_id < IVF_NLIST (≤ nlist rows; hash-seeding is a
+    # TakeOrdered of the same bound), statistics are one row per cell
+    # (≤ nlist rows) — the explicit limit documents the bound and
+    # keeps the driver-collection lint honest
+    if seed_by_hash:
+        seed_rows = (
+            emb.filter(F.col("vec_id").isNotNull())
+            .select(
+                F.col("vec_id").cast("int").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("ce"),
+                F.md5(F.col("vec_id").cast("string")).alias("hk"),
+            )
+            .orderBy(F.col("hk"), F.col("cell"))
+            .limit(IVF_NLIST)
+            .collect()
         )
-        .limit(IVF_NLIST)
-        .collect()
+    else:
+        seed_rows = (
+            emb.filter(F.col("vec_id") < IVF_NLIST)
+            .select(
+                F.col("vec_id").cast("int").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("ce"),
+            )
+            .limit(IVF_NLIST)
+            .collect()
+        )
+    cent = {
+        int(r["cell"]): [float(x) for x in r["ce"]] for r in seed_rows
     }
     if not cent:  # empty corpus: no seeds, no model
         return []
@@ -1240,21 +1299,27 @@ def _atomic_install(fs, croot, sroot, name, codes, model_blob) -> bool:
     return _tree_built(fs, out_c)
 
 
-def _model_json(key: str, cent_rows: list, cb_rows: list) -> bytes:
+def _model_json(
+    key: str,
+    cent_rows: list,
+    cb_rows: list,
+    compacted_through: list | None = None,
+) -> bytes:
     import json
 
-    return json.dumps(
-        {
-            "model_key": key,
-            "cent": [
-                [int(c), [float(x) for x in ce]] for c, ce in cent_rows
-            ],
-            "codebook": [
-                [int(m), int(cid), [float(x) for x in ce]]
-                for m, cid, ce in cb_rows
-            ],
-        }
-    ).encode()
+    blob = {
+        "model_key": key,
+        "cent": [
+            [int(c), [float(x) for x in ce]] for c, ce in cent_rows
+        ],
+        "codebook": [
+            [int(m), int(cid), [float(x) for x in ce]]
+            for m, cid, ce in cb_rows
+        ],
+    }
+    if compacted_through is not None:
+        blob["compacted_through"] = sorted(compacted_through)
+    return json.dumps(blob).encode()
 
 
 def _read_model_blob(fs, tree_c: str) -> dict | None:
@@ -1470,14 +1535,26 @@ def ivf_index_compact(
     blob = _json.dumps(
         {**model, "compacted_through": sorted(absorbed | set(deltas))}
     ).encode()
+    _install_and_swap(fs, croot, sroot, name, codes, blob)
+    for d in deltas:
+        _rm_tree(fs, _join(croot, d))
+    return len(deltas)
+
+
+def _install_and_swap(fs, croot, sroot, name, codes, blob) -> None:
+    """Install `codes`+sidecar under a staging name and swap it in as
+    the live base — the ONE two-rename discipline shared by compaction
+    and retrain (`_recover_base` repairs a crash in either caller
+    identically because both stage under the `.compact-` prefix).
+    A unique tag, not the pid: a long-lived driver swapping twice must
+    not collide with its own stale leftovers (r16 review)."""
     import uuid
 
-    # unique tag, not the pid: a long-lived driver compacting twice
-    # would collide with its own stale leftovers (r16 review)
     tag = uuid.uuid4().hex[:8]
     staging = f"{name}.compact-{tag}"
     if not _atomic_install(fs, croot, sroot, staging, codes, blob):
-        raise OSError(f"failed to install compacted tree {staging}")
+        raise OSError(f"failed to install staged tree {staging}")
+    base_c = _join(croot, name)
     old_c = _join(croot, f"{name}.old-{tag}")
     fs.move(base_c, old_c)
     try:
@@ -1489,9 +1566,6 @@ def ivf_index_compact(
         fs.move(old_c, base_c)
         raise
     _rm_tree(fs, old_c)
-    for d in deltas:
-        _rm_tree(fs, _join(croot, d))
-    return len(deltas)
 
 
 def ivf_index_staleness(
@@ -1539,6 +1613,159 @@ def ivf_index_staleness(
         ).alias("staleness_milli"),
         lit(consistent, "boolean").alias("model_consistent"),
     )
+
+
+def ivf_index_retrain(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    *,
+    staleness_threshold_milli: int = 100,
+    force: bool = False,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> dict:
+    """Retrain-and-reindex — the arc that closes the index lifecycle
+    (r16 VERDICT item 1): when enough of the served code table was
+    appended AFTER the model was trained (`ivf_index_staleness`), train
+    a NEW coarse+PQ model over the CURRENT corpus `emb` (the caller
+    supplies base+delta raw vectors — codes are lossy, so retraining
+    from the index alone is impossible by construction), re-encode the
+    corpus under it, and swap the new tree in ONLINE: the old index
+    serves until one atomic rename flips the pointer. This is the
+    reference's rebuild-from-scratch `IdxCreate`
+    (/root/reference/cmd/tablemeta.go:200-255) done without downtime.
+
+    Discipline (all shared with compaction — ONE swap path):
+    - the new tree is FULLY installed under a `.compact-` staging name
+      while the live base serves; `_recover_base` repairs a crash in
+      the two-rename window exactly as for compaction (a COMPLETE
+      staging tree is the newer state);
+    - the new sidecar carries the NEW model (self-describing serving —
+      `query_index_tree` reads it, never the session caches) and names
+      every pre-retrain delta in `compacted_through`: their vectors
+      were re-encoded from `emb`, so a crash that leaves the old delta
+      trees on disk cannot double-serve them;
+    - the new model_key is a deterministic digest of (old key,
+      absorbed deltas), so mixing old deltas into the new tree is
+      refused by the same model-consistency gate appends use.
+
+    Below the staleness threshold (and not `force`) this is a no-op
+    returning the measured staleness — the control-plane call a
+    nightly maintenance job makes unconditionally. Returns
+    {retrained, staleness_milli, n_deltas_absorbed, old_model_key,
+    new_model_key, n_codes}."""
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _index_name(sf_dir)
+    _recover_base(fs, croot, name)
+    base_c = _join(croot, name)
+    if not _tree_built(fs, base_c):
+        raise ValueError("base index tree not built — nothing to retrain")
+    model = _read_model_blob(fs, base_c)
+    if model is None:
+        raise ValueError(
+            "base tree has no _MODEL.json sidecar (pre-r16 build) — "
+            "rebuild the index to enable retraining"
+        )
+    absorbed = set(model.get("compacted_through", []))
+    deltas = [d for d in _delta_trees(fs, croot, name) if d not in absorbed]
+    n_base = spark.read.parquet(_join(sroot, name)).count()
+    n_appended = sum(
+        spark.read.parquet(_join(sroot, d)).count() for d in deltas
+    )
+    total = n_base + n_appended
+    staleness = (n_appended * 1000) // total if total else 0
+    out = {
+        "retrained": False,
+        "staleness_milli": staleness,
+        "n_deltas_absorbed": 0,
+        "old_model_key": model["model_key"],
+        "new_model_key": model["model_key"],
+        "n_codes": total,
+    }
+    if not force and staleness < staleness_threshold_milli:
+        return out
+    # hash-sampled seeds over the CURRENT corpus (never vec_id < K):
+    # low-id seeds live in the original data region by construction,
+    # so a drift-triggered retrain could never allocate cells or
+    # sub-centroids to the very region whose arrival triggered it
+    new_cent = _train_coarse(emb, cache_key=None, seed_by_hash=True)
+    if not new_cent:
+        return out  # empty corpus: nothing to train, keep serving
+    new_cb_rows = _train_pq_model(emb, cache_key=None, seed_by_hash=True)
+    new_cb = _model_df(
+        spark, new_cb_rows, "m int, cid int, ce array<double>"
+    )
+    codes = _pq_codes(
+        _assign_cells(emb, new_cent), new_cb, carry=("cell",)
+    )
+    new_key = hashlib.md5(
+        repr(
+            (model["model_key"], "retrain", tuple(sorted(absorbed | set(deltas))))
+        ).encode()
+    ).hexdigest()[:12]
+    blob = _model_json(
+        new_key,
+        new_cent,
+        new_cb_rows,
+        compacted_through=sorted(absorbed | set(deltas)),
+    )
+    _install_and_swap(fs, croot, sroot, name, codes, blob)
+    for d in deltas:
+        _rm_tree(fs, _join(croot, d))
+    out.update(
+        retrained=True,
+        n_deltas_absorbed=len(deltas),
+        new_model_key=new_key,
+        n_codes=spark.read.parquet(_join(sroot, name)).count(),
+    )
+    return out
+
+
+def query_index_tree(
+    spark: SparkSession,
+    q: DataFrame,
+    *,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    topk: int = PQ_TOP_K,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> DataFrame:
+    """Serve IVFADC top-k from an INSTALLED index tree using ONLY its
+    `_MODEL.json` sidecar — the self-describing serving path: after a
+    retrain swap the tree's model differs from anything the session
+    trained, so serving must read the model the codes were actually
+    encoded under, never a session cache. `q` carries (qid, qe); the
+    plan is `q_similarity_ivfpq`'s probe — broadcast model tables,
+    cell equi-join against the partition-pruned code table (base +
+    live deltas via `_read_index_codes`), shared ADC scorer."""
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _index_name(sf_dir)
+    _recover_base(fs, croot, name)
+    model = _read_model_blob(fs, _join(croot, name))
+    if model is None:
+        raise ValueError(
+            "index tree has no _MODEL.json sidecar — rebuild it"
+        )
+    cent_rows = [(c, ce) for c, ce in model["cent"]]
+    cb = _model_df(
+        spark,
+        [(m, cid, ce) for m, cid, ce in model["codebook"]],
+        "m int, cid int, ce array<double>",
+    )
+    cent = _model_df(spark, cent_rows, "cell int, ce array<double>")
+    codes = _read_index_codes(spark, fs, croot, sroot, name)
+    dt = _adc_distance_table(q, cb)
+    probes = _probe_cells(q, cent, nprobe)
+    probed = codes.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("qid")),
+    )
+    return _score_with_adc(probed, dt, topk=topk)
 
 
 def _cell_expr(cent_rows: list, emb_col: str = "embedding") -> "F.Column":
@@ -1814,11 +2041,20 @@ def q_similarity_ivfpq(
     return _score_with_adc(probed, dt, topk=topk)
 
 
-def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
+def _coarse_train_sql(
+    iters: int = IVF_TRAIN_ITERS,
+    src: str = "embeddings",
+    sfx: str = "",
+    seed_by_hash: bool = False,
+) -> str:
     """CTE chain replaying `_train_coarse` exactly: cent0 = seeds;
     per iteration t, a{t} = (dist2, cell)-argmin assignment under
     cent{t-1}, s{t} = bigint-micro sufficient statistics, cent{t} =
-    means with empty cells keeping their previous centroid."""
+    means with empty cells keeping their previous centroid.
+    `src`/`sfx` let one oracle hold TWO trainings (the retrain report:
+    old model over the base corpus, new model over base+delta, CTE
+    names suffixed apart); `seed_by_hash` replays the retrain path's
+    smallest-md5(vec_id) seeding instead of vec_id < nlist."""
     dim = PQ_M * PQ_SUBDIM
     # tr = the (sampled) training corpus, the same md5 hash-sample
     # predicate the engine's _train_sample applies. NULL vec_ids are
@@ -1830,41 +2066,49 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
         if TRAIN_SAMPLE_MOD > 1
         else ""
     )
-    ctes = [
-        f"""cent0 AS (
+    if seed_by_hash:
+        seed_sql = f"""cent0{sfx} AS (
   SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS ce
-  FROM embeddings WHERE vec_id < {IVF_NLIST}
-)""",
-        f"""tr AS (
-  SELECT vec_id, embedding FROM embeddings{tr_where}
+  FROM {src} WHERE vec_id IS NOT NULL
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_NLIST}
+)"""
+    else:
+        seed_sql = f"""cent0{sfx} AS (
+  SELECT CAST(vec_id AS INT) AS cell, embedding::DOUBLE[] AS ce
+  FROM {src} WHERE vec_id < {IVF_NLIST}
+)"""
+    ctes = [
+        seed_sql,
+        f"""tr{sfx} AS (
+  SELECT vec_id, embedding FROM {src}{tr_where}
 )""",
     ]
     for t in range(1, iters + 1):
-        prev = f"cent{t - 1}"
+        prev = f"cent{t - 1}{sfx}"
         ctes.append(
-            f"""a{t} AS (
+            f"""a{t}{sfx} AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY {_PQ_FOLD.format(a='e.embedding', b='c.ce')},
                       c.cell) AS rn
-    FROM tr e, {prev} c)
+    FROM tr{sfx} e, {prev} c)
   WHERE rn = 1
 )"""
         )
         ctes.append(
-            f"""s{t} AS (
+            f"""s{t}{sfx} AS (
   SELECT cell, i AS pos,
          SUM(TRY_CAST(ROUND(e.embedding[i] * 1e6) AS BIGINT)) AS s,
          COUNT(*) AS c
-  FROM a{t} JOIN tr e USING (vec_id)
+  FROM a{t}{sfx} JOIN tr{sfx} e USING (vec_id)
   CROSS JOIN range(1, {dim + 1}) t(i)
   GROUP BY cell, i
 )"""
         )
         ctes.append(
-            f"""cent{t} AS (
+            f"""cent{t}{sfx} AS (
   SELECT p.cell, COALESCE(m.ce, p.ce) AS ce
   FROM {prev} p LEFT JOIN (
     -- COALESCE mirrors the engine's `(s or 0)`: a component whose
@@ -1873,7 +2117,7 @@ def _coarse_train_sql(iters: int = IVF_TRAIN_ITERS) -> str:
     -- class the engine side already handles (r13 review finding)
     SELECT cell, LIST(CAST(COALESCE(s, 0) AS DOUBLE) / 1e6 / c
                       ORDER BY pos) AS ce
-    FROM s{t} GROUP BY cell
+    FROM s{t}{sfx} GROUP BY cell
   ) m USING (cell)
 )"""
         )
@@ -2573,6 +2817,346 @@ FROM h HAVING COUNT(*) > 0
 """
 
 
+# --- retrain-report fixture geometry (r17): the synthetic "new data"
+# batch is a DISTRIBUTION-SHIFTED copy of every 4th vector (ids offset
+# far past the corpus, every component +RETRAIN_SHIFT — a new cluster
+# the frozen model never saw), so the staleness crosses the retrain
+# threshold AND the retrained model has something real to learn.
+RETRAIN_DELTA_MOD = 4
+RETRAIN_ID_OFFSET = 10_000_000  # multiple of QUERY_MOD: shifted twins
+#                                 of query ids stay in the query set
+RETRAIN_SHIFT = 1.0
+RETRAIN_STALENESS_MILLI = 100
+
+
+def _retrain_delta(emb: DataFrame) -> DataFrame:
+    """The deterministic shifted batch: float storage on both engines
+    (double add, round back to float — IEEE-exact cross-engine)."""
+    return emb.filter(
+        F.col("vec_id") % RETRAIN_DELTA_MOD == 0
+    ).select(
+        (F.col("vec_id") + F.lit(RETRAIN_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                x.cast("double") + F.lit(float(RETRAIN_SHIFT))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def _exact_topk_l2(corpus: DataFrame, q: DataFrame, topk: int) -> DataFrame:
+    """(qid, nid) exact squared-L2 top-k over `corpus` — the ground
+    truth both retrain phases are measured against (the deliberate
+    |Q|×n quadratic, same contrast class as `q_similarity_topk`).
+    (d², nid) tie-break matches every ADC ranker in the module."""
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    d2 = _sub_sq_dist(F.col("qe"), F.col("embedding"))
+    return (
+        pairs.select("qid", F.col("vec_id").alias("nid"), d2.alias("d2"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("d2").asc(), F.col("nid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid")
+    )
+
+
+def _coarse_distortion_micro(
+    emb: DataFrame, cent_rows: list
+) -> tuple[int, int]:
+    """(n, Σ micro-rounded min-d²): the k-means objective of `emb`
+    under the model — per-vector squared distance to the assigned
+    centroid, rounded to micro-units PER VECTOR (order-independent
+    bigint sum, the repo's exact-aggregation discipline), never a
+    float sum. One corpus scan + one broadcast nlist-row join at any
+    scale (the assignment is `_assign_cells`' plan)."""
+    spark = emb.sparkSession
+    cent = _model_df(spark, cent_rows, "cell int, __ce array<double>")
+    assigned = _assign_cells(emb, cent_rows)
+    d2 = _sub_sq_dist(F.col("embedding"), F.col("__ce"))
+    r = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(F.round(d2 * 1e6).try_cast("bigint").alias("dm"))
+        .agg(F.count("*").alias("n"), F.sum("dm").alias("s"))
+        .first()
+    )
+    return int(r["n"] or 0), int(r["s"] or 0)
+
+
+def _recall_row(
+    exact: DataFrame,
+    approx: DataFrame,
+    phase: str,
+    distortion_micro_avg: int,
+) -> DataFrame:
+    """(phase, n_queries, total_hits, recall_milli,
+    distortion_micro_avg) — the `q_ann_recall_report` aggregation with
+    a phase tag and the phase's quantization objective."""
+    hits = exact.join(
+        approx.select(
+            F.col("qid").alias("aqid"), F.col("nid").alias("anid")
+        ),
+        (F.col("qid") == F.col("aqid")) & (F.col("nid") == F.col("anid")),
+        "left",
+    )
+    per_q = hits.groupBy("qid").agg(F.count("anid").alias("hits"))
+    return (
+        per_q.agg(
+            F.count("*").alias("n_queries"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .filter(F.col("n_queries") > 0)
+        .select(
+            F.lit(phase).alias("phase"),
+            "n_queries",
+            "total_hits",
+            F.expr(
+                f"(total_hits * 1000) div (n_queries * {PQ_TOP_K})"
+            ).alias("recall_milli"),
+            F.lit(int(distortion_micro_avg))
+            .cast("long")
+            .alias("distortion_micro_avg"),
+        )
+    )
+
+
+def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the retrain lifecycle — the operator a
+    nightly maintenance job IS: build the base index on the fixture
+    corpus, append the shifted batch under the frozen model
+    (`ivf_index_append`), measure recall@{PQ_TOP_K} of the stale index
+    against exact L2 truth on the grown corpus, retrain-and-swap
+    (`ivf_index_retrain` — the staleness of the 20%-appended corpus is
+    200‰, over the {RETRAIN_STALENESS_MILLI}‰ threshold), and measure
+    again — two rows (phase ∈ before/after). Both servings go through
+    `query_index_tree`, i.e. the model each tree's sidecar actually
+    stores — after the swap that is the retrained model, which no
+    session cache holds.
+
+    Composition-priced BY DESIGN (the `retrieval_quality_report`
+    class): every invocation runs the full lifecycle in a fresh
+    private index root — two trainings, two corpus encodes, the exact
+    quadratic truth, two probes — because auditing a cached index
+    would fake the audit. The report frame is drained to a local
+    literal before the private tree is deleted.
+
+    The GATED number is `distortion_micro_avg` — the k-means objective
+    (mean squared distance to the assigned coarse centroid, exact
+    per-vector micro rounding) of the CURRENT corpus under each
+    phase's serving model. On drifted data it collapses after retrain
+    (the frozen model prices the whole new cluster at the shift
+    distance; the retrained, hash-seeded model gives it cells), and
+    unlike recall@k at fixture PQ resolution (PQ_M=4 ⇒ a ~0.1 noise
+    floor vs exact truth) it is deterministic and large. The recall
+    columns stay in the report as the serving-quality context a
+    maintenance job logs alongside.
+
+    Scale story: every stage is an already-audited component —
+    training is the sampled-Lloyd driver loop (model-sized collects),
+    encode/probe the partition-pruned IVFADC plan, the swap two
+    renames; the only corpus×queries term is the truth side, which is
+    the same deliberate contrast `ann_recall_report` prices."""
+    import shutil
+    import tempfile
+
+    schema = (
+        "phase string, n_queries bigint, total_hits bigint, "
+        "recall_milli bigint, distortion_micro_avg bigint"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_retrain_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        delta = _retrain_delta(emb)
+        combined = emb.unionByName(delta)
+        cb = _pq_codebook(emb, cache_key=_fixture_key(sf_dir))
+        cent_rows, _ = _ivf_index(
+            spark, sf_dir, emb, cb, index_root=root
+        )
+        if not cent_rows:
+            return spark.createDataFrame([], schema)
+        ivf_index_append(spark, sf_dir, delta, "b001", index_root=root)
+        fs, croot, _sroot = _resolve_index_fs(root, None, None)
+        name = _index_name(sf_dir)
+
+        def _serving_cent():
+            # the model the tree ACTUALLY serves (sidecar), never a
+            # session cache — the self-describing-index principle
+            blob = _read_model_blob(fs, _join(croot, name))
+            return [(c, ce) for c, ce in blob["cent"]]
+
+        q = _queries_df(combined)
+        exact = _exact_topk_l2(combined, q, PQ_TOP_K).persist()
+        n_b, s_b = _coarse_distortion_micro(combined, _serving_cent())
+        before = _recall_row(
+            exact,
+            query_index_tree(spark, q, sf_dir=sf_dir, index_root=root),
+            "before",
+            s_b // n_b if n_b else 0,
+        )
+        # drain phase 1 BEFORE the swap (the before-tree stops
+        # existing once retrain renames it away)
+        before = drain_one_row(before)
+        info = ivf_index_retrain(
+            spark,
+            sf_dir,
+            combined,
+            staleness_threshold_milli=RETRAIN_STALENESS_MILLI,
+            index_root=root,
+        )
+        assert info["retrained"], info  # 200‰ staleness must trigger
+        n_a, s_a = _coarse_distortion_micro(combined, _serving_cent())
+        after = _recall_row(
+            exact,
+            query_index_tree(spark, q, sf_dir=sf_dir, index_root=root),
+            "after",
+            s_a // n_a if n_a else 0,
+        )
+        after = drain_one_row(after, exact)
+        return before.unionByName(after)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _oracle_ann_retrain() -> str:
+    """The full lifecycle replay: base+shifted-delta corpus, OLD model
+    (trained on the base corpus — default seeding, as the installed
+    sidecar was) encoding the WHOLE corpus (base tree + frozen-model
+    delta append ≡ one corpus-wide encode under the old model), NEW
+    model (trained on the full corpus with hash seeding, the retrain
+    path), both probe/ADC servings, exact-L2 truth, per-phase recall
+    and the micro-exact coarse distortion."""
+    T = IVF_TRAIN_ITERS
+    fold = _PQ_FOLD
+
+    def _phase(sfx: str) -> str:
+        """cells/enc/codes/dt/probes/scored/ranked for one model."""
+        cent = f"cent{T}{sfx}"
+        return f"""
+cells{sfx or "_b"} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {fold.format(a='e.embedding', b='c.ce')},
+                      c.cell) AS rn
+    FROM corpus e, {cent} c)
+  WHERE rn = 1
+),
+enc{sfx or "_b"} AS (
+  SELECT s.vec_id, cl.cell, s.m, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY {fold.format(a='s.se', b='ce')}, cid) AS rn
+  FROM psub{sfx} s
+  JOIN cells{sfx or "_b"} cl ON cl.vec_id = s.vec_id
+  JOIN cb{sfx} USING (m)
+),
+codes{sfx or "_b"} AS (
+  SELECT vec_id, cell,
+         MAX(CASE WHEN m = 0 THEN cid END) AS c0,
+         MAX(CASE WHEN m = 1 THEN cid END) AS c1,
+         MAX(CASE WHEN m = 2 THEN cid END) AS c2,
+         MAX(CASE WHEN m = 3 THEN cid END) AS c3
+  FROM enc{sfx or "_b"} WHERE rn = 1 GROUP BY vec_id, cell
+),
+dt{sfx or "_b"} AS (
+  SELECT qid, m, cid,
+         {fold.format(
+             a=f'qe[1 + {PQ_SUBDIM} * m : {PQ_SUBDIM} * (m + 1)]',
+             b='ce')} AS d
+  FROM q, cb{sfx}
+),
+probes{sfx or "_b"} AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cen.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {fold.format(a='qe', b='cen.ce')}, cen.cell
+           ) AS crank
+    FROM q, {cent} cen)
+  WHERE crank <= {IVF_NPROBE}
+),
+ranked{sfx or "_b"} AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+    FROM (
+      SELECT q.qid, c.vec_id AS nid,
+             (((t0.d + t1.d) + t2.d) + t3.d) AS adc
+      FROM codes{sfx or "_b"} c
+      JOIN probes{sfx or "_b"} p ON c.cell = p.cell
+      JOIN q ON q.qid = p.qid AND c.vec_id <> q.qid
+      JOIN dt{sfx or "_b"} t0 ON t0.qid = q.qid AND t0.m = 0 AND t0.cid = c.c0
+      JOIN dt{sfx or "_b"} t1 ON t1.qid = q.qid AND t1.m = 1 AND t1.cid = c.c1
+      JOIN dt{sfx or "_b"} t2 ON t2.qid = q.qid AND t2.m = 2 AND t2.cid = c.c2
+      JOIN dt{sfx or "_b"} t3 ON t3.qid = q.qid AND t3.m = 3 AND t3.cid = c.c3
+    )) WHERE rank <= {PQ_TOP_K}
+),
+dist{sfx or "_b"} AS (
+  SELECT COUNT(*) AS n,
+         SUM(TRY_CAST(ROUND(md * 1e6) AS BIGINT)) AS s
+  FROM (
+    SELECT MIN({fold.format(a='e.embedding', b='c.ce')}) AS md
+    FROM corpus e, {cent} c GROUP BY e.vec_id)
+),
+rec{sfx or "_b"} AS (
+  SELECT COUNT(*) AS n_queries,
+         CAST(SUM(hits) AS BIGINT) AS total_hits
+  FROM (
+    SELECT ex.qid, COUNT(r.nid) AS hits
+    FROM ex LEFT JOIN ranked{sfx or "_b"} r
+      ON r.qid = ex.qid AND r.nid = ex.nid
+    GROUP BY ex.qid)
+  HAVING COUNT(*) > 0
+)"""
+
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {RETRAIN_ID_OFFSET},
+         list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) + {float(RETRAIN_SHIFT)!r} AS FLOAT))
+  FROM embeddings WHERE vec_id % {RETRAIN_DELTA_MOD} = 0
+),
+{_coarse_train_sql()},
+{_pq_train_sql(src="embeddings", enc_src="corpus")},
+{_coarse_train_sql(src="corpus", sfx="_n", seed_by_hash=True)},
+{_pq_train_sql(src="corpus", sfx="_n", seed_by_hash=True)},
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM corpus
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+ex AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {fold.format(a='q.qe', b='e.embedding')},
+                      e.vec_id) AS rank
+    FROM q JOIN corpus e ON e.vec_id <> q.qid)
+  WHERE rank <= {PQ_TOP_K}
+),{_phase("")},{_phase("_n")}
+SELECT 'before' AS phase, n_queries, total_hits,
+       (total_hits * 1000) // (n_queries * {PQ_TOP_K}) AS recall_milli,
+       CAST(s // n AS BIGINT) AS distortion_micro_avg
+FROM rec_b, dist_b
+UNION ALL
+SELECT 'after' AS phase, n_queries, total_hits,
+       (total_hits * 1000) // (n_queries * {PQ_TOP_K}) AS recall_milli,
+       CAST(s // n AS BIGINT) AS distortion_micro_avg
+FROM rec_n, dist_n
+"""
+
+
 def q_quantize_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What does int8 storage cost in ranking quality? Recall@{TOP_K}
     of the cosine ranking computed ON THE QUANTIZED CODES
@@ -2818,6 +3402,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "decontamination_semantic": q_decontamination_semantic,
     "ann_recall_report": q_ann_recall_report,
+    "ann_retrain_report": q_ann_retrain_report,
     "quantize_recall_report": q_quantize_recall_report,
     "similarity_ivfpq_refined": q_similarity_ivfpq_refined,
     "hard_negative_mining": q_hard_negative_mining,
@@ -2836,6 +3421,7 @@ ORACLES = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "decontamination_semantic": ORACLE_DECONTAMINATION_SEMANTIC,
     "ann_recall_report": ORACLE_ANN_RECALL_REPORT,
+    "ann_retrain_report": _oracle_ann_retrain(),
     "quantize_recall_report": ORACLE_QUANTIZE_RECALL_REPORT,
     "similarity_ivfpq_refined": ORACLE_SIMILARITY_IVFPQ_REFINED,
     "hard_negative_mining": ORACLE_HARD_NEGATIVE_MINING,

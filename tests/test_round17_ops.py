@@ -187,6 +187,175 @@ def test_bpe_fertility_curve_shape(spark, sf_dir, queries, duck):
     )
 
 
+# ------------------------------------------------ ann_retrain_report
+
+
+def test_ann_retrain_report_distortion_collapses(spark, sf_dir, queries):
+    """The gated lifecycle claim: retraining on the drifted corpus
+    must collapse the k-means objective (the frozen model prices the
+    shifted cluster at ~the shift distance; the hash-seeded retrained
+    model gives it cells). Strict factor-2 gate — measured ~14× on
+    every fixture SF."""
+    rows = {
+        r["phase"]: r
+        for r in queries["ann_retrain_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"before", "after"}
+    b, a = rows["before"], rows["after"]
+    assert a["distortion_micro_avg"] * 2 < b["distortion_micro_avg"]
+    for r in (b, a):
+        assert r["n_queries"] > 0
+        assert 0 <= r["total_hits"] <= r["n_queries"] * 5
+        assert r["recall_milli"] == r["total_hits"] * 1000 // (
+            r["n_queries"] * 5
+        )
+
+
+def test_ivf_index_retrain_swaps_model_and_absorbs_deltas(
+    spark, sf_dir, tmp_path
+):
+    """After a forced retrain: the sidecar serves a NEW model key,
+    every pre-retrain delta is absorbed (named in compacted_through,
+    tree GC'd), the code table covers base+delta rows exactly once,
+    and post-retrain appends encode under the NEW model."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from tests.test_round16_ops import _new_vectors
+    from tests.test_round16b_ops import _build_appended_index
+
+    root = str(tmp_path / "ann")
+    _build_appended_index(spark, sf_dir, root, n_batches=2)
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    name = SIM._index_name(sf_dir)
+    old = SIM._read_model_blob(fs, SIM._join(croot, name))
+    n_served = SIM._read_index_codes(
+        spark, fs, croot, sroot, name
+    ).count()
+    from gomysql2pg_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_max = emb.agg(F.max("vec_id")).first()[0]
+    extra = []
+    for b in range(2):
+        extra += [
+            (
+                base_max + 1 + b * 10 + i,
+                [float((i + b + 2) * (d % 7)) for d in range(64)],
+                None,
+            )
+            for i in range(3)
+        ]
+    corpus = emb.unionByName(_new_vectors(spark, extra))
+    info = SIM.ivf_index_retrain(
+        spark, sf_dir, corpus, force=True, index_root=root
+    )
+    assert info["retrained"] and info["n_deltas_absorbed"] == 2
+    new = SIM._read_model_blob(fs, SIM._join(croot, name))
+    assert new["model_key"] != old["model_key"]
+    assert info["new_model_key"] == new["model_key"]
+    assert len(new["compacted_through"]) == 2
+    assert not SIM._delta_trees(fs, croot, name)
+    assert (
+        SIM._read_index_codes(spark, fs, croot, sroot, name).count()
+        == n_served
+        == corpus.count()
+    )
+    # post-retrain append encodes under the NEW sidecar model
+    more = _new_vectors(spark, [(base_max + 100, [0.5] * 64, None)])
+    assert SIM.ivf_index_append(
+        spark, sf_dir, more, "post", index_root=root
+    ) == 1
+    rep = SIM.ivf_index_staleness(
+        spark, sf_dir, index_root=root
+    ).first()
+    assert rep["model_consistent"] is True and rep["n_trees"] == 2
+
+
+def test_ivf_index_retrain_below_threshold_is_noop(
+    spark, sf_dir, tmp_path
+):
+    """A fresh, delta-free index is 0‰ stale: the maintenance call
+    must not retrain, and the sidecar must be untouched."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from gomysql2pg_spark.catalog import load_table
+
+    root = str(tmp_path / "ann")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    fs, croot, _ = SIM._resolve_index_fs(index_root=root)
+    name = SIM._index_name(sf_dir)
+    old = SIM._read_model_blob(fs, SIM._join(croot, name))
+    emb = load_table(spark, sf_dir, "embeddings")
+    info = SIM.ivf_index_retrain(spark, sf_dir, emb, index_root=root)
+    assert not info["retrained"]
+    assert info["staleness_milli"] == 0
+    assert (
+        SIM._read_model_blob(fs, SIM._join(croot, name))["model_key"]
+        == old["model_key"]
+    )
+
+
+def test_ivf_index_retrain_failed_swap_rolls_back(
+    spark, sf_dir, tmp_path
+):
+    """A FAILED second rename (transient fs error, not a crash) must
+    roll the old base back in place and re-raise; the old model keeps
+    serving and the next entry-point call GCs the staged tree."""
+    import pytest as _pytest
+
+    import gomysql2pg_spark.operators.similarity as SIM
+    from gomysql2pg_spark.catalog import load_table
+    from tests.test_round16b_ops import _build_appended_index
+
+    root = str(tmp_path / "ann")
+    _build_appended_index(spark, sf_dir, root, n_batches=1)
+    real_fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    name = SIM._index_name(sf_dir)
+    old = SIM._read_model_blob(real_fs, SIM._join(croot, name))
+    base_c = SIM._join(croot, name)
+
+    class CrashFS:
+        """Raises on the swap's SECOND rename (.compact-* -> base)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def move(self, src, dst):
+            if ".compact-" in src and dst == base_c:
+                raise OSError("injected: second rename died")
+            return self._inner.move(src, dst)
+
+        def __getattr__(self, attr):
+            return getattr(self._inner, attr)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(OSError, match="injected"):
+        SIM.ivf_index_retrain(
+            spark,
+            sf_dir,
+            emb,
+            force=True,
+            index_root=croot,
+            filesystem=CrashFS(real_fs),
+            spark_root=sroot,
+        )
+    # rolled back: the base is in place and still serves the OLD model
+    assert SIM._tree_built(real_fs, base_c)
+    assert (
+        SIM._read_model_blob(real_fs, base_c)["model_key"]
+        == old["model_key"]
+    )
+    # the next entry-point call GCs the orphan staging tree
+    SIM.ivf_index_staleness(spark, sf_dir, index_root=root).collect()
+    from pyarrow import fs as pafs
+
+    names = [
+        i.base_name
+        for i in real_fs.get_file_info(pafs.FileSelector(croot))
+        if i.type == pafs.FileType.Directory
+    ]
+    assert not any(".compact-" in n or ".old-" in n for n in names)
+
+
 # ------------------------------------------------ stream_dedup_admit
 
 
