@@ -923,6 +923,236 @@ FROM pu
 """
 
 
+# DP contribution bounding: per-(user, key) cap and per-user key cap.
+# Both bind on the fixture (per-(user,key) counts reach ~8; users touch
+# ~50-100 (type, day) keys), so the report is non-trivial at every SF.
+DP_MAX_PER_KEY = 3
+DP_MAX_KEYS_PER_USER = 25
+
+
+def q_dp_contribution_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding + realized-sensitivity report —
+    the DETERMINISTIC half of a differentially-private release (Wilson
+    et al., "Differentially Private SQL with Bounded User
+    Contribution", PoPETS 2020 §4; the noise addition itself is
+    random, so what an engine tests is everything before it): before
+    noising per-(event_type, day) counts, each user's contribution is
+    capped at C={DP_MAX_PER_KEY} events per key AND L=
+    {DP_MAX_KEYS_PER_USER} keys overall (their top-L keys by
+    contribution, ties broken deterministically), which bounds the L1
+    sensitivity of the released histogram by C·L regardless of any
+    one user's activity. Reports per event_type: (event_type, n_keys,
+    raw_events, bounded_events, dropped_milli, max_user_bound) where
+    max_user_bound is the realized max per-user bounded contribution
+    within the type — the number the DP accountant actually uses when
+    it is smaller than the worst-case C·L.
+
+    Deterministic end to end: the top-L key selection orders by
+    (contribution DESC, event_type, day_idx) over the unique
+    (user, key) frame, so no tie can resolve differently across
+    engines; day = epoch-micros div 86_400e6 as in the k-anonymity QI.
+
+    Scale shape (100 TB): ONE shrinking hash aggregate (events →
+    (user, type, day) counts — map-side partials do the heavy lift),
+    ONE window partitioned by user over that user's KEY rows (key
+    cardinality per user, never event cardinality — bounded by
+    |types|·|days| regardless of how active the user is), then
+    per-type hash rollups of raw and bounded sides joined on the
+    ≤|types|-row frame. No corpus windows, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx")
+    uk = (
+        ev.select("user_id", "event_type", day)
+        .groupBy("user_id", "event_type", "day_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), "event_type", "day_idx"
+    )
+    kept = (
+        uk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DP_MAX_KEYS_PER_USER)
+        .withColumn(
+            "n_b", F.least(F.col("n"), F.lit(DP_MAX_PER_KEY))
+        )
+    )
+    raw = uk.groupBy("event_type").agg(
+        F.countDistinct("day_idx").alias("n_keys"),
+        F.sum("n").alias("raw_events"),
+    )
+    per_user_type = kept.groupBy("event_type", "user_id").agg(
+        F.sum("n_b").alias("u_b")
+    )
+    bounded = per_user_type.groupBy("event_type").agg(
+        F.sum("u_b").alias("bounded_events"),
+        F.max("u_b").alias("max_user_bound"),
+    )
+    return (
+        raw.join(bounded, "event_type", "left")
+        .select(
+            "event_type",
+            "n_keys",
+            "raw_events",
+            F.coalesce("bounded_events", F.lit(0)).alias("bounded_events"),
+            F.expr(
+                "((raw_events - coalesce(bounded_events, 0)) * 1000)"
+                " div raw_events"
+            ).alias("dropped_milli"),
+            F.coalesce("max_user_bound", F.lit(0)).alias("max_user_bound"),
+        )
+    )
+
+
+if q_dp_contribution_bound.__doc__:  # interpolate the cap constants
+    q_dp_contribution_bound.__doc__ = q_dp_contribution_bound.__doc__.replace(
+        "{DP_MAX_PER_KEY}", str(DP_MAX_PER_KEY)
+    ).replace("{DP_MAX_KEYS_PER_USER}", str(DP_MAX_KEYS_PER_USER))
+
+
+ORACLE_DP_CONTRIBUTION = f"""
+WITH uk AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // {K_ANON_DAY_US} AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT *, LEAST(n, {DP_MAX_PER_KEY}) AS n_b
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY n DESC, event_type, day_idx) AS rn
+    FROM uk)
+  WHERE rn <= {DP_MAX_KEYS_PER_USER}
+),
+raw AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT day_idx) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS raw_events
+  FROM uk GROUP BY 1
+),
+put AS (
+  SELECT event_type, user_id, CAST(SUM(n_b) AS BIGINT) AS u_b
+  FROM kept GROUP BY 1, 2
+),
+bounded AS (
+  SELECT event_type,
+         CAST(SUM(u_b) AS BIGINT) AS bounded_events,
+         CAST(MAX(u_b) AS BIGINT) AS max_user_bound
+  FROM put GROUP BY 1
+)
+SELECT r.event_type, r.n_keys, r.raw_events,
+       CAST(COALESCE(b.bounded_events, 0) AS BIGINT) AS bounded_events,
+       CAST(((r.raw_events - COALESCE(b.bounded_events, 0)) * 1000)
+            // r.raw_events AS BIGINT) AS dropped_milli,
+       CAST(COALESCE(b.max_user_bound, 0) AS BIGINT) AS max_user_bound
+FROM raw r LEFT JOIN bounded b USING (event_type)
+"""
+
+
+# Incremental-rollup split point: base = first 2/3 of the time range,
+# delta = the rest (the temporal_holdout cutoff recipe, so the split
+# usually lands MID-day — the interesting case where base and delta
+# both hold partials for the same (type, day) and the merge must
+# combine them rather than concatenate).
+ROLLUP_SPLIT_NUM = 2
+ROLLUP_SPLIT_DEN = 3
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance — the algebraic
+    partial-aggregate merge every continuously-maintained aggregate at
+    100 TB rides (Gray et al., Data Cube, ICDE 1996 §4's distributive
+    functions; the same property Spark's own partial aggregation
+    exploits per-partition): the per-(event_type, day) rollup
+    (n_events, sum_cents, min_cents, max_cents, avg_cents) is computed
+    as BASE partials (events before the 2/3-range cutoff) merged with
+    DELTA partials (events after) — count/sum merge by +, min/max by
+    min/max, avg derived from merged sums LAST (avg is not
+    distributive; merging avgs would be wrong, which is exactly what
+    the oracle would catch). The cutoff deliberately lands mid-day —
+    at the sf0.01 gate scale and above the same (type, day) group then
+    holds partials on BOTH sides and the merge genuinely combines
+    rather than concatenates (pinned in pytest; at sf0.001 the cutoff
+    can fall in an empty intra-day gap, exercising only the disjoint
+    — still correct — merge).
+
+    The oracle computes the rollup in ONE pass — hash-equality IS the
+    algebraic-merge proof. Production shape: the base partials are a
+    stored table and only the delta is scanned per refresh (here both
+    sides re-scan the fixture because the demo owns no state — the
+    merge plan is what carries to 100 TB: rollup-sized frames, one
+    union + one shrinking hash aggregate, no corpus re-aggregation).
+
+    Integer-exact: cents via the shared try_cast(round(...)) recipe,
+    avg a truncating div of merged sums."""
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.expr("unix_micros(ts)")).alias("lo"),
+        F.max(F.expr("unix_micros(ts)")).alias("hi"),
+    )
+    cutoff = lohi.select(
+        F.expr(
+            "CASE WHEN lo IS NULL THEN 0 ELSE "
+            f"lo + (hi - lo) * {ROLLUP_SPLIT_NUM} div {ROLLUP_SPLIT_DEN} "
+            "END"
+        ).alias("cutoff")
+    )
+    base_row = ev.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx"),
+        F.expr(sql_cents_spark("value")).alias("c"),
+        F.expr("unix_micros(ts) < cutoff").alias("is_base"),
+    )
+
+    def _partials(side):
+        return side.groupBy("event_type", "day_idx").agg(
+            F.count("*").alias("n_events"),
+            F.sum("c").alias("sum_cents"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+
+    base = _partials(base_row.filter("is_base"))
+    delta = _partials(base_row.filter("NOT is_base"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("sum_cents div n_events").alias("avg_cents"),
+    )
+
+
+ORACLE_ROLLUP_INCREMENTAL = f"""
+SELECT event_type,
+       epoch_us(ts) // {K_ANON_DAY_US} AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(TRY_CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(TRY_CAST(ROUND(value * 100) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_window": q_events_window,
     "events_transition_matrix": q_events_transition_matrix,
@@ -937,12 +1167,16 @@ QUERIES = {
     "k_anonymity_report": q_k_anonymity_report,
     "l_diversity_report": q_l_diversity_report,
     "t_closeness_report": q_t_closeness_report,
+    "dp_contribution_bound": q_dp_contribution_bound,
+    "rollup_incremental": q_rollup_incremental,
 }
 
 ORACLES = {
     "k_anonymity_report": ORACLE_K_ANONYMITY,
     "l_diversity_report": ORACLE_L_DIVERSITY,
     "t_closeness_report": ORACLE_T_CLOSENESS,
+    "dp_contribution_bound": ORACLE_DP_CONTRIBUTION,
+    "rollup_incremental": ORACLE_ROLLUP_INCREMENTAL,
     "events_window": ORACLE_EVENTS_WINDOW,
     "events_transition_matrix": ORACLE_EVENTS_TRANSITIONS,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,

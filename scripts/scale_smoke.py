@@ -184,6 +184,18 @@ SCALE_CRITICAL = [
     "bpe_merges_k64",
     "bpe_fertility_curve",
     "stream_dedup_admit",
+    # r17: the retrain lifecycle audit (composition-priced like
+    # retrieval_quality_report: two trainings — model-sized collects
+    # only — two corpus encodes, the exact |Q|×n truth, two probes;
+    # the truth term dominates and is the deliberate contrast)
+    "ann_retrain_report",
+    # r17 batch 5: DP contribution bounding (the replication does NOT
+    # offset events.user_id, so per-user key cardinality grows with
+    # scale — exactly the per-user window state this op's bound-by-
+    # |types|·|days| claim must survive) and the incremental rollup
+    # merge (two corpus scans + a rollup-sized combine)
+    "dp_contribution_bound",
+    "rollup_incremental",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

@@ -406,3 +406,172 @@ def test_stream_admit_covers_every_streamed_doc(spark, sf_dir, queries):
             assert r["dup_of"] is None
         else:
             assert r["dup_of"] is not None and r["dup_of"] % 2 == 0
+
+
+# ------------------------------------- dp_contribution_bound (batch 5)
+
+
+def _py_dp_report(events_rows):
+    """Plain-Python recount of the contribution-bounding report: the
+    same deterministic top-L selection and per-key cap."""
+    from gomysql2pg_spark.operators.events import (
+        DP_MAX_KEYS_PER_USER,
+        DP_MAX_PER_KEY,
+        K_ANON_DAY_US,
+    )
+
+    uk: dict = {}
+    for ts_us, user, etype in events_rows:
+        key = (user, etype, ts_us // K_ANON_DAY_US)
+        uk[key] = uk.get(key, 0) + 1
+    per_user: dict = {}
+    for (user, etype, day), n in uk.items():
+        per_user.setdefault(user, []).append((n, etype, day))
+    kept: dict = {}
+    for user, rows in per_user.items():
+        rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+        for n, etype, day in rows[:DP_MAX_KEYS_PER_USER]:
+            kept[(user, etype, day)] = min(n, DP_MAX_PER_KEY)
+    report: dict = {}
+    for (user, etype, day), n in uk.items():
+        r = report.setdefault(
+            etype, {"days": set(), "raw": 0, "ub": {}}
+        )
+        r["days"].add(day)
+        r["raw"] += n
+    for (user, etype, day), nb in kept.items():
+        r = report[etype]
+        r["ub"][user] = r["ub"].get(user, 0) + nb
+    out = {}
+    for etype, r in report.items():
+        bounded = sum(r["ub"].values())
+        out[etype] = (
+            len(r["days"]),
+            r["raw"],
+            bounded,
+            (r["raw"] - bounded) * 1000 // r["raw"],
+            max(r["ub"].values()) if r["ub"] else 0,
+        )
+    return out
+
+
+def test_dp_contribution_bound_matches_python_model(
+    spark, sf_dir, queries, duck
+):
+    """Every published column equals the plain-Python recount, and the
+    caps genuinely bind on the fixture (a report where nothing is
+    clipped would be a vacuous test of the bounding logic)."""
+    events = duck.execute(
+        "SELECT epoch_us(ts), user_id, event_type FROM events"
+    ).fetchall()
+    want = _py_dp_report(events)
+    got = {
+        r["event_type"]: (
+            r["n_keys"],
+            r["raw_events"],
+            r["bounded_events"],
+            r["dropped_milli"],
+            r["max_user_bound"],
+        )
+        for r in queries["dp_contribution_bound"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values()), "caps never bind — vacuous"
+
+
+def test_dp_contribution_bound_sensitivity_cap(spark, sf_dir, queries):
+    """The whole point of bounding: no user's total bounded
+    contribution (across ALL keys) can exceed C·L, so the released
+    histogram's L1 sensitivity is bounded regardless of user activity;
+    the per-type realized max the report publishes respects it too."""
+    from gomysql2pg_spark.operators.events import (
+        DP_MAX_KEYS_PER_USER,
+        DP_MAX_PER_KEY,
+    )
+
+    cap = DP_MAX_PER_KEY * DP_MAX_KEYS_PER_USER
+    for r in queries["dp_contribution_bound"](spark, sf_dir).collect():
+        assert 0 <= r["max_user_bound"] <= cap
+        assert r["bounded_events"] <= r["raw_events"]
+
+
+# --------------------------------------- rollup_incremental (batch 5)
+
+
+def test_rollup_incremental_merge_equals_one_pass(spark, sf_dir, queries):
+    """The algebraic-merge proof, engine-side: the base+delta merged
+    rollup must be ROW-IDENTICAL to a single-pass Spark recompute of
+    the same rollup (the oracle proves it cross-engine; this pins it
+    within Spark so a merge bug can't hide behind a matching oracle
+    bug)."""
+    from pyspark.sql import functions as F
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.operators.events import (
+        K_ANON_DAY_US,
+        sql_cents_spark,
+    )
+
+    got = {
+        (r["event_type"], r["day_idx"]): (
+            r["n_events"], r["sum_cents"], r["min_cents"],
+            r["max_cents"], r["avg_cents"],
+        )
+        for r in queries["rollup_incremental"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {K_ANON_DAY_US}").alias("day_idx"),
+        F.expr(sql_cents_spark("value")).alias("c"),
+    ).groupBy("event_type", "day_idx").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+    )
+    want = {
+        (r["event_type"], r["day_idx"]): (
+            r["n"], r["s"], r["mn"], r["mx"], r["s"] // r["n"],
+        )
+        for r in direct.collect()
+    }
+    assert got == want and got
+
+
+def test_rollup_incremental_cutoff_splits_a_group():
+    """The mid-day cutoff claim: at least one (event_type, day) group
+    must hold events on BOTH sides of the split, so the merge path is
+    exercised as a genuine combine, not a concatenation of disjoint
+    partials. Pinned at sf0.01 (the driver's correctness-gate scale):
+    at sf0.001 the fixture has ~29 events/day and the cutoff can land
+    in an empty intra-day gap, which exercises only the disjoint
+    (still correct) merge."""
+    import duckdb
+
+    from gomysql2pg_spark.operators.events import (
+        K_ANON_DAY_US,
+        ROLLUP_SPLIT_DEN,
+        ROLLUP_SPLIT_NUM,
+    )
+
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    lo, hi = duck.execute(
+        "SELECT MIN(epoch_us(ts)), MAX(epoch_us(ts)) FROM events"
+    ).fetchone()
+    cutoff = lo + (hi - lo) * ROLLUP_SPLIT_NUM // ROLLUP_SPLIT_DEN
+    split = duck.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT event_type, epoch_us(ts) // {K_ANON_DAY_US} AS d,
+                 SUM(CAST(epoch_us(ts) < {cutoff} AS INT)) AS nb,
+                 SUM(CAST(epoch_us(ts) >= {cutoff} AS INT)) AS nd
+          FROM events GROUP BY 1, 2)
+        WHERE nb > 0 AND nd > 0
+        """
+    ).fetchone()[0]
+    assert split > 0
