@@ -31,10 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 _PRIORITY = [
     # --- r17 window (50 slots), derived 2026-08-16 by
     # `scripts/registry_hashes.py --derive-window 17`.
-    # (1) changed/new this build: the SEVEN r17-NEW operators
+    # (1) changed/new this build: the EIGHT r17-NEW operators
     # (ann_retrain_report, bpe_merges_k64, bpe_fertility_curve,
     # stream_dedup_admit, t_closeness_report, dp_contribution_bound,
-    # rollup_incremental) plus the eleven entries
+    # rollup_incremental, decontamination_ngram_join) plus the eleven
+    # entries
     # whose closures the r17 work touched — the retrain path threads
     # seed_by_hash through _train_coarse/_train_pq_model (every
     # IVF/PQ-family entry: similarity_pq/ivfpq/ivfpq_refined,
@@ -51,8 +52,8 @@ _PRIORITY = [
     "bpe_token_counts", "retrieval_quality_report", "retrieval_rrf",
     "similarity_ivfpq", "similarity_ivfpq_refined", "similarity_pq",
     "ann_retrain_report", "bpe_fertility_curve", "bpe_merges_k64",
-    "dp_contribution_bound", "rollup_incremental",
-    "stream_dedup_admit", "t_closeness_report",
+    "decontamination_ngram_join", "dp_contribution_bound",
+    "rollup_incremental", "stream_dedup_admit", "t_closeness_report",
     "rollup_agg", "semi_join", "set_except", "set_union_intersect",
     "similarity_norms", "string_funcs", "text_stats", "tfidf_top_terms",
     "token_count", "validate_rowcount", "collect_distinct_arrays",
@@ -62,7 +63,7 @@ _PRIORITY = [
     "stratified_sample", "string_distance", "temperature_sample",
     "token_budget_select", "typemap_matrix", "unigram_logprob",
     "anti_join", "approx_distinct_check", "approx_quantiles_check",
-    "cell_transforms", "char_entropy",
+    "cell_transforms",
 ]
 
 

@@ -259,6 +259,18 @@ HEADLINE = [
     # r16 batch 5
     "winnow_near_dup",
     "l_diversity_report",
+    # r17: release-audit trio closer, production-K BPE pair, the
+    # streaming admission gate, the retrain lifecycle audit
+    # (composition-priced: two trainings + exact truth + two probes),
+    # DP contribution bounding, incremental rollup merge
+    "t_closeness_report",
+    "bpe_merges_k64",
+    "bpe_fertility_curve",
+    "stream_dedup_admit",
+    "ann_retrain_report",
+    "dp_contribution_bound",
+    "rollup_incremental",
+    "decontamination_ngram_join",
 ]
 
 

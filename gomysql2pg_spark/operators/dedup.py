@@ -1437,6 +1437,94 @@ GROUP BY lang
 """
 
 
+# Join-based decontamination: the GPT-3 appendix-C recipe at corpus
+# scale. N=8 keeps the gram long enough that a hit means a real shared
+# run (not a common phrase) while staying non-vacuous on the fixture;
+# the mod-7 doc_id split derives a ~14% held-out "benchmark" from the
+# corpus itself so the join has a genuine eval side at every SF.
+DECON_JOIN_N = 8
+DECON_EVAL_MOD = 7
+
+
+def q_decontamination_ngram_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination as an N-GRAM EQUI-JOIN (Brown et al.,
+    GPT-3, NeurIPS 2020, Appendix C — overlap defined by shared
+    13-grams; N=8 here for fixture density): the scale path that
+    `q_decontamination_check`'s broadcast-predicate form promises.
+    Every distinct 8-token gram of each corpus document joins against
+    the distinct gram set of the held-out eval split (doc_id % 7 = 0);
+    per language: (lang, n_contaminated, total_gram_hits,
+    max_grams_per_doc). A training pipeline DROPS or flags the
+    contaminated documents; this report is the audit that sizes the
+    problem first.
+
+    Scale shape (100 TB): the corpus side is one token-scale
+    explode (array_distinct per doc keeps (doc, gram) unique — no
+    DISTINCT exchange); the eval side of a real run is a few thousand
+    benchmark documents, so its distinct-gram set BROADCASTS and the
+    join is map-side — zero shuffle on the corpus stream before the
+    per-doc hash aggregate. An eval set too large to broadcast falls
+    back to the same plan with a hash-partitioned join on the gram —
+    the plan Catalyst picks once the broadcast threshold trips."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", tokenize(F.col("text")).alias("l")
+    )
+    grams = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            shingles_from_tokens(F.col("l"), DECON_JOIN_N)
+        ).alias("g"),
+    )
+    eval_g = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    corpus_hits = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_grams_hit"))
+    )
+    return corpus_hits.groupBy("lang").agg(
+        F.count("*").alias("n_contaminated"),
+        F.sum("n_grams_hit").cast("long").alias("total_gram_hits"),
+        F.max("n_grams_hit").alias("max_grams_per_doc"),
+    )
+
+
+_DECON_GRAM_CHAIN = " || ' ' || ".join(
+    f"l[i+{k}]" for k in range(DECON_JOIN_N)
+)
+
+ORACLE_DECONTAMINATION_JOIN = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS l
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(
+           range(1, greatest(len(l) - {DECON_JOIN_N - 1}, 0) + 1),
+           i -> {_DECON_GRAM_CHAIN})) AS g
+  FROM toks
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+hits AS (
+  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams_hit
+  FROM sh JOIN ev USING (g)
+  WHERE doc_id % {DECON_EVAL_MOD} <> 0
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+       CAST(SUM(n_grams_hit) AS BIGINT) AS total_gram_hits,
+       CAST(MAX(n_grams_hit) AS BIGINT) AS max_grams_per_doc
+FROM hits GROUP BY lang
+"""
+
+
 # Transitive-closure oracle for the clustering: the *iterative Spark*
 # formulation is the scale path; DuckDB's recursive CTE re-derives the
 # same components exactly at oracle scale (UNION-dedup guarantees
@@ -2499,6 +2587,7 @@ QUERIES = {
     "lsh_recall_report": q_lsh_recall_report,
     "dedup_substring_chunks": q_dedup_substring_chunks,
     "decontamination_check": q_decontamination_check,
+    "decontamination_ngram_join": q_decontamination_ngram_join,
     "dedup_exact_norm": q_dedup_exact_norm,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -2529,6 +2618,7 @@ ORACLES = {
     "lsh_recall_report": _oracle_lsh_recall_report(),
     "dedup_substring_chunks": ORACLE_DEDUP_SUBSTRING,
     "decontamination_check": ORACLE_DECONTAMINATION,
+    "decontamination_ngram_join": ORACLE_DECONTAMINATION_JOIN,
     "dedup_exact_norm": ORACLE_DEDUP_EXACT_NORM,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     # identical result contract — the prefix filter is provably

@@ -196,6 +196,11 @@ SCALE_CRITICAL = [
     # merge (two corpus scans + a rollup-sized combine)
     "dp_contribution_bound",
     "rollup_incremental",
+    # r17 batch 6: the gram-join decontamination (corpus-side token-
+    # scale explode + BROADCAST eval join — no corpus shuffle before
+    # the per-doc agg; the replicated eval side grows with the corpus
+    # here, the honest worst case for the broadcast claim)
+    "decontamination_ngram_join",
     "similarity_topk",
     "similarity_ivf",
     "similarity_lsh",

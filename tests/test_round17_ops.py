@@ -575,3 +575,67 @@ def test_rollup_incremental_cutoff_splits_a_group():
         """
     ).fetchone()[0]
     assert split > 0
+
+
+# ------------------------------ decontamination_ngram_join (batch 6)
+
+
+def test_decontamination_ngram_join_matches_python_model(
+    spark, sf_dir, queries, duck
+):
+    """Full plain-Python recount of the gram join: distinct 8-gram
+    sets per doc, eval side = mod-7 docs, per-lang rollup of hit
+    counts; the fixture must actually produce contaminated docs."""
+    from gomysql2pg_spark.operators.dedup import (
+        DECON_EVAL_MOD,
+        DECON_JOIN_N,
+    )
+
+    docs = duck.execute(
+        "SELECT doc_id, lang, text FROM documents"
+    ).fetchall()
+    grams = {}
+    for doc_id, lang, text in docs:
+        toks = [t for t in text.strip().lower().split()]
+        gs = {
+            " ".join(toks[i : i + DECON_JOIN_N])
+            for i in range(len(toks) - DECON_JOIN_N + 1)
+        }
+        grams[doc_id] = (lang, gs)
+    ev = set()
+    for doc_id, (lang, gs) in grams.items():
+        if doc_id % DECON_EVAL_MOD == 0:
+            ev |= gs
+    want: dict = {}
+    for doc_id, (lang, gs) in grams.items():
+        if doc_id % DECON_EVAL_MOD == 0:
+            continue
+        n_hit = len(gs & ev)
+        if n_hit:
+            w = want.setdefault(lang, [0, 0, 0])
+            w[0] += 1
+            w[1] += n_hit
+            w[2] = max(w[2], n_hit)
+    got = {
+        r["lang"]: [
+            r["n_contaminated"],
+            r["total_gram_hits"],
+            r["max_grams_per_doc"],
+        ]
+        for r in queries["decontamination_ngram_join"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert want, "no contaminated docs on the fixture — vacuous"
+
+
+def test_decontamination_ngram_join_broadcasts_eval_side(
+    spark, sf_dir, queries
+):
+    """The 100 TB claim in the docstring: the eval gram set rides a
+    broadcast join — the corpus stream must not shuffle on the gram."""
+    plan = queries["decontamination_ngram_join"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
