@@ -1272,13 +1272,18 @@ def _rm_tree(fs, path: str) -> None:
         pass
 
 
-def _atomic_install(fs, croot, sroot, name, codes, model_blob) -> bool:
-    """Write `codes` (partitioned by cell) + the model sidecar to a
-    tmp tree and install it as `name` with the _SUCCESS + atomic-move
-    discipline (same race handling the r13 build used inline)."""
+def _atomic_install(
+    fs, croot, sroot, name, codes, model_blob, partition_col: str = "cell"
+) -> bool:
+    """Write `codes` (partitioned by `partition_col`) + the model
+    sidecar to a tmp tree and install it as `name` with the _SUCCESS +
+    atomic-move discipline (same race handling the r13 build used
+    inline). `partition_col` defaults to the IVFADC cell; the LSH band
+    index (`streaming.stream.lsh_index_build`) reuses the same install
+    path partitioned by band."""
     out_c = _join(croot, name)
     tmp_name = f"{name}.tmp-{os.getpid()}"
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
+    codes.write.mode("overwrite").partitionBy(partition_col).parquet(
         _join(sroot, tmp_name)
     )
     tmp_c = _join(croot, tmp_name)

@@ -1096,7 +1096,217 @@ def _stream_band_keys(docs: DataFrame):
     return out.select("doc_id", *keys)
 
 
-def q_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- installed LSH band-index lifecycle -------------------------------
+# The admission gate's candidate index as a PERSISTENT on-disk artifact
+# (the dedup twin of the IVFADC index lifecycle): build once offline,
+# append new corpus batches under the FROZEN band family, read
+# base+deltas merged behind a model-consistency gate, report staleness.
+# Rides the similarity module's proven control plane (_resolve_index_fs
+# pyarrow split, _atomic_install _SUCCESS + atomic-move discipline) so
+# there is ONE install/race recipe in the repo, not two.
+
+LSH_INDEX_TAG = "lsh-bands-v1"
+
+
+def _lsh_model_key() -> str:
+    """Digest of the band family + geometry — the consistency gate:
+    band keys computed under a different N_HASHES/BAND_SIZE (or a new
+    hash family tag) can never be merged into this index."""
+    from ..operators.dedup import BAND_SIZE, N_HASHES
+
+    return hashlib.md5(
+        repr((LSH_INDEX_TAG, N_HASHES, BAND_SIZE)).encode()
+    ).hexdigest()[:12]
+
+
+def _lsh_index_name(sf_dir: str) -> str:
+    """Canonical installed-tree basename, keyed by the documents
+    fixture identity (the `_index_name` recipe of the ANN index)."""
+    from ..catalog import fixture_stat
+
+    stat = fixture_stat(sf_dir, "documents")
+    if stat is None:
+        raise ValueError("unkeyable fixture: no installable index")
+    key = hashlib.md5(repr((stat, LSH_INDEX_TAG)).encode()).hexdigest()[:12]
+    return f"spark_graft_lshidx_{key}"
+
+
+def _lsh_bucket_minima(docs: DataFrame) -> DataFrame:
+    """(band, bkey, m) — the admission index rows for a corpus slice:
+    banded MinHash keys pre-aggregated to the per-bucket min doc_id.
+    A mega-bucket collapses to ONE row here by construction."""
+    from ..operators.dedup import _md5_minhash_bands
+
+    return (
+        _md5_minhash_bands(docs)
+        .groupBy("band", "bkey")
+        .agg(F.min("doc_id").alias("m"))
+    )
+
+
+def lsh_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> dict:
+    """Build and atomically install the admission index for `docs`:
+    a band-partitioned (band, bkey, m) parquet tree + a `_MODEL.json`
+    sidecar carrying the band-family key and the indexed doc count
+    (the staleness denominator). Index size is BUCKET-scale (≤ 4
+    rows per doc, collapsing under duplication), never pair-scale."""
+    import json as _json
+
+    from ..operators.similarity import _atomic_install, _resolve_index_fs
+
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _lsh_index_name(sf_dir)
+    n_docs = docs.count()
+    blob = _json.dumps(
+        {"model_key": _lsh_model_key(), "n_docs": n_docs}
+    ).encode()
+    ok = _atomic_install(
+        fs, croot, sroot, name, _lsh_bucket_minima(docs), blob,
+        partition_col="band",
+    )
+    return {"installed": ok, "name": name, "n_docs": n_docs}
+
+
+def lsh_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    batch_id: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> dict:
+    """Append a new corpus batch under the FROZEN band family as a
+    sibling delta tree (`<name>.delta.<batch_id>`) — only the new
+    docs' band keys are computed, the base is never rewritten.
+    Idempotent per batch_id (a re-run of an installed batch is a
+    no-op); an empty batch and a band-family mismatch are refused
+    LOUDLY before any tree installs."""
+    import json as _json
+
+    from ..operators.similarity import (
+        _atomic_install,
+        _join,
+        _read_model_blob,
+        _resolve_index_fs,
+        _tree_built,
+    )
+
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _lsh_index_name(sf_dir)
+    base_c = _join(croot, name)
+    if not _tree_built(fs, base_c):
+        raise ValueError("no base admission index — build first")
+    model = _read_model_blob(fs, base_c)
+    if model is None or model.get("model_key") != _lsh_model_key():
+        raise ValueError(
+            "band-family mismatch: the installed index was built under "
+            "a different banding — rebuild instead of appending"
+        )
+    dname = f"{name}.delta.{batch_id}"
+    if _tree_built(fs, _join(croot, dname)):
+        return {"appended": False, "n_docs": 0}
+    n_new = new_docs.count()
+    if n_new == 0:
+        raise ValueError("empty append batch — nothing to index")
+    blob = _json.dumps(
+        {"model_key": _lsh_model_key(), "n_docs": n_new}
+    ).encode()
+    _atomic_install(
+        fs, croot, sroot, dname, _lsh_bucket_minima(new_docs), blob,
+        partition_col="band",
+    )
+    return {"appended": True, "n_docs": n_new}
+
+
+def lsh_index_staleness(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> int:
+    """Appended fraction of the admission index in milli (docs in
+    delta trees / total indexed docs) — the rebuild trigger a nightly
+    maintenance job reads, mirroring `ivf_index_staleness`."""
+    from ..operators.similarity import (
+        _delta_trees,
+        _join,
+        _read_model_blob,
+        _resolve_index_fs,
+    )
+
+    fs, croot, _sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _lsh_index_name(sf_dir)
+    base = _read_model_blob(fs, _join(croot, name))
+    if base is None:
+        raise ValueError("no base admission index")
+    n_base = int(base["n_docs"])
+    n_delta = 0
+    for d in _delta_trees(fs, croot, name):
+        blob = _read_model_blob(fs, _join(croot, d))
+        n_delta += int(blob["n_docs"]) if blob else 0
+    total = n_base + n_delta
+    return (n_delta * 1000) // total if total else 0
+
+
+def read_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> DataFrame:
+    """The servable admission index: base + every installed delta,
+    merged to per-bucket minima, behind the same LOUD model-
+    consistency gate the ANN read path uses (a delta banded under a
+    different family raises instead of corrupting verdicts)."""
+    from ..operators.similarity import (
+        _delta_trees,
+        _join,
+        _read_model_blob,
+        _resolve_index_fs,
+        _tree_built,
+    )
+
+    fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
+    name = _lsh_index_name(sf_dir)
+    if not _tree_built(fs, _join(croot, name)):
+        raise ValueError("no base admission index — build first")
+    want = _lsh_model_key()
+    parts = [name] + _delta_trees(fs, croot, name)
+    for p in parts:
+        blob = _read_model_blob(fs, _join(croot, p))
+        if blob is None or blob.get("model_key") != want:
+            raise ValueError(f"band-family mismatch in tree {p}")
+    merged = spark.read.parquet(_join(sroot, parts[0])).select(
+        "band", "bkey", "m"
+    )
+    for p in parts[1:]:
+        merged = merged.unionByName(
+            spark.read.parquet(_join(sroot, p)).select("band", "bkey", "m")
+        )
+    return merged.groupBy("band", "bkey").agg(F.min("m").alias("m"))
+
+
+def q_stream_dedup_admit(
+    spark: SparkSession,
+    sf_dir: str,
+    index_root: str | None = None,
+    filesystem=None,
+    spark_root: str | None = None,
+) -> DataFrame:
     """Streaming near-dup ADMISSION gate — the online half of the
     batch LSH dedup story (r16 VERDICT item 2): each arriving document
     is checked against the installed candidate index (the band keys of
@@ -1124,19 +1334,30 @@ def q_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged duplicate-of m exactly when the BATCH banded pipeline
     (`_md5_minhash_bands` on the combined corpus) produces a candidate
     pair between them — the reconciliation the r16 verdict asked for;
-    the SQL oracle replays index build + probe end to end."""
+    the SQL oracle replays index build + probe end to end.
+
+    With `index_root`/`filesystem` the gate probes the INSTALLED
+    on-disk admission index (base + deltas via `read_lsh_index`)
+    instead of deriving the index inline — verdict-identical when the
+    installed tree covers the same corpus (pinned in pytest); the
+    inline default keeps the registry entry self-contained and its
+    oracle unchanged."""
     from ..catalog import load_table
-    from ..operators.dedup import _md5_minhash_bands
 
     docs = load_table(spark, sf_dir, "documents")
 
-    installed = docs.filter(F.col("doc_id") % 2 == 0)
-    idx = (
-        _md5_minhash_bands(installed)
-        .groupBy("band", "bkey")
-        .agg(F.min("doc_id").alias("m"))
-        .persist()
-    )
+    if index_root is not None or filesystem is not None:
+        idx = read_lsh_index(
+            spark,
+            sf_dir,
+            index_root=index_root,
+            filesystem=filesystem,
+            spark_root=spark_root,
+        )
+    else:
+        installed = docs.filter(F.col("doc_id") % 2 == 0)
+        idx = _lsh_bucket_minima(installed)
+    idx = idx.persist()
     idx.count()  # materialize once; 4 join branches read the cache
     try:
         stream = read_documents_stream(spark, sf_dir).filter(

@@ -639,3 +639,123 @@ def test_decontamination_ngram_join_broadcasts_eval_side(
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------- installed LSH admission index (batch 7)
+
+
+def test_lsh_index_lifecycle_build_append_staleness(spark, sf_dir):
+    """The admission index as an on-disk artifact: build on 70% of the
+    even half, append the rest as a delta, and the MERGED served index
+    must be row-identical to the inline index over the full even half;
+    staleness reports the appended fraction; a duplicate batch_id is a
+    no-op; an empty batch and a tampered band family are refused."""
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.streaming.stream import (
+        _lsh_bucket_minima,
+        lsh_index_append,
+        lsh_index_build,
+        lsh_index_staleness,
+        read_lsh_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_lshidx_test_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        even = docs.filter("doc_id % 2 = 0")
+        base_docs = even.filter("doc_id % 10 < 7")
+        delta_docs = even.filter("doc_id % 10 >= 7")
+        info = lsh_index_build(spark, sf_dir, base_docs, index_root=root)
+        assert info["installed"] and info["n_docs"] == base_docs.count()
+        assert lsh_index_staleness(spark, sf_dir, index_root=root) == 0
+
+        with _pytest.raises(ValueError, match="empty append"):
+            lsh_index_append(
+                spark, sf_dir, even.filter("doc_id < 0"), "b000",
+                index_root=root,
+            )
+        out = lsh_index_append(
+            spark, sf_dir, delta_docs, "b001", index_root=root
+        )
+        assert out["appended"] and out["n_docs"] == delta_docs.count()
+        again = lsh_index_append(
+            spark, sf_dir, delta_docs, "b001", index_root=root
+        )
+        assert not again["appended"]  # idempotent per batch_id
+
+        stale = lsh_index_staleness(spark, sf_dir, index_root=root)
+        assert 0 < stale < 1000
+
+        served = {
+            (r["band"], r["bkey"]): r["m"]
+            for r in read_lsh_index(
+                spark, sf_dir, index_root=root
+            ).collect()
+        }
+        inline = {
+            (r["band"], r["bkey"]): r["m"]
+            for r in _lsh_bucket_minima(even).collect()
+        }
+        assert served == inline and served
+
+        # tampered family: flip the sidecar key → every read refuses
+        import json
+        import os
+
+        from gomysql2pg_spark.streaming.stream import _lsh_index_name
+
+        side = os.path.join(
+            root, _lsh_index_name(sf_dir) + ".delta.b001", "_MODEL.json"
+        )
+        blob = json.load(open(side))
+        blob["model_key"] = "tampered00000"
+        json.dump(blob, open(side, "w"))
+        with _pytest.raises(ValueError, match="band-family mismatch"):
+            read_lsh_index(spark, sf_dir, index_root=root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_admit_installed_index_matches_inline(spark, sf_dir, queries):
+    """The gate's installed-index serving path: verdicts probed from
+    the built-and-appended on-disk tree must be row-identical to the
+    inline-index default the driver oracles."""
+    import shutil
+    import tempfile
+
+    from gomysql2pg_spark.catalog import load_table
+    from gomysql2pg_spark.streaming.stream import (
+        lsh_index_append,
+        lsh_index_build,
+        q_stream_dedup_admit,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_lshidx_test_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        even = docs.filter("doc_id % 2 = 0")
+        lsh_index_build(
+            spark, sf_dir, even.filter("doc_id % 10 < 7"), index_root=root
+        )
+        lsh_index_append(
+            spark, sf_dir, even.filter("doc_id % 10 >= 7"), "b001",
+            index_root=root,
+        )
+        want = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in queries["stream_dedup_admit"](spark, sf_dir).collect()
+        }
+        got = {
+            r["doc_id"]: (r["verdict"], r["dup_of"])
+            for r in q_stream_dedup_admit(
+                spark, sf_dir, index_root=root
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
