@@ -908,27 +908,99 @@ BM25_DRAIN_CAP = len(BM25_QUERIES) * BM25_TOPK_K
 def _bm25_topk_ranked(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(ranked, postings_cache): the LAZY ranked top-k plan plus the
-    persisted postings frame it reads. Split out of `q_bm25_topk` so
-    the plan-shape gate (WindowGroupLimit, broadcast df/query map —
-    tests/test_round15c_ops.py) can inspect the real retrieval plan
-    even though the public operator drains it eagerly; callers of
-    THIS helper own the cache and must release it."""
+    """(ranked, stats_cache): the LAZY ranked top-k plan plus the
+    persisted per-document statistics frame it reads. Split out of
+    `q_bm25_topk` so the plan-shape gate (WindowGroupLimit, broadcast
+    df/query map — tests/test_round15c_ops.py) can inspect the real
+    retrieval plan even though the public operator drains it eagerly;
+    callers of THIS helper own the cache and must release it.
+
+    r17 optimization (guide §2.3 "aggregate before you shuffle" /
+    §2.4 "remove shuffles outright"): the r15-r16 form shuffled the
+    FULL (doc_id, term, tf) postings relation — the whole tokenized
+    corpus crossing one exchange — only to derive (a) per-document
+    lengths and (b) the term frequencies of the {n} fixed query
+    terms, then joined `dl` back to the query-term postings with a
+    SECOND doc-keyed shuffle join. Both are one doc-keyed aggregate:
+    explode the tokens and groupBy(doc_id) with count(*) (= dl, every
+    token counted exactly as the postings Σtf did) plus one
+    conditional counter per query term. Map-side partial aggregation
+    collapses the exploded tokens to ONE 13-integer row per document
+    per map task, so the only corpus-scale exchange ships
+    |docs| × 13 integers instead of the postings relation, and the
+    dl join disappears (dl rides the same row as the tfs). The
+    (doc_id, term, tf) rows the scorer consumes are melted back out
+    of the counter columns (stateless explode, tf > 0 ⇔ a postings
+    row existed), so every downstream integer — tf, dl, df,
+    total_terms — is value-identical and the micro-quantized score
+    tree is untouched (oracle stays hash-exact)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    # the postings feed THREE plan branches (dl, dfreq, the scored
-    # join) plus the eager total_terms scalar — persist + materialize
-    # so the corpus tokenization runs once, the same discipline as
-    # _pair_intersections' shingle table (r15 review finding)
-    post = _postings(docs).persist()
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    total_terms = dl.agg(F.sum("dl")).first()[0] or 1
     all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
-    post_q = post.filter(F.col("term").isin(all_terms))
-    dfreq = post_q.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
     )
-    joined = post_q.join(F.broadcast(dfreq), "term").join(dl, "doc_id")
+    # ONE corpus-scale aggregate: dl = count(*) per doc (identical to
+    # the postings' Σtf — every exploded token, empty strings
+    # included), tf{i} = that document's count of query term i
+    stats = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
+        .persist()
+    )
+    # the doc-stats cache feeds THREE branches (total_terms, dfreq,
+    # the scored join) — persist + materialize so the corpus
+    # tokenization runs once (same discipline as the r15 postings
+    # cache, now over a 13-integer-per-doc frame instead of the
+    # tokens-sized postings)
+    total_terms = stats.agg(F.sum("dl")).first()[0] or 1
+    # melt the counter columns back to (doc_id, dl, term, tf) rows —
+    # tf > 0 exactly reproduces the query-term postings rows. The
+    # doc_id IS NOT NULL filter reproduces two NULL semantics the
+    # postings form got implicitly (hostile-fixture pin in
+    # tests/test_round15c_ops.py): the old inner `dl` equi-join
+    # dropped a NULL-doc_id posting from the scored side (NULL never
+    # equi-matches), and countDistinct(doc_id) excluded NULL from df.
+    # total_terms above intentionally still includes the NULL doc's
+    # tokens — the old Σdl did too (group-by keeps a NULL group).
+    post_q = (
+        stats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(all_terms)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "dl", "p.term", "p.tf")
+        .filter((F.col("tf") > 0) & F.col("doc_id").isNotNull())
+    )
+    dfreq = post_q.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    joined = post_q.join(F.broadcast(dfreq), "term")
     # the component expression below mirrors q_bm25_components
     # LITERALLY — same left-associated IEEE tree as the oracle's
     # `B * dl * n / tot` (r13 finding: any other grouping can differ
@@ -985,37 +1057,39 @@ def _bm25_topk_ranked(
         .filter(F.col("rank") <= BM25_TOPK_K)
         .select("qid", "doc_id", "rank", "score_micro")
     )
-    return ranked, post
+    return ranked, stats
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{K} documents per query for a {Q}-query batch, ranked by
     BM25 (sum of integer micro-quantized per-term components; ties by
     doc_id). Scale shape (built in `_bm25_topk_ranked`, plan-gated):
-    one postings shuffle, document frequencies broadcast back by
-    term, the 12-row query map broadcast, a combinable integer sum
-    per (qid, doc), and a rank window per qid that Spark executes via
-    WindowGroupLimit (partial top-k per map task before the
-    exchange). The result is ≤ |queries|·K rows BY CONSTRUCTION
-    (row_number ≤ K per qid), so it is drained eagerly through the
-    sanctioned bounded-probe shape and the corpus-scale postings
-    cache is RELEASED before returning (r16 ADVICE: the r15 form
-    returned a lazy frame over the persisted postings, pinning a
-    tokens-sized cache for the session — the storage-memory-squatter
-    class `lsh_recall_report`'s eager drain already fixed); the
-    returned frame is a local literal rebuild of the drained rows
-    (LocalTableScan, never applySchemaToPythonRDD)."""
-    ranked, post = _bm25_topk_ranked(spark, sf_dir)
+    ONE doc-keyed 13-integer aggregate shuffle (r17: the postings
+    relation never crosses an exchange — see the helper's docstring),
+    document frequencies broadcast back by term, the 12-row query map
+    broadcast, a combinable integer sum per (qid, doc), and a rank
+    window per qid that Spark executes via WindowGroupLimit (partial
+    top-k per map task before the exchange). The result is
+    ≤ |queries|·K rows BY CONSTRUCTION (row_number ≤ K per qid), so
+    it is drained eagerly through the sanctioned bounded-probe shape
+    and the per-doc stats cache is RELEASED before returning (r16
+    ADVICE: the r15 form returned a lazy frame over a persisted
+    corpus-scale cache, pinning it for the session — the
+    storage-memory-squatter class `lsh_recall_report`'s eager drain
+    already fixed); the returned frame is a local literal rebuild of
+    the drained rows (LocalTableScan, never
+    applySchemaToPythonRDD)."""
+    ranked, stats = _bm25_topk_ranked(spark, sf_dir)
     # bounded drain: ≤ BM25_DRAIN_CAP rows exist BY CONSTRUCTION (the
     # per-query WindowGroupLimit caps at K), so the limit is the
     # computed module constant, not a hardcoded number a grown query
     # set could silently truncate against under `python -O` (r16
     # review); the release is try/finally so a failed drain can't pin
-    # the tokens-sized postings cache for the session
+    # the doc-stats cache for the session
     try:
         rows = ranked.limit(BM25_DRAIN_CAP).collect()
     finally:
-        post.unpersist()
+        stats.unpersist()
     if not rows:
         return spark.createDataFrame(
             [], "qid int, doc_id bigint, rank int, score_micro bigint"
@@ -1110,7 +1184,9 @@ RRF_K0 = 60  # the SIGIR'09 paper's constant
 RRF_TOPK = 10
 
 
-def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_retrieval_rrf(
+    spark: SparkSession, sf_dir: str, ann_ivfpq: DataFrame | None = None
+) -> DataFrame:
     """Hybrid retrieval: RRF fusion of `q_bm25_topk` (lexical) and
     `q_similarity_ivfpq` (dense IVFADC) per query. Integer-exact by
     construction: each list contributes floor(1e9 / (K0 + rank)) —
@@ -1123,15 +1199,26 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ≤ Q·2K rows: no new corpus scan beyond the two
     components, so the operator inherits their 100 TB story
     unchanged. A doc ranked by only one list keeps the other
-    contribution at 0 (the full-outer + coalesce shape)."""
+    contribution at 0 (the full-outer + coalesce shape).
+
+    `ann_ivfpq` (r17): an optional pre-computed `q_similarity_ivfpq`
+    frame. `q_retrieval_quality_report` consumes the IVFADC serving
+    twice — once directly and once through this fusion — and in
+    production both consumers read the SAME served ranking; passing
+    the frame in lets the report persist one serving instead of
+    executing the identical probe plan twice per invocation. Absent
+    (the registry entry), the fusion computes its own serving —
+    byte-identical output either way."""
     from .similarity import QUERY_MOD, q_similarity_ivfpq
 
     bm = q_bm25_topk(spark, sf_dir).select(
         "qid", "doc_id", F.col("rank").alias("bm25_rank")
     )
     n_q = len(BM25_QUERIES)
+    if ann_ivfpq is None:
+        ann_ivfpq = q_similarity_ivfpq(spark, sf_dir)
     ann = (
-        q_similarity_ivfpq(spark, sf_dir)
+        ann_ivfpq
         .filter(F.col("qid") < n_q * QUERY_MOD)
         .select(
             (F.expr(f"CAST(qid div {QUERY_MOD} AS INT)") + F.lit(1)).alias(
@@ -1235,7 +1322,20 @@ def q_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by truth size; the mean is a truncating integer division.
     At 100 TB the audit cost is its components' (the truth side is
     the deliberate quadratic, as in `q_ann_recall_report`); the
-    report itself is two k-bounded joins and two tiny aggregates."""
+    report itself is two k-bounded joins and two tiny aggregates.
+
+    r17 optimization (guide §2.4 — remove duplicated subtrees): the
+    pre-r17 lazy plan embedded the IVFADC probe subtree TWICE (the
+    direct nDCG branch and inside the RRF fusion) and the brute-force
+    truth subtree twice (the semi-join and the idcg base), so every
+    drain executed each of them twice. Both frames are k-bounded
+    (≤ |queries|·K rows) servings, not corpus-scale state: persist
+    each, reuse the single serving in both consumers — exactly what a
+    deployment does, and each component still runs END-TO-END once
+    per invocation, so the audit stays composition-priced — and drain
+    the ≤2-row report eagerly (one row per ranker BY CONSTRUCTION)
+    so both caches are RELEASED before returning (the persist-release
+    discipline; the returned frame is a local literal rebuild)."""
     from .similarity import QUERY_MOD, q_similarity_ivfpq, q_similarity_topk
 
     n_q = len(BM25_QUERIES)
@@ -1243,14 +1343,16 @@ def q_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_similarity_topk(spark, sf_dir)
         .filter(F.col("rank") <= NDCG_K)
         .select("qid", "nid")
-    )
+    ).persist()
+    truth.count()  # materialize once; two consumers read the cache
+    ann = q_similarity_ivfpq(spark, sf_dir).persist()
+    ann.count()  # materialize once; the nDCG branch + the fusion
     ivf = (
-        q_similarity_ivfpq(spark, sf_dir)
-        .filter(F.col("rank") <= NDCG_K)
+        ann.filter(F.col("rank") <= NDCG_K)
         .select(F.lit("ivfpq").alias("ranker"), "qid", "nid", "rank")
     )
     rrf = (
-        q_retrieval_rrf(spark, sf_dir)
+        q_retrieval_rrf(spark, sf_dir, ann_ivfpq=ann)
         .filter(F.col("rank") <= NDCG_K)
         .select(
             F.lit("rrf").alias("ranker"),
@@ -1290,11 +1392,35 @@ def q_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("hits", F.lit(0)).alias("hits"),
         "idcg",
     )
-    return per.groupBy("ranker").agg(
+    report = per.groupBy("ranker").agg(
         F.count("*").cast("long").alias("n_queries"),
         F.sum("hits").cast("long").alias("total_hits"),
         F.expr("CAST(SUM((dcg * 1000) div idcg) div COUNT(*) AS BIGINT)")
         .alias("mean_ndcg_milli"),
+    )
+    # ≤ 2 rows BY CONSTRUCTION (one per ranker literal) — eager
+    # bounded drain, then release both k-bounded serving caches; the
+    # try/finally keeps a failed drain from pinning them (the
+    # `drain_one_row` discipline, two-row variant)
+    schema = (
+        "ranker string, n_queries bigint, total_hits bigint, "
+        "mean_ndcg_milli bigint"
+    )
+    try:
+        rows = report.limit(4).collect()
+    finally:
+        truth.unpersist()
+        ann.unpersist()
+    from .similarity import _model_df
+
+    return _model_df(
+        spark,
+        [
+            (r["ranker"], r["n_queries"], r["total_hits"],
+             r["mean_ndcg_milli"])
+            for r in rows
+        ],
+        schema,
     )
 
 

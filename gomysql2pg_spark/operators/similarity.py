@@ -1573,6 +1573,35 @@ def _install_and_swap(fs, croot, sroot, name, codes, blob) -> None:
     _rm_tree(fs, old_c)
 
 
+def _tree_row_count(fs, tree_c: str) -> int:
+    """Exact row count of an installed code tree from its parquet
+    FOOTERS, through the control-plane filesystem — no Spark job.
+    Σ footer num_rows is authoritative (it is what Spark's own
+    metadata-only count reads), but a `spark.read.parquet().count()`
+    still plans a scan, schedules a task per file and round-trips the
+    driver; the index control plane (staleness/retrain bookkeeping)
+    calls this per installed tree, so at fleet scale those jobs are
+    pure scheduling overhead on corpus-SIZED (never corpus-SHAPED)
+    metadata (guide §5: the driver data plane should not run jobs for
+    control decisions). Walks the tree recursively (cell=N partition
+    dirs) and skips non-parquet control files (_SUCCESS,
+    _MODEL.json)."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(tree_c, recursive=True, allow_not_found=True)
+    n = 0
+    for info in fs.get_file_info(sel):
+        if (
+            info.type == pafs.FileType.File
+            and info.base_name.endswith(".parquet")
+            and not info.base_name.startswith(("_", "."))
+        ):
+            with fs.open_input_file(info.path) as f:
+                n += pq.ParquetFile(f).metadata.num_rows
+    return n
+
+
 def ivf_index_staleness(
     spark: SparkSession,
     sf_dir: str,
@@ -1587,7 +1616,9 @@ def ivf_index_staleness(
     (n_trees, n_codes, n_appended, staleness_milli, model_consistent);
     integer milli via truncating division of non-negative counts. A
     local literal frame (tree counts are a bounded driver loop over
-    the installed trees, one count() each — never a corpus collect)."""
+    the installed trees, one footer-metadata read each
+    (`_tree_row_count`, r17: no Spark job per tree) — never a corpus
+    collect)."""
     fs, croot, sroot = _resolve_index_fs(index_root, filesystem, spark_root)
     name = _index_name(sf_dir)
     _recover_base(fs, croot, name)
@@ -1596,14 +1627,14 @@ def ivf_index_staleness(
     base_model = _read_model_blob(fs, _join(croot, name))
     base_key = base_model["model_key"] if base_model else None
     absorbed = set((base_model or {}).get("compacted_through", []))
-    n_base = spark.read.parquet(_join(sroot, name)).count()
+    n_base = _tree_row_count(fs, _join(croot, name))
     deltas = [
         d for d in _delta_trees(fs, croot, name) if d not in absorbed
     ]
     n_appended = 0
     consistent = True
     for d in deltas:
-        n_appended += spark.read.parquet(_join(sroot, d)).count()
+        n_appended += _tree_row_count(fs, _join(croot, d))
         dm = _read_model_blob(fs, _join(croot, d))
         if (dm["model_key"] if dm else None) != base_key:
             consistent = False
@@ -1675,9 +1706,12 @@ def ivf_index_retrain(
         )
     absorbed = set(model.get("compacted_through", []))
     deltas = [d for d in _delta_trees(fs, croot, name) if d not in absorbed]
-    n_base = spark.read.parquet(_join(sroot, name)).count()
+    # footer-metadata counts through the control plane (r17): the
+    # staleness decision needs tree row counts, not a Spark job per
+    # tree — same numbers `spark.read.parquet(...).count()` returns
+    n_base = _tree_row_count(fs, _join(croot, name))
     n_appended = sum(
-        spark.read.parquet(_join(sroot, d)).count() for d in deltas
+        _tree_row_count(fs, _join(croot, d)) for d in deltas
     )
     total = n_base + n_appended
     staleness = (n_appended * 1000) // total if total else 0
@@ -1723,7 +1757,11 @@ def ivf_index_retrain(
         retrained=True,
         n_deltas_absorbed=len(deltas),
         new_model_key=new_key,
-        n_codes=spark.read.parquet(_join(sroot, name)).count(),
+        # the installed tree's footer count (control-plane read, no
+        # Spark job) — the re-encoded corpus, so it equals `total` on
+        # a clean swap; reading the tree keeps the number a statement
+        # about what is actually SERVED, not what we meant to install
+        n_codes=_tree_row_count(fs, _join(croot, name)),
     )
     return out
 
@@ -2895,15 +2933,16 @@ def _coarse_distortion_micro(
     return int(r["n"] or 0), int(r["s"] or 0)
 
 
-def _recall_row(
-    exact: DataFrame,
-    approx: DataFrame,
-    phase: str,
-    distortion_micro_avg: int,
+def _recall_counts(
+    exact: DataFrame, approx: DataFrame, phase: str
 ) -> DataFrame:
-    """(phase, n_queries, total_hits, recall_milli,
-    distortion_micro_avg) — the `q_ann_recall_report` aggregation with
-    a phase tag and the phase's quantization objective."""
+    """(phase, n_queries, total_hits, recall_milli) — the
+    `q_ann_recall_report` aggregation with a phase tag. The phase's
+    distortion column is attached AFTER this frame is drained
+    (`q_ann_retrain_report`), so the distortion scan can run on a
+    side thread while this frame's probe+join jobs drain (guide
+    §2.6 overlap) — splitting the columns changes nothing about
+    either value."""
     hits = exact.join(
         approx.select(
             F.col("qid").alias("aqid"), F.col("nid").alias("anid")
@@ -2925,9 +2964,6 @@ def _recall_row(
             F.expr(
                 f"(total_hits * 1000) div (n_queries * {PQ_TOP_K})"
             ).alias("recall_milli"),
-            F.lit(int(distortion_micro_avg))
-            .cast("long")
-            .alias("distortion_micro_avg"),
         )
     )
 
@@ -2967,26 +3003,66 @@ def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is the sampled-Lloyd driver loop (model-sized collects),
     encode/probe the partition-pruned IVFADC plan, the swap two
     renames; the only corpus×queries term is the truth side, which is
-    the same deliberate contrast `ann_recall_report` prices."""
+    the same deliberate contrast `ann_recall_report` prices.
+
+    r17 optimization (guide §2.6 — overlap independent jobs): the
+    lifecycle is a chain of driver-synchronous actions, most of which
+    do not depend on each other: the exact-truth quadratic touches no
+    index tree, each phase's coarse distortion reads only that
+    phase's sidecar MODEL (the append installs a sibling delta and
+    never rewrites the base sidecar), and neither is an input of the
+    probe drains. A two-worker pool (the `migrate.py` bounded-
+    executor precedent; `inheritable_thread_target` per the PySpark
+    threading contract) materializes the truth cache while the base
+    tree installs + appends, and runs each phase's distortion scan
+    while that phase's probe drains — same frames, same values, same
+    report, fewer idle driver round-trips. Sequencing pins the
+    lifecycle reads: distortion-before is submitted only after the
+    base install returns (sidecar exists; append does not touch it)
+    and is joined before the swap; distortion-after only after the
+    swap. The distortion value is attached to each phase's DRAINED
+    one-row literal as a literal column (`_recall_counts` docstring —
+    split so the drain need not wait on the scan)."""
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
 
     schema = (
         "phase string, n_queries bigint, total_hits bigint, "
         "recall_milli bigint, distortion_micro_avg bigint"
     )
+
+    def _attach_distortion(counts: DataFrame, n: int, s: int) -> DataFrame:
+        # the drained one-row literal gains the phase's objective as a
+        # literal column — same value, position and type the pre-r17
+        # single-frame form computed (distortion_micro_avg is the
+        # report's LAST column, so withColumn appends in place)
+        return counts.withColumn(
+            "distortion_micro_avg",
+            F.lit(int(s // n if n else 0)).cast("long"),
+        )
+
     root = tempfile.mkdtemp(prefix="spark_graft_retrain_")
+    pool = ThreadPoolExecutor(max_workers=2)
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         delta = _retrain_delta(emb)
         combined = emb.unionByName(delta)
+        q = _queries_df(combined)
+        exact = _exact_topk_l2(combined, q, PQ_TOP_K).persist()
+        # truth side on a side thread: its jobs backfill the cluster
+        # while the base tree trains/encodes/installs
+        exact_f = pool.submit(inheritable_thread_target(exact.count))
         cb = _pq_codebook(emb, cache_key=_fixture_key(sf_dir))
         cent_rows, _ = _ivf_index(
             spark, sf_dir, emb, cb, index_root=root
         )
         if not cent_rows:
+            exact_f.result()
+            exact.unpersist()
             return spark.createDataFrame([], schema)
-        ivf_index_append(spark, sf_dir, delta, "b001", index_root=root)
         fs, croot, _sroot = _resolve_index_fs(root, None, None)
         name = _index_name(sf_dir)
 
@@ -2996,18 +3072,28 @@ def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = _read_model_blob(fs, _join(croot, name))
             return [(c, ce) for c, ce in blob["cent"]]
 
-        q = _queries_df(combined)
-        exact = _exact_topk_l2(combined, q, PQ_TOP_K).persist()
-        n_b, s_b = _coarse_distortion_micro(combined, _serving_cent())
-        before = _recall_row(
-            exact,
-            query_index_tree(spark, q, sf_dir=sf_dir, index_root=root),
-            "before",
-            s_b // n_b if n_b else 0,
+        # distortion-before reads the base sidecar just installed;
+        # overlap it with the delta append + the before-probe drain
+        dist_b_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _coarse_distortion_micro(combined, _serving_cent())
+            )
         )
+        ivf_index_append(spark, sf_dir, delta, "b001", index_root=root)
+        exact_f.result()  # truth cache ready before the drains read it
         # drain phase 1 BEFORE the swap (the before-tree stops
         # existing once retrain renames it away)
-        before = drain_one_row(before)
+        before = drain_one_row(
+            _recall_counts(
+                exact,
+                query_index_tree(
+                    spark, q, sf_dir=sf_dir, index_root=root
+                ),
+                "before",
+            )
+        )
+        n_b, s_b = dist_b_f.result()  # joined before the swap
+        before = _attach_distortion(before, n_b, s_b)
         info = ivf_index_retrain(
             spark,
             sf_dir,
@@ -3016,16 +3102,28 @@ def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             index_root=root,
         )
         assert info["retrained"], info  # 200‰ staleness must trigger
-        n_a, s_a = _coarse_distortion_micro(combined, _serving_cent())
-        after = _recall_row(
-            exact,
-            query_index_tree(spark, q, sf_dir=sf_dir, index_root=root),
-            "after",
-            s_a // n_a if n_a else 0,
+        # distortion-after reads the RETRAINED sidecar (post-swap);
+        # overlap it with the after-probe drain
+        dist_a_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _coarse_distortion_micro(combined, _serving_cent())
+            )
         )
-        after = drain_one_row(after, exact)
+        after = drain_one_row(
+            _recall_counts(
+                exact,
+                query_index_tree(
+                    spark, q, sf_dir=sf_dir, index_root=root
+                ),
+                "after",
+            ),
+            exact,
+        )
+        n_a, s_a = dist_a_f.result()
+        after = _attach_distortion(after, n_a, s_a)
         return before.unionByName(after)
     finally:
+        pool.shutdown(wait=True)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -967,6 +967,75 @@ def _bpe_merge_frame(spark: SparkSession, merges: list) -> DataFrame:
     return _model_df(spark, merges, schema)
 
 
+# pair-count rows collected per mining round for the provably-safe
+# batch acceptance in `_accept_bpe_batch`: the round's aggregate is
+# ordered (cnt DESC, a, b) and the top BPE_ARGMAX_SCAN rows cross to
+# the driver (a bounded TakeOrdered — same collect class as the old
+# per-iteration `.first()`, just T rows instead of 1). Any pair NOT
+# collected has cnt ≤ the last collected row's cnt, which the
+# acceptance proof uses as the unseen-interference bound.
+BPE_ARGMAX_SCAN = 256
+
+
+def _accept_bpe_batch(rows, budget: int) -> list:
+    """Greedily accept a prefix-equivalent BATCH of merges from one
+    sorted pair-count snapshot — the sequence of accepted pairs is
+    PROVABLY the exact sequence the one-merge-per-aggregate loop
+    would mine, so batching changes job count, never results.
+
+    Safety argument (each fact is a property of one greedy
+    left-to-right merge of pair p = (a, b) on the delimited-symbol
+    representation):
+    1. a pair disjoint from {a, b} keeps its count EXACTLY (its
+       occurrences touch neither consumed symbol);
+    2. a pair sharing a symbol with p can only LOSE count (some of
+       its occurrences are consumed by the merge);
+    3. every NEW pair contains the merged symbol `ab`, and its count
+       is bounded by the pre-merge count of some pair sharing a
+       symbol with p ((x,ab) ≤ old (x,a); (ab,y) ≤ old (b,y)).
+    Hence candidate r is the true next argmax after the accepted
+    merges iff r is disjoint from every accepted pair and
+    r.cnt is STRICTLY greater than every pair sharing a symbol with
+    the accepted set — both the collected interferers (counts known)
+    and any uncollected pair (cnt ≤ the snapshot's last collected
+    count). Strictness guards the (cnt DESC, a, b) tie-break: an
+    equal-count new pair has unknown text and could win the tie.
+    Equal-count DISJOINT pairs are ordered after r in the snapshot
+    (same unchanged counts, same tie-break), so they stay behind.
+    A self-pair (a == a) closes the batch: rule 3's bound for it
+    includes its own count ((aa,a) ≤ old (a,a)), so nothing ranked
+    below it is provably safe. Worst case every round accepts one
+    merge — byte-identical behavior to the unbatched loop."""
+    thresh = int(rows[-1]["cnt"]) if len(rows) >= BPE_ARGMAX_SCAN else 0
+    first = rows[0]
+    accepted = [(first["a"], first["b"], int(first["cnt"]))]
+    if first["a"] == first["b"]:
+        return accepted
+    syms = {first["a"], first["b"]}
+    for r in rows[1:]:
+        if len(accepted) >= budget:
+            break
+        a, b, cnt = r["a"], r["b"], int(r["cnt"])
+        if a in syms or b in syms:
+            continue
+        # interference cap: every collected pair sharing a symbol
+        # with the accepted set, anywhere in the snapshot (a lower-
+        # ranked interferer can spawn an equal-count new pair that
+        # steals the tie-break), plus the unseen-pair bound
+        cap = thresh
+        for o in rows:
+            if (o["a"] in syms or o["b"] in syms) and int(o["cnt"]) > cap:
+                cap = int(o["cnt"])
+        if cnt <= cap:
+            break
+        accepted.append((a, b, cnt))
+        if a == b:
+            break
+        syms.add(a)
+        syms.add(b)
+    return accepted
+
+
 def _mine_bpe_merges(
     spark: SparkSession,
     sf_dir: str,
@@ -980,19 +1049,37 @@ def _mine_bpe_merges(
     fert = {k: (n_word_tokens, n_bpe_tokens)} measured on the weighted
     vocabulary AFTER k merges for each requested checkpoint.
 
-    Per-iteration cost stays VOCABULARY-sized at any K: one pair
-    explode + hash aggregate + bounded argmax `.first()`, then ONE
-    stateless replace map. The merged state is LINEAGE-TRUNCATED each
-    iteration (`localCheckpoint`): a persist alone leaves the logical
-    plan growing by one self-referencing projection per merge, and
-    Catalyst's project collapse re-substitutes the whole replace chain
-    into every use site — measured superlinear (K=16: 38 s) and a
-    planner heap OOM by K=32 at sf0.01; the checkpointed form is flat
-    ~0.2 s/iteration (K=64: 15 s). Each iteration's vocabulary RDD is
-    released by the ContextCleaner as soon as the next iteration drops
-    the Python reference, so at most two vocabulary-sized states are
-    live at once. Driver memory holds K merge rows; no corpus-scale
-    collect anywhere."""
+    r17 optimization (guide §1.2 level 1 — fix the distributed
+    algorithm before the per-task work): each ROUND now mines a
+    provably-safe BATCH of merges from ONE pair-count aggregate
+    (`_accept_bpe_batch` — exact-equivalence proof there; the DuckDB
+    oracle replays the strictly sequential loop and stays hash-equal),
+    and the rolling lineage truncation is a LAZY `localCheckpoint`
+    materialized by the next round's aggregate, so a round costs ONE
+    Spark job instead of two. K=64 ran 128 driver-synchronous jobs
+    (~8 s at sf0.1, pure round-trip floor); batching cuts rounds to
+    however many the count structure allows (measured ~6-10 at the
+    fixtures) — and at 100 TB each avoided round is an avoided
+    cluster-wide barrier over the vocabulary aggregate, the same
+    argument only stronger. Batches never cross a fertility
+    checkpoint (budget = merges remaining to the next checkpoint), so
+    checkpoint vocabularies are observed at exactly k merges.
+
+    Per-round cost stays VOCABULARY-sized at any K: one pair explode
+    + hash aggregate + bounded TakeOrdered (BPE_ARGMAX_SCAN rows),
+    then ONE stateless replace map (the batch's merges composed in
+    iteration order — disjoint by construction, so the nested
+    replaces are exactly the sequential applications). The merged
+    state is LINEAGE-TRUNCATED each round (`localCheckpoint`): a
+    persist alone leaves the logical plan growing by one
+    self-referencing projection per merge, and Catalyst's project
+    collapse re-substitutes the whole replace chain into every use
+    site — measured superlinear (K=16: 38 s) and a planner heap OOM
+    by K=32 at sf0.01. Each round's vocabulary RDD is released by
+    the ContextCleaner as soon as the next round drops the Python
+    reference, so at most two vocabulary-sized states are live at
+    once. Driver memory holds K merge rows plus one
+    BPE_ARGMAX_SCAN-row snapshot; no corpus-scale collect anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     S = _BPE_SEP
     words = (
@@ -1007,7 +1094,7 @@ def _mine_bpe_merges(
     )
     cur = words.select(
         _bpe_symbols("w").alias("s"), "n"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _fert(df: DataFrame):
         r = df.agg(
@@ -1024,35 +1111,50 @@ def _mine_bpe_merges(
     if 0 in checkpoints:
         fert[0] = _fert(cur)
     exhausted = False
-    for it in range(1, iters + 1):
-        if not exhausted:
-            best = (
-                cur.select(F.split("s", S + S).alias("l"), "n")
-                .filter(F.size("l") >= 2)
-                .select(
-                    F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n"
-                )
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("n").alias("cnt"))
-                .orderBy(
-                    F.col("cnt").desc(),
-                    F.col("a").asc(),
-                    F.col("b").asc(),
-                )
-                .first()
+    it = 1
+    while it <= iters:
+        if exhausted:
+            # vocabulary is frozen: every remaining checkpoint sees
+            # the same state — measure once, record for each
+            if any(c >= it for c in checkpoints):
+                v = _fert(cur)
+                for c in checkpoints:
+                    if c >= it:
+                        fert[c] = v
+            break
+        # a batch must stop AT the next checkpoint so the fertility
+        # snapshot observes exactly c merges
+        boundary = min(
+            (c for c in checkpoints if c >= it), default=iters
+        )
+        budget = min(max(boundary, it), iters) - it + 1
+        top = (
+            cur.select(F.split("s", S + S).alias("l"), "n")
+            .filter(F.size("l") >= 2)
+            .select(
+                F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "n"
             )
-            if best is None:
-                exhausted = True
-            else:
-                merges.append(
-                    (it, best["a"], best["b"], int(best["cnt"]))
-                )
-                cur = cur.withColumn(
-                    "s",
-                    _bpe_merge_replace(F.col("s"), best["a"], best["b"]),
-                ).localCheckpoint()
-        if it in checkpoints:
-            fert[it] = _fert(cur)
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(
+                F.col("cnt").desc(),
+                F.col("a").asc(),
+                F.col("b").asc(),
+            )
+            .limit(BPE_ARGMAX_SCAN)
+            .collect()
+        )
+        if not top:
+            exhausted = True
+            continue
+        col = F.col("s")
+        for a, b, cnt in _accept_bpe_batch(top, budget):
+            merges.append((it, a, b, cnt))
+            col = _bpe_merge_replace(col, a, b)
+            it += 1
+        cur = cur.withColumn("s", col).localCheckpoint(eager=False)
+        if it - 1 in checkpoints:
+            fert[it - 1] = _fert(cur)
     return merges, fert
 
 

@@ -383,16 +383,23 @@ def test_no_driver_side_row_collection_in_engine():
     # `.limit(runtime_n).collect()`, silently un-capping the probe
     bounded = re.compile(
         r"\.limit\(\s*(?:\d+|small_graph_edges(?:\s*//\s*\d+)?"
-        r"(?:\s*\+\s*\d+)?|IVF_NLIST|PQ_K|PQ_M \* PQ_K|BM25_DRAIN_CAP)"
+        r"(?:\s*\+\s*\d+)?|IVF_NLIST|PQ_K|PQ_M \* PQ_K|BM25_DRAIN_CAP"
+        r"|BPE_ARGMAX_SCAN)"
         r"\s*\)\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
     from gomysql2pg_spark.operators.ranking import BM25_DRAIN_CAP
     from gomysql2pg_spark.operators.similarity import IVF_NLIST, PQ_K, PQ_M
+    from gomysql2pg_spark.operators.text import BPE_ARGMAX_SCAN
 
     # the bounded top-k drain cap: |queries| × K, a module-level int
     assert isinstance(BM25_DRAIN_CAP, int)
     assert BM25_DRAIN_CAP <= 4_096
+
+    # the BPE mining round's pair-count snapshot: a TakeOrdered of a
+    # lint-time-capped row count (r17 batch-merge optimization)
+    assert isinstance(BPE_ARGMAX_SCAN, int)
+    assert BPE_ARGMAX_SCAN <= 4_096
 
     # the other known capped names: the coarse/sub-codebook model
     # collects are nlist-/codebook-row model tables, never data rows
