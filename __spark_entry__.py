@@ -29,26 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r17 window (50 slots), derived 2026-08-16 by
-    # `scripts/registry_hashes.py --derive-window 17`.
-    # (1) changed/new this build: the EIGHT r17-NEW operators
-    # (ann_retrain_report, bpe_merges_k64, bpe_fertility_curve,
-    # stream_dedup_admit, t_closeness_report, dp_contribution_bound,
-    # rollup_incremental, decontamination_ngram_join) plus the eleven
-    # entries
-    # whose closures the r17 work touched — the retrain path threads
-    # seed_by_hash through _train_coarse/_train_pq_model (every
-    # IVF/PQ-family entry: similarity_pq/ivfpq/ivfpq_refined,
-    # ann_recall_report, bitext_margin_pairs_ivf,
-    # hard_negative_mining_ivf, retrieval_rrf/quality_report) and the
-    # production-K BPE refactor touches the shared merge-cascade
-    # builders (bpe_merges, bpe_fertility, bpe_token_counts);
-    # (2) no stale entries exist (r16 burned the queue to zero), so
-    # the remaining 34 slots rotate the oldest-fresh r09/r10/r11 rows
-    # (VERDICT r16 item 5: let --derive-window slot them, no
-    # hand-curation).
+    # --- r17 window (50 slots), re-derived 2026-08-17 by
+    # `scripts/registry_hashes.py --derive-window 17` after the r17
+    # OPTIMIZATION pass.
+    # (1) changed this round: the r17-build closures (the EIGHT new
+    # operators plus the retrain-path/IVF-family and production-K BPE
+    # touches the build round already slotted) PLUS the optimization
+    # pass's re-staled entries — bm25_topk (postings shuffle →
+    # doc-keyed counter aggregate), retrieval_rrf/quality_report
+    # (single-serving reuse + eager drain), the BPE family (batched
+    # mining rounds), and the IVF/PQ family (footer-count control
+    # plane + the retrain overlap);
+    # (2) the remaining slots rotate the oldest-fresh r09/r10/r11
+    # rows (VERDICT r16 item 5: let --derive-window slot them, no
+    # hand-curation). bm25_topk's slot pushes cell_transforms out of
+    # the 50; it stays fresh-green from its last row.
     "bitext_margin_pairs_ivf", "hard_negative_mining_ivf",
-    "ann_recall_report", "bpe_fertility", "bpe_merges",
+    "ann_recall_report", "bm25_topk", "bpe_fertility", "bpe_merges",
     "bpe_token_counts", "retrieval_quality_report", "retrieval_rrf",
     "similarity_ivfpq", "similarity_ivfpq_refined", "similarity_pq",
     "ann_retrain_report", "bpe_fertility_curve", "bpe_merges_k64",
@@ -63,7 +60,6 @@ _PRIORITY = [
     "stratified_sample", "string_distance", "temperature_sample",
     "token_budget_select", "typemap_matrix", "unigram_logprob",
     "anti_join", "approx_distinct_check", "approx_quantiles_check",
-    "cell_transforms",
 ]
 
 
