@@ -38,13 +38,15 @@ _PRIORITY = [
     # pass's re-staled entries — bm25_topk (postings shuffle →
     # doc-keyed counter aggregate), retrieval_rrf/quality_report
     # (single-serving reuse + eager drain), the BPE family (batched
-    # mining rounds), and the IVF/PQ family (footer-count control
-    # plane + the retrain overlap);
+    # mining rounds), the IVF/PQ family (footer-count control
+    # plane + the retrain overlap), and lsh_recall_report (the
+    # measured-and-REJECTED overlap note re-staled its source hash);
     # (2) the remaining slots rotate the oldest-fresh r09/r10/r11
     # rows (VERDICT r16 item 5: let --derive-window slot them, no
     # hand-curation). bm25_topk's slot pushes cell_transforms out of
     # the 50; it stays fresh-green from its last row.
     "bitext_margin_pairs_ivf", "hard_negative_mining_ivf",
+    "lsh_recall_report",
     "ann_recall_report", "bm25_topk", "bpe_fertility", "bpe_merges",
     "bpe_token_counts", "retrieval_quality_report", "retrieval_rrf",
     "similarity_ivfpq", "similarity_ivfpq_refined", "similarity_pq",
@@ -59,7 +61,7 @@ _PRIORITY = [
     "regex_funcs", "sequence_semantics", "dedup_lines", "oov_rate",
     "stratified_sample", "string_distance", "temperature_sample",
     "token_budget_select", "typemap_matrix", "unigram_logprob",
-    "anti_join", "approx_distinct_check", "approx_quantiles_check",
+    "anti_join", "approx_distinct_check",
 ]
 
 

@@ -2281,6 +2281,16 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the session (r15 review finding); the returned frame is a
     # one-row local literal, which the driver/bench consume like any
     # other result.
+    # r17 NOTE (guide §2.6, measured and REJECTED): overlapping the
+    # truth and candidate materializations on a thread pool (the
+    # treatment `ann_retrain_report` received this round) was
+    # implemented and interleave-A/B'd at sf0.1 — no win (old
+    # 3.9-4.9 s vs overlapped 4.7-5.0 s in steal-matched windows).
+    # Unlike the retrain lifecycle, whose driver-synchronous
+    # training/install chains leave the cluster idle, both sides
+    # here are single cluster-saturating jobs: there is no idle
+    # capacity for the second job to back-fill, and the extra
+    # thread adds (slight) overhead. Kept sequential.
     truth = q_dedup_jaccard(spark, sf_dir).select("da", "db").persist()
     n_t = truth.count()
     cand = _bucket_pairs(_md5_minhash_bands(docs)).persist()

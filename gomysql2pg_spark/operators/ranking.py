@@ -1344,9 +1344,22 @@ def q_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= NDCG_K)
         .select("qid", "nid")
     ).persist()
-    truth.count()  # materialize once; two consumers read the cache
-    ann = q_similarity_ivfpq(spark, sf_dir).persist()
-    ann.count()  # materialize once; the nDCG branch + the fusion
+    # r17 (guide §2.6 — overlap independent jobs): the truth side
+    # (brute-force quadratic) and the IVFADC serving share no state —
+    # materialize the truth cache on a pool thread while the main
+    # thread builds the index serving (eager tree install/read at
+    # call time) and materializes its cache. Both consumers read the
+    # caches only after both counts return — same frames, same
+    # report values as the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as tp:
+        truth_f = tp.submit(inheritable_thread_target(truth.count))
+        ann = q_similarity_ivfpq(spark, sf_dir).persist()
+        ann.count()  # materialize once; the nDCG branch + the fusion
+        truth_f.result()  # materialized once; two consumers read it
     ivf = (
         ann.filter(F.col("rank") <= NDCG_K)
         .select(F.lit("ivfpq").alias("ranker"), "qid", "nid", "rank")

@@ -1546,19 +1546,32 @@ def ivf_index_compact(
     return len(deltas)
 
 
-def _install_and_swap(fs, croot, sroot, name, codes, blob) -> None:
+def _install_and_swap(
+    fs, croot, sroot, name, codes, blob, pre_swap=None
+) -> None:
     """Install `codes`+sidecar under a staging name and swap it in as
     the live base — the ONE two-rename discipline shared by compaction
     and retrain (`_recover_base` repairs a crash in either caller
     identically because both stage under the `.compact-` prefix).
     A unique tag, not the pid: a long-lived driver swapping twice must
-    not collide with its own stale leftovers (r16 review)."""
+    not collide with its own stale leftovers (r16 review).
+
+    `pre_swap` (optional, r17 — guide §2.6): an epoch barrier for
+    online swaps. Called exactly once, after the staging tree is
+    FULLY installed and before the pointer flip, so a caller that
+    still has in-flight reads of the old serving tree can sequence
+    them ahead of the swap (the retrain report drains its
+    before-phase probe behind this). A `pre_swap` that raises aborts
+    with the base untouched and the complete staging tree on disk —
+    the same crash window `_recover_base` already repairs."""
     import uuid
 
     tag = uuid.uuid4().hex[:8]
     staging = f"{name}.compact-{tag}"
     if not _atomic_install(fs, croot, sroot, staging, codes, blob):
         raise OSError(f"failed to install staged tree {staging}")
+    if pre_swap is not None:
+        pre_swap()
     base_c = _join(croot, name)
     old_c = _join(croot, f"{name}.old-{tag}")
     fs.move(base_c, old_c)
@@ -1661,6 +1674,7 @@ def ivf_index_retrain(
     index_root: str | None = None,
     filesystem=None,
     spark_root: str | None = None,
+    pre_swap=None,
 ) -> dict:
     """Retrain-and-reindex — the arc that closes the index lifecycle
     (r16 VERDICT item 1): when enough of the served code table was
@@ -1728,11 +1742,39 @@ def ivf_index_retrain(
     # hash-sampled seeds over the CURRENT corpus (never vec_id < K):
     # low-id seeds live in the original data region by construction,
     # so a drift-triggered retrain could never allocate cells or
-    # sub-centroids to the very region whose arrival triggered it
-    new_cent = _train_coarse(emb, cache_key=None, seed_by_hash=True)
+    # sub-centroids to the very region whose arrival triggered it.
+    # The coarse and PQ trainings are INDEPENDENT (each reads only
+    # `emb`; neither consumes the other's model), but each is a chain
+    # of driver-synchronous Lloyd rounds whose stage tails idle the
+    # cluster — run them concurrently on a two-worker pool (guide
+    # §2.6; `inheritable_thread_target` per the PySpark threading
+    # contract) so one training's jobs back-fill the other's tail.
+    # At fixture scale both assignments are the inlined-literal
+    # `_cell_expr`/broadcast-join forms — no shared mutable state;
+    # models and seeds are driver-held per call.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as tp:
+        cent_fut = tp.submit(
+            inheritable_thread_target(
+                lambda: _train_coarse(
+                    emb, cache_key=None, seed_by_hash=True
+                )
+            )
+        )
+        cb_fut = tp.submit(
+            inheritable_thread_target(
+                lambda: _train_pq_model(
+                    emb, cache_key=None, seed_by_hash=True
+                )
+            )
+        )
+        new_cent = cent_fut.result()
+        new_cb_rows = cb_fut.result()
     if not new_cent:
         return out  # empty corpus: nothing to train, keep serving
-    new_cb_rows = _train_pq_model(emb, cache_key=None, seed_by_hash=True)
     new_cb = _model_df(
         spark, new_cb_rows, "m int, cid int, ce array<double>"
     )
@@ -1750,7 +1792,9 @@ def ivf_index_retrain(
         new_cb_rows,
         compacted_through=sorted(absorbed | set(deltas)),
     )
-    _install_and_swap(fs, croot, sroot, name, codes, blob)
+    _install_and_swap(
+        fs, croot, sroot, name, codes, blob, pre_swap=pre_swap
+    )
     for d in deltas:
         _rm_tree(fs, _join(croot, d))
     out.update(
@@ -3022,9 +3066,19 @@ def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is joined before the swap; distortion-after only after the
     swap. The distortion value is attached to each phase's DRAINED
     one-row literal as a literal column (`_recall_counts` docstring —
-    split so the drain need not wait on the scan)."""
+    split so the drain need not wait on the scan).
+
+    Second §2.6 pass (this round): the retrain itself — the single
+    most expensive lifecycle stage — now overlaps the before-phase
+    drain, with only the pointer FLIP sequenced behind it
+    (`ivf_index_retrain(pre_swap=...)` — an epoch barrier, see
+    `_install_and_swap`), and inside the retrain the independent
+    coarse and PQ trainings run concurrently. The probe frame is
+    built before the retrain thread starts so its entry-point
+    `_recover_base` cannot GC the live staging tree."""
     import shutil
     import tempfile
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
@@ -3081,26 +3135,52 @@ def q_ann_retrain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ivf_index_append(spark, sf_dir, delta, "b001", index_root=root)
         exact_f.result()  # truth cache ready before the drains read it
-        # drain phase 1 BEFORE the swap (the before-tree stops
-        # existing once retrain renames it away)
-        before = drain_one_row(
-            _recall_counts(
-                exact,
-                query_index_tree(
-                    spark, q, sf_dir=sf_dir, index_root=root
-                ),
-                "before",
+        # the before-phase probe frame is built EAGERLY here (every
+        # index entry point runs _recover_base + reads the sidecar at
+        # CALL time; the returned plan only scans already-resolved
+        # parquet paths) — it must exist before the retrain thread
+        # does, because a probe-side _recover_base running while a
+        # COMPLETE staging tree sits next to a live base would GC
+        # that staging tree out from under the retrain
+        before_probe = _recall_counts(
+            exact,
+            query_index_tree(spark, q, sf_dir=sf_dir, index_root=root),
+            "before",
+        )
+        # r17 (guide §2.6): the retrain — training, corpus re-encode,
+        # staging install — is independent of every before-phase READ
+        # (it touches only `combined` and staging names), so it runs
+        # on the pool while the before probe drains. Only the pointer
+        # FLIP is sequenced: `pre_swap=before_done.wait` parks the
+        # swap until the before probe has drained and the before
+        # distortion scan (which reads the base sidecar) has joined —
+        # same frames, same read points, same values as the
+        # sequential form.
+        before_done = threading.Event()
+        retrain_f = pool.submit(
+            inheritable_thread_target(
+                lambda: ivf_index_retrain(
+                    spark,
+                    sf_dir,
+                    combined,
+                    staleness_threshold_milli=RETRAIN_STALENESS_MILLI,
+                    index_root=root,
+                    pre_swap=before_done.wait,
+                )
             )
         )
-        n_b, s_b = dist_b_f.result()  # joined before the swap
+        try:
+            # drain phase 1 BEFORE the swap (the before-tree stops
+            # existing once retrain renames it away)
+            before = drain_one_row(before_probe)
+            n_b, s_b = dist_b_f.result()  # joined before the swap
+        finally:
+            # set even on a failed drain: the retrain thread is
+            # parked in pre_swap and pool.shutdown(wait=True) in the
+            # outer finally would deadlock on it
+            before_done.set()
         before = _attach_distortion(before, n_b, s_b)
-        info = ivf_index_retrain(
-            spark,
-            sf_dir,
-            combined,
-            staleness_threshold_milli=RETRAIN_STALENESS_MILLI,
-            index_root=root,
-        )
+        info = retrain_f.result()
         assert info["retrained"], info  # 200‰ staleness must trigger
         # distortion-after reads the RETRAINED sidecar (post-swap);
         # overlap it with the after-probe drain

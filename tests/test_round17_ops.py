@@ -356,6 +356,58 @@ def test_ivf_index_retrain_failed_swap_rolls_back(
     assert not any(".compact-" in n or ".old-" in n for n in names)
 
 
+def test_ivf_index_retrain_pre_swap_barrier(spark, sf_dir, tmp_path):
+    """The r17 overlap contract: `pre_swap` fires exactly once, AFTER
+    the staging tree is fully installed (a complete `.compact-*` tree
+    with its sidecar exists) and BEFORE the pointer flip (the base
+    still serves the old model key at callback time) — so a caller
+    can sequence in-flight reads of the old tree ahead of the swap."""
+    import gomysql2pg_spark.operators.similarity as SIM
+    from gomysql2pg_spark.catalog import load_table
+    from pyarrow import fs as pafs
+
+    root = str(tmp_path / "ann")
+    SIM.q_similarity_ivfpq(spark, sf_dir, index_root=root).count()
+    fs, croot, sroot = SIM._resolve_index_fs(index_root=root)
+    name = SIM._index_name(sf_dir)
+    base_c = SIM._join(croot, name)
+    old_key = SIM._read_model_blob(fs, base_c)["model_key"]
+    seen = []
+
+    def barrier():
+        # base untouched: still serving the OLD model
+        assert (
+            SIM._read_model_blob(fs, base_c)["model_key"] == old_key
+        )
+        staged = [
+            i.base_name
+            for i in fs.get_file_info(pafs.FileSelector(croot))
+            if i.type == pafs.FileType.Directory
+            and ".compact-" in i.base_name
+            and ".tmp-" not in i.base_name
+        ]
+        # staging tree COMPLETE (installed, sidecar present)
+        assert len(staged) == 1
+        assert SIM._tree_built(fs, SIM._join(croot, staged[0]))
+        assert (
+            SIM._read_model_blob(fs, SIM._join(croot, staged[0]))
+            is not None
+        )
+        seen.append(staged[0])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    info = SIM.ivf_index_retrain(
+        spark, sf_dir, emb, force=True, index_root=root,
+        pre_swap=barrier,
+    )
+    assert info["retrained"] and len(seen) == 1
+    assert (
+        SIM._read_model_blob(fs, base_c)["model_key"]
+        == info["new_model_key"]
+        != old_key
+    )
+
+
 # ------------------------------------------------ stream_dedup_admit
 
 
