@@ -29,39 +29,34 @@ from pyspark.sql import DataFrame, SparkSession
 # hand-curation hole that caused the r08 missed rotation and the
 # r12 post-window gap.
 _PRIORITY = [
-    # --- r17 window (50 slots), re-derived 2026-08-17 by
-    # `scripts/registry_hashes.py --derive-window 17` after the r17
+    # --- r18 window (50 slots), re-derived 2026-08-18 by
+    # `scripts/registry_hashes.py --derive-window 18` after the r18
     # OPTIMIZATION pass.
-    # (1) changed this round: the r17-build closures (the EIGHT new
-    # operators plus the retrain-path/IVF-family and production-K BPE
-    # touches the build round already slotted) PLUS the optimization
-    # pass's re-staled entries — bm25_topk (postings shuffle →
-    # doc-keyed counter aggregate), retrieval_rrf/quality_report
-    # (single-serving reuse + eager drain), the BPE family (batched
-    # mining rounds), the IVF/PQ family (footer-count control
-    # plane + the retrain overlap), and lsh_recall_report (the
-    # measured-and-REJECTED overlap note re-staled its source hash);
-    # (2) the remaining slots rotate the oldest-fresh r09/r10/r11
-    # rows (VERDICT r16 item 5: let --derive-window slot them, no
-    # hand-curation). bm25_topk's slot pushes cell_transforms out of
-    # the 50; it stays fresh-green from its last row.
-    "bitext_margin_pairs_ivf", "hard_negative_mining_ivf",
-    "lsh_recall_report",
-    "ann_recall_report", "bm25_topk", "bpe_fertility", "bpe_merges",
-    "bpe_token_counts", "retrieval_quality_report", "retrieval_rrf",
-    "similarity_ivfpq", "similarity_ivfpq_refined", "similarity_pq",
-    "ann_retrain_report", "bpe_fertility_curve", "bpe_merges_k64",
-    "decontamination_ngram_join", "dp_contribution_bound",
-    "rollup_incremental", "stream_dedup_admit", "t_closeness_report",
-    "rollup_agg", "semi_join", "set_except", "set_union_intersect",
-    "similarity_norms", "string_funcs", "text_stats", "tfidf_top_terms",
-    "token_count", "validate_rowcount", "collect_distinct_arrays",
-    "dedup_embedding", "dedup_jaccard_prefix", "doc_fingerprint",
-    "freq_sketch_check", "profile_orders", "q13_custdist",
-    "regex_funcs", "sequence_semantics", "dedup_lines", "oov_rate",
-    "stratified_sample", "string_distance", "temperature_sample",
-    "token_budget_select", "typemap_matrix", "unigram_logprob",
-    "anti_join", "approx_distinct_check",
+    # (1) changed this round: the five BPE entries re-staled by the
+    # driver-side trainer hybrid (`_mine_bpe_merges_local` — one
+    # bounded vocabulary probe replaces the K-round argmax chain when
+    # the vocabulary fits the driver budget; oracle-exact at both
+    # fixture SFs, full sweep FAILURES: none);
+    # (2) the remaining slots rotate the oldest-fresh rows
+    # (VERDICT r16 item 5: let --derive-window slot them, no
+    # hand-curation).
+    "bpe_fertility", "bpe_fertility_curve", "bpe_merges",
+    "bpe_merges_k64", "bpe_token_counts",
+    "approx_quantiles_check", "cell_transforms", "char_entropy",
+    "conditional_null", "cooccurrence_lift", "copytext_roundtrip",
+    "count_star", "dedup_exact", "distinct_agg", "doc_chunking",
+    "domain_reweight", "filter_like", "full_scan", "group_concat",
+    "heavy_hitters", "interval_overlap_join", "mad_outliers",
+    "multikey_sort", "page_count", "quality_calibration",
+    "random_ids_check", "stream_heavy_hitters", "stream_quality_gate",
+    "stream_source_stats", "validate_fk_orphans", "vocab_topk",
+    "cohort_retention", "curation_pipeline", "distinct_ngram_ratio",
+    "domain_cap_sample", "dsir_select", "engagement_dau",
+    "er_blocking_pairs", "er_match_pairs", "er_resolved_rollup",
+    "events_anomaly", "events_asof_next_purchase",
+    "events_asof_purchase", "events_asof_tolerance",
+    "events_cdc_merge", "events_funnel", "events_json_props",
+    "events_latest_per_user", "events_sessionize", "events_window",
 ]
 
 

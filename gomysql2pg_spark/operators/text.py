@@ -976,6 +976,122 @@ def _bpe_merge_frame(spark: SparkSession, merges: list) -> DataFrame:
 # acceptance proof uses as the unseen-interference bound.
 BPE_ARGMAX_SCAN = 256
 
+# vocabulary rows the driver-side trainer may hold (the
+# CC_SMALL_GRAPH_EDGES hybrid precedent: thresholded like a broadcast
+# join, lint-capped). ONE bounded limit(N+1) probe decides the path
+# AND, when it comes back within budget, already IS the complete
+# weighted vocabulary — BPE training state is vocabulary-sized, never
+# corpus-sized, so within this bound the exact merge recursion runs on
+# the driver with ZERO further cluster jobs (r18: the K=64 entries
+# paid 64 sequential vocabulary-sized aggregates — 64 cluster-wide
+# barriers of pure scheduling latency over a 31-word fixture
+# vocabulary, ~8 s clean at sf0.1). Past the bound the per-round
+# cluster loop below remains the 100 TB path.
+BPE_DRIVER_VOCAB = 65_536
+
+
+def _bpe_greedy_merge(syms: list, a: str, b: str) -> list:
+    """One greedy left-to-right non-overlapping merge on a symbol
+    list — the list-land twin of `_bpe_merge_replace`: string
+    `replace()` scans left to right and resumes AFTER each
+    replacement (never rescanning replaced output), so the delimited-
+    string and list formulations produce identical segmentations
+    (e.g. (a,a) on "aaa" → [aa, a], on "aaaa" → [aa, aa])."""
+    out: list = []
+    j, size, ab = 0, len(syms), a + b
+    while j < size:
+        if j + 1 < size and syms[j] == a and syms[j + 1] == b:
+            out.append(ab)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def _mine_bpe_merges_local(rows, iters: int, checkpoints=()):
+    """Exact driver-side merge recursion over a bounded weighted
+    vocabulary — same contract as `_mine_bpe_merges` (returns
+    (merges, fert)). Equivalence to the per-round cluster loop, piece
+    by piece:
+
+    - PAIR COUNTS: every adjacent symbol POSITION counts (overlapping
+      occurrences included — "aaa" holds (a,a) twice), weighted by
+      word frequency; identical to the pair-explode aggregate.
+    - ARGMAX TIE-BREAK: max cnt, then (a, b) ascending under Python
+      str order = Unicode code-point order = UTF-8 byte order (UTF-8
+      is order-preserving by construction), i.e. exactly Spark's
+      binary string sort in `orderBy(cnt DESC, a, b)`.
+    - SYMBOLS: `list(w)` yields code points, matching
+      `substr(w, i, 1)` over `length(w)` code points.
+    - MERGE APPLICATION: `_bpe_greedy_merge` (see its docstring for
+      the replace() equivalence).
+
+    Bookkeeping is incremental but whole-word: an inverted index
+    pair → {word ids} restricts each round to words actually
+    containing the merged pair, and a changed word's delta is a full
+    recount of ITS adjacent pairs (remove all old, add all new) — no
+    occurrence-level arithmetic to get wrong. Fertility checkpoints
+    read the running (Σn, Σn·|symbols|) totals at exactly k merges."""
+    words = [[list(r["w"]), int(r["n"])] for r in rows]
+    pair_cnt: dict = {}
+    pair_words: dict = {}
+
+    def _word_pairs(syms: list) -> dict:
+        c: dict = {}
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            c[p] = c.get(p, 0) + 1
+        return c
+
+    for idx, (syms, n) in enumerate(words):
+        for p, k in _word_pairs(syms).items():
+            pair_cnt[p] = pair_cnt.get(p, 0) + k * n
+            pair_words.setdefault(p, set()).add(idx)
+    nw = sum(n for _, n in words)
+    nb = sum(n * len(s) for s, n in words)
+    merges: list[tuple[int, str, str, int]] = []
+    fert: dict[int, tuple[int, int]] = {}
+    if 0 in checkpoints:
+        fert[0] = (nw, nb)
+    it = 1
+    while it <= iters:
+        if not pair_cnt:
+            # vocabulary is frozen: every remaining checkpoint sees
+            # the same state (the cluster loop's `exhausted` branch)
+            for c in checkpoints:
+                if c >= it:
+                    fert[c] = (nw, nb)
+            break
+        (a, b), cnt = min(
+            pair_cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((it, a, b, int(cnt)))
+        # sorted() snapshots the set (mutated below) and keeps the
+        # walk deterministic (the result is order-independent anyway)
+        for idx in sorted(pair_words[(a, b)]):
+            syms, n = words[idx]
+            new = _bpe_greedy_merge(syms, a, b)
+            for p, k in _word_pairs(syms).items():
+                left = pair_cnt[p] - k * n
+                if left:
+                    pair_cnt[p] = left
+                else:
+                    del pair_cnt[p]
+                owners = pair_words[p]
+                owners.discard(idx)
+                if not owners:
+                    del pair_words[p]
+            for p, k in _word_pairs(new).items():
+                pair_cnt[p] = pair_cnt.get(p, 0) + k * n
+                pair_words.setdefault(p, set()).add(idx)
+            nb += n * (len(new) - len(syms))
+            words[idx][0] = new
+        if it in checkpoints:
+            fert[it] = (nw, nb)
+        it += 1
+    return merges, fert
+
 
 def _accept_bpe_batch(rows, budget: int) -> list:
     """Greedily accept a prefix-equivalent BATCH of merges from one
@@ -1041,6 +1157,7 @@ def _mine_bpe_merges(
     sf_dir: str,
     iters: int,
     checkpoints: tuple[int, ...] = (),
+    driver_vocab: int = BPE_DRIVER_VOCAB,
 ) -> tuple[list, dict]:
     """The shared BPE merge-mining loop at any K — the driver-visible
     data-dependent iteration (each merge depends on the previous
@@ -1049,21 +1166,34 @@ def _mine_bpe_merges(
     fert = {k: (n_word_tokens, n_bpe_tokens)} measured on the weighted
     vocabulary AFTER k merges for each requested checkpoint.
 
-    r17 optimization (guide §1.2 level 1 — fix the distributed
-    algorithm before the per-task work): each ROUND now mines a
-    provably-safe BATCH of merges from ONE pair-count aggregate
-    (`_accept_bpe_batch` — exact-equivalence proof there; the DuckDB
-    oracle replays the strictly sequential loop and stays hash-equal),
-    and the rolling lineage truncation is a LAZY `localCheckpoint`
-    materialized by the next round's aggregate, so a round costs ONE
-    Spark job instead of two. K=64 ran 128 driver-synchronous jobs
-    (~8 s at sf0.1, pure round-trip floor); batching cuts rounds to
-    however many the count structure allows (measured ~6-10 at the
-    fixtures) — and at 100 TB each avoided round is an avoided
-    cluster-wide barrier over the vocabulary aggregate, the same
-    argument only stronger. Batches never cross a fertility
-    checkpoint (budget = merges remaining to the next checkpoint), so
-    checkpoint vocabularies are observed at exactly k merges.
+    r18 optimization (guide §1.2 level 1 + §5 — the training state is
+    VOCABULARY-sized, so stop paying K cluster-wide barriers for it):
+    hybrid execution, thresholded like a broadcast join. One bounded
+    `limit(driver_vocab + 1)` probe samples the weighted vocabulary;
+    within budget the probe already IS the whole vocabulary and the
+    exact merge recursion runs driver-side (`_mine_bpe_merges_local`
+    — equivalence argument there), so a K=64 training costs one
+    bounded probe (≤3 AQE query-stage jobs, CONSTANT in K) instead of
+    ~64 sequential vocabulary aggregates. `driver_vocab=0` skips the
+    probe for callers that know the vocabulary is large. Past the
+    bound, the per-round cluster loop below is the 100 TB path.
+
+    r17 optimization (cluster loop, guide §1.2 level 1): each ROUND
+    mines a provably-safe BATCH of merges from ONE pair-count
+    aggregate (`_accept_bpe_batch` — exact-equivalence proof there;
+    the DuckDB oracle replays the strictly sequential loop and stays
+    hash-equal), and the rolling lineage truncation is a LAZY
+    `localCheckpoint` materialized by the next round's aggregate, so
+    a round costs ONE Spark job instead of two. K=64 ran 128
+    driver-synchronous jobs (~8 s at sf0.1, pure round-trip floor);
+    batching cuts rounds to however many the count structure allows —
+    on THESE fixtures the top pairs always chain-interfere, so it
+    accepts exactly 1 merge/round (64 rounds at K=64; the batch
+    engages on disjoint-top-pair corpora) — and at 100 TB each
+    avoided round is an avoided cluster-wide barrier over the
+    vocabulary aggregate. Batches never cross a fertility checkpoint
+    (budget = merges remaining to the next checkpoint), so checkpoint
+    vocabularies are observed at exactly k merges.
 
     Per-round cost stays VOCABULARY-sized at any K: one pair explode
     + hash aggregate + bounded TakeOrdered (BPE_ARGMAX_SCAN rows),
@@ -1092,6 +1222,18 @@ def _mine_bpe_merges(
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
+    if driver_vocab > 0:
+        # ONE probe job decides the path AND, within budget, already
+        # returns the complete weighted vocabulary (the CC small-graph
+        # probe shape: a limit(N+1) collect that comes back within
+        # budget IS the whole relation — no separate count). The
+        # coalesce(1) narrows the aggregate's reduce side to one task
+        # so executeTake scans it in ONE job instead of scale-up waves
+        # (1, 4, 16… partitions per wave when rows < limit); the
+        # corpus-scan+partial-agg map side keeps its parallelism.
+        probe = words.coalesce(1).limit(driver_vocab + 1).collect()
+        if len(probe) <= driver_vocab:
+            return _mine_bpe_merges_local(probe, iters, checkpoints)
     cur = words.select(
         _bpe_symbols("w").alias("s"), "n"
     ).localCheckpoint(eager=False)

@@ -384,13 +384,16 @@ def test_no_driver_side_row_collection_in_engine():
     bounded = re.compile(
         r"\.limit\(\s*(?:\d+|small_graph_edges(?:\s*//\s*\d+)?"
         r"(?:\s*\+\s*\d+)?|IVF_NLIST|PQ_K|PQ_M \* PQ_K|BM25_DRAIN_CAP"
-        r"|BPE_ARGMAX_SCAN)"
+        r"|BPE_ARGMAX_SCAN|driver_vocab(?:\s*\+\s*\d+)?)"
         r"\s*\)\s*\.collect\(\)"
     )
     from gomysql2pg_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
     from gomysql2pg_spark.operators.ranking import BM25_DRAIN_CAP
     from gomysql2pg_spark.operators.similarity import IVF_NLIST, PQ_K, PQ_M
-    from gomysql2pg_spark.operators.text import BPE_ARGMAX_SCAN
+    from gomysql2pg_spark.operators.text import (
+        BPE_ARGMAX_SCAN,
+        BPE_DRIVER_VOCAB,
+    )
 
     # the bounded top-k drain cap: |queries| × K, a module-level int
     assert isinstance(BM25_DRAIN_CAP, int)
@@ -400,6 +403,12 @@ def test_no_driver_side_row_collection_in_engine():
     # lint-time-capped row count (r17 batch-merge optimization)
     assert isinstance(BPE_ARGMAX_SCAN, int)
     assert BPE_ARGMAX_SCAN <= 4_096
+
+    # the BPE driver-side trainer's vocabulary probe (r18): the same
+    # hybrid shape as the CC small-graph path — `driver_vocab` is a
+    # keyword parameter defaulting to this lint-checked constant
+    assert isinstance(BPE_DRIVER_VOCAB, int)
+    assert BPE_DRIVER_VOCAB <= 1_000_000  # driver-memory sane
 
     # the other known capped names: the coarse/sub-codebook model
     # collects are nlist-/codebook-row model tables, never data rows
