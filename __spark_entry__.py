@@ -36,10 +36,16 @@ _PRIORITY = [
     # driver-side trainer hybrid (`_mine_bpe_merges_local` — one
     # bounded vocabulary probe replaces the K-round argmax chain when
     # the vocabulary fits the driver budget; oracle-exact at both
-    # fixture SFs, full sweep FAILURES: none);
+    # fixture SFs, full sweep FAILURES: none), plus
+    # similarity_lsh_verified re-staled by the in-place record of the
+    # r18 JVM-vs-Arrow A/B decision on its bucket kernel (measured
+    # ~3× slower, KEPT — comment-only, the lsh_recall_report r17
+    # precedent);
     # (2) the remaining slots rotate the oldest-fresh rows
     # (VERDICT r16 item 5: let --derive-window slot them, no
-    # hand-curation).
+    # hand-curation). events_window rotates back out for the
+    # similarity_lsh_verified slot.
+    "similarity_lsh_verified",
     "bpe_fertility", "bpe_fertility_curve", "bpe_merges",
     "bpe_merges_k64", "bpe_token_counts",
     "approx_quantiles_check", "cell_transforms", "char_entropy",
@@ -56,7 +62,7 @@ _PRIORITY = [
     "events_anomaly", "events_asof_next_purchase",
     "events_asof_purchase", "events_asof_tolerance",
     "events_cdc_merge", "events_funnel", "events_json_props",
-    "events_latest_per_user", "events_sessionize", "events_window",
+    "events_latest_per_user", "events_sessionize",
 ]
 
 

@@ -156,6 +156,15 @@ def lsh_bucket_keys_udf():
     deterministic across sessions/executors without shipping state; a
     single sign-flip of 128 expression-tree projections would compile to
     an enormous codegen unit, so this is the honest Pandas-UDF case.
+    Re-measured r18 (the r14 rejection was on a noisy box): a JVM
+    stack-of-dot-products variant (384-row plane model table,
+    broadcast crossJoin, zip_with+aggregate fold, one bit-pack
+    aggregate) produced identical rows and ran ~3× SLOWER in a
+    steal-matched interleaved A/B at sf0.1 (pandas 2.45-3.5 s vs JVM
+    7.5-11.6 s per rep) — the per-row fold over 64 floats × 384 planes
+    costs far more in codegen'd row-at-a-time arithmetic than one
+    BLAS matmul per Arrow batch plus the boundary crossing (guide
+    §4.2: hand whole batches to vectorized native code). KEPT.
     Multi-table is what makes hyperplane LSH usable on weak-signal data:
     one k-bit table has recall p^k; L tables lift it to 1-(1-p^k)^L
     while candidate cost stays Σ bucket² per table."""
