@@ -950,7 +950,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stateless map over the cached vocabulary. The K-row result is
     drained eagerly and returned as a local literal frame
     (persist-release discipline)."""
-    merges, _ = _mine_bpe_merges(spark, sf_dir, BPE_MERGE_ITERS)
+    merges, _, _ = _mine_bpe_merges(spark, sf_dir, BPE_MERGE_ITERS)
     return _bpe_merge_frame(spark, merges)
 
 
@@ -1032,7 +1032,13 @@ def _mine_bpe_merges_local(rows, iters: int, checkpoints=()):
     containing the merged pair, and a changed word's delta is a full
     recount of ITS adjacent pairs (remove all old, add all new) — no
     occurrence-level arithmetic to get wrong. Fertility checkpoints
-    read the running (Σn, Σn·|symbols|) totals at exactly k merges."""
+    read the running (Σn, Σn·|symbols|) totals at exactly k merges.
+
+    Returns (merges, fert, enc): enc = [(w, n_symbols_after_all
+    merges)…] — the fully-encoded vocabulary the recursion already
+    holds, free for consumers that would otherwise re-derive it with
+    a second corpus aggregate (`q_bpe_token_counts`)."""
+    origs = [r["w"] for r in rows]
     words = [[list(r["w"]), int(r["n"])] for r in rows]
     pair_cnt: dict = {}
     pair_words: dict = {}
@@ -1090,7 +1096,8 @@ def _mine_bpe_merges_local(rows, iters: int, checkpoints=()):
         if it in checkpoints:
             fert[it] = (nw, nb)
         it += 1
-    return merges, fert
+    enc = [(w, len(ent[0])) for w, ent in zip(origs, words)]
+    return merges, fert, enc
 
 
 def _accept_bpe_batch(rows, budget: int) -> list:
@@ -1162,9 +1169,12 @@ def _mine_bpe_merges(
     """The shared BPE merge-mining loop at any K — the driver-visible
     data-dependent iteration (each merge depends on the previous
     argmax; the k-means/PageRank determinism-by-count precedent).
-    Returns (merges, fert): merges = [(it, sym_a, sym_b, pair_n)…],
-    fert = {k: (n_word_tokens, n_bpe_tokens)} measured on the weighted
-    vocabulary AFTER k merges for each requested checkpoint.
+    Returns (merges, fert, enc): merges = [(it, sym_a, sym_b,
+    pair_n)…], fert = {k: (n_word_tokens, n_bpe_tokens)} measured on
+    the weighted vocabulary AFTER k merges for each requested
+    checkpoint, and enc = the fully-encoded [(w, n_symbols)…]
+    vocabulary when the driver path ran (None on the cluster path —
+    consumers that need it fall back to the cluster-side encode).
 
     r18 optimization (guide §1.2 level 1 + §5 — the training state is
     VOCABULARY-sized, so stop paying K cluster-wide barriers for it):
@@ -1297,7 +1307,7 @@ def _mine_bpe_merges(
         cur = cur.withColumn("s", col).localCheckpoint(eager=False)
         if it - 1 in checkpoints:
             fert[it - 1] = _fert(cur)
-    return merges, fert
+    return merges, fert, None
 
 
 _BPE_SEP_SQL = "chr(31)"
@@ -1516,18 +1526,26 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, two roll-ups.
 
     Scale shape: training is `q_bpe_merges`' story (composition-priced
-    — reading a cached merge table would fake the measurement); the
-    apply is one explode+groupBy to (doc, word) counts, a distinct to
-    the vocabulary, K replaces over it, and ONE shuffle join back on
-    word (both sides word-keyed; the vocabulary side is the small one
-    but can exceed broadcast size at corpus scale, so the plan leaves
-    the strategy to AQE). Word filtering matches `wf` exactly (empty
-    and separator-carrying words excluded) so the merge table and the
+    — reading a cached merge table would fake the measurement, so the
+    full mining runs inside every invocation); the apply is one
+    explode+groupBy to (doc, word) counts and ONE join back on word.
+    r18: when the mining probe ran driver-side, the recursion already
+    HOLDS the fully-encoded vocabulary — it comes back as a
+    vocabulary-sized local frame (the `_model_df` LocalTableScan
+    shape) instead of being re-derived with a SECOND corpus
+    explode+distinct+K-replace subtree, cutting the entry's corpus
+    passes 3 → 2 (probe + doc-word aggregate; Catalyst pruned the old
+    venc down to its own corpus scan, so nothing was shared). On the
+    cluster mining path the venc subtree is built cluster-side
+    exactly as before (the vocabulary then exceeds the driver budget,
+    and can exceed broadcast size too, so the plan leaves the join
+    strategy to AQE). Word filtering matches `wf` exactly (empty and
+    separator-carrying words excluded) so the merge table and the
     apply see the same universe."""
     docs = load_table(spark, sf_dir, "documents")
     S = _BPE_SEP
     assert BPE_MERGE_ITERS <= 8
-    merges = q_bpe_merges(spark, sf_dir).limit(8).collect()
+    merges, _, enc = _mine_bpe_merges(spark, sf_dir, BPE_MERGE_ITERS)
     dw = (
         docs.select(
             "doc_id",
@@ -1539,10 +1557,22 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
-    venc = _bpe_apply(
-        dw.select("w").distinct().select("w", _bpe_symbols("w").alias("s")),
-        merges,
-    ).select("w", F.size(F.split("s", S + S)).cast("long").alias("vlen"))
+    if enc is not None:
+        from .similarity import _model_df
+
+        venc = _model_df(spark, enc, "w string, vlen bigint")
+    else:
+        mrows = [
+            {"it": i, "sym_a": a, "sym_b": b} for i, a, b, _ in merges
+        ]
+        venc = _bpe_apply(
+            dw.select("w")
+            .distinct()
+            .select("w", _bpe_symbols("w").alias("s")),
+            mrows,
+        ).select(
+            "w", F.size(F.split("s", S + S)).cast("long").alias("vlen")
+        )
     return (
         dw.join(venc, "w")
         .groupBy("doc_id")
@@ -1639,7 +1669,7 @@ def q_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical per-iteration plan to `q_bpe_merges`
     (see `_mine_bpe_merges`: rolling persist keeps the replace chain
     depth 1); total cost is K × vocabulary, linear in K."""
-    merges, _ = _mine_bpe_merges(spark, sf_dir, BPE_PROD_ITERS)
+    merges, _, _ = _mine_bpe_merges(spark, sf_dir, BPE_PROD_ITERS)
     return _bpe_merge_frame(spark, merges)
 
 
@@ -1655,7 +1685,7 @@ def q_bpe_fertility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: `_mine_bpe_merges`' story plus one vocabulary-sized
     aggregate per checkpoint (4 extra tiny jobs); nothing touches the
     corpus after the initial word count."""
-    _, fert = _mine_bpe_merges(
+    _, fert, _ = _mine_bpe_merges(
         spark, sf_dir, BPE_PROD_ITERS, checkpoints=BPE_CURVE_KS
     )
     rows = [

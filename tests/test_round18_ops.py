@@ -62,6 +62,26 @@ def _local(word_counts: dict, iters: int, checkpoints=()):
     return _mine_bpe_merges_local(rows, iters, checkpoints)
 
 
+def _naive_final_lens(word_counts: dict, iters: int) -> dict:
+    """Reference final segmentation lengths via the naive trainer."""
+    merges, _ = _naive_bpe(dict(word_counts), iters)
+    lens = {}
+    for w in word_counts:
+        syms = list(w)
+        for _, a, b, _ in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        lens[w] = len(syms)
+    return lens
+
+
 HOSTILE_VOCABS = [
     # overlapping self-pair positions: "aaa" holds (a,a) twice but one
     # greedy merge consumes two symbols → [aa, a]
@@ -90,8 +110,9 @@ def test_bpe_local_recursion_matches_naive_reference(wc):
     exhaustion with trailing checkpoints, multi-byte symbols."""
     ck = (0, 2, 5, 9)
     want = _naive_bpe(dict(wc), 9, checkpoints=ck)
-    got = _local(dict(wc), 9, checkpoints=ck)
-    assert got == want
+    merges, fert, enc = _local(dict(wc), 9, checkpoints=ck)
+    assert (merges, fert) == want
+    assert dict(enc) == _naive_final_lens(wc, 9)
 
 
 def test_bpe_local_recursion_randomized_against_reference():
@@ -112,12 +133,14 @@ def test_bpe_local_recursion_randomized_against_reference():
         }
         k = rng.randint(1, 40)
         ck = tuple(sorted(rng.sample(range(k + 1), min(3, k + 1))))
-        assert _local(dict(wc), k, ck) == _naive_bpe(dict(wc), k, ck), (
+        merges, fert, enc = _local(dict(wc), k, ck)
+        assert (merges, fert) == _naive_bpe(dict(wc), k, ck), (
             trial,
             wc,
             k,
             ck,
         )
+        assert dict(enc) == _naive_final_lens(wc, k), (trial, wc, k)
 
 
 def test_bpe_driver_and_cluster_paths_agree(spark, sf_dir):
@@ -141,7 +164,26 @@ def test_bpe_driver_and_cluster_paths_agree(spark, sf_dir):
         checkpoints=BPE_CURVE_KS,
         driver_vocab=0,
     )
-    assert fast == slow
+    assert fast[:2] == slow[:2]
+    # the driver path hands back the encoded vocabulary for free; the
+    # cluster path signals consumers to build it cluster-side
+    assert fast[2] is not None and slow[2] is None
+
+
+def test_bpe_token_counts_single_corpus_scan_when_driver_mined(
+    spark, sf_dir, queries
+):
+    """With the vocabulary driver-mined, the encoded vocabulary comes
+    back as a LocalTableScan — the public plan must scan the corpus
+    exactly ONCE (the doc-word aggregate side; the old venc subtree
+    re-scanned it because Catalyst pruned through the shared dw
+    aggregate)."""
+    from tests.test_plan_quality import plan_of
+
+    plan = plan_of(queries["bpe_token_counts"](spark, sf_dir))
+    # one Location: line per scan node in the formatted details
+    assert plan.count("Location:") == 1, plan
+    assert "LocalTableScan" in plan, plan
 
 
 def test_bpe_k64_mining_runs_constant_cluster_jobs(spark, sf_dir):
@@ -161,7 +203,7 @@ def test_bpe_k64_mining_runs_constant_cluster_jobs(spark, sf_dir):
     group = "r18-bpe-jobcount"
     sc.setJobGroup(group, "bpe k64 mining job count")
     try:
-        merges, fert = _mine_bpe_merges(
+        merges, fert, _ = _mine_bpe_merges(
             spark, sf_dir, BPE_PROD_ITERS, checkpoints=BPE_CURVE_KS
         )
     finally:
